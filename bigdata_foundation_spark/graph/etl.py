@@ -1,0 +1,121 @@
+"""CSV edge-list → graph-table ETL (reference operators I1–I11).
+
+Semantics replicated from the reference's Cypher ingest, with every
+count-golden verified against its published tables (SURVEY.md §2.1,
+FIXTURES.md §2):
+
+* rows with empty ``START_NODE`` are dropped (the shipped CSVs are
+  padded to a constant length with ``,,,,,`` rows — SURVEY.md §1.1);
+* **nodes** come from ``START_NODE`` occurrences only, deduped on the
+  full ``{NodeId, XCoord, YCoord}`` MERGE key (MAIN:188–190; I4);
+* **edges** attach only when BOTH endpoints exist as nodes, so rows
+  whose ``END_NODE`` never appears as a ``START_NODE`` are silently
+  dropped — this dangling-edge drop is part of the contract
+  (MAIN:280–282; I5);
+* exact duplicate quadruples dedup while parallel edges with distinct
+  ``roadId``/``cost`` survive — the graph is a multigraph (MAIN:282 and
+  the rejected collapsing form MAIN:221–227; I6).
+
+Scale notes: nodes dedup is one hash-aggregate shuffle on the node id;
+the two existence joins broadcast the (small) node-id side when it fits
+and fall back to shuffled hash join under AQE otherwise. No per-batch
+commit is needed (reference's ``PERIODIC COMMIT``, I2) — Spark tasks
+already bound memory per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.io import EDGELIST_RAW_SCHEMA, read_csv
+
+
+def read_edgelist(spark: SparkSession, path: str) -> DataFrame:
+    """Operator I1+I3: header-CSV scan, blank-row drop, typed casts.
+
+    Returns columns ``XCoord double, YCoord double, START_NODE string,
+    END_NODE string, EDGE string, LENGTH double`` (node ids stay strings
+    for parity with the reference's MERGE keys, SURVEY.md §1.1).
+    """
+    raw = read_csv(spark, path, schema=EDGELIST_RAW_SCHEMA)
+    return (
+        raw.filter(F.col("START_NODE").isNotNull() & (F.col("START_NODE") != ""))
+        .select(
+            F.col("XCoord").cast("double").alias("XCoord"),
+            F.col("YCoord").cast("double").alias("YCoord"),
+            "START_NODE",
+            "END_NODE",
+            "EDGE",
+            F.col("LENGTH").cast("double").alias("LENGTH"),
+        )
+    )
+
+
+def build_nodes(edgelist: DataFrame) -> DataFrame:
+    """Operator I4: dedup-upsert of nodes.
+
+    MERGE on ``{NodeId, XCoord, YCoord}`` (MAIN:190) — coordinates are
+    functionally dependent on the id in the data, so a distinct on the
+    full key equals a distinct on the id; we keep the full-key distinct
+    to preserve MERGE semantics if that dependency ever broke.
+    """
+    return (
+        edgelist.select(
+            F.col("START_NODE").alias("NodeId"),
+            "XCoord",
+            "YCoord",
+        )
+        .dropDuplicates(["NodeId", "XCoord", "YCoord"])
+    )
+
+
+def build_edges(edgelist: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Operators I5+I6: node-existence joins + quadruple dedup.
+
+    Returns the ``roads(src, dst, road_id, cost)`` multigraph table.
+    The join keeps only edges whose endpoints both exist in ``nodes``
+    (MAIN:280–282); the node-id side is tiny relative to the edge list
+    (37k vs 100k here; ~1:3 at any scale) so we broadcast it — two
+    broadcast hash joins, zero shuffles of the big side.
+    """
+    node_ids = F.broadcast(nodes.select("NodeId").distinct())
+    deduped = edgelist.dropDuplicates(["START_NODE", "END_NODE", "EDGE", "LENGTH"])
+    return (
+        deduped.join(node_ids.withColumnRenamed("NodeId", "START_NODE"), "START_NODE")
+        .join(node_ids.withColumnRenamed("NodeId", "END_NODE"), "END_NODE")
+        .select(
+            F.col("START_NODE").alias("src"),
+            F.col("END_NODE").alias("dst"),
+            F.col("EDGE").alias("road_id"),
+            F.col("LENGTH").alias("cost"),
+        )
+    )
+
+
+def load_graph(spark: SparkSession, path: str, cache: bool = True) -> tuple[DataFrame, DataFrame]:
+    """End-to-end ingest: CSV path → (nodes, roads).
+
+    ``cache=True`` mirrors the reference's in-memory graph projection
+    (``nodeProjection``/``relationshipProjection``, neo4j-code.txt:3–15)
+    — the algorithms iterate over these tables many times.
+    """
+    edgelist = read_edgelist(spark, path)
+    nodes = build_nodes(edgelist)
+    roads = build_edges(edgelist, nodes)
+    if cache:
+        nodes = nodes.cache()
+        roads = roads.cache()
+    return nodes, roads
+
+
+def recast_column(df: DataFrame, column: str, dtype: str = "double") -> DataFrame:
+    """Operator I7: bulk typed column rewrite (MAIN:423–430)."""
+    return df.withColumn(column, F.col(column).cast(dtype))
+
+
+def truncate(df: DataFrame) -> DataFrame:
+    """Operators I9/I10: delete-all. In a DataFrame engine a truncate is
+    an empty frame with the same schema (the table overwrite happens at
+    the sink)."""
+    return df.limit(0)

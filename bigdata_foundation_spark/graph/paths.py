@@ -1,0 +1,293 @@
+"""Public path-algorithm API (reference operators G1–G5).
+
+Strategy dispatch mirrors how a 100 TB deployment would actually run
+these workloads:
+
+* ``broadcast`` — the graph projection (min ~16 B/edge) fits in one
+  executor's memory, so it is collected once, broadcast to every
+  executor, and each *query* (a source, or a wave of sources) runs as
+  one task with the exact heap kernel (`kernel.py`). This is the same
+  execution model as the reference's GDS (single-JVM in-memory
+  projection, SURVEY.md §4.2) — except our queries fan out across the
+  cluster: APSP distributes sources over all executors.
+* ``bsp`` — the graph is too big to broadcast: distributed
+  whole-frontier relaxation (`bsp.py`).
+* ``auto`` — picks by edge count (`BROADCAST_EDGE_LIMIT`, default 50 M
+  edges ≈ a few GB broadcast; the Shenzhen graph is 100 k).
+
+Output shapes replicate the reference's YIELD streams:
+G1/G4 stream one row per path node with *cumulative* cost in path
+order (MAIN:310–326); G5 yields (index, nodeIds, costs, totalCost)
+(neo4j-code.txt:127–145); G3 applies the finite / self-pair / 3-key
+top-k post-pipeline (neo4j-code.txt:56–77).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_foundation_spark.graph import bsp as _bsp
+from bigdata_foundation_spark.graph import kernel as _k
+
+BROADCAST_EDGE_LIMIT = 50_000_000
+
+_PATH_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("NodeId", T.StringType(), False),
+        T.StructField("cost", T.DoubleType(), False),
+    ]
+)
+
+_SSSP_SCHEMA = T.StructType(
+    [
+        T.StructField("NodeId", T.StringType(), False),
+        T.StructField("distance", T.DoubleType(), False),
+    ]
+)
+
+_YENS_SCHEMA = T.StructType(
+    [
+        T.StructField("index", T.IntegerType(), False),
+        T.StructField("nodeIds", T.ArrayType(T.StringType()), False),
+        T.StructField("costs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("totalCost", T.DoubleType(), False),
+    ]
+)
+
+_APSP_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("target", T.StringType(), False),
+        T.StructField("distance", T.DoubleType(), False),
+    ]
+)
+
+
+def _resolve_strategy(roads: DataFrame, strategy: str) -> str:
+    if strategy in ("broadcast", "bsp"):
+        return strategy
+    if strategy != "auto":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return "broadcast" if roads.count() <= BROADCAST_EDGE_LIMIT else "bsp"
+
+
+def build_projection(roads: DataFrame, nodes: DataFrame | None = None) -> _k.Projection:
+    """Collect the column-pruned edge projection for broadcast use —
+    the analog of GDS's graph projection load (neo4j-code.txt:3–15).
+    Only (src, dst, cost) [+ coords for A*] leave the executors."""
+    edges = [(r[0], r[1], r[2]) for r in roads.select("src", "dst", "cost").collect()]
+    coords = None
+    if nodes is not None:
+        coords = {
+            r[0]: (float(r[1]), float(r[2]))
+            for r in nodes.select("NodeId", "XCoord", "YCoord").collect()
+            if r[1] is not None and r[2] is not None
+        }
+    return _k.Projection(edges, coords)
+
+
+def _run_on_executor(spark: SparkSession, proj: _k.Projection, fn):
+    """Run ``fn(proj) -> list[Row-tuples]`` inside a single executor
+    task against the broadcast projection (keeps the compute off the
+    driver; result streams back like a YIELD)."""
+    sc = spark.sparkContext
+    proj_b = sc.broadcast(proj)
+
+    def _task(_it):
+        return iter(fn(proj_b.value))
+
+    return sc.parallelize([0], 1).mapPartitions(_task).collect()
+
+
+def _cumulative_stream(nodes_seq: list[str], hop_costs: list[float]) -> list[tuple[str, float]]:
+    """(node sequence, per-hop costs) → GDS-style stream rows of
+    (NodeId, cumulative cost), cost monotone (MAIN:310–326)."""
+    rows = [(nodes_seq[0], 0.0)]
+    acc = 0.0
+    for node, w in zip(nodes_seq[1:], hop_costs):
+        acc += w
+        rows.append((node, acc))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# G2: delta-stepping SSSP (single source, all destinations)
+# ---------------------------------------------------------------------------
+
+def sssp(
+    spark: SparkSession,
+    roads: DataFrame,
+    source: str,
+    strategy: str = "auto",
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """All shortest distances from ``source`` (G2, neo4j-code.txt:39–54).
+
+    Unreachable nodes are absent rows (the reference filters them with
+    gds.util.isFinite, G8)."""
+    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
+        res = _bsp.bsp_sssp(spark, roads, source)
+        return res.select(F.col("node").alias("NodeId"), F.col("dist").alias("distance"))
+    proj = projection or build_projection(roads)
+    rows = _run_on_executor(spark, proj, lambda p: sorted(_k.sssp(p, source).items()))
+    return spark.createDataFrame(rows, _SSSP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G1 / G4: point-to-point Dijkstra and A*
+# ---------------------------------------------------------------------------
+
+def dijkstra(
+    spark: SparkSession,
+    roads: DataFrame,
+    source: str,
+    target: str,
+    strategy: str = "auto",
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """Point-to-point shortest path, streamed as (NodeId, cumulative
+    cost) rows in path order (G1, neo4j-code.txt:1–17). Empty frame if
+    unreachable."""
+    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
+        res = _bsp.bsp_sssp(spark, roads, source, target=target)
+        return _bsp_path_stream(spark, res, target)
+    proj = projection or build_projection(roads)
+
+    def _task(p: _k.Projection):
+        r = _k.shortest_path(p, source, target)
+        return _cumulative_stream(*r) if r else []
+
+    return spark.createDataFrame(_run_on_executor(spark, proj, _task), _PATH_STREAM_SCHEMA)
+
+
+def astar(
+    spark: SparkSession,
+    roads: DataFrame,
+    nodes: DataFrame,
+    source: str,
+    target: str,
+    strategy: str = "auto",
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """Goal-directed point-to-point search (G4, neo4j-code.txt:79–101).
+
+    Heuristic contract: admissible planar Euclidean distance on
+    (XCoord, YCoord) — returns *optimal* costs (equal to Dijkstra),
+    deliberately deviating from the reference's inadmissible
+    meters-into-haversine heuristic and its suboptimal 54140.0 result
+    (MAIN:480–487; SURVEY.md §2.2 G4)."""
+    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
+        res = _bsp.bsp_sssp(spark, roads, source, target=target, nodes=nodes, use_heuristic=True)
+        return _bsp_path_stream(spark, res, target)
+    proj = projection or build_projection(roads, nodes)
+
+    def _task(p: _k.Projection):
+        r = _k.shortest_path(p, source, target, use_heuristic=True)
+        return _cumulative_stream(*r) if r else []
+
+    return spark.createDataFrame(_run_on_executor(spark, proj, _task), _PATH_STREAM_SCHEMA)
+
+
+def _bsp_path_stream(spark: SparkSession, state: DataFrame, target: str) -> DataFrame:
+    """Explode the BSP state row for ``target`` into the cumulative
+    (NodeId, cost) stream shape."""
+    row = state.filter(F.col("node") == target).select("dist", "path").head()
+    if row is None:
+        return spark.createDataFrame([], _PATH_STREAM_SCHEMA)
+    # Re-derive cumulative costs from the per-node dists recorded in
+    # state (each prefix of an optimal path is optimal).
+    path = list(row[1])
+    dists = {
+        r[0]: float(r[1])
+        for r in state.filter(F.col("node").isin(path)).select("node", "dist").collect()
+    }
+    return spark.createDataFrame([(n, dists[n]) for n in path], _PATH_STREAM_SCHEMA)
+
+
+def path_summary(path_stream: DataFrame) -> DataFrame:
+    """The reference's aggregate variant: RETURN count(nodeId) AS
+    PathNodeNumber, Max(cost) AS totalcost (neo4j-code.txt:19–36,
+    operator R5)."""
+    return path_stream.agg(
+        F.count("NodeId").alias("PathNodeNumber"),
+        F.max("cost").alias("totalcost"),
+    )
+
+
+def write_back(nodes: DataFrame, result: DataFrame, property_name: str = "sssp") -> DataFrame:
+    """Operator I12 (writeProperty, neo4j-code.txt:33): join the
+    per-node result back onto the nodes table as a new column."""
+    res = result.withColumnRenamed("distance", property_name)
+    return nodes.join(res, "NodeId", "left")
+
+
+# ---------------------------------------------------------------------------
+# G5: Yen's K shortest paths
+# ---------------------------------------------------------------------------
+
+def yens_k(
+    spark: SparkSession,
+    roads: DataFrame,
+    source: str,
+    target: str,
+    k: int = 3,
+    strategy: str = "auto",
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """K loopless shortest paths (G5, neo4j-code.txt:127–165), yielding
+    (index, nodeIds, costs, totalCost) ordered by total cost; path #0
+    equals Dijkstra's (the reference's own consistency oracle,
+    MAIN:703). Runs on the broadcast kernel — Yen's is inherently
+    sequential in k (SURVEY.md §3.3); each spur search is an
+    independent masked Dijkstra on the in-memory projection."""
+    proj = projection or build_projection(roads)
+
+    def _task(p: _k.Projection):
+        paths = _k.yens_k(p, source, target, k)
+        return [
+            (i, nodes_seq, hop_costs, float(sum(hop_costs)))
+            for i, (nodes_seq, hop_costs) in enumerate(paths)
+        ]
+
+    return spark.createDataFrame(_run_on_executor(spark, proj, _task), _YENS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G3: all-pairs shortest paths, top-k post-pipeline
+# ---------------------------------------------------------------------------
+
+def apsp_topk(
+    spark: SparkSession,
+    roads: DataFrame,
+    k: int = 10,
+    projection: _k.Projection | None = None,
+    sources_per_task: int = 64,
+) -> DataFrame:
+    """The 10 longest finite shortest paths (G3, neo4j-code.txt:56–77):
+    finite only, source <> target, ORDER BY distance DESC, source ASC,
+    target ASC LIMIT k.
+
+    Distribution: sources are partitioned into waves across all
+    executors; each task runs exact SSSP per source over the broadcast
+    projection and emits only its per-source top-k (map-side top-k —
+    the global top-k is a subset of the union), so the shuffle is
+    |sources| × k rows instead of the O(V²) pair matrix."""
+    proj = projection or build_projection(roads)
+    sc = spark.sparkContext
+    proj_b = sc.broadcast(proj)
+    sources = sorted(proj.adj.keys())
+    n_slices = max(1, len(sources) // sources_per_task)
+
+    def _task(it: Iterator[str]):
+        batch = list(it)
+        if not batch:
+            return iter(())
+        return iter(_k.per_source_longest(proj_b.value, batch, k))
+
+    rows = sc.parallelize(sources, n_slices).mapPartitions(_task)
+    df = spark.createDataFrame(rows, _APSP_SCHEMA)
+    return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)

@@ -1,0 +1,52 @@
+"""ETL count goldens — every expected value is a published reference
+number (standalone.txt:2–11, MAIN:753–763) re-verified in FIXTURES.md §2."""
+
+import pytest
+
+from bigdata_foundation_spark.graph import build_edges, build_nodes, read_edgelist
+
+from .conftest import REFERENCE_DIR
+
+# (file suffix, csv rows, nodes, roads) — FIXTURES.md §2 table.
+GOLDENS = [
+    (1, 9999, 3705, 9696),
+    (2, 20000, 7272, 19524),
+    (7, 70000, 25341, 69070),
+]
+
+
+@pytest.mark.parametrize("n,rows,n_nodes,n_roads", GOLDENS)
+def test_etl_counts(spark, n, rows, n_nodes, n_roads):
+    el = read_edgelist(spark, f"{REFERENCE_DIR}/Shenzhen_Edgelist_{n}.csv")
+    assert el.count() == rows  # blank padding rows dropped (SURVEY §1.1)
+    nodes = build_nodes(el)
+    assert nodes.count() == n_nodes
+    roads = build_edges(el, nodes)
+    assert roads.count() == n_roads
+
+
+def test_schema_and_types(spark, graph1):
+    nodes, roads = graph1
+    assert dict(nodes.dtypes) == {"NodeId": "string", "XCoord": "double", "YCoord": "double"}
+    assert dict(roads.dtypes) == {"src": "string", "dst": "string", "road_id": "string", "cost": "double"}
+    # 3 props/node, 2 props/edge goldens (MAIN:737, MAIN:754)
+    assert len(nodes.columns) * nodes.count() == 11115
+    assert (len(roads.columns) - 2) * roads.count() == 19392
+
+
+def test_multigraph_preserved(graph1):
+    """Parallel edges with distinct road_id/cost must survive the dedup
+    (MAIN:221–227) — only exact quadruples collapse."""
+    from pyspark.sql import functions as F
+
+    _nodes, roads = graph1
+    multi = roads.groupBy("src", "dst").count().filter(F.col("count") > 1)
+    assert multi.count() > 0
+
+
+def test_dangling_edges_dropped(spark, graph1):
+    """END_NODEs never seen as START_NODE are dropped (operator I5)."""
+    nodes, roads = graph1
+    node_ids = {r[0] for r in nodes.select("NodeId").collect()}
+    dsts = {r[0] for r in roads.select("dst").distinct().collect()}
+    assert dsts <= node_ids

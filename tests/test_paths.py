@@ -1,0 +1,129 @@
+"""Path-algorithm correctness.
+
+Oracles, mirroring the reference's own verification practices
+(SURVEY.md §5): (1) FIXTURES.md §3.2 goldens computed by an independent
+survey-time Dijkstra; (2) an in-test Bellman–Ford oracle written
+independently of the engine's heap kernel; (3) cross-algorithm
+agreement (delta-stepping == Dijkstra, MAIN:388; Yen path #0 ==
+Dijkstra, MAIN:703); (4) broadcast-strategy == BSP-strategy.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.graph import apsp_topk, astar, dijkstra, sssp, yens_k
+from bigdata_foundation_spark.graph.paths import build_projection, path_summary
+
+SOURCE = "2022"
+# FIXTURES.md §3.2, file _1: reachable nodes, farthest node, distance, path len
+REACHABLE_1, FARTHEST_1, FARTHEST_DIST_1, FARTHEST_HOPS_1 = 2191, "2802", 9221.720431, 66
+
+
+def bellman_ford_oracle(edges, source):
+    """Deliberately different algorithm from the engine kernel."""
+    dist = {source: 0.0}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, c in edges:
+            if s in dist and dist[s] + c < dist.get(d, math.inf) - 1e-12:
+                dist[d] = dist[s] + c
+                changed = True
+    return dist
+
+
+@pytest.fixture(scope="module")
+def proj(graph1):
+    nodes, roads = graph1
+    return build_projection(roads, nodes)
+
+
+@pytest.fixture(scope="module")
+def edge_rows(graph1):
+    _nodes, roads = graph1
+    return [(r[0], r[1], float(r[2])) for r in roads.select("src", "dst", "cost").collect()]
+
+
+def test_sssp_matches_independent_oracle(spark, graph1, proj, edge_rows):
+    _nodes, roads = graph1
+    got = {r[0]: r[1] for r in sssp(spark, roads, SOURCE, projection=proj).collect()}
+    want = bellman_ford_oracle(edge_rows, SOURCE)
+    assert len(got) == len(want) == REACHABLE_1
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_sssp_fixture_goldens(spark, graph1, proj):
+    _nodes, roads = graph1
+    res = sssp(spark, roads, SOURCE, projection=proj)
+    far = res.orderBy(F.desc("distance")).first()
+    assert far["NodeId"] == FARTHEST_1
+    assert far["distance"] == pytest.approx(FARTHEST_DIST_1, abs=1e-5)
+
+
+def test_dijkstra_path_stream(spark, graph1, proj):
+    _nodes, roads = graph1
+    stream = dijkstra(spark, roads, SOURCE, FARTHEST_1, projection=proj)
+    rows = stream.collect()
+    assert len(rows) == FARTHEST_HOPS_1
+    assert rows[0]["NodeId"] == SOURCE and rows[0]["cost"] == 0.0
+    assert rows[-1]["NodeId"] == FARTHEST_1
+    assert rows[-1]["cost"] == pytest.approx(FARTHEST_DIST_1, abs=1e-5)
+    costs = [r["cost"] for r in rows]
+    assert costs == sorted(costs)  # cumulative cost is monotone (MAIN:310–326)
+    summ = path_summary(stream).first()
+    assert summ["PathNodeNumber"] == FARTHEST_HOPS_1
+    assert summ["totalcost"] == pytest.approx(FARTHEST_DIST_1, abs=1e-5)
+
+
+def test_astar_equals_dijkstra_cost(spark, graph1, proj):
+    """Admissible-heuristic contract: optimal cost == Dijkstra
+    (deliberate deviation from the reference's inadmissible heuristic,
+    SURVEY.md §2.2 G4)."""
+    nodes, roads = graph1
+    d = dijkstra(spark, roads, SOURCE, FARTHEST_1, projection=proj).agg(F.max("cost")).first()[0]
+    a = astar(spark, roads, nodes, SOURCE, FARTHEST_1, projection=proj).agg(F.max("cost")).first()[0]
+    assert a == pytest.approx(d, abs=1e-9)
+
+
+def test_yens_k(spark, graph1, proj):
+    _nodes, roads = graph1
+    res = yens_k(spark, roads, SOURCE, FARTHEST_1, k=3, projection=proj).collect()
+    assert len(res) == 3
+    totals = [r["totalCost"] for r in res]
+    assert totals == sorted(totals)
+    assert totals[0] == pytest.approx(FARTHEST_DIST_1, abs=1e-5)  # path#0 == Dijkstra (MAIN:703)
+    for r in res:
+        assert len(r["nodeIds"]) == len(r["costs"]) + 1
+        assert sum(r["costs"]) == pytest.approx(r["totalCost"], abs=1e-9)
+        assert len(set(r["nodeIds"])) == len(r["nodeIds"])  # loopless
+    # distinct paths
+    assert len({tuple(r["nodeIds"]) + (round(r["totalCost"], 9),) for r in res}) == 3
+
+
+def test_apsp_topk(spark, graph1, proj, edge_rows):
+    _nodes, roads = graph1
+    got = [(r["source"], r["target"], r["distance"]) for r in apsp_topk(spark, roads, k=5, projection=proj).collect()]
+    assert len(got) == 5
+    # verify against oracle for the sources that appear
+    for s, t, dist_val in got:
+        want = bellman_ford_oracle(edge_rows, s)
+        assert dist_val == pytest.approx(want[t], abs=1e-9)
+    dists = [d for _, _, d in got]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_bsp_equals_broadcast(spark, graph1, proj):
+    """Strategy equivalence on a bounded-depth query: the distributed
+    BSP kernel and the broadcast heap kernel must agree exactly."""
+    _nodes, roads = graph1
+    # Pick a ~10-hop target so the BSP superstep count stays small.
+    full_path = dijkstra(spark, roads, SOURCE, FARTHEST_1, projection=proj).collect()
+    target = full_path[10]["NodeId"]
+    b = dijkstra(spark, roads, SOURCE, target, projection=proj).collect()
+    s = dijkstra(spark, roads, SOURCE, target, strategy="bsp").collect()
+    assert [r["NodeId"] for r in b] == [r["NodeId"] for r in s]
+    for rb, rs in zip(b, s):
+        assert rb["cost"] == pytest.approx(rs["cost"], abs=1e-9)
