@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Mirrors the reference's own benchmark design (SURVEY.md §6): its
+scale-sweep measures import time + per-algorithm time; here the graph
+suite runs on the largest shipped Shenzhen subset (70k rows — the
+reference's own CSV7 scale) and the relational / training-data
+pipeline suite runs at the requested sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GRAPH_CSV = "/root/reference/Shenzhen_Edgelist_7.csv"
+GRAPH_SOURCE, GRAPH_TARGET = "2022", "1319"  # farthest pair golden (FIXTURES.md §3.2)
+
+# Headline subset of the registry — the queries a 100 TB deployment
+# would actually run hot.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_topk",
+    "q5_region_revenue",
+    "window_top_orders_per_customer",
+    "events_hourly",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_topk",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from bigdata_foundation_spark.queries import registry
+    from bigdata_foundation_spark.session import get_spark
+
+    spark = get_spark(app_name="bigdata-foundation-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        df = fn()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        run(name, lambda name=name: reg[name].fn(spark, sf_dir))
+
+    # Graph suite: ingest once (import benchmark), then the reference's
+    # algorithm queries on the 70k-row graph (SURVEY.md §6.4 shape).
+    from bigdata_foundation_spark.graph import apsp_topk, astar, dijkstra, load_graph, sssp, yens_k
+    from bigdata_foundation_spark.graph.paths import build_projection
+
+    t0 = time.time()
+    nodes, roads = load_graph(spark, GRAPH_CSV)
+    n_nodes, n_roads = nodes.count(), roads.count()
+    assert (n_nodes, n_roads) == (25341, 69070), (n_nodes, n_roads)  # published goldens
+    timings["graph_ingest_70k"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    proj = build_projection(roads, nodes)
+    timings["graph_projection_70k"] = round(time.time() - t0, 3)
+
+    run("graph_dijkstra_70k", lambda: dijkstra(spark, roads, GRAPH_SOURCE, GRAPH_TARGET, projection=proj))
+    run("graph_astar_70k", lambda: astar(spark, roads, nodes, GRAPH_SOURCE, GRAPH_TARGET, projection=proj))
+    run("graph_yens_k3_70k", lambda: yens_k(spark, roads, GRAPH_SOURCE, GRAPH_TARGET, k=3, projection=proj))
+    run("graph_sssp_70k", lambda: sssp(spark, roads, GRAPH_SOURCE, projection=proj))
+    run("graph_apsp_top10_70k", lambda: apsp_topk(spark, roads, k=10, projection=proj))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,8 +6,14 @@ reference's execution model: GDS materializes an in-memory projection
 and runs the algorithm single-machine even in cluster mode
 (neo4j-code.txt:3–15; SURVEY.md §4.2). Our scale story is different —
 the projection is broadcast once and *queries* are distributed across
-executors (one task per source for SSSP/APSP waves) — but the per-query
-kernel is the same binary-heap Dijkstra family.
+executors (one task per source batch for SSSP/APSP waves) — but the
+per-query kernel is the same binary-heap Dijkstra family.
+
+Node ids are dictionary-encoded to dense ints and adjacency is stored
+CSR-style (flat indptr / neighbor / weight arrays) at projection
+build — the same compressed form GDS projects into, and the layout
+that makes the Python inner loop competitive (no per-edge tuples, no
+dict lookups on the hot path).
 
 For graphs too large to broadcast, ``bsp.py`` provides the distributed
 whole-frontier relaxation kernel; ``paths.py`` dispatches.
@@ -22,54 +28,170 @@ relationship-sequence path identity (neo4j-code.txt:127–145).
 from __future__ import annotations
 
 import heapq
-from collections import defaultdict
 from typing import Iterable, Sequence
+
+_INF = float("inf")
 
 
 class Projection:
-    """Compressed adjacency built from (src, dst, cost) rows.
+    """Dictionary-encoded CSR adjacency built from (src, dst, cost)
+    rows. Picklable/broadcastable.
 
-    Picklable/broadcastable. ``adj[u]`` is a list of
-    ``(v, cost, edge_idx)`` triples; ``coords`` optionally maps node id
-    → (x, y) for the A* heuristic.
+    ``indptr[u]:indptr[u+1]`` slices ``adj_v`` (neighbor int id),
+    ``adj_w`` (edge cost) and ``adj_e`` (original edge index, the
+    multigraph edge identity used by Yen masking). ``ids`` maps
+    int → original string id; ``coords`` (parallel to ``ids``)
+    optionally carries (x, y) for the A* heuristic.
     """
 
-    __slots__ = ("adj", "coords", "n_edges")
+    __slots__ = ("ids", "index", "indptr", "adj_v", "adj_w", "adj_e", "coords", "n_edges", "__weakref__")
 
-    def __init__(self, edges: Iterable[tuple[str, str, float]], coords: dict[str, tuple[float, float]] | None = None):
-        adj: dict[str, list[tuple[str, float, int]]] = defaultdict(list)
-        n = 0
+    def __init__(
+        self,
+        edges: Iterable[tuple[str, str, float]],
+        coords: dict[str, tuple[float, float]] | None = None,
+    ):
+        index: dict[str, int] = {}
+        ids: list[str] = []
+
+        def enc(node: str) -> int:
+            i = index.get(node)
+            if i is None:
+                i = len(ids)
+                index[node] = i
+                ids.append(node)
+            return i
+
+        triples: list[tuple[int, int, float]] = []
         for src, dst, cost in edges:
-            adj[src].append((dst, float(cost), n))
-            n += 1
-        self.adj = dict(adj)
-        self.coords = coords or {}
-        self.n_edges = n
+            triples.append((enc(src), enc(dst), float(cost)))
+
+        n = len(ids)
+        counts = [0] * (n + 1)
+        for u, _v, _w in triples:
+            counts[u + 1] += 1
+        indptr = counts
+        for i in range(1, n + 1):
+            indptr[i] += indptr[i - 1]
+        m = len(triples)
+        adj_v = [0] * m
+        adj_w = [0.0] * m
+        adj_e = [0] * m
+        cursor = indptr[:-1].copy() if n else []
+        for eidx, (u, v, w) in enumerate(triples):
+            p = cursor[u]
+            adj_v[p] = v
+            adj_w[p] = w
+            adj_e[p] = eidx
+            cursor[u] = p + 1
+
+        self.ids = ids
+        self.index = index
+        self.indptr = indptr
+        self.adj_v = adj_v
+        self.adj_w = adj_w
+        self.adj_e = adj_e
+        self.n_edges = m
+        if coords:
+            self.coords: list[tuple[float, float] | None] | None = [coords.get(s) for s in ids]
+        else:
+            self.coords = None
 
 
-def _heuristic_factory(proj: Projection, target: str | None):
+def _heuristic_array(proj: Projection, t: int) -> list[float] | None:
     """Admissible Euclidean heuristic on the planar projected-meter
-    coordinates. NOTE semantic contract (SURVEY.md §2.2 G4): the
-    reference feeds projected meters into GDS's haversine heuristic,
-    making it inadmissible (its A* returns cost 54140.0 vs Dijkstra's
-    48175.55, MAIN:480–487). We implement the *admissible* planar
-    heuristic, so our A* returns optimal costs equal to Dijkstra; the
-    deviation is deliberate and documented.
-    """
-    if target is None or target not in proj.coords:
-        return lambda _u: 0.0
-    tx, ty = proj.coords[target]
-    coords = proj.coords
-
-    def h(u: str) -> float:
-        c = coords.get(u)
+    coordinates, precomputed per node. NOTE semantic contract
+    (SURVEY.md §2.2 G4): the reference feeds projected meters into
+    GDS's haversine heuristic, making it inadmissible (its A* returns
+    cost 54140.0 vs Dijkstra's 48175.55, MAIN:480–487). We implement
+    the *admissible* planar heuristic, so our A* returns optimal costs
+    equal to Dijkstra; the deviation is deliberate and documented."""
+    if proj.coords is None or proj.coords[t] is None:
+        return None
+    tx, ty = proj.coords[t]
+    out = []
+    for c in proj.coords:
         if c is None:
-            return 0.0
-        dx = c[0] - tx
-        dy = c[1] - ty
-        return (dx * dx + dy * dy) ** 0.5
+            out.append(0.0)
+        else:
+            dx, dy = c[0] - tx, c[1] - ty
+            out.append((dx * dx + dy * dy) ** 0.5)
+    return out
 
-    return h
+
+def _dijkstra_dist(proj: Projection, s: int) -> list[float]:
+    """Distance-only Dijkstra — the APSP/SSSP hot loop (no parent
+    tracking, no masks, locals bound)."""
+    n = len(proj.ids)
+    dist = [_INF] * n
+    settled = bytearray(n)
+    indptr, adj_v, adj_w = proj.indptr, proj.adj_v, proj.adj_w
+    dist[s] = 0.0
+    pq = [(0.0, s)]
+    push, pop = heapq.heappush, heapq.heappop
+    while pq:
+        d, u = pop(pq)
+        if settled[u]:
+            continue
+        settled[u] = 1
+        for i in range(indptr[u], indptr[u + 1]):
+            v = adj_v[i]
+            if settled[v]:
+                continue
+            nd = d + adj_w[i]
+            if nd < dist[v]:
+                dist[v] = nd
+                push(pq, (nd, v))
+    return dist
+
+
+def _dijkstra_idx(
+    proj: Projection,
+    s: int,
+    t: int = -1,
+    use_heuristic: bool = False,
+    excluded_edges: set[int] | frozenset[int] | None = None,
+    excluded_nodes: set[int] | frozenset[int] | None = None,
+) -> tuple[list[float], list]:
+    """Full Dijkstra with parent tracking and optional edge/node masks;
+    with ``use_heuristic`` it is A*. Returns (dist array, parent array
+    of (u, edge_cost, edge_idx)). With a target, stops as soon as the
+    target is settled (the point-to-point early-termination the
+    reference gets from gds.alpha.shortestPath vs the full SSSP,
+    neo4j-code.txt:1–17)."""
+    n = len(proj.ids)
+    h = _heuristic_array(proj, t) if (use_heuristic and t >= 0) else None
+    dist: list[float] = [_INF] * n
+    parent: list = [None] * n
+    settled = bytearray(n)
+    indptr, adj_v, adj_w, adj_e = proj.indptr, proj.adj_v, proj.adj_w, proj.adj_e
+    dist[s] = 0.0
+    pq: list[tuple[float, int]] = [((h[s] if h else 0.0), s)]
+    push, pop = heapq.heappush, heapq.heappop
+    ee, en = excluded_edges, excluded_nodes
+
+    while pq:
+        _f, u = pop(pq)
+        if settled[u]:
+            continue
+        settled[u] = 1
+        if u == t:
+            break
+        du = dist[u]
+        for i in range(indptr[u], indptr[u + 1]):
+            v = adj_v[i]
+            if settled[v]:
+                continue
+            if ee is not None and adj_e[i] in ee:
+                continue
+            if en is not None and v in en:
+                continue
+            nd = du + adj_w[i]
+            if nd < dist[v]:
+                dist[v] = nd
+                parent[v] = (u, adj_w[i], adj_e[i])
+                push(pq, (nd + (h[v] if h else 0.0), v))
+    return dist, parent
 
 
 def dijkstra(
@@ -77,54 +199,28 @@ def dijkstra(
     source: str,
     target: str | None = None,
     use_heuristic: bool = False,
-    excluded_edges: frozenset[int] | set[int] | None = None,
-    excluded_nodes: frozenset[str] | set[str] | None = None,
 ) -> tuple[dict[str, float], dict[str, tuple[str, float, int]]]:
-    """Binary-heap Dijkstra; with ``use_heuristic`` it is A*.
-
-    Returns (dist, parent) where parent[v] = (u, edge_cost, edge_idx).
-    With a target, stops as soon as the target is settled (the
-    point-to-point early-termination the reference gets from
-    gds.alpha.shortestPath vs the full SSSP, neo4j-code.txt:1–17).
-    """
-    excluded_edges = excluded_edges or frozenset()
-    excluded_nodes = excluded_nodes or frozenset()
-    h = _heuristic_factory(proj, target) if use_heuristic else (lambda _u: 0.0)
-
-    dist: dict[str, float] = {source: 0.0}
-    parent: dict[str, tuple[str, float, int]] = {}
-    settled: set[str] = set()
-    pq: list[tuple[float, str]] = [(h(source), source)]
-    adj = proj.adj
-
-    while pq:
-        _f, u = heapq.heappop(pq)
-        if u in settled:
-            continue
-        settled.add(u)
-        if u == target:
-            break
-        du = dist[u]
-        for v, w, eidx in adj.get(u, ()):
-            if eidx in excluded_edges or v in excluded_nodes:
-                continue
-            nd = du + w
-            if nd < dist.get(v, float("inf")):
-                dist[v] = nd
-                parent[v] = (u, w, eidx)
-                heapq.heappush(pq, (nd + h(v), v))
-    return dist, parent
+    """String-id wrapper: returns (dist, parent) dicts over reachable
+    nodes; parent[v] = (u, edge_cost, edge_idx)."""
+    s = proj.index.get(source)
+    if s is None:
+        return ({source: 0.0}, {})
+    t = proj.index.get(target, -1) if target is not None else -1
+    dist, parent = _dijkstra_idx(proj, s, t, use_heuristic)
+    ids = proj.ids
+    ddist = {ids[i]: d for i, d in enumerate(dist) if d != _INF}
+    dparent = {ids[i]: (ids[p[0]], p[1], p[2]) for i, p in enumerate(parent) if p is not None}
+    return ddist, dparent
 
 
-def reconstruct(parent: dict[str, tuple[str, float, int]], source: str, target: str):
-    """parent map → (nodes, hop_costs, edge_idxs); None if unreachable."""
-    if target != source and target not in parent:
+def _reconstruct_idx(parent: list, s: int, t: int):
+    if t != s and parent[t] is None:
         return None
-    nodes = [target]
+    nodes = [t]
     costs: list[float] = []
     eidxs: list[int] = []
-    cur = target
-    while cur != source:
+    cur = t
+    while cur != s:
         u, w, eidx = parent[cur]
         nodes.append(u)
         costs.append(w)
@@ -142,32 +238,43 @@ def shortest_path(
     target: str,
     use_heuristic: bool = False,
 ) -> tuple[list[str], list[float]] | None:
-    """Point-to-point path as (node sequence, per-hop costs)."""
-    _dist, parent = dijkstra(proj, source, target, use_heuristic=use_heuristic)
-    r = reconstruct(parent, source, target)
-    return (r[0], r[1]) if r else None
+    """Point-to-point path as (node-id sequence, per-hop costs)."""
+    s, t = proj.index.get(source), proj.index.get(target)
+    if s is None or t is None:
+        return None
+    _dist, parent = _dijkstra_idx(proj, s, t, use_heuristic)
+    r = _reconstruct_idx(parent, s, t)
+    if r is None:
+        return None
+    return [proj.ids[i] for i in r[0]], r[1]
 
 
 def sssp(proj: Projection, source: str) -> dict[str, float]:
     """Single-source distances to every reachable node (G2 semantics;
     delta-stepping's ``delta`` is a scheduling knob with no effect on
     results — SURVEY.md §2.2 G2)."""
-    dist, _ = dijkstra(proj, source)
-    return dist
+    s = proj.index.get(source)
+    if s is None:
+        return {source: 0.0}
+    dist = _dijkstra_dist(proj, s)
+    ids = proj.ids
+    return {ids[i]: d for i, d in enumerate(dist) if d != _INF}
 
 
 def yens_k(proj: Projection, source: str, target: str, k: int) -> list[tuple[list[str], list[float]]]:
     """Yen's K loopless shortest paths (G5, neo4j-code.txt:127–165).
 
     Path identity is the physical-edge sequence (multigraph-aware).
-    Returns up to k (nodes, hop_costs) pairs ordered by total cost.
-    """
-    first = dijkstra(proj, source, target)
-    r = reconstruct(first[1], source, target)
+    Returns up to k (nodes, hop_costs) pairs ordered by total cost."""
+    s, t = proj.index.get(source), proj.index.get(target)
+    if s is None or t is None:
+        return []
+    _d, parent = _dijkstra_idx(proj, s, t)
+    r = _reconstruct_idx(parent, s, t)
     if r is None:
         return []
-    a_paths: list[tuple[list[str], list[float], list[int]]] = [r]
-    candidates: list[tuple[float, list[str], list[float], list[int]]] = []
+    a_paths: list[tuple[list[int], list[float], list[int]]] = [r]
+    candidates: list[tuple[float, list[int], list[float], list[int]]] = []
     seen: set[tuple[int, ...]] = {tuple(r[2])}
 
     while len(a_paths) < k:
@@ -183,15 +290,9 @@ def yens_k(proj: Projection, source: str, target: str, k: int) -> list[tuple[lis
             for p_nodes, _pc, p_eidxs in a_paths:
                 if p_nodes[: i + 1] == root_nodes and len(p_eidxs) > i:
                     masked_edges.add(p_eidxs[i])
-            masked_nodes = frozenset(root_nodes[:-1])
-            _d, par = dijkstra(
-                proj,
-                spur,
-                target,
-                excluded_edges=frozenset(masked_edges),
-                excluded_nodes=masked_nodes,
-            )
-            sp = reconstruct(par, spur, target)
+            masked_nodes = set(root_nodes[:-1])
+            _d2, par = _dijkstra_idx(proj, spur, t, excluded_edges=masked_edges, excluded_nodes=masked_nodes)
+            sp = _reconstruct_idx(par, spur, t)
             if sp is None:
                 continue
             nodes = root_nodes[:-1] + sp[0]
@@ -207,7 +308,8 @@ def yens_k(proj: Projection, source: str, target: str, k: int) -> list[tuple[lis
         _total, nodes, costs, eidxs = heapq.heappop(candidates)
         a_paths.append((nodes, costs, eidxs))
 
-    return [(n, c) for n, c, _e in a_paths]
+    ids = proj.ids
+    return [([ids[i] for i in n], c) for n, c, _e in a_paths]
 
 
 def per_source_longest(
@@ -217,16 +319,34 @@ def per_source_longest(
     distances (self-pairs excluded). Used by the distributed APSP:
     the global top-k over all pairs is contained in the union of
     per-source top-k, so each task emits only ``topk`` rows per source
-    (map-side top-k; neo4j-code.txt:56–77 post-pipeline)."""
+    (map-side top-k; neo4j-code.txt:56–77 post-pipeline).
+
+    Tie-break matches the global ORDER BY distance DESC, source ASC,
+    target ASC — among equal distances keep smallest target ids."""
+    ids = proj.ids
     out: list[tuple[str, str, float]] = []
-    for s in sources:
-        dist, _ = dijkstra(proj, s)
-        dist.pop(s, None)
-        if not dist:
+    for src in sources:
+        s = proj.index.get(src)
+        if s is None:
             continue
-        # Tie-break must match the global ORDER BY distance DESC,
-        # source ASC, target ASC — so among equal distances keep the
-        # lexicographically smallest targets.
-        best = sorted(dist.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
-        out.extend((s, t, d) for t, d in best)
+        dist = _dijkstra_dist(proj, s)
+        # k-heap instead of a full sort: O(V log k) per source.
+        best = heapq.nsmallest(
+            topk, ((-d, ids[i]) for i, d in enumerate(dist) if d != _INF and i != s)
+        )
+        out.extend((src, t, -negd) for negd, t in best)
     return out
+
+
+def spur_search(
+    proj: Projection,
+    spur: int,
+    t: int,
+    masked_edges: frozenset[int] | set[int],
+    masked_nodes: frozenset[int] | set[int],
+):
+    """One Yen spur-path probe (int ids): masked point-to-point search.
+    Returns (nodes, hop_costs, edge_idxs) or None. Independent per
+    spur — the distributed Yen in paths.py fans these out."""
+    _d, par = _dijkstra_idx(proj, spur, t, excluded_edges=masked_edges, excluded_nodes=masked_nodes)
+    return _reconstruct_idx(par, spur, t)

@@ -24,6 +24,7 @@ top-k post-pipeline (neo4j-code.txt:56–77).
 
 from __future__ import annotations
 
+import weakref
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,12 +91,26 @@ def build_projection(roads: DataFrame, nodes: DataFrame | None = None) -> _k.Pro
     return _k.Projection(edges, coords)
 
 
+# One broadcast per projection per session — repeated queries against
+# the same projection reuse it (the reference's projection-load cost is
+# paid once, SURVEY.md §3.2 step 2).
+_BC_CACHE: "weakref.WeakKeyDictionary[_k.Projection, object]" = weakref.WeakKeyDictionary()
+
+
+def _get_broadcast(spark: SparkSession, proj: _k.Projection):
+    bc = _BC_CACHE.get(proj)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(proj)
+        _BC_CACHE[proj] = bc
+    return bc
+
+
 def _run_on_executor(spark: SparkSession, proj: _k.Projection, fn):
     """Run ``fn(proj) -> list[Row-tuples]`` inside a single executor
     task against the broadcast projection (keeps the compute off the
     driver; result streams back like a YIELD)."""
     sc = spark.sparkContext
-    proj_b = sc.broadcast(proj)
+    proj_b = _get_broadcast(spark, proj)
 
     def _task(_it):
         return iter(fn(proj_b.value))
@@ -241,19 +256,90 @@ def yens_k(
     """K loopless shortest paths (G5, neo4j-code.txt:127–165), yielding
     (index, nodeIds, costs, totalCost) ordered by total cost; path #0
     equals Dijkstra's (the reference's own consistency oracle,
-    MAIN:703). Runs on the broadcast kernel — Yen's is inherently
-    sequential in k (SURVEY.md §3.3); each spur search is an
-    independent masked Dijkstra on the in-memory projection."""
+    MAIN:703).
+
+    Yen's is inherently sequential in k (SURVEY.md §3.3), but the
+    ~|path| spur probes *within* one iteration are independent masked
+    point-to-point searches — so each iteration fans them out across
+    all executors over the broadcast projection and merges candidates
+    on the driver. Wall-clock per iteration ≈ the slowest single spur
+    search instead of their sum."""
     proj = projection or build_projection(roads)
+    s, t = proj.index.get(source), proj.index.get(target)
+    if s is None or t is None:
+        return spark.createDataFrame([], _YENS_SCHEMA)
 
-    def _task(p: _k.Projection):
-        paths = _k.yens_k(p, source, target, k)
-        return [
-            (i, nodes_seq, hop_costs, float(sum(hop_costs)))
-            for i, (nodes_seq, hop_costs) in enumerate(paths)
-        ]
+    sc = spark.sparkContext
+    proj_b = _get_broadcast(spark, proj)
 
-    return spark.createDataFrame(_run_on_executor(spark, proj, _task), _YENS_SCHEMA)
+    def _first(p: _k.Projection):
+        dist, parent = _k._dijkstra_idx(p, s, t)
+        r = _k._reconstruct_idx(parent, s, t)
+        return [r] if r is not None else []
+
+    first = _run_on_executor(spark, proj, _first)
+    if not first:
+        return spark.createDataFrame([], _YENS_SCHEMA)
+
+    a_paths: list[tuple[list[int], list[float], list[int]]] = [tuple(first[0])]
+    seen: set[tuple[int, ...]] = {tuple(first[0][2])}
+    import heapq as _hq
+
+    candidates: list[tuple[float, list[int], list[float], list[int]]] = []
+    parallelism = max(sc.defaultParallelism, 2)
+
+    while len(a_paths) < k:
+        prev_nodes, prev_costs, prev_eidxs = a_paths[-1]
+        tasks = []
+        for i in range(len(prev_nodes) - 1):
+            spur = prev_nodes[i]
+            root_nodes = prev_nodes[: i + 1]
+            masked_edges = frozenset(
+                p_eidxs[i]
+                for p_nodes, _pc, p_eidxs in a_paths
+                if p_nodes[: i + 1] == root_nodes and len(p_eidxs) > i
+            )
+            tasks.append(
+                (
+                    list(root_nodes),
+                    list(prev_costs[:i]),
+                    list(prev_eidxs[:i]),
+                    spur,
+                    masked_edges,
+                    frozenset(root_nodes[:-1]),
+                )
+            )
+
+        def _probe(batch):
+            p = proj_b.value
+            for root_nodes, root_costs, root_eidxs, spur, masked_e, masked_n in batch:
+                sp = _k.spur_search(p, spur, t, masked_e, masked_n)
+                if sp is not None:
+                    yield (
+                        root_nodes[:-1] + sp[0],
+                        root_costs + sp[1],
+                        root_eidxs + sp[2],
+                    )
+
+        n_slices = min(len(tasks), parallelism * 2) or 1
+        results = sc.parallelize(tasks, n_slices).mapPartitions(_probe).collect()
+        for nodes_i, costs_i, eidxs_i in results:
+            key = tuple(eidxs_i)
+            if key in seen:
+                continue
+            seen.add(key)
+            _hq.heappush(candidates, (float(sum(costs_i)), nodes_i, costs_i, eidxs_i))
+        if not candidates:
+            break
+        _total, nodes_i, costs_i, eidxs_i = _hq.heappop(candidates)
+        a_paths.append((nodes_i, costs_i, eidxs_i))
+
+    ids = proj.ids
+    rows = [
+        (i, [ids[n] for n in nodes_i], hop_costs, float(sum(hop_costs)))
+        for i, (nodes_i, hop_costs, _e) in enumerate(a_paths)
+    ]
+    return spark.createDataFrame(rows, _YENS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -278,8 +364,10 @@ def apsp_topk(
     |sources| × k rows instead of the O(V²) pair matrix."""
     proj = projection or build_projection(roads)
     sc = spark.sparkContext
-    proj_b = sc.broadcast(proj)
-    sources = sorted(proj.adj.keys())
+    proj_b = _get_broadcast(spark, proj)
+    sources = sorted(
+        proj.ids[i] for i in range(len(proj.ids)) if proj.indptr[i + 1] > proj.indptr[i]
+    )
     n_slices = max(1, len(sources) // sources_per_task)
 
     def _task(it: Iterator[str]):

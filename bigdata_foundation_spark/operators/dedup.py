@@ -1,0 +1,274 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every fuzzy variant is **candidate generation by
+bucketing (LSH band / SimHash chunk / blocking key) → exact verify on
+candidates only**. The cross-join never happens: at 100 TB the only
+shuffles are (a) explode→groupBy on bucket keys and (b) the candidate
+self-join, both keyed. Oversized buckets (degenerate text) are dropped
+with a documented cap — the standard skew guard for LSH jockeys.
+
+Everything is built-in expressions (xxhash64, array ops, bit ops) —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(c), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest id per group.
+
+    One hash-aggregate shuffle on the 64-bit fingerprint (not the full
+    text — at scale you shuffle 8-byte keys, not documents), then a
+    semi-join back to recover rows."""
+    keyed = df.withColumn("_fp", F.xxhash64(normalize_text(text_col)))
+    keepers = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keepers, ["_fp", id_col], "left_semi")
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text."""
+    c = normalize_text(text)
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (joined by single spaces)."""
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, i). Estimates Jaccard via agreement rate
+    (Broder 1997)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_jaccard_est(sig_a: Column, sig_b: Column, num_hashes: int = 64) -> Column:
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda a, b: a == b), lambda x: x))
+    return agree / F.lit(float(num_hashes))
+
+
+def jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(F.array_union(set_a, set_b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def _bucket_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """Distinct candidate id pairs (a < b) co-located in any bucket.
+
+    Buckets larger than ``max_bucket`` are dropped (quadratic guard —
+    degenerate keys otherwise explode the self-join; this is LSH's
+    skew-salting analog and is a documented recall trade)."""
+    sized = buckets.withColumn(
+        "_bsize", F.count("*").over(Window.partitionBy(*bucket_cols))
+    ).filter(F.col("_bsize") <= max_bucket).drop("_bsize")
+    a = sized.select(*bucket_cols, F.col(id_col).alias("id_a"))
+    b = sized.select(*bucket_cols, F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash banding, verified with exact
+    Jaccard on the shingle sets.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a <
+    id_b. Pipeline: shingle → 64-hash signature → 16 bands of 4 →
+    explode bands → bucket-join candidates → exact-verify. Only
+    candidate pairs ever pay the exact-Jaccard cost."""
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col), char_shingles(text_col, shingle_k).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("_sig", i * rows_per_band + 1, rows_per_band).cast("string")
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    cand = _bucket_pairs(banded, id_col, ["band", "key"], max_bucket)
+    sh = base.select(F.col(id_col), F.col("_sh"))
+    return (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_sh_b"}), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over blocked pairs.
+
+    ``block_cols`` restricts comparisons to same-block rows (e.g.
+    language + length bucket) — without blocking this is the O(N²)
+    baseline and is only sane at test scale; LSH above is the scale
+    path for candidate generation."""
+    g = df.select(F.col(id_col), *(block_cols or []), word_ngrams(text_col, n).alias("_g"))
+    a = g.withColumnsRenamed({id_col: "id_a", "_g": "_g_a"})
+    b = g.withColumnsRenamed({id_col: "id_b", "_g": "_g_b"})
+    joined = a.join(b, block_cols) if block_cols else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard(F.col("_g_a"), F.col("_g_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash (Charikar 2002) as a data-parallel transform: explode
+    tokens → per-bit ±1 votes summed in ONE hash aggregate (64 narrow
+    sum columns, fully codegen'd) → bit-pack the sign vector.
+
+    This shape scales: the shuffle carries ``bits`` ints per document,
+    never token arrays, and the vote aggregation is map-side partial.
+    (An equivalent single-Column formulation with nested array lambdas
+    was ~10× slower — Catalyst can't codegen deep lambda chains.)
+
+    ``bits`` defaults to 60 so the packed value stays clear of the
+    sign bit. Returns (id_col, simhash)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed + F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming on SimHash.
+
+    Candidates via the pigeonhole trick: split the fingerprint into
+    ``chunks`` pieces — any pair within distance < chunks agrees on at
+    least one piece, so bucket-join per piece then verify exactly."""
+    base = simhash_table(df, text_col, id_col, bits).withColumnRenamed("simhash", "_sh64")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    pieces = base.select(
+        id_col,
+        "_sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("_sh64", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select(id_col, "_sh64", F.col("p.chunk").alias("chunk"), F.col("p.key").alias("key"))
+
+    cand = _bucket_pairs(pieces, id_col, ["chunk", "key"], max_bucket)
+    h = base.select(F.col(id_col), F.col("_sh64"))
+    return (
+        cand.join(h.withColumnsRenamed({id_col: "id_a", "_sh64": "_a"}), "id_a")
+        .join(h.withColumnsRenamed({id_col: "id_b", "_sh64": "_b"}), "id_b")
+        .withColumn("hamming", hamming64(F.col("_a"), F.col("_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,81 @@
+"""Relational / expression operators (reference R1–R13, SURVEY.md §2.3).
+
+Everything here is a thin, documented wrapper over ``pyspark.sql`` —
+deliberately so: expressing these declaratively keeps them inside
+Catalyst (predicate pushdown, column pruning, join selection) and
+whole-stage codegen. The value of the module is pinning the *semantic
+contract* each reference operator carries, with the reference citation
+on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def point_lookup(df: DataFrame, key: str, value) -> DataFrame:
+    """R1 (neo4j-code.txt:2): equality point lookup. The filter reaches
+    the parquet scan as a pushed predicate."""
+    return df.filter(F.col(key) == F.lit(value))
+
+
+def lookup_pair(df: DataFrame, key: str, a, b) -> DataFrame:
+    """R2 (neo4j-code.txt:2): cartesian of two point lookups — the
+    reference binds (start, end) this way."""
+    return point_lookup(df, key, a).crossJoin(point_lookup(df, key, b))
+
+
+def id_join(fact: DataFrame, dim: DataFrame, key: str, broadcast_dim: bool = True) -> DataFrame:
+    """R3 (neo4j-code.txt:71–72): id → row dereference. Dimension side
+    broadcast by default (the reference's asNode lookup is an O(1)
+    pointer chase; a broadcast hash join is the distributed analog)."""
+    return fact.join(F.broadcast(dim) if broadcast_dim else dim, key)
+
+
+def non_self_pairs(df: DataFrame, left: str = "source", right: str = "target") -> DataFrame:
+    """R4 (neo4j-code.txt:73): drop self-pairs."""
+    return df.filter(F.col(left) != F.col(right))
+
+
+def count_max(df: DataFrame, count_col: str, max_col: str) -> DataFrame:
+    """R5 (neo4j-code.txt:36): RETURN count(x), Max(y)."""
+    return df.agg(
+        F.count(count_col).alias(f"count_{count_col}"),
+        F.max(max_col).alias(f"max_{max_col}"),
+    )
+
+
+def ordered_collect(df: DataFrame, group: list[str], order_col: str, value_col: str) -> DataFrame:
+    """R6 (neo4j-code.txt:54): ordered list aggregation. Cypher
+    preserves stream order; a distributed engine must make the order
+    explicit — we sort within the aggregation key via sort_array over
+    (order, value) structs, so the result is deterministic under any
+    partitioning."""
+    pair = F.struct(F.col(order_col), F.col(value_col))
+    return df.groupBy(*group).agg(
+        F.transform(F.sort_array(F.collect_list(pair)), lambda s: s[value_col]).alias(f"{value_col}_list")
+    )
+
+
+def array_slice(col: Column | str, start0: int, length: int) -> Column:
+    """R7 (neo4j-code.txt:54): Cypher ``[a..b]`` is 0-based half-open;
+    Spark's slice is 1-based — converted here."""
+    return F.slice(col, start0 + 1, length)
+
+
+def array_map(col: Column | str, fn) -> Column:
+    """R8 (neo4j-code.txt:143): list comprehension → transform."""
+    return F.transform(col, fn)
+
+
+def array_reduce_sum(col: Column | str) -> Column:
+    """R9 (neo4j-code.txt:145): reduce(acc=0.0, x IN xs | acc+x)."""
+    return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """R10 (neo4j-code.txt:76–77): multi-key sort + limit. Catalyst
+    plans this as TakeOrderedAndProject — a per-partition heap + k-row
+    merge, no global sort — exactly what you want at 100 TB."""
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* ``brute_topk`` — exact cosine top-k. The query set is broadcast; the
+  corpus streams once; per-query top-k is a window row_number (Catalyst
+  plans the ORDER BY ... rank<=k as a partial per-partition topk at
+  shuffle). Dot products run JVM-side via zip_with/aggregate — no
+  Python in the loop. Exact, one corpus scan per query *batch*, the
+  right baseline and the verification oracle for the ANN path.
+
+* ``lsh_topk`` — approximate: random-hyperplane LSH (Charikar 2002)
+  signatures; candidates share a signature prefix bucket, exact cosine
+  re-rank within candidates. At 100 TB this turns the corpus×queries
+  product into per-bucket joins. Probe multiple bands to trade recall
+  for cost.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(vec: Column) -> Column:
+    """float32 → double once, up front: all arithmetic then stays in
+    one numeric type (and matches DuckDB's double math for oracles)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank), self-matches
+    excluded, ties broken by neighbor id for determinism."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (public LSH construction)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each hyperplane, packed into
+    a long — computed with literal arrays + zip_with, JVM-side."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec, lit) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane signatures split
+    into ``bands`` prefixes; a corpus row is a candidate if it shares
+    any band with the query; exact cosine re-rank on candidates.
+
+    Same output shape as brute_topk; recall < 1 by construction."""
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = signature_bits(_as_double(F.col(vec_col)), planes)
+        base = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            _as_double(F.col(vec_col)).alias(f"_{role}v"),
+            sig.alias("_sig"),
+        )
+        return base.select(
+            f"{role}_id",
+            f"_{role}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned("_sig", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(f"{role}_id", f"_{role}v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    qb = F.broadcast(banded(queries, "query"))
+    cb = banded(corpus, "neighbor")
+    cand = (
+        qb.join(cb, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_queryv", "neighbor_id", "_neighborv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("_queryv"), F.col("_neighborv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold). Exact all-pairs — the verifiable baseline; at scale,
+    generate candidates with ``lsh_topk``-style banding first."""
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("_a"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("_a"), F.col("_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
+side, whole-stage codegen) — no Python UDFs: at 100 TB a row-at-a-time
+UDF here would dominate the job. Each operator is a Column factory so
+it composes into any select/filter and Catalyst can prune around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A deliberately small, deterministic stopword table per language —
+# enough signal for the n-gram/stopword language-ID heuristic. Public
+# common-word lists.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space
+# symbols — a public-knowledge approximation of byte-pair tokenizer
+# pre-splitting (GPT-2-style regex family).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of TOKEN_PATTERN matches — a tokenizer-free estimate of
+    BPE token count (regexp_count runs JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_PATTERN))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[^\w\s]")) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation
+    sanity + stopword presence. Deterministic, built-ins only —
+    the shape of public quality filters (C4/Gopher-style rules)."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(c) * 2.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
+    return F.round((len_score + (1.0 - punct_penalty) + stop_score) / 3.0, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-vote language ID over the five supported languages.
+
+    Greatest vote wins; ties break in fixed language order. Built-ins
+    only: one pass per language over the token array."""
+    toks = tokens(text)
+
+    # NB: the lambda must not take extra default args — PySpark derives
+    # the higher-order function's arity from the signature.
+    def _hits(sw):
+        return lambda t: F.array_contains(sw, t)
+
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        # zh has no whitespace tokens — count substring hits instead.
+        if lang == "zh":
+            c = F.col(text) if isinstance(text, str) else text
+            vote = sum((F.length(c) - F.length(F.replace(c, F.lit(w)))) / len(w) for w in words)
+        else:
+            vote = F.size(F.filter(toks, _hits(sw)))
+        scores.append(F.struct(vote.cast("double").alias("v"), F.lit(lang).alias("lang")))
+    # array_max on (vote, lang) structs → lexicographic: max vote, then
+    # max lang — invert lang for deterministic first-wins ordering is
+    # unnecessary here; document tie semantics as max-lang.
+    return F.array_max(F.array(*scores))["lang"]
+
+
+def fingerprint(text: Column | str, normalize: bool = True) -> Column:
+    """Document fingerprint: 64-bit hash of the normalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key. xxhash64
+    is Spark's vectorized 64-bit hash; for cross-engine comparability
+    use ``fingerprint_md5``."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.regexp_replace(F.lower(c), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def fingerprint_md5(text: Column | str, normalize: bool = True) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.regexp_replace(F.lower(c), r"\s+", " ")
+    return F.md5(c)
+
+
+def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    return documents.select(
+        "*",
+        whitespace_token_count(text_col).alias("n_tokens_ws"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio_en"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,789 @@
+"""Query registry: every implemented operator as a (Spark fn, oracle
+SQL) pair consumed by ``__spark_entry__``.
+
+Conventions (driver contract, see repo __spark_entry__ docstring):
+* every computed column is aliased IDENTICALLY in the Spark plan and
+  the DuckDB oracle (the driver hash-compares by sorted column name);
+* floating aggregates are rounded in BOTH engines (money → 2 dp,
+  ratios/scores → 6 dp) so cross-engine summation order can't flip the
+  hash; thresholds filter on unrounded values in both engines;
+* counts are cast to bigint (DuckDB count returns BIGINT);
+* queries whose semantics SQL can't express (iterative graph search,
+  LSH approximations, hash-dependent fakes) carry no oracle — the
+  driver records a weaker rows-only check for them (they're covered by
+  pytest oracles instead, see tests/).
+
+Graph queries run on the reference's own Shenzhen CSV (the workload
+the engine replicates); relational/dedup/similarity/text queries run
+on the driver's TPC-H-ish tables at the given sf_dir.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.operators import dedup as D
+from bigdata_foundation_spark.operators import multimodal as M
+from bigdata_foundation_spark.operators import relational as R
+from bigdata_foundation_spark.operators import similarity as S
+from bigdata_foundation_spark.operators import text as TX
+
+SHENZHEN_CSV = "/root/reference/Shenzhen_Edgelist_1.csv"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read ns-as-long and convert to
+        # a microsecond timestamp (set per-session at runtime because
+        # the grading driver supplies its own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+# ===========================================================================
+# Relational surface (TPC-H-ish; SURVEY.md §2.3 + BASELINE.json north-star)
+# ===========================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan-side filter pushdown + partial aggregation",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_segment_topk",
+    """
+    SELECT o.o_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "3-way join + top-k; customer side broadcast",
+)
+def q3_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("o_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return R.topk(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey   = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5 shape: 6-way join with broadcast dims + local-supplier predicate",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    cust = c.join(dims, c.c_nationkey == F.col("n_nationkey")).select("c_custkey", "c_nationkey", "n_name")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@q(
+    "point_lookup_customer",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42",
+    "R1 point lookup — pushed predicate",
+)
+def point_lookup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.point_lookup(_t(spark, sf_dir, "customer"), "c_custkey", 42).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q(
+    "orders_topk",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "R10 multi-key top-k → TakeOrderedAndProject",
+)
+def orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return R.topk(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10)
+
+
+@q(
+    "window_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+    "window function with frame: per-group top-3",
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@q(
+    "distinct_agg_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "distinct aggregation (two-phase under the hood)",
+)
+def distinct_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling time-window aggregation over the event stream table",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "events_kv_extract",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "R13-style scalar extraction from a JSON-ish string column",
+)
+def events_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("double")
+    return ev.groupBy("event_type").agg(F.round(F.avg(k), 6).alias("avg_k"))
+
+
+@q(
+    "array_ops_customer",
+    """
+    SELECT o_custkey,
+           CAST(len(lst) AS BIGINT) AS n_orders,
+           ROUND(CAST(coalesce(list_aggregate(lst[2:4], 'sum'), 0.0) AS DOUBLE), 2) AS mid_sum
+    FROM (
+      SELECT o_custkey, list(ROUND(o_totalprice, 2) ORDER BY o_totalprice, o_orderkey) AS lst
+      FROM orders GROUP BY o_custkey) t
+    """,
+    "R6–R9: ordered collect, slice [1..4), reduce-sum (scalars out)",
+)
+def array_ops_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    lst = F.transform(
+        F.sort_array(F.collect_list(F.struct("o_totalprice", "o_orderkey"))),
+        lambda s: F.round(s["o_totalprice"], 2),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(lst.alias("lst"))
+        .select(
+            "o_custkey",
+            F.size("lst").cast("bigint").alias("n_orders"),
+            F.round(R.array_reduce_sum(R.array_slice(F.col("lst"), 1, 3)), 2).alias("mid_sum"),
+        )
+    )
+
+
+@q(
+    "setop_repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "set operator: INTERSECT",
+)
+def setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@q(
+    "rollup_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "grouping sets / rollup",
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "anti_join_quiet_customers",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "anti join (NOT EXISTS)",
+)
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "semi_join_ordered_parts",
+    """
+    SELECT p_partkey, p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+    "semi join (EXISTS) with pushed inner predicate",
+)
+def semi_join_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+
+@q(
+    "case_bucket_orders",
+    """
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                WHEN o_totalprice < 10000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    "CASE WHEN bucketing + agg",
+)
+def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+@q(
+    "orders_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    "date-part extraction + agg",
+)
+def orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@q(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_tokens_bpe,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    "token counting (whitespace + BPE-ish regex) + md5 fingerprint",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.whitespace_token_count("text").cast("bigint").alias("n_tokens_ws"),
+        TX.bpe_ish_token_count("text").cast("bigint").alias("n_tokens_bpe"),
+        TX.fingerprint_md5("text").alias("fingerprint"),
+    )
+
+
+@q(
+    "text_quality",
+    None,  # composite heuristic — covered by pytest determinism tests
+    "quality scoring + language ID distribution (rows-only gate)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", TX.quality_score("text").alias("quality"), TX.lang_id("text").alias("lang_pred"))
+    return scored.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@q(
+    "token_totals_by_source",
+    r"""
+    SELECT source,
+           CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    "corpus token accounting per source",
+)
+def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(TX.whitespace_token_count("text")).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# ===========================================================================
+# Dedup
+# ===========================================================================
+
+@q(
+    "dedup_exact",
+    r"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY regexp_replace(lower(text), '\s+', ' ', 'g')
+                                ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+    "exact dedup on normalized text, keep lowest doc_id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d).select("doc_id", "lang", "source")
+
+
+@q(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures aren't reproducible in DuckDB
+    "MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only gate; pytest has planted-duplicate oracle)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_simhash",
+    None,
+    "SimHash near-dup pairs, Hamming<=3 (rows-only gate; pytest oracle)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(d).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+             )) AS grams
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), t -> t <> '') AS toks
+        FROM documents) raw
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / greatest(len(list_distinct(a.grams || b.grams)), 1), 6) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.3
+    """,
+    "exact word-3-gram Jaccard >= 0.3, blocked by lang (full SQL oracle)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.3, block_cols=["lang"]).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_aggregate(list_transform(generate_series(1, 64),
+                            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+             / ( sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+               * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')) ), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(generate_series(1, 64),
+                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+          / ( sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+            * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')) ) >= 0.95
+    """,
+    "embedding-cosine near-dup pairs >= 0.95 (exact, SQL oracle)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@q(
+    "ann_brute_topk",
+    """
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_aggregate(list_transform(generate_series(1, 64),
+                            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')
+             / ( sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), 'sum'))
+               * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')) ) AS cos_raw
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk FROM scored) t
+    WHERE rnk <= 5
+    """,
+    "exact cosine top-5 for 8 query vectors (brute baseline, SQL oracle)",
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.brute_topk(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "ann_lsh_topk",
+    None,  # approximate by construction — recall measured in pytest
+    "LSH-bucketed approximate top-k (rows-only gate)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.lsh_topk(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+@q(
+    "multimodal_ingest",
+    """
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+    "binary column ingest: payload + typed metadata (SQL oracle on sizes)",
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return M.attach_binary(d).select("media_id", "media_type", "byte_len")
+
+
+@q(
+    "multimodal_decode",
+    None,  # fake decode is sha256-based — not SQL-expressible
+    "Arrow-batched mapInPandas decode/feature-extract (rows-only gate; pytest checks determinism + schema)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = M.attach_binary(d)
+    return M.resize_stub(M.decode_features(media)).select(
+        "media_id", "byte_len", "width", "height"
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(unnest(generate_series(1,
+             least(greatest(octet_length(encode(text)) // 64, 1), 8))) AS BIGINT) AS frame_no
+    FROM documents
+    """,
+    "frame sampling explode shape (SQL oracle on frame counts)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    frames = M.frame_sample(M.attach_binary(d))
+    return frames.select("media_id", (F.col("frame_idx") + 1).cast("bigint").alias("frame_no"))
+
+
+# ===========================================================================
+# Graph workload (the reference's own queries, on its own data)
+# ===========================================================================
+
+def _graph(spark: SparkSession):
+    from bigdata_foundation_spark.graph import load_graph
+
+    return load_graph(spark, SHENZHEN_CSV, cache=False)
+
+
+@q(
+    "graph_nodes",
+    """
+    SELECT DISTINCT START_NODE AS NodeId,
+           CAST(XCoord AS DOUBLE) AS XCoord, CAST(YCoord AS DOUBLE) AS YCoord
+    FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                  header = true, all_varchar = true)
+    WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    """,
+    "I4 node dedup-upsert (3705 rows; full-table SQL oracle)",
+)
+def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _ = _graph(spark)
+    return nodes
+
+
+@q(
+    "graph_edges",
+    """
+    WITH el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el)
+    SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst,
+           el.EDGE AS road_id, CAST(el.LENGTH AS DOUBLE) AS cost
+    FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+    """,
+    "I5+I6 edge build with dangling-drop + quadruple dedup (9696 rows; SQL oracle)",
+)
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, roads = _graph(spark)
+    return roads
+
+
+@q(
+    "graph_sssp",
+    None,  # iterative algorithm — pytest oracle (independent Bellman-Ford + FIXTURES goldens)
+    "G2 delta-stepping SSSP from node 2022 (2191 reachable; rows-only gate)",
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import sssp
+
+    _nodes, roads = _graph(spark)
+    return sssp(spark, roads, "2022").select("NodeId", F.round("distance", 6).alias("distance"))
+
+
+@q(
+    "graph_dijkstra",
+    None,
+    "G1 point-to-point Dijkstra 2022→2802 streamed path (66 rows; rows-only gate)",
+)
+def graph_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import dijkstra
+
+    _nodes, roads = _graph(spark)
+    return dijkstra(spark, roads, "2022", "2802").select("NodeId", F.round("cost", 6).alias("cost"))
+
+
+@q(
+    "graph_astar",
+    None,
+    "G4 A* 2022→2802 (admissible heuristic — equals Dijkstra cost; rows-only gate)",
+)
+def graph_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import astar
+
+    nodes, roads = _graph(spark)
+    return astar(spark, roads, nodes, "2022", "2802").select("NodeId", F.round("cost", 6).alias("cost"))
+
+
+@q(
+    "graph_yens_k3",
+    None,
+    "G5 Yen k=3 2022→2802: (index, path length, totalCost) (rows-only gate)",
+)
+def graph_yens_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import yens_k
+
+    _nodes, roads = _graph(spark)
+    res = yens_k(spark, roads, "2022", "2802", k=3)
+    return res.select(
+        "index",
+        F.size("nodeIds").cast("bigint").alias("path_len"),
+        F.round("totalCost", 6).alias("totalCost"),
+    )
+
+
+@q(
+    "graph_apsp_top10",
+    None,
+    "G3 APSP 10 longest finite shortest paths (rows-only gate)",
+)
+def graph_apsp_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import apsp_topk
+
+    _nodes, roads = _graph(spark)
+    return apsp_topk(spark, roads, k=10).select(
+        "source", "target", F.round("distance", 6).alias("distance")
+    )

@@ -1,0 +1,159 @@
+"""Training-data pipeline operators: planted-duplicate oracles.
+
+The driver's DuckDB gate covers the SQL-expressible operators; these
+tests cover the rest with constructed inputs whose answers are known:
+planted near-duplicates must be found, unrelated docs must not pair,
+approximate search is measured against the exact baseline.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.operators import dedup as D
+from bigdata_foundation_spark.operators import multimodal as M
+from bigdata_foundation_spark.operators import similarity as S
+from bigdata_foundation_spark.operators import text as TX
+
+# 400 distinct words; the near-dup edit below changes exactly one, so
+# SimHash vote margins move by ±2 on a std-20 distribution → expected
+# Hamming ≈ 1–3 of 60 bits (the regime SimHash dedup is designed for).
+BASE = " ".join(f"morning{j:03d}" if j == 123 else f"stone{j:03d}river" for j in range(400))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # 40 docs with fully disjoint vocabularies (random hex words, so
+    # even character shingles barely overlap)
+    import hashlib
+
+    def word(i, j):
+        return hashlib.sha1(f"{i}/{j}".encode()).hexdigest()[:8]
+
+    for i in range(40):
+        rows.append((i, " ".join(word(i, j) for j in range(60)), "en", "src", 60))
+    # planted near-dup cluster: 100/101 tiny edit; 102 exact copy of 100
+    rows.append((100, BASE, "en", "src", len(BASE)))
+    rows.append((101, BASE.replace("morning123", "evening123"), "en", "src", len(BASE)))
+    rows.append((102, BASE, "en", "src", len(BASE)))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = {r["doc_id"] for r in D.exact_dedup(docs).select("doc_id").collect()}
+    assert 100 in kept and 102 not in kept  # 102 is an exact copy of 100
+    assert 101 in kept  # near-dup but not exact
+    assert len(kept) == 42
+
+
+def test_minhash_lsh_finds_planted(docs):
+    got = _pairs(D.minhash_lsh_pairs(docs, threshold=0.5))
+    assert (100, 101) in got
+    assert (100, 102) in got and (101, 102) in got
+    # no false positives among the distinct docs
+    assert all(a >= 100 for a, b in got)
+
+
+def test_simhash_finds_planted(docs):
+    got = _pairs(D.simhash_pairs(docs, max_hamming=5))
+    assert (100, 102) in got  # identical text → distance 0
+    assert (100, 101) in got  # one-word edit → few bit flips
+    assert all(a >= 100 for a, b in got)
+
+
+def test_ngram_jaccard_finds_planted(docs):
+    got = _pairs(D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=["lang"]))
+    assert (100, 102) in got and (100, 101) in got
+    assert all(a >= 100 for a, b in got)
+
+
+def test_simhash_table_deterministic(docs):
+    a = {(r[0], r[1]) for r in D.simhash_table(docs).collect()}
+    b = {(r[0], r[1]) for r in D.simhash_table(docs).collect()}
+    assert a == b and len(a) == 43
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], i % 5))
+    # planted near-dup of vec 0: tiny perturbation
+    base = rows[0][1]
+    rows.append((500, [x + 0.01 * rng.gauss(0, 1) for x in base], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    return df.withColumn("embedding", F.transform("embedding", lambda x: x.cast("float")))
+
+
+def test_brute_topk_exact(vectors):
+    res = S.brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r["rank"] for r in res] == [1, 2, 3]
+    assert res[0]["neighbor_id"] == 500  # the planted near-dup is rank 1
+    assert res[0]["cosine"] > 0.99
+
+
+def test_embedding_neardup(vectors):
+    got = _pairs(S.embedding_neardup_pairs(vectors, threshold=0.95))
+    assert got == {(0, 500)}
+
+
+def test_lsh_recall_vs_brute(vectors):
+    qs = vectors.filter(F.col("vec_id") < 10)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in S.brute_topk(vectors, qs, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in S.lsh_topk(vectors, qs, k=3).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.3  # LSH with 16 planes/4 bands on random gaussians
+    # the planted pair must survive any reasonable hashing
+    assert (0, 500) in approx
+
+
+def test_text_operators(spark):
+    sentence = "The quick brown fox, and the lazy dog! They ran in the morning."
+    df = spark.createDataFrame([(1, sentence)], "doc_id long, text string")
+    res = TX.analyze(df).first()
+    assert res["n_tokens_ws"] == 13
+    # BPE-ish: 13 words + 3 punctuation marks
+    assert res["n_tokens_bpe"] == 16
+    assert res["punct_ratio"] == pytest.approx(3 / len(sentence), abs=1e-6)
+    assert res["lang_pred"] == "en"
+    assert 0.0 <= res["quality"] <= 1.0
+    assert res["fingerprint"] is not None
+
+
+def test_lang_id_multilingual(spark):
+    # NB: the driver's synthetic documents.lang label is uncorrelated
+    # with its (English word-salad) text, so lang-id is tested on real
+    # sentences per language instead.
+    samples = [
+        ("en", "the cat is on the roof and the dog is in the garden for the day"),
+        ("es", "el perro y el gato están en la casa que compramos por un buen precio"),
+        ("fr", "le chien et le chat sont dans la maison des voisins et une grande cour"),
+        ("de", "der Hund und die Katze sind in dem Haus mit den Kindern und ist ein Garten"),
+        ("zh", "我是一个学生，我在学校有很多朋友，他们人都很好，就是不常见面了"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    got = {r["lang"]: r["pred"] for r in df.select("lang", TX.lang_id("text").alias("pred")).collect()}
+    assert got == {lang: lang for lang, _ in samples}, got
+
+
+def test_multimodal_pipeline(docs):
+    media = M.attach_binary(docs)
+    decoded = M.decode_features(media)
+    rows = decoded.collect()
+    assert len(rows) == 43
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # determinism: same payload → same fake decode
+    by_id = {r["media_id"]: (r["width"], r["height"]) for r in rows}
+    assert by_id[100] == by_id[102]
+    resized = M.resize_stub(decoded, max_side=64).collect()
+    assert all(max(r["width"], r["height"]) <= 64 for r in resized)
+    frames = M.frame_sample(media)
+    fc = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 8 for r in fc)
