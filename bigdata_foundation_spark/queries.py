@@ -678,6 +678,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Structured Streaming (availableNow replay — result is the final table)
+# ===========================================================================
+
+@q(
+    "streaming_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "watermarked tumbling-window stream agg; oracle = the BATCH SQL (stream≡batch equivalence)",
+)
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.streaming import hourly_counts_stream, read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(hourly_counts_stream(ev), "q_streaming_hourly", spark)
+
+
+@q(
+    "streaming_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    "session windows (30-min gap) vs gaps-and-islands SQL oracle",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.streaming import read_events_stream, run_to_memory, sessionize_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(sessionize_stream(ev), "q_streaming_sessions", spark)
+
+
+@q(
+    "streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    """,
+    "dropDuplicatesWithinWatermark replay (event_ids unique → identity; bounded state)",
+)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.streaming import read_events_stream, run_to_memory, streaming_dedup
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    res = run_to_memory(streaming_dedup(ev), "q_streaming_dedup", spark)
+    return res.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+# ===========================================================================
 # Graph workload (the reference's own queries, on its own data)
 # ===========================================================================
 

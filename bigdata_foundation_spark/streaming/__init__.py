@@ -1,0 +1,17 @@
+"""Structured Streaming operators over the events stream table."""
+
+from bigdata_foundation_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+    streaming_dedup,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_counts_stream",
+    "sessionize_stream",
+    "streaming_dedup",
+    "run_to_memory",
+]
