@@ -435,6 +435,117 @@ def orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    "exact linear-interpolation percentiles (Spark percentile == DuckDB quantile_cont)",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@q(
+    "string_funcs_customer",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(c_name, '#', '-') AS name_dashed
+    FROM customer WHERE c_custkey <= 100
+    """,
+    "scalar string library: upper/substring/length/concat/replace",
+)
+def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+    )
+
+
+@q(
+    "union_all_keys",
+    """
+    SELECT o_custkey AS key, 'order' AS src FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT c_custkey AS key, 'customer' AS src FROM customer WHERE c_acctbal < 0
+    """,
+    "UNION ALL of heterogeneous sources",
+)
+def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("key"), F.lit("order").alias("src")
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
+    )
+    return o.unionAll(c)
+
+
+@q(
+    "left_join_order_counts",
+    """
+    SELECT c.c_custkey AS c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(coalesce(SUM(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    "outer join with null-safe aggregation (customers with zero orders kept)",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@q(
+    "cross_lookup_pair",
+    """
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           ROUND(a.c_acctbal - b.c_acctbal, 2) AS bal_diff
+    FROM (SELECT * FROM customer WHERE c_custkey = 7) a,
+         (SELECT * FROM customer WHERE c_custkey = 11) b
+    """,
+    "R2: cartesian of two point lookups (neo4j-code.txt:2)",
+)
+def cross_lookup_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = R.point_lookup(c, "c_custkey", 7).select(
+        F.col("c_custkey").alias("custkey_a"), F.col("c_acctbal").alias("_ba")
+    )
+    b = R.point_lookup(c, "c_custkey", 11).select(
+        F.col("c_custkey").alias("custkey_b"), F.col("c_acctbal").alias("_bb")
+    )
+    return a.crossJoin(b).select(
+        "custkey_a", "custkey_b", F.round(F.col("_ba") - F.col("_bb"), 2).alias("bal_diff")
+    )
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -615,6 +726,18 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8)
     res = S.brute_topk(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "ann_ivf_topk",
+    None,  # approximate by construction — recall measured in pytest
+    "IVF-cell approximate top-k, sampled centroids + n_probe re-rank (rows-only gate)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.ivf_topk(e, qs, k=5)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -839,6 +962,22 @@ def graph_yens_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index",
         F.size("nodeIds").cast("bigint").alias("path_len"),
         F.round("totalCost", 6).alias("totalCost"),
+    )
+
+
+@q(
+    "graph_writeback",
+    None,
+    "I12 writeProperty: join SSSP result back onto nodes (rows-only gate)",
+)
+def graph_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import sssp
+    from bigdata_foundation_spark.graph.paths import write_back
+
+    nodes, roads = _graph(spark)
+    res = sssp(spark, roads, "2022")
+    return write_back(nodes, res).select(
+        "NodeId", F.round("sssp", 6).alias("sssp")
     )
 
 

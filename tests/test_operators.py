@@ -114,6 +114,15 @@ def test_lsh_recall_vs_brute(vectors):
     assert (0, 500) in approx
 
 
+def test_ivf_recall_vs_brute(vectors):
+    qs = vectors.filter(F.col("vec_id") < 10)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in S.brute_topk(vectors, qs, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in S.ivf_topk(vectors, qs, k=3, n_cells=8, n_probe=3).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.3
+    assert (0, 500) in approx  # planted near-dup shares vec 0's cell
+
+
 def test_text_operators(spark):
     sentence = "The quick brown fox, and the lazy dog! They ran in the morning."
     df = spark.createDataFrame([(1, sentence)], "doc_id long, text string")

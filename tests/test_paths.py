@@ -115,6 +115,45 @@ def test_apsp_topk(spark, graph1, proj, edge_rows):
     assert dists == sorted(dists, reverse=True)
 
 
+def test_bsp_full_equivalence_synthetic(spark):
+    """BSP vs broadcast on a random low-diameter digraph, across all
+    three kernels (SSSP / Dijkstra / A*)."""
+    import random
+
+    from bigdata_foundation_spark.graph.paths import build_projection as bp
+
+    rng = random.Random(3)
+    n = 60
+    edges = []
+    for u in range(n):
+        for _ in range(3):
+            v = rng.randrange(n)
+            if v != u:
+                edges.append((str(u), str(v), round(rng.uniform(1, 10), 3)))
+    roads = spark.createDataFrame(edges, "src string, dst string, cost double")
+    nodes = spark.createDataFrame(
+        [(str(i), float(i % 10), float(i // 10)) for i in range(n)],
+        "NodeId string, XCoord double, YCoord double",
+    )
+    proj2 = bp(roads, nodes)
+
+    b = {r[0]: r[1] for r in sssp(spark, roads, "0", projection=proj2).collect()}
+    s = {r[0]: r[1] for r in sssp(spark, roads, "0", strategy="bsp").collect()}
+    assert set(b) == set(s)
+    for k2 in b:
+        assert b[k2] == pytest.approx(s[k2], abs=1e-9)
+
+    target = max(b, key=b.get)
+    pb = dijkstra(spark, roads, "0", target, projection=proj2).collect()
+    ps = dijkstra(spark, roads, "0", target, strategy="bsp").collect()
+    assert [r["NodeId"] for r in pb] == [r["NodeId"] for r in ps]
+
+    ab = astar(spark, roads, nodes, "0", target, projection=proj2).collect()
+    as_ = astar(spark, roads, nodes, "0", target, strategy="bsp").collect()
+    assert ab[-1]["cost"] == pytest.approx(as_[-1]["cost"], abs=1e-9)
+    assert ab[-1]["cost"] == pytest.approx(pb[-1]["cost"], abs=1e-9)
+
+
 def test_bsp_equals_broadcast(spark, graph1, proj):
     """Strategy equivalence on a bounded-depth query: the distributed
     BSP kernel and the broadcast heap kernel must agree exactly."""

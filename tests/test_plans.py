@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the 100 TB design assertions.
+
+A correct answer with a wrong plan (full scan for a 2-column
+projection, sort-merge join against a 25-row dim, Python UDF in the
+hot path) silently dies at scale; these tests pin the plan shape the
+engine is designed around.
+"""
+
+import pytest
+
+from bigdata_foundation_spark.queries import registry
+
+from .conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry()[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read the join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q3_broadcasts_dims(spark):
+    plan = plan_of(spark, "q3_segment_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k is a heap, not a global sort
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_global_sorts(spark):
+    plan = plan_of(spark, "orders_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_stats", "dedup_exact", "dedup_simhash", "ann_brute_topk", "events_hourly"],
+)
+def test_no_python_in_hot_path(spark, name):
+    """Every text/dedup/similarity operator must stay JVM-side; Python
+    (BatchEvalPython / ArrowEvalPython) is allowed only in the
+    explicitly-Pandas multimodal decode."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_multimodal_uses_arrow_not_rowwise(spark):
+    df = registry()["multimodal_decode"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time UDF
+    assert "BatchEvalPython" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """q1's sums must combine map-side (partial_* functions in the
+    pre-shuffle HashAggregate) — at 100 TB the shuffle carries group
+    aggregates, not rows."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan
