@@ -352,30 +352,74 @@ def apsp_topk(
     k: int = 10,
     projection: _k.Projection | None = None,
     sources_per_task: int = 64,
+    landmark_pruning: bool = True,
 ) -> DataFrame:
     """The 10 longest finite shortest paths (G3, neo4j-code.txt:56–77):
     finite only, source <> target, ORDER BY distance DESC, source ASC,
-    target ASC LIMIT k.
+    target ASC LIMIT k. Exact — pruning never changes the answer.
 
     Distribution: sources are partitioned into waves across all
     executors; each task runs exact SSSP per source over the broadcast
     projection and emits only its per-source top-k (map-side top-k —
     the global top-k is a subset of the union), so the shuffle is
-    |sources| × k rows instead of the O(V²) pair matrix."""
+    |sources| × k rows instead of the O(V²) pair matrix.
+
+    Landmark pruning (ALT-style, public technique): one forward and
+    one reverse SSSP from a hub h give the triangle-inequality bound
+    ecc(s) ≤ d(s,h) + ecc(h) for every source. Sources are processed
+    in waves of descending bound; once the running k-th best distance
+    T exceeds a wave's best bound, every remaining source is provably
+    unable to contribute and is skipped. On road-network-like graphs
+    this turns |V| SSSP runs into a few thousand. Sources that cannot
+    reach the hub get an infinite bound (never pruned) — correctness
+    does not depend on connectivity."""
     proj = projection or build_projection(roads)
     sc = spark.sparkContext
     proj_b = _get_broadcast(spark, proj)
     sources = sorted(
         proj.ids[i] for i in range(len(proj.ids)) if proj.indptr[i + 1] > proj.indptr[i]
     )
-    n_slices = max(1, len(sources) // sources_per_task)
 
-    def _task(it: Iterator[str]):
-        batch = list(it)
-        if not batch:
-            return iter(())
-        return iter(_k.per_source_longest(proj_b.value, batch, k))
+    inf = float("inf")
+    bounds: dict[str, float] = {}
+    if landmark_pruning and sources:
+        hub = sources[len(sources) // 2]
+        fwd = _k.sssp(proj, hub)  # d(h, ·) over reachable
+        ecc_h = max(fwd.values()) if fwd else 0.0
+        rproj = _k.Projection(
+            (proj.ids[proj.adj_v[i]], proj.ids[u], proj.adj_w[i])
+            for u in range(len(proj.ids))
+            for i in range(proj.indptr[u], proj.indptr[u + 1])
+        )
+        rev = _k.sssp(rproj, hub)  # d(·, h) for every s that reaches h
+        bounds = {s: rev.get(s, inf) + ecc_h if rev.get(s, inf) != inf else inf for s in sources}
+        sources = sorted(sources, key=lambda s: -bounds[s])
 
-    rows = sc.parallelize(sources, n_slices).mapPartitions(_task)
-    df = spark.createDataFrame(rows, _APSP_SCHEMA)
+    def _wave(batch: list[str]) -> list[tuple[str, str, float]]:
+        n_slices = max(1, len(batch) // sources_per_task)
+
+        def _task(it: Iterator[str]):
+            b = list(it)
+            return iter(_k.per_source_longest(proj_b.value, b, k)) if b else iter(())
+
+        return sc.parallelize(batch, n_slices).mapPartitions(_task).collect()
+
+    if not landmark_pruning:
+        all_rows = _wave(sources)
+    else:
+        all_rows = []
+        wave_size = max(sources_per_task * max(sc.defaultParallelism, 1), 512)
+        i = 0
+        while i < len(sources):
+            wave = sources[i : i + wave_size]
+            if len(all_rows) >= k:
+                kth = sorted((r[2] for r in all_rows), reverse=True)[k - 1]
+                # every source in this (bound-sorted) wave is bounded
+                # strictly below the current k-th best → done.
+                if bounds[wave[0]] < kth:
+                    break
+            all_rows.extend(_wave(wave))
+            i += wave_size
+
+    df = spark.createDataFrame(all_rows, _APSP_SCHEMA)
     return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)

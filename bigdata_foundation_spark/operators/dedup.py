@@ -41,24 +41,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text."""
-    c = normalize_text(text)
-    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
-    )
+    """Distinct character k-shingles of the normalized text.
+
+    The normalized string is bound ONCE per row as a lambda variable
+    (outer transform over a 1-element array) — referencing the
+    normalization expression directly inside the per-shingle lambda
+    would re-run the regex for every shingle (~400× per document; this
+    exact pitfall cost 15s of a 30s pipeline before the rewrite)."""
+
+    def inner(t: Column) -> Column:
+        n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k))
+        )
+
+    return F.transform(F.array(normalize_text(text)), inner)[0]
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (joined by single spaces)."""
-    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    """Distinct word n-grams (joined by single spaces). Token array
+    bound once per row (see char_shingles note)."""
+
+    def inner(toks: Column) -> Column:
+        cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
-    )
+
+    toks0 = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    return F.transform(F.array(toks0), inner)[0]
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:

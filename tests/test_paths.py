@@ -113,6 +113,12 @@ def test_apsp_topk(spark, graph1, proj, edge_rows):
         assert dist_val == pytest.approx(want[t], abs=1e-9)
     dists = [d for _, _, d in got]
     assert dists == sorted(dists, reverse=True)
+    # landmark pruning must be invisible in the result
+    unpruned = [
+        (r["source"], r["target"], r["distance"])
+        for r in apsp_topk(spark, roads, k=5, projection=proj, landmark_pruning=False).collect()
+    ]
+    assert got == unpruned
 
 
 def test_bsp_full_equivalence_synthetic(spark):
