@@ -204,7 +204,10 @@ def dijkstra(
     nodes; parent[v] = (u, edge_cost, edge_idx)."""
     s = proj.index.get(source)
     if s is None:
-        return ({source: 0.0}, {})
+        # Unknown source → empty result, matching the reference's
+        # MATCH-then-CALL shape (an unmatched start node yields no
+        # rows, neo4j-code.txt:2).
+        return ({}, {})
     t = proj.index.get(target, -1) if target is not None else -1
     dist, parent = _dijkstra_idx(proj, s, t, use_heuristic)
     ids = proj.ids
@@ -255,7 +258,7 @@ def sssp(proj: Projection, source: str) -> dict[str, float]:
     results — SURVEY.md §2.2 G2)."""
     s = proj.index.get(source)
     if s is None:
-        return {source: 0.0}
+        return {}
     dist = _dijkstra_dist(proj, s)
     ids = proj.ids
     return {ids[i]: d for i, d in enumerate(dist) if d != _INF}

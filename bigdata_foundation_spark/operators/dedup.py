@@ -240,18 +240,62 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard over blocked pairs.
+    """EXACT word-n-gram Jaccard similarity join (every pair with
+    J >= threshold), via prefix filtering — the PPJoin family
+    (Xiao et al. 2008), all lossless:
 
-    ``block_cols`` restricts comparisons to same-block rows (e.g.
-    language + length bucket) — without blocking this is the O(N²)
-    baseline and is only sane at test scale; LSH above is the scale
-    path for candidate generation."""
-    g = df.select(F.col(id_col), *(block_cols or []), word_ngrams(text_col, n).alias("_g"))
-    a = g.withColumnsRenamed({id_col: "id_a", "_g": "_g_a"})
-    b = g.withColumnsRenamed({id_col: "id_b", "_g": "_g_b"})
-    joined = a.join(b, block_cols) if block_cols else a.crossJoin(b)
+    1. order each doc's gram set rarest-first (global doc-frequency);
+    2. a pair with J >= t must share a gram within each other's first
+       ``(1-t)·|g| + 1`` grams (prefix-filter theorem), so candidates
+       come from a bucket join on prefix grams only — rare-first
+       ordering keeps those buckets small;
+    3. lossless size bound (J <= min/max of set sizes) prunes cheap;
+    4. exact Jaccard verify on survivors.
+
+    The full cross join never happens; every stage is a keyed
+    shuffle/join. ``block_cols`` adds equality constraints (e.g.
+    language)."""
+    blocks = list(block_cols or [])
+    g = df.select(
+        F.col(id_col), *blocks, word_ngrams(text_col, n).alias("_g")
+    ).withColumn("_sz", F.size("_g")).cache()
+
+    grams = g.select(F.col(id_col), F.explode("_g").alias("_gram"))
+    dfreq = grams.groupBy("_gram").agg(F.count("*").alias("_df"))
+    ordered = (
+        grams.join(dfreq, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "_gram"))), lambda s: s["_gram"]
+            ).alias("_sorted")
+        )
+    )
+    prefix_len = (F.lit(1.0 - threshold) * F.col("_sz")).cast("int") + F.lit(1)
+    pref = (
+        ordered.join(g.select(F.col(id_col), *blocks, "_sz"), id_col)
+        .select(
+            F.col(id_col),
+            *blocks,
+            F.explode(F.slice("_sorted", F.lit(1), prefix_len)).alias("_gram"),
+        )
+    )
+    a = pref.withColumnRenamed(id_col, "id_a")
+    b = pref.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(b, ["_gram", *blocks])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_g_a"), F.col("_sz").alias("_sz_a"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_g_b"), F.col("_sz").alias("_sz_b"))
+    size_ok = F.least("_sz_a", "_sz_b") >= F.lit(threshold) * F.greatest("_sz_a", "_sz_b")
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(size_ok)
         .withColumn("jaccard", F.round(jaccard(F.col("_g_a"), F.col("_g_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for operator semantics.
+
+Pins the R6–R9 array-operator contracts (FIXTURES.md §3.4) and the
+exactness of the prefix-filter similarity join against brute force on
+arbitrary inputs — not just the fixtures we thought of.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.operators import relational as R
+from bigdata_foundation_spark.operators.dedup import jaccard, ngram_jaccard_pairs, word_ngrams
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), max_size=12))
+@_settings
+def test_array_reduce_sum_matches_python(spark, xs):
+    df = spark.createDataFrame([(xs,)], "arr array<double>")
+    got = df.select(R.array_reduce_sum("arr").alias("s")).first()["s"]
+    assert math.isclose(got, sum(xs), rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-100, max_value=100), max_size=10),
+    start=st.integers(min_value=0, max_value=10),
+    length=st.integers(min_value=0, max_value=10),
+)
+@_settings
+def test_array_slice_is_cypher_halfopen(spark, xs, start, length):
+    """R7: Cypher [a..b] is 0-based half-open → slice(a, b-a)."""
+    df = spark.createDataFrame([(xs,)], "arr array<int>")
+    got = df.select(R.array_slice("arr", start, length).alias("s")).first()["s"]
+    assert got == xs[start : start + length]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    )
+)
+@_settings
+def test_prefix_filter_join_is_exact(spark, texts):
+    """The PPJoin-style candidate generation must lose nothing: its
+    output equals brute-force all-pairs Jaccard on word 2-grams."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.4
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=t).collect()
+    }
+    g = df.select("doc_id", word_ngrams("text", 2).alias("g"))
+    a = g.withColumnsRenamed({"doc_id": "ia", "g": "ga"})
+    b = g.withColumnsRenamed({"doc_id": "ib", "g": "gb"})
+    brute = {
+        (r["ia"], r["ib"]): r["j"]
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("j", F.round(jaccard(F.col("ga"), F.col("gb")), 6))
+        .filter(F.col("j") >= t)
+        .collect()
+    }
+    assert got == brute
+
+
+@given(
+    group_vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=20
+    )
+)
+@_settings
+def test_ordered_collect_deterministic(spark, group_vals):
+    """R6: collect order must be explicit and deterministic regardless
+    of input partitioning."""
+    rows = [(g, i, v) for i, (g, v) in enumerate(group_vals)]
+    df = spark.createDataFrame(rows, "grp int, ord int, val int")
+    one = R.ordered_collect(df.repartition(1), ["grp"], "ord", "val").collect()
+    many = R.ordered_collect(df.repartition(7), ["grp"], "ord", "val").collect()
+    assert {r["grp"]: r["val_list"] for r in one} == {r["grp"]: r["val_list"] for r in many}
