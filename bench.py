@@ -53,6 +53,11 @@ def main() -> None:
     reg = registry()
     timings: dict[str, float] = {}
 
+    # Warm the JVM / parquet reader once so the first timed query
+    # measures the query, not session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     def run(name: str, fn) -> None:
         t0 = time.time()
         df = fn()

@@ -263,7 +263,14 @@ def yens_k(
     point-to-point searches — so each iteration fans them out across
     all executors over the broadcast projection and merges candidates
     on the driver. Wall-clock per iteration ≈ the slowest single spur
-    search instead of their sum."""
+    search instead of their sum.
+
+    ``strategy`` accepts 'auto'/'broadcast' (identical here): Yen runs
+    on the broadcast projection. A pure-BSP Yen (for graphs beyond
+    broadcast) would chain k·|path| BSP searches — supported math,
+    prohibitive latency — so it is deliberately not provided."""
+    if strategy not in ("auto", "broadcast"):
+        raise ValueError("yens_k supports strategy 'auto' or 'broadcast' only (see docstring)")
     proj = projection or build_projection(roads)
     s, t = proj.index.get(source), proj.index.get(target)
     if s is None or t is None:

@@ -74,6 +74,39 @@ def array_reduce_sum(col: Column | str) -> Column:
     return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    agg_cols: dict[str, str],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for heavy-hitter keys.
+
+    ``agg_cols`` maps column → 'sum'|'count'. Phase 1 aggregates on
+    (key, random salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 combines the partials. With AQE
+    skew handling on, Spark usually solves this itself — this operator
+    is for the deterministic worst case (one key = 50% of 100 TB)
+    where even a skew-split single reducer chokes on the final merge.
+    Results are identical to a plain groupBy (sums/counts are
+    associative)."""
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt")
+    partials = []
+    for c, how in agg_cols.items():
+        if how == "sum":
+            partials.append(F.sum(c).alias(f"_p_{c}"))
+        elif how == "count":
+            partials.append(F.count(c).alias(f"_p_{c}"))
+        else:
+            raise ValueError(f"unsupported agg {how!r}")
+    p1 = phase1.agg(*partials)
+    finals = [
+        (F.sum(f"_p_{c}").alias(c)) for c, how in agg_cols.items()
+    ]
+    return p1.groupBy(*keys).agg(*finals)
+
+
 def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     """R10 (neo4j-code.txt:76–77): multi-key sort + limit. Catalyst
     plans this as TakeOrderedAndProject — a per-partition heap + k-row

@@ -913,6 +913,51 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "graph_ingest_limit",
+    """
+    SELECT START_NODE, END_NODE, EDGE, CAST(LENGTH AS DOUBLE) AS LENGTH
+    FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                  header = true, all_varchar = true)
+    WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ORDER BY CAST(START_NODE AS BIGINT), CAST(EDGE AS BIGINT), END_NODE
+    LIMIT 10
+    """,
+    "I8: sample-limited ingest (LIMIT 10 on the edge scan, deterministic order)",
+)
+def graph_ingest_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import read_edgelist
+
+    el = read_edgelist(spark, SHENZHEN_CSV)
+    return (
+        el.select("START_NODE", "END_NODE", "EDGE", "LENGTH")
+        .orderBy(
+            F.col("START_NODE").cast("bigint"),
+            F.col("EDGE").cast("bigint"),
+            F.col("END_NODE"),
+        )
+        .limit(10)
+    )
+
+
+@q(
+    "salted_agg_events",
+    """
+    SELECT event_type,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(COUNT(event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    "two-phase salted aggregation == plain groupBy (skew-guard operator, 5 hot keys)",
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    res = R.salted_agg(ev, ["event_type"], {"value": "sum", "event_id": "count"})
+    return res.select(
+        "event_type", F.round("value", 2).alias("total_value"), F.col("event_id").cast("bigint").alias("n")
+    )
+
+
+@q(
     "graph_sssp",
     None,  # iterative algorithm — pytest oracle (independent Bellman-Ford + FIXTURES goldens)
     "G2 delta-stepping SSSP from node 2022 (2191 reachable; rows-only gate)",
