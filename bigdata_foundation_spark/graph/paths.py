@@ -139,11 +139,16 @@ def sssp(
     source: str,
     strategy: str = "auto",
     projection: _k.Projection | None = None,
+    delta: float | None = None,
 ) -> DataFrame:
     """All shortest distances from ``source`` (G2, neo4j-code.txt:39–54).
 
     Unreachable nodes are absent rows (the reference filters them with
-    gds.util.isFinite, G8)."""
+    gds.util.isFinite, G8). ``delta`` is accepted for parity with
+    gds.alpha.shortestPath.deltaStepping (neo4j-code.txt:51) and
+    ignored: it is a bucket-scheduling knob with no effect on results
+    (SURVEY.md §2.2 G2) — the BSP strategy already relaxes the whole
+    frontier per superstep, and the exact kernel needs no buckets."""
     if projection is None and _resolve_strategy(roads, strategy) == "bsp":
         res = _bsp.bsp_sssp(spark, roads, source)
         return res.select(F.col("node").alias("NodeId"), F.col("dist").alias("distance"))

@@ -871,10 +871,35 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph workload (the reference's own queries, on its own data)
 # ===========================================================================
 
+# Per-session memo: ingest + cache the graph tables once, build the
+# kernel projection once (the reference pays its projection load once
+# per graph too, SURVEY.md §3.2 step 2). Keyed weakly by session so a
+# new driver session just re-ingests.
+_GRAPH_MEMO: dict[int, tuple] = {}
+
+
 def _graph(spark: SparkSession):
     from bigdata_foundation_spark.graph import load_graph
 
-    return load_graph(spark, SHENZHEN_CSV, cache=False)
+    key = id(spark)
+    if key not in _GRAPH_MEMO:
+        _GRAPH_MEMO.clear()  # never hold caches of a dead session
+        _GRAPH_MEMO[key] = load_graph(spark, SHENZHEN_CSV, cache=True)
+    return _GRAPH_MEMO[key]
+
+
+_PROJ_MEMO: dict[int, object] = {}
+
+
+def _graph_projection(spark: SparkSession):
+    from bigdata_foundation_spark.graph.paths import build_projection
+
+    key = id(spark)
+    if key not in _PROJ_MEMO:
+        nodes, roads = _graph(spark)
+        _PROJ_MEMO.clear()
+        _PROJ_MEMO[key] = build_projection(roads, nodes)
+    return _PROJ_MEMO[key]
 
 
 @q(
@@ -966,7 +991,7 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.graph import sssp
 
     _nodes, roads = _graph(spark)
-    return sssp(spark, roads, "2022").select("NodeId", F.round("distance", 6).alias("distance"))
+    return sssp(spark, roads, "2022", projection=_graph_projection(spark)).select("NodeId", F.round("distance", 6).alias("distance"))
 
 
 @q(
@@ -978,7 +1003,7 @@ def graph_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.graph import dijkstra
 
     _nodes, roads = _graph(spark)
-    return dijkstra(spark, roads, "2022", "2802").select("NodeId", F.round("cost", 6).alias("cost"))
+    return dijkstra(spark, roads, "2022", "2802", projection=_graph_projection(spark)).select("NodeId", F.round("cost", 6).alias("cost"))
 
 
 @q(
@@ -990,7 +1015,7 @@ def graph_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.graph import astar
 
     nodes, roads = _graph(spark)
-    return astar(spark, roads, nodes, "2022", "2802").select("NodeId", F.round("cost", 6).alias("cost"))
+    return astar(spark, roads, nodes, "2022", "2802", projection=_graph_projection(spark)).select("NodeId", F.round("cost", 6).alias("cost"))
 
 
 @q(
@@ -1002,7 +1027,7 @@ def graph_yens_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.graph import yens_k
 
     _nodes, roads = _graph(spark)
-    res = yens_k(spark, roads, "2022", "2802", k=3)
+    res = yens_k(spark, roads, "2022", "2802", k=3, projection=_graph_projection(spark))
     return res.select(
         "index",
         F.size("nodeIds").cast("bigint").alias("path_len"),
@@ -1020,9 +1045,32 @@ def graph_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.graph.paths import write_back
 
     nodes, roads = _graph(spark)
-    res = sssp(spark, roads, "2022")
+    res = sssp(spark, roads, "2022", projection=_graph_projection(spark))
     return write_back(nodes, res).select(
         "NodeId", F.round("sssp", 6).alias("sssp")
+    )
+
+
+@q(
+    "graph_yens_postprocess",
+    None,
+    "G5 + R8/R9: list comprehension over nodeIds and reduce-sum of costs (neo4j-code.txt:143–145)",
+)
+def graph_yens_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import yens_k
+
+    _nodes, roads = _graph(spark)
+    res = yens_k(spark, roads, "2022", "2802", k=3, projection=_graph_projection(spark))
+    # The reference's post-pipeline: places = [node IN asNodes(nodeIds)
+    # | node.NodeId] (R8/transform); totalCost = reduce(acc+cost)
+    # (R9/aggregate). Scalars out so the shapes stay hash-comparable.
+    places = R.array_map(F.col("nodeIds"), lambda n: F.concat(F.lit("node:"), n))
+    return res.select(
+        "index",
+        F.size(places).cast("bigint").alias("n_places"),
+        F.round(R.array_reduce_sum(F.col("costs")), 6).alias("reduce_total"),
+        F.round("totalCost", 6).alias("totalCost"),
+        (F.size("nodeIds") == F.size("costs") + 1).alias("lengths_consistent"),
     )
 
 
@@ -1035,6 +1083,6 @@ def graph_apsp_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.graph import apsp_topk
 
     _nodes, roads = _graph(spark)
-    return apsp_topk(spark, roads, k=10).select(
+    return apsp_topk(spark, roads, k=10, projection=_graph_projection(spark)).select(
         "source", "target", F.round("distance", 6).alias("distance")
     )
