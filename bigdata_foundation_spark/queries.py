@@ -800,6 +800,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", (F.col("frame_idx") + 1).cast("bigint").alias("frame_no"))
 
 
+_Q6_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
+@q(
+    "sql_q6_revenue",
+    _Q6_SQL,
+    "TPC-H Q6 shape through the spark.sql front-end — the ORACLE TEXT runs on both engines",
+)
+def sql_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
+
+
 # ===========================================================================
 # Structured Streaming (availableNow replay — result is the final table)
 # ===========================================================================
@@ -820,6 +838,33 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     return run_to_memory(hourly_counts_stream(ev), "q_streaming_hourly", spark)
+
+
+@q(
+    "streaming_sliding",
+    """
+    WITH starts AS (
+      SELECT ts, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) + INTERVAL 30 MINUTE]) AS cand
+      FROM events),
+    assigned AS (
+      SELECT CASE WHEN ts >= cand THEN cand ELSE cand - INTERVAL 1 HOUR END AS win_start,
+             value
+      FROM starts)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM assigned GROUP BY 1
+    """,
+    "sliding 1h/30min windows vs a two-anchor SQL expansion (each event in exactly 2 windows)",
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.streaming import read_events_stream, run_to_memory
+    from bigdata_foundation_spark.streaming.events import sliding_counts_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(sliding_counts_stream(ev), "q_streaming_sliding", spark)
 
 
 @q(
