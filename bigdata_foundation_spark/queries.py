@@ -800,6 +800,97 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", (F.col("frame_idx") + 1).cast("bigint").alias("frame_no"))
 
 
+@q(
+    "having_large_orders",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_custkey HAVING COUNT(*) >= 3
+    """,
+    "TPC-H Q18 shape: filtered aggregate + HAVING",
+)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_big"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_big") >= 3)
+    )
+
+
+@q(
+    "argmin_supplier_per_nation",
+    """
+    SELECT s_nationkey, s_name AS cheapest_supplier, ROUND(min_bal, 2) AS min_bal
+    FROM (
+      SELECT s_nationkey, s_name, s_acctbal AS min_bal,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM supplier) t
+    WHERE rn = 1
+    """,
+    "TPC-H Q2 shape: argmin per group (min_by / arg_min), deterministic tie-break",
+)
+def argmin_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.min_by("s_name", F.struct("s_acctbal", "s_suppkey")).alias("cheapest_supplier"),
+        F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+    )
+
+
+@q(
+    "order_count_histogram",
+    """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey) t
+    GROUP BY n_orders
+    """,
+    "TPC-H Q13 shape: distribution of per-customer order counts (double aggregation)",
+)
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").cast("bigint").alias("n_customers"))
+
+
+@q(
+    "sketch_distinct_users",
+    None,  # HLL is approximate and engine-specific — error bound pytested
+    "HyperLogLog approximate distinct users per event type (sketch surface; rows-only gate)",
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).cast("bigint").alias("approx_users"),
+    )
+
+
+@q(
+    "sketch_value_quantiles",
+    None,  # approximate percentile sketch — error bound pytested
+    "approx_percentile (quantile sketch) per event type (rows-only gate)",
+)
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, 10000), 2).alias("p50_approx"),
+        F.round(F.percentile_approx("value", 0.95, 10000), 2).alias("p95_approx"),
+    )
+
+
 _Q6_SQL = """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items

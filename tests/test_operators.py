@@ -114,6 +114,40 @@ def test_lsh_recall_vs_brute(vectors):
     assert (0, 500) in approx
 
 
+def test_sketches_within_error_bounds(spark):
+    """Approximate sketches must track exact answers: HLL within its
+    rsd, quantile sketch within the accuracy the 10k buffer implies."""
+    from bigdata_foundation_spark.queries import registry
+
+    from bigdata_foundation_spark.queries import _t
+
+    reg = registry()
+    sf = "/root/testdata/sf0.01"
+    ev = _t(spark, sf, "events")  # handles the nanos-timestamp parquet
+
+    approx = {r["event_type"]: r["approx_users"] for r in reg["sketch_distinct_users"].fn(spark, sf).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+    qa = {r["event_type"]: (r["p50_approx"], r["p95_approx"]) for r in reg["sketch_value_quantiles"].fn(spark, sf).collect()}
+    qe = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for k in qe:
+        assert abs(qa[k][0] - qe[k][0]) <= max(1.0, 0.02 * abs(qe[k][0]))
+        assert abs(qa[k][1] - qe[k][1]) <= max(1.0, 0.02 * abs(qe[k][1]))
+
+
 def test_ivf_recall_vs_brute(vectors):
     qs = vectors.filter(F.col("vec_id") < 10)
     brute = {(r["query_id"], r["neighbor_id"]) for r in S.brute_topk(vectors, qs, k=3).collect()}
