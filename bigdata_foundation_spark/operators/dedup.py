@@ -17,6 +17,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Widen a narrow scan before a CPU-heavy per-row stage.
+
+    A small parquet file arrives as 1–2 input splits, which would pin
+    shingling/hashing to one core. Repartition up to the session's
+    parallelism ONLY in that case — at production scale the scan
+    already has thousands of splits and this is a no-op (no shuffle
+    added). Hash-partitioning by ``key_cols`` keeps later groupBys on
+    the same key shuffle-free under AQE."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+    return df
+
+
 def normalize_text(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(F.lower(c), r"\s+", " ")
@@ -101,17 +116,29 @@ def minhash_signature_table(
     pairs and the mins combine map-side; every expression stays inside
     whole-stage codegen (the array-lambda formulation above is ~5-10×
     slower at corpus scale). Returns (id, _h0.._hN)."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(char_shingles(text_col, shingle_k)).alias("_s"),
-    )
-    # Hash each shingle string ONCE, then derive the per-seed family by
-    # hashing the 64-bit value with the seed — 64 int-hashes are far
-    # cheaper than 64 string-hashes per shingle.
-    base = sh.select(id_col, F.xxhash64("_s").alias("_h"))
+    base = shingle_hash_table(df, text_col, id_col, shingle_k)
     return base.groupBy(id_col).agg(
         *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
     )
+
+
+def shingle_hash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, _h): 64-bit hash per distinct character shingle.
+
+    Hash each shingle string ONCE here; the signature aggregate then
+    derives the per-seed hash family from the 64-bit value (64
+    int-hashes are far cheaper than 64 string-hashes per shingle), and
+    the exact-Jaccard verifier compares these hashes instead of
+    re-shingling the text (exact up to 64-bit collisions)."""
+    return spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_k)).alias("_s"),
+    ).select(id_col, F.xxhash64("_s").alias("_h"))
 
 
 def minhash_jaccard_est(sig_a: Column, sig_b: Column, num_hashes: int = 64) -> Column:
@@ -164,12 +191,16 @@ def minhash_lsh_pairs(
     Jaccard on the shingle sets.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a <
-    id_b. Pipeline: shingle → 64-hash signature → 16 bands of 4 →
-    explode bands → bucket-join candidates → exact-verify. Only
-    candidate pairs ever pay the exact-Jaccard cost."""
+    id_b. Pipeline: shingle-hash table (computed ONCE, cached — feeds
+    both the signature aggregate and the verifier) → 64-min signature
+    → 16 bands of 4 → explode bands → bucket-join candidates →
+    exact-Jaccard verify on the hashed shingle sets (exact up to
+    64-bit collisions; only candidate pairs ever pay this cost)."""
     rows_per_band = num_hashes // bands
-    # Cached: feeds both the banding pass and the estimate-verify pass.
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k).cache()
+    base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
+    sig = base.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    )
 
     banded = sig.select(
         id_col,
@@ -189,39 +220,25 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
-    # Materialize candidates once — they feed three consumers below and
-    # their lineage contains the full signature pipeline.
+    # Materialize candidates once — their lineage contains the full
+    # signature pipeline and two consumers follow.
     cand = _bucket_pairs(banded, id_col, ["band", "key"], max_bucket).cache()
 
-    # Two-stage verify. Stage 1 (cheap): MinHash agreement rate — 64
-    # int comparisons per pair — prunes the band collisions that sit
-    # far below the threshold (banding with r=4 fires often for
-    # mid-Jaccard pairs; on shared-vocabulary corpora that is most of
-    # the candidates). The 0.15 margin keeps estimate variance from
-    # dropping true positives (σ ≈ sqrt(j(1-j)/64) ≤ 0.0625).
-    sig_a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"_h{i}").alias(f"_a{i}") for i in range(num_hashes)])
-    sig_b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"_h{i}").alias(f"_b{i}") for i in range(num_hashes)])
-    est = sum(
-        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(num_hashes)
-    ) / F.lit(float(num_hashes))
-    cand = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("_est", est)
-        .filter(F.col("_est") >= threshold - 0.15)
-        .select("id_a", "id_b")
-    )
-
-    # Stage 2 (exact): Jaccard on shingle sets, computed only for the
-    # surviving candidate ids (semi-join first so the shingle arrays
-    # are built for the few candidate docs, not the whole corpus).
+    # Exact verify from the cached hash table: sorted long arrays per
+    # candidate doc, then set intersection/union — long compares, no
+    # second pass over the text. Banding with r=4 over-generates for
+    # mid-Jaccard pairs, but intersecting two ~300-long arrays is
+    # cheap enough that a separate estimate-prune stage costs more
+    # (one wide join + one codegen'd stage) than it saves.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), char_shingles(text_col, shingle_k).alias("_sh")
+    sh = (
+        base.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
     )
     return (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"}), "id_a")
@@ -256,7 +273,7 @@ def ngram_jaccard_pairs(
     shuffle/join. ``block_cols`` adds equality constraints (e.g.
     language)."""
     blocks = list(block_cols or [])
-    g = df.select(
+    g = spread(df, id_col).select(
         F.col(id_col), *blocks, word_ngrams(text_col, n).alias("_g")
     ).withColumn("_sz", F.size("_g")).cache()
 
@@ -323,7 +340,7 @@ def simhash_table(
 
     ``bits`` defaults to 60 so the packed value stays clear of the
     sign bit. Returns (id_col, simhash)."""
-    toks = df.select(
+    toks = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")).alias("_tok"),
     ).withColumn("_h", F.xxhash64("_tok"))

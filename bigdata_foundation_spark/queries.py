@@ -54,6 +54,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, widened to the session's parallelism: the
+    small-SF file is a single input split, which would pin the per-row
+    text expressions to one core (no-op at production scale)."""
+    return D.spread(_t(spark, sf_dir, "documents"), "doc_id")
+
+
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
@@ -562,7 +569,7 @@ def cross_lookup_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token counting (whitespace + BPE-ish regex) + md5 fingerprint",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.whitespace_token_count("text").cast("bigint").alias("n_tokens_ws"),
@@ -577,7 +584,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality scoring + language ID distribution (rows-only gate)",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     scored = d.select("doc_id", "lang", TX.quality_score("text").alias("quality"), TX.lang_id("text").alias("lang_pred"))
     return scored.groupBy("lang", "lang_pred").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -596,7 +603,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus token accounting per source",
 )
 def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.groupBy("source").agg(
         F.sum(TX.whitespace_token_count("text")).cast("bigint").alias("total_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
