@@ -112,3 +112,98 @@ def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     plans this as TakeOrderedAndProject — a per-partition heap + k-row
     merge, no global sort — exactly what you want at 100 TB."""
     return df.orderBy(*order).limit(k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the payload of the right
+    row with the greatest ``right_ts`` <= ``left_ts`` (``<`` when
+    ``strict``) sharing the ``on`` key; left rows with no match keep
+    null payload (LEFT semantics).
+
+    Scalable shape: tag both sides, union, ONE window pass ordered by
+    (ts, side) per key — a single shuffle on the key, no range
+    cross-join, no per-row binary search, state bounded by the window's
+    running ``last``. This is the standard distributed as-of plan
+    (point-in-time joins in feature stores). The right side must be
+    unique per (key, right_ts); pre-aggregate ties first.
+
+    ``payload`` maps output column name → right-side column name.
+    """
+    from pyspark.sql import Window
+
+    # Side ordering at equal ts decides <= vs <: for <=, right rows
+    # sort BEFORE left rows so an equal-ts right row is visible; for
+    # <, after.
+    r_side, l_side = (1, 0) if strict else (0, 1)
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("_ats"),
+        F.lit(r_side).alias("_side"),
+        F.lit(False).alias("_is_left"),
+        F.struct(*[F.col(src).alias(dst) for dst, src in payload.items()]).alias("_p"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ats"),
+        F.lit(l_side).alias("_side"),
+        F.lit(True).alias("_is_left"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    return (
+        matched.filter(F.col("_is_left"))
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_m")[dst].alias(dst) for dst in payload],
+        )
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: equality on ``on`` plus ``lower <= right.right_ts
+    < upper`` (bounds are expressions over the LEFT row). The equality
+    key makes this a plain hash/sort-merge join with a residual range
+    predicate — Catalyst shuffles by key once; the quadratic blow-up is
+    bounded per key, never global. Without an equality key you'd want
+    bucketized range binning instead; every workload here has one."""
+    cond = [left[k] == right[k] for k in on]
+    cond.append(right[right_ts] >= lower)
+    cond.append(right[right_ts] < upper)
+    joined = left.join(right, cond, how)
+    return joined
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 8 hex
+    digits of md5(salt || key) fall below ``fraction`` of 2^32.
+
+    Unlike ``df.sample()`` this is stable across runs, partitionings,
+    and engines (md5 is everywhere), so a 100 TB corpus snapshot can be
+    re-derived exactly — the property a training-data pipeline needs
+    for reproducible holdouts. Sampling is pushed as a plain filter, so
+    it composes with pushdown/pruning."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return df.filter(bucket < F.lit(int(fraction * 2**32)))

@@ -553,6 +553,368 @@ def cross_lookup_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "asof_join_attribution",
+    """
+    SELECT e.event_id AS event_id,
+           e.user_id AS user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           e.event_type AS event_type,
+           COALESCE(ROUND(p.value, 2), -1.0) AS last_purchase_value,
+           COALESCE(p.event_id, -1) AS last_purchase_id
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+    "as-of join (backward, strict): each event ↔ the user's most recent prior purchase",
+)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = R.asof_join(
+        ev,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"last_purchase_value": "value", "last_purchase_id": "event_id"},
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        F.coalesce(F.round("last_purchase_value", 2), F.lit(-1.0)).alias("last_purchase_value"),
+        F.coalesce("last_purchase_id", F.lit(-1)).alias("last_purchase_id"),
+    )
+
+
+@q(
+    "range_join_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_follow,
+           ROUND(COALESCE(SUM(e.value), 0.0), 2) AS follow_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts + INTERVAL 1 MINUTE
+     AND e.ts <  p.ts + INTERVAL 60 MINUTE
+    GROUP BY p.event_id
+    """,
+    "interval join: activity within (t+1min, t+60min) after each purchase, per purchase",
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("_pts")
+    )
+    joined = R.range_join(
+        p,
+        ev.select("user_id", F.col("ts").alias("_ets"), F.col("event_id").alias("_eid"), "value"),
+        on=["user_id"],
+        right_ts="_ets",
+        lower=F.col("_pts") + F.expr("INTERVAL 1 MINUTE"),
+        upper=F.col("_pts") + F.expr("INTERVAL 60 MINUTE"),
+        how="left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("_eid").cast("bigint").alias("n_follow"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("follow_value"),
+    )
+
+
+@q(
+    "hash_sample_orders",
+    """
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5('sample' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          < 429496729
+    """,
+    "deterministic md5-bucket Bernoulli sample (10%) — reproducible across engines/runs",
+)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.hash_sample(o, "o_orderkey", 0.1).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@q(
+    "window_funcs_orders",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           COALESCE(ROUND(lag(o_totalprice, 1) OVER w, 2), -1.0) AS prev_price,
+           COALESCE(lead(o_orderkey, 1) OVER w, -1)              AS next_key,
+           ntile(4) OVER w                         AS quartile,
+           ROUND(percent_rank() OVER w, 6)         AS pr,
+           ROUND(cume_dist() OVER w, 6)            AS cd,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window-function breadth: lag/lead/ntile/percent_rank/cume_dist + rows-frame moving sum "
+    "(integer cents — windowed float sums associate differently across engines)",
+)
+def window_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.round(F.lag("o_totalprice", 1).over(w), 2), F.lit(-1.0)).alias("prev_price"),
+        F.coalesce(F.lead("o_orderkey", 1).over(w), F.lit(-1)).alias("next_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).over(wf).cast("bigint").alias("mov3_cents"),
+    )
+
+
+@q(
+    "pivot_priority_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS BIGINT) AS low
+    FROM orders GROUP BY 1
+    """,
+    "pivot: order counts by priority, one column per priority, row per year",
+)
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.withColumn("yr", F.year("o_orderdate").cast("bigint"))
+        .groupBy("yr")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "notspec",
+        "5-LOW": "low",
+    }
+    return pivoted.select(
+        "yr",
+        *[F.coalesce(F.col(f"`{src}`"), F.lit(0)).cast("bigint").alias(dst) for src, dst in renames.items()],
+    )
+
+
+@q(
+    "date_functions_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                    AS yr,
+           CAST(quarter(o_orderdate) AS INT)                 AS qtr,
+           CAST(month(o_orderdate) AS INT)                   AS mo,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           CAST(dayofweek(o_orderdate) AS INT)               AS dow,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    "date/time function surface: year/quarter/month/week-trunc/dow/datediff",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"),
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6.
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("int").alias("days_since"),
+    )
+
+
+@q(
+    "cube_revenue",
+    """
+    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           coalesce(o_orderpriority, 'ALL')                    AS o_orderpriority,
+           CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT)                            AS n,
+           ROUND(SUM(o_totalprice), 2)                         AS revenue
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+    "CUBE over (year, priority) with grouping_id disambiguation",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn("_yr", F.year("o_orderdate"))
+    return (
+        o.cube("_yr", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("_yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )
+
+
+@q(
+    "q4_late_orders",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+    FROM orders o
+    WHERE year(o_orderdate) = 1996
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: EXISTS decorrelated to a semi-join, priority histogram",
+)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").cast("bigint").alias("n_late"))
+
+
+@q(
+    "q12_priority_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l_returnflag
+    """,
+    "TPC-H Q12 shape: join + conditional CASE aggregation",
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q14_promo_revenue",
+    """
+    WITH base AS (
+      SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    SELECT promo_revenue, total_revenue,
+           ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+    FROM base
+    """,
+    "TPC-H Q14 shape: conditional revenue ratio over a date window (ratio from 2-dp-rounded parts)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return base.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6).alias("promo_pct"),
+    )
+
+
+@q(
+    "q22_idle_customers",
+    """
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) <= 2
+    GROUP BY c_nationkey
+    """,
+    "TPC-H Q22 shape: scalar subquery threshold + decorrelated count subquery, grouped",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("_avg"))
+    # Decorrelate the per-customer count subquery into an aggregate +
+    # left join (count of missing key = 0) — Catalyst's own rewrite.
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("_n_orders"))
+    idle = (
+        rich.join(counts, rich.c_custkey == counts.o_custkey, "left")
+        .filter(F.coalesce("_n_orders", F.lit(0)) <= 2)
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@q(
+    "top_docs_per_group",
+    """
+    SELECT lang, source, doc_id, n_chars FROM (
+      SELECT lang, source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn <= 3
+    """,
+    "corpus curation: top-3 largest documents per (lang, source) cell",
+)
+def top_docs_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "source", "doc_id", "n_chars")
+    )
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

@@ -200,3 +200,58 @@ def test_multimodal_pipeline(docs):
     frames = M.frame_sample(media)
     fc = frames.groupBy("media_id").count().collect()
     assert all(1 <= r["count"] <= 8 for r in fc)
+
+
+# ---------------------------------------------------------------------------
+# as-of / range join / deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_asof_join_backward(spark):
+    from bigdata_foundation_spark.operators import relational as R
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 5.0), (2, 10.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 15.0, "b"), (3, 1.0, "z")], "k long, t double, v string"
+    )
+    out = R.asof_join(left, right, on=["k"], left_ts="t", right_ts="t", payload={"v": "v"})
+    got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+    # non-strict: equal ts matches; no earlier right row -> null; key 2 has no right rows
+    assert got == {(1, 10.0): "a", (1, 20.0): "b", (1, 5.0): None, (2, 10.0): None}
+
+    strict = R.asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t", payload={"v": "v"}, strict=True
+    )
+    got_s = {(r["k"], r["t"]): r["v"] for r in strict.collect()}
+    assert got_s[(1, 10.0)] is None  # strict: equal ts excluded
+
+
+def test_range_join_bounds(spark):
+    from bigdata_foundation_spark.operators import relational as R
+
+    left = spark.createDataFrame([(1, 100.0)], "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 100.0), (1, 104.9), (1, 105.0), (1, 99.0), (2, 101.0)], "k long, rt double"
+    )
+    out = R.range_join(
+        left, right, on=["k"], right_ts="rt",
+        lower=F.col("t"), upper=F.col("t") + 5.0,
+    )
+    got = sorted(r["rt"] for r in out.collect())
+    assert got == [100.0, 104.9]  # [lower, upper): 105.0 and 99.0 excluded
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    from bigdata_foundation_spark.operators import relational as R
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in R.hash_sample(df, "k", 0.1).collect())
+    b = sorted(r["k"] for r in R.hash_sample(df, "k", 0.1).collect())
+    assert a == b  # reproducible across runs
+    assert 0.08 < len(a) / 20000 < 0.12  # md5 buckets ~uniform
+    # nested property: a 5% sample with the same salt is a subset trick
+    # does NOT hold for independent thresholds — but a smaller fraction
+    # of the same hash IS a subset (threshold monotonicity).
+    c = set(r["k"] for r in R.hash_sample(df, "k", 0.05).collect())
+    assert c.issubset(set(a))

@@ -49,7 +49,9 @@ def main() -> int:
 
     failures = 0
     for name, spec in registry().items():
-        if name_filter and name_filter not in name:
+        import re
+
+        if name_filter and not re.search(name_filter, name):
             continue
         t0 = time.time()
         try:
