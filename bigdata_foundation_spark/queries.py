@@ -1372,6 +1372,40 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
 
 
+@q(
+    "streaming_running_zscore",
+    """
+    SELECT user_id, event_id,
+           ROUND(value, 2) AS value_r,
+           ROUND(z, 4) AS z_r,
+           CAST(n_prior AS BIGINT) AS n_prior
+    FROM (
+      SELECT user_id, event_id, value,
+             (value - AVG(value) OVER wprior) / STDDEV_SAMP(value) OVER wprior AS z,
+             COUNT(value) OVER wprior AS n_prior
+      FROM events
+      WINDOW wprior AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) t
+    WHERE n_prior >= 5 AND z IS NOT NULL
+    """,
+    "custom stateful streaming op (applyInPandasWithState): per-user running z-score vs prior "
+    "history; oracle = the equivalent batch window SQL (z at 4 dp absorbs accumulation-order ulps)",
+)
+def streaming_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.streaming import read_events_stream, run_to_memory, running_zscore_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    res = run_to_memory(running_zscore_stream(ev), "q_streaming_zscore", spark)
+    return res.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value_r"),
+        F.round("z", 4).alias("z_r"),
+        F.col("n_prior").cast("bigint").alias("n_prior"),
+    )
+
+
 # ===========================================================================
 # Graph workload (the reference's own queries, on its own data)
 # ===========================================================================

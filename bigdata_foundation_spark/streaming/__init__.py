@@ -4,6 +4,8 @@ from bigdata_foundation_spark.streaming.events import (
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
+    running_zscore_batch,
+    running_zscore_stream,
     sessionize_stream,
     streaming_dedup,
 )
@@ -13,5 +15,7 @@ __all__ = [
     "hourly_counts_stream",
     "sessionize_stream",
     "streaming_dedup",
+    "running_zscore_stream",
+    "running_zscore_batch",
     "run_to_memory",
 ]

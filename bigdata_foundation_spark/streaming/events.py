@@ -123,6 +123,100 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+_ZSCORE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("n_prior", T.LongType()),
+    ]
+)
+
+# Running-moment state per user: (count, sum, sum of squares).
+_ZSCORE_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("s2", T.DoubleType()),
+    ]
+)
+
+MIN_PRIOR = 5
+
+
+def running_zscore_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running z-score of each event's value against that user's PRIOR
+    history — an order-dependent computation no built-in streaming agg
+    expresses (each row needs the state as of just before it).
+
+    State per user is three numbers (count, sum, sum-of-squares), so
+    state size is O(users), not O(events) — the shape that survives an
+    unbounded stream. Rows inside a micro-batch are processed in
+    (ts, event_id) order; emits rows once the user has >= MIN_PRIOR
+    prior events. Batch twin / oracle: ``running_zscore_batch``
+    (window functions over the same ordering)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def score(key, pdfs, state: "GroupState"):
+        import math
+
+        import pandas as pd
+
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                if n >= MIN_PRIOR:
+                    mean = s / n
+                    var = max((s2 - n * mean * mean) / (n - 1), 0.0)
+                    sd = math.sqrt(var)
+                    if sd > 0:
+                        out.append((key[0], int(ev), v, (v - mean) / sd, n))
+                n, s, s2 = n + 1, s + v, s2 + v * v
+        state.update((n, s, s2))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "value", "z", "n_prior"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        score,
+        outputStructType=_ZSCORE_OUT,
+        stateStructType=_ZSCORE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_zscore_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``running_zscore_stream``: the same per-user
+    prior-history z-score via window frames (rows between unbounded
+    preceding and 1 preceding), for the stream-equals-batch oracle."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_n = F.count("value").over(w)
+    prior_mean = F.avg("value").over(w)
+    prior_sd = F.stddev_samp("value").over(w)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            prior_n.alias("n_prior"),
+            ((F.col("value") - prior_mean) / prior_sd).alias("z"),
+        )
+        .filter((F.col("n_prior") >= MIN_PRIOR) & F.col("z").isNotNull())
+        .select("user_id", "event_id", "value", "z", "n_prior")
+    )
+
+
 _RUN_COUNTER = [0]
 
 

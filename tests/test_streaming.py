@@ -51,3 +51,20 @@ def test_streaming_dedup(spark, events_stream):
     n = res.count()
     batch_n = spark.read.parquet(f"{SF_TINY}/events.parquet").select("event_id").distinct().count()
     assert n == batch_n
+
+
+def test_running_zscore_stream_equals_batch(spark, events_stream):
+    """The applyInPandasWithState operator must reproduce the batch
+    window-function computation exactly (modulo float accumulation
+    order) — the stream-equals-batch oracle for custom state."""
+    from bigdata_foundation_spark.streaming import running_zscore_batch, running_zscore_stream
+
+    got = run_to_memory(running_zscore_stream(events_stream), "t_zscore", spark)
+    want = running_zscore_batch(spark.read.parquet(f"{SF_TINY}/events.parquet")
+                                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    g = {(r["user_id"], r["event_id"]): (r["z"], r["n_prior"]) for r in got.collect()}
+    w = {(r["user_id"], r["event_id"]): (r["z"], r["n_prior"]) for r in want.collect()}
+    assert len(g) > 100 and g.keys() == w.keys()
+    for k, (z, n) in g.items():
+        assert w[k][1] == n
+        assert abs(w[k][0] - z) < 1e-9, (k, z, w[k])
