@@ -115,6 +115,33 @@ def fingerprint_md5(text: Column | str, normalize: bool = True) -> Column:
     return F.md5(c)
 
 
+_PII_PATTERNS = [
+    # order matters: emails before bare phone-ish digit runs
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # three NANP shapes (\b can't sit before '(' or '+', and RE2 — the
+    # DuckDB oracle's engine — has no lookbehind, hence the alternation)
+    (
+        r"\+?\d{1,2}[ .-]\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
+        r"|\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b"
+        r"|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b",
+        "<PHONE>",
+    ),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails / NANP-style phone numbers / IPv4 literals to typed
+    placeholder tokens — the standard pre-training privacy pass. Chained
+    ``regexp_replace`` stays JVM-side (one pass per pattern); patterns
+    are public-knowledge shapes, deliberately conservative (no SSNs or
+    locale-specific formats — extend per deployment policy)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     return documents.select(

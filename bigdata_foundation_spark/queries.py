@@ -972,6 +972,38 @@ def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_redact_pii",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example ph 555-123-4567 ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d{1,2}[ .-]\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b|\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+    FROM base
+    """,
+    "PII redaction (email/phone/IPv4 → typed tokens) over planted PII — byte-exact cross-engine",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example ph 555-123-4567 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.select("doc_id", TX.redact_pii(raw).alias("redacted"))
+
+
 # ===========================================================================
 # Dedup
 # ===========================================================================

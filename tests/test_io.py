@@ -47,3 +47,32 @@ def test_truncate(spark, sample):
 
     t = truncate(sample)
     assert t.count() == 0 and t.schema == sample.schema
+
+def test_orc_roundtrip(spark, sample, tmp_path):
+    path = str(tmp_path / "orc_t")
+    eio.write_orc(sample, path)
+    back = eio.read_orc(spark, path)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+    # predicate pushdown reaches the ORC scan too
+    plan = back.filter(F.col("id") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,2)]" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero
+    Exchange — the paid-once-shuffle contract of write_bucketed."""
+    a = spark.range(1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(1000).withColumn("w", F.col("id") % 7)
+    eio.write_bucketed(a, "bk_a", ["id"], n_buckets=8, sort_by=["id"])
+    eio.write_bucketed(b, "bk_b", ["id"], n_buckets=8, sort_by=["id"])
+    try:
+        # Disable broadcast so the planner would otherwise shuffle.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "id")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

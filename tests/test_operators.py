@@ -255,3 +255,20 @@ def test_hash_sample_deterministic_and_sized(spark):
     # of the same hash IS a subset (threshold monotonicity).
     c = set(r["k"] for r in R.hash_sample(df, "k", 0.05).collect())
     assert c.issubset(set(a))
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.com today"),
+            (2, "call (415) 555-1234 or +1 415.555.9876 now"),
+            (3, "server at 192.168.1.100 responded"),
+            (4, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", TX.redact_pii("text").alias("r")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "no pii here at all"
