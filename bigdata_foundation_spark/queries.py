@@ -973,6 +973,18 @@ def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "pack_sequences_summary",
+    None,  # shard-greedy bin assignment isn't SQL-expressible; pytest owns invariants
+    "token-budget sequence packing (mapInPandas first-fit per shard) — corpus fill stats",
+)
+def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators import packing as P
+
+    d = _t(spark, sf_dir, "documents")
+    return P.pack_summary(P.pack_sequences(d, budget=512), budget=512)
+
+
+@q(
     "text_redact_pii",
     r"""
     WITH base AS (

@@ -272,3 +272,27 @@ def test_redact_pii(spark):
     assert got[2] == "call <PHONE> or <PHONE> now"
     assert got[3] == "server at <IP> responded"
     assert got[4] == "no pii here at all"
+
+
+def test_pack_sequences(spark):
+    """Every doc packed exactly once, every bin within budget (unless a
+    single oversize doc), deterministic across runs."""
+    from bigdata_foundation_spark.operators import packing as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    budget = 512
+    a = P.pack_sequences(docs, budget=budget)
+    rows = a.collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for toks in per_pack.values():
+        assert sum(toks) <= budget or len(toks) == 1  # oversize doc → own bin
+    # deterministic
+    b = {(r["doc_id"], r["pack_id"]) for r in P.pack_sequences(docs, budget=budget).collect()}
+    assert b == {(r["doc_id"], r["pack_id"]) for r in rows}
+    # packing should be reasonably dense
+    summary = P.pack_summary(a, budget=budget).collect()[0]
+    assert summary["n_docs"] == docs.count()
+    assert summary["avg_fill"] > 0.5

@@ -69,3 +69,30 @@ def test_partial_aggregation_before_shuffle(spark):
     aggregates, not rows."""
     plan = plan_of(spark, "q1_pricing_summary")
     assert "partial_sum" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be ONE hash-partition exchange on the key +
+    one window sort — never a range cross-join or a per-row search."""
+    plan = plan_of(spark, "asof_join_attribution")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_keyed_not_cartesian(spark):
+    """The interval join's equality key must make it a real join (hash
+    or sort-merge), never a nested-loop/cartesian scan."""
+    plan = plan_of(spark, "range_join_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_hash_sample_is_pushed_filter(spark):
+    """Deterministic sampling must plan as a plain Filter over the scan
+    (composable with pushdown), not a Sample or exchange."""
+    plan = plan_of(spark, "hash_sample_orders")
+    assert "Exchange" not in plan
+    assert "Filter" in plan
