@@ -152,15 +152,23 @@ def _dijkstra_idx(
     use_heuristic: bool = False,
     excluded_edges: set[int] | frozenset[int] | None = None,
     excluded_nodes: set[int] | frozenset[int] | None = None,
+    h_array: Sequence[float] | None = None,
 ) -> tuple[list[float], list]:
     """Full Dijkstra with parent tracking and optional edge/node masks;
     with ``use_heuristic`` it is A*. Returns (dist array, parent array
     of (u, edge_cost, edge_idx)). With a target, stops as soon as the
     target is settled (the point-to-point early-termination the
     reference gets from gds.alpha.shortestPath vs the full SSSP,
-    neo4j-code.txt:1–17)."""
+    neo4j-code.txt:1–17).
+
+    ``h_array`` supplies a precomputed consistent heuristic (e.g. the
+    exact unmasked distance-to-target from one reverse Dijkstra — the
+    landmark trick Yen's spur probes use). An infinite h means the
+    node provably cannot reach the target and is pruned outright."""
     n = len(proj.ids)
-    h = _heuristic_array(proj, t) if (use_heuristic and t >= 0) else None
+    h = h_array if h_array is not None else (
+        _heuristic_array(proj, t) if (use_heuristic and t >= 0) else None
+    )
     dist: list[float] = [_INF] * n
     parent: list = [None] * n
     settled = bytearray(n)
@@ -279,6 +287,7 @@ def yens_k(proj: Projection, source: str, target: str, k: int) -> list[tuple[lis
     a_paths: list[tuple[list[int], list[float], list[int]]] = [r]
     candidates: list[tuple[float, list[int], list[float], list[int]]] = []
     seen: set[tuple[int, ...]] = {tuple(r[2])}
+    h = reverse_dist_to(proj, t)  # landmark heuristic for spur probes
 
     while len(a_paths) < k:
         prev_nodes, prev_costs, prev_eidxs = a_paths[-1]
@@ -294,7 +303,9 @@ def yens_k(proj: Projection, source: str, target: str, k: int) -> list[tuple[lis
                 if p_nodes[: i + 1] == root_nodes and len(p_eidxs) > i:
                     masked_edges.add(p_eidxs[i])
             masked_nodes = set(root_nodes[:-1])
-            _d2, par = _dijkstra_idx(proj, spur, t, excluded_edges=masked_edges, excluded_nodes=masked_nodes)
+            _d2, par = _dijkstra_idx(
+                proj, spur, t, excluded_edges=masked_edges, excluded_nodes=masked_nodes, h_array=h
+            )
             sp = _reconstruct_idx(par, spur, t)
             if sp is None:
                 continue
@@ -347,9 +358,58 @@ def spur_search(
     t: int,
     masked_edges: frozenset[int] | set[int],
     masked_nodes: frozenset[int] | set[int],
+    h_array: Sequence[float] | None = None,
 ):
     """One Yen spur-path probe (int ids): masked point-to-point search.
     Returns (nodes, hop_costs, edge_idxs) or None. Independent per
-    spur — the distributed Yen in paths.py fans these out."""
-    _d, par = _dijkstra_idx(proj, spur, t, excluded_edges=masked_edges, excluded_nodes=masked_nodes)
+    spur — the distributed Yen in paths.py fans these out, passing the
+    reverse-distance landmark heuristic so each probe is goal-directed
+    (masking only removes edges, so the unmasked distance-to-target
+    stays admissible and consistent)."""
+    _d, par = _dijkstra_idx(
+        proj, spur, t, excluded_edges=masked_edges, excluded_nodes=masked_nodes, h_array=h_array
+    )
     return _reconstruct_idx(par, spur, t)
+
+
+def reverse_dist_to(proj: Projection, t: int) -> list[float]:
+    """d(v, t) for every v: one Dijkstra on the reversed graph."""
+    n = len(proj.ids)
+    # build reverse CSR once (counts → prefix sums → scatter)
+    counts = [0] * (n + 1)
+    m = proj.n_edges
+    indptr, adj_v, adj_w = proj.indptr, proj.adj_v, proj.adj_w
+    for i in range(m):
+        counts[adj_v[i] + 1] += 1
+    rptr = counts
+    for i in range(1, n + 1):
+        rptr[i] += rptr[i - 1]
+    r_v = [0] * m
+    r_w = [0.0] * m
+    cursor = rptr[:-1].copy() if n else []
+    for u in range(n):
+        for i in range(indptr[u], indptr[u + 1]):
+            v = adj_v[i]
+            p = cursor[v]
+            r_v[p] = u
+            r_w[p] = adj_w[i]
+            cursor[v] = p + 1
+    dist = [_INF] * n
+    settled = bytearray(n)
+    dist[t] = 0.0
+    pq = [(0.0, t)]
+    push, pop = heapq.heappush, heapq.heappop
+    while pq:
+        d, u = pop(pq)
+        if settled[u]:
+            continue
+        settled[u] = 1
+        for i in range(rptr[u], rptr[u + 1]):
+            v = r_v[i]
+            if settled[v]:
+                continue
+            nd = d + r_w[i]
+            if nd < dist[v]:
+                dist[v] = nd
+                push(pq, (nd, v))
+    return dist

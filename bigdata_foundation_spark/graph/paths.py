@@ -287,11 +287,18 @@ def yens_k(
     def _first(p: _k.Projection):
         dist, parent = _k._dijkstra_idx(p, s, t)
         r = _k._reconstruct_idx(parent, s, t)
-        return [r] if r is not None else []
+        if r is None:
+            return []
+        # Reverse-distance landmark heuristic, computed once next to
+        # the first search: every spur probe becomes goal-directed A*
+        # (exact h ⇒ probes only walk near-optimal corridors).
+        return [(r, _k.reverse_dist_to(p, t))]
 
     first = _run_on_executor(spark, proj, _first)
     if not first:
         return spark.createDataFrame([], _YENS_SCHEMA)
+    first, h_to_t = [first[0][0]], first[0][1]
+    h_b = sc.broadcast(h_to_t)
 
     a_paths: list[tuple[list[int], list[float], list[int]]] = [tuple(first[0])]
     seen: set[tuple[int, ...]] = {tuple(first[0][2])}
@@ -324,8 +331,9 @@ def yens_k(
 
         def _probe(batch):
             p = proj_b.value
+            h = h_b.value
             for root_nodes, root_costs, root_eidxs, spur, masked_e, masked_n in batch:
-                sp = _k.spur_search(p, spur, t, masked_e, masked_n)
+                sp = _k.spur_search(p, spur, t, masked_e, masked_n, h_array=h)
                 if sp is not None:
                     yield (
                         root_nodes[:-1] + sp[0],
