@@ -43,6 +43,21 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an embedding array (the prep step that turns
+    cosine into a plain dot product for ANN). The norm is bound ONCE
+    as a lambda variable via the outer-transform trick — dividing by
+    ``norm(v)`` directly inside the per-element lambda would recompute
+    the full reduction for every element (the HOF re-evaluation
+    pitfall)."""
+    v = _as_double(vec)
+
+    def inner(n: Column) -> Column:
+        return F.transform(v, lambda x: x / n)
+
+    return F.transform(F.array(norm(v)), inner)[0]
+
+
 def brute_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1111,6 +1111,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
 
 
+@q(
+    "embedding_normalize",
+    """
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS l2
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(l2, 6) AS l2,
+           -- sum of per-element divisions, matching the Spark fold's
+           -- float-op order exactly
+           ROUND(list_aggregate(list_transform(generate_series(1, 64),
+                 i -> embedding[i]::DOUBLE / l2), 'sum'), 6) AS unit_sum
+    FROM n
+    """,
+    "L2 normalization of the embedding column (norm + unit-vector component checksum)",
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    unit = S.l2_normalize(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(S.norm(S._as_double(F.col("embedding"))), 6).alias("l2"),
+        F.round(F.aggregate(unit, F.lit(0.0), lambda a, x: a + x), 6).alias("unit_sum"),
+    )
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================

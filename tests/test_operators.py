@@ -296,3 +296,10 @@ def test_pack_sequences(spark):
     summary = P.pack_summary(a, budget=budget).collect()[0]
     assert summary["n_docs"] == docs.count()
     assert summary["avg_fill"] > 0.5
+
+
+def test_l2_normalize_unit_norm(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    unit = S.l2_normalize(F.col("embedding"))
+    norms = [r["n"] for r in e.select(S.norm(unit).alias("n")).collect()]
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)
