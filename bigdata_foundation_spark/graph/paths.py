@@ -403,16 +403,35 @@ def apsp_topk(
     inf = float("inf")
     bounds: dict[str, float] = {}
     if landmark_pruning and sources:
-        hub = sources[len(sources) // 2]
-        fwd = _k.sssp(proj, hub)  # d(h, ·) over reachable
-        ecc_h = max(fwd.values()) if fwd else 0.0
-        rproj = _k.Projection(
-            (proj.ids[proj.adj_v[i]], proj.ids[u], proj.adj_w[i])
-            for u in range(len(proj.ids))
-            for i in range(proj.indptr[u], proj.indptr[u + 1])
-        )
-        rev = _k.sssp(rproj, hub)  # d(·, h) for every s that reaches h
-        bounds = {s: rev.get(s, inf) + ecc_h if rev.get(s, inf) != inf else inf for s in sources}
+        # Multi-landmark ALT bounds: for each hub h, ecc(s) <= d(s,h) +
+        # ecc(h) — valid exactly when s is in h's strongly-connected
+        # component (then reach(s) == reach(h); membership = finite
+        # forward AND reverse distance). Sources outside every hub's
+        # SCC keep an infinite bound and are never pruned, so pruning
+        # is provably exact on any digraph. Hubs are farthest-point
+        # selected (the classic landmark spread), which tightens the
+        # min-over-hubs bound where one hub is loose.
+        index = proj.index
+        n_src = len(sources)
+        # Spaced interior hubs: upper bounds want CENTRAL hubs (small
+        # ecc); periphery-seeking selection would loosen them.
+        hubs = list(dict.fromkeys(sources[j * n_src // 4] for j in (1, 2, 3)))
+        per_hub: list[tuple[list[float], list[float], float]] = []
+        for hub in hubs:
+            hi = index[hub]
+            fwd_l = _k._dijkstra_dist(proj, hi)
+            rev_l = _k.reverse_dist_to(proj, hi)
+            ecc_h = max(d for d in fwd_l if d != inf)
+            per_hub.append((fwd_l, rev_l, ecc_h))
+        for s in sources:
+            si = index[s]
+            b = inf
+            for fwd_l, rev_l, ecc_h in per_hub:
+                if fwd_l[si] != inf and rev_l[si] != inf:
+                    cand = rev_l[si] + ecc_h
+                    if cand < b:
+                        b = cand
+            bounds[s] = b
         sources = sorted(sources, key=lambda s: -bounds[s])
 
     def _wave(batch: list[str]) -> list[tuple[str, str, float]]:
