@@ -973,6 +973,51 @@ def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stats_agg_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)  AS qty_price_corr,
+           ROUND(stddev_samp(l_quantity), 6)            AS qty_sd,
+           ROUND(var_samp(l_discount), 6)               AS disc_var,
+           ROUND(covar_samp(l_quantity, l_tax), 6)      AS qty_tax_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "statistical aggregates: corr / stddev / variance / covariance per group",
+)
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("qty_tax_cov"),
+    )
+
+
+@q(
+    "posexplode_leading_tokens",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+    FROM g CROSS JOIN LATERAL
+      (SELECT unnest(generate_series(1, least(len(toks), 5))) AS i) u
+    """,
+    "posexplode / lateral view: first 5 tokens of each document with ordinal position",
+)
+def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.slice(TX.tokens("text"), 1, 5)
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "tok"
+    )
+
+
+@q(
     "pack_sequences_summary",
     None,  # shard-greedy bin assignment isn't SQL-expressible; pytest owns invariants
     "token-budget sequence packing (mapInPandas first-fit per shard) — corpus fill stats",
