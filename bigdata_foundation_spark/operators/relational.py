@@ -194,6 +194,20 @@ def range_join(
     return joined
 
 
+def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE-style upsert: rows from ``updates`` replace base rows with
+    the same key; unmatched update rows are inserted — the generic form
+    of the reference's MERGE-not-CREATE idempotent ingest (operator
+    I4/I6, MAIN:190/282).
+
+    Plan shape: one left-anti join (base minus updated keys) + union —
+    a single shuffle on the key, no window pass, no full rewrite of
+    unmatched partitions at the DataFrame level (the storage layer
+    decides what to rewrite). ``updates`` must be unique per key."""
+    survivors = base.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return survivors.unionByName(updates)
+
+
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sample") -> DataFrame:
     """Deterministic Bernoulli sample: keep a row iff the first 8 hex
     digits of md5(salt || key) fall below ``fraction`` of 2^32.

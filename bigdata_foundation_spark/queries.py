@@ -973,6 +973,49 @@ def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             ROUND(o_totalprice + 10.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+    "MERGE-style upsert (anti-join + union, one keyed shuffle) — the reference's "
+    "idempotent-ingest semantic generalized; result folded to a checkable aggregate",
+)
+def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 10.0, 2).alias("o_totalprice"),
+        )
+    )
+    merged = R.upsert(o, updates, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q(
     "stats_agg_lineitem",
     """
     SELECT l_returnflag,

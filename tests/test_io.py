@@ -76,3 +76,17 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_compact(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(40000).withColumn("v", F.col("id") % 97).repartition(40).write.parquet(path)
+    import os
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 40
+    eio.compact(spark, path, target_file_mb=512, sort_within_by=["id"])
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    back = spark.read.parquet(path)
+    assert back.count() == 40000
+    assert n_after < n_before and n_after <= 2

@@ -303,3 +303,15 @@ def test_l2_normalize_unit_norm(spark):
     unit = S.l2_normalize(F.col("embedding"))
     norms = [r["n"] for r in e.select(S.norm(unit).alias("n")).collect()]
     assert all(abs(n - 1.0) < 1e-9 for n in norms)
+
+
+def test_upsert_semantics(spark):
+    from bigdata_foundation_spark.operators import relational as R
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B2"), (9, "NEW")], "k long, v string")
+    got = {r["k"]: r["v"] for r in R.upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "NEW"}
+    # idempotent: re-applying the same updates changes nothing
+    again = {r["k"]: r["v"] for r in R.upsert(R.upsert(base, updates, ["k"]), updates, ["k"]).collect()}
+    assert again == got
