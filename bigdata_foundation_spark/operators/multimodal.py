@@ -100,8 +100,14 @@ def resize_stub(decoded: DataFrame, max_side: int = 64) -> DataFrame:
         F.lit(1.0),
         F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")).cast("double"),
     )
-    return decoded.withColumn("width", F.ceil(F.col("width") * scale).cast("int")).withColumn(
-        "height", F.ceil(F.col("height") * scale).cast("int")
+    # Atomic withColumns: chained withColumn calls would rebind the
+    # `scale` expression's width reference to the already-resized width
+    # when computing height (found by the DuckDB oracle).
+    return decoded.withColumns(
+        {
+            "width": F.ceil(F.col("width") * scale).cast("int"),
+            "height": F.ceil(F.col("height") * scale).cast("int"),
+        }
     )
 
 

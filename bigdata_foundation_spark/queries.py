@@ -1305,8 +1305,21 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "multimodal_decode",
-    None,  # fake decode is sha256-based — not SQL-expressible
-    "Arrow-batched mapInPandas decode/feature-extract (rows-only gate; pytest checks determinism + schema)",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240 AS w0,
+             16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240 AS h0
+      FROM documents
+    )
+    SELECT media_id, byte_len,
+           CAST(ceil(w0 * least(1.0, 64.0 / greatest(w0, h0))) AS INT) AS width,
+           CAST(ceil(h0 * least(1.0, 64.0 / greatest(w0, h0))) AS INT) AS height
+    FROM d
+    """,
+    "Arrow-batched mapInPandas decode/feature-extract; the deterministic stub codec is "
+    "sha256-based, so the oracle replays it in SQL (resize arithmetic in identical float order)",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
