@@ -942,8 +942,60 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "text_quality",
-    None,  # composite heuristic — covered by pytest determinism tests
-    "quality scoring + language ID distribution (rows-only gate)",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             lower(text) AS lt,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             length(text) AS n
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, lang, n, len(toks) AS ntok,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','was'], x))) AS DOUBLE) AS v_en,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['el','la','de','que','y','en','un','por','con','los'], x))) AS DOUBLE) AS v_es,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['le','la','de','et','les','des','un','une','du','est'], x))) AS DOUBLE) AS v_fr,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['der','die','und','das','von','zu','mit','den','ist','ein'], x))) AS DOUBLE) AS v_de,
+             CAST( (length(text) - length(replace(text, '的', '')))
+                 + (length(text) - length(replace(text, '了', '')))
+                 + (length(text) - length(replace(text, '是', '')))
+                 + (length(text) - length(replace(text, '在', '')))
+                 + (length(text) - length(replace(text, '我', '')))
+                 + (length(text) - length(replace(text, '有', '')))
+                 + (length(text) - length(replace(text, '和', '')))
+                 + (length(text) - length(replace(text, '就', '')))
+                 + (length(text) - length(replace(text, '不', '')))
+                 + (length(text) - length(replace(text, '人', ''))) AS DOUBLE) AS v_zh,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio
+      FROM t
+    ),
+    scored AS (
+      SELECT lang,
+             -- tie-break = Spark's array_max on (vote, lang) structs:
+             -- max vote, then max language string
+             CASE WHEN v_zh >= greatest(v_en, v_es, v_fr, v_de) THEN 'zh'
+                  WHEN v_fr >= greatest(v_en, v_es, v_de)        THEN 'fr'
+                  WHEN v_es >= greatest(v_en, v_de)              THEN 'es'
+                  WHEN v_en >= v_de                              THEN 'en'
+                  ELSE 'de' END AS lang_pred,
+             ROUND(( least(n / 500.0, 1.0)
+                   + (1.0 - least(punct_ratio * 2.0, 1.0))
+                   + least(v_en / greatest(ntok, 1) * 5.0, 1.0)
+                   ) / 3.0, 6) AS quality
+      FROM v
+    )
+    SELECT lang, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM scored GROUP BY lang, lang_pred
+    """,
+    "quality scoring + language-ID distribution; the full heuristic (stopword votes, "
+    "punctuation/length bands, Spark tie-break) is replayed in SQL",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
