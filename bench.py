@@ -60,7 +60,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    def run(name: str, fn, repeats: int = 1) -> None:
+    def run(name: str, fn, repeats: int = 1, clear: bool = False) -> None:
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -69,16 +69,17 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        if clear:
+            # Operator-internal caches (LSH hash tables etc.) belong to
+            # the query just measured; dropping them keeps later
+            # timings independent of accumulated memory footprint.
+            spark.catalog.clearCache()
 
     for name in HEADLINE:
-        run(name, lambda name=name: reg[name].fn(spark, sf_dir))
+        run(name, lambda name=name: reg[name].fn(spark, sf_dir), clear=True)
 
-    # Drop the relational/dedup operators' internal caches (LSH hash
-    # tables etc.) before the graph suite so its timings are
-    # independent of the first suite's memory footprint. The graph
-    # suite's own ingest/projection sharing (below) is intentional —
-    # it mirrors the reference's amortized projection load.
-    spark.catalog.clearCache()
+    # The graph suite's ingest/projection sharing (below, no clear=) is
+    # intentional — it mirrors the reference's amortized projection load.
 
     # Graph suite: ingest once (import benchmark), then the reference's
     # algorithm queries on the 70k-row graph (SURVEY.md §6.4 shape).
