@@ -73,18 +73,17 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     return F.transform(F.array(normalize_text(text)), inner)[0]
 
 
-def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (joined by single spaces). Token array
-    bound once per row (see char_shingles note)."""
+def word_ngrams(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-grams (joined by single spaces), distinct by default.
+    Token array bound once per row (see char_shingles note)."""
 
     def inner(toks: Column) -> Column:
         cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
+        return F.array_distinct(grams) if distinct else grams
 
     toks0 = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
     return F.transform(F.array(toks0), inner)[0]

@@ -115,6 +115,53 @@ def fingerprint_md5(text: Column | str, normalize: bool = True) -> Column:
     return F.md5(c)
 
 
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    in the same document — the Gopher-style within-document repetition
+    filter (high values flag boilerplate/spam/looping generations).
+    0.0 for documents shorter than n tokens. Built-ins only."""
+    from bigdata_foundation_spark.operators.dedup import word_ngrams
+
+    grams = word_ngrams(text, n, distinct=False)
+    total = F.size(grams)
+    distinct_n = F.size(F.array_distinct(grams))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        (total - distinct_n) / F.greatest(total, F.lit(1))
+    )
+
+
+def contamination_flags(
+    docs: "DataFrame",
+    eval_docs: "DataFrame",
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Benchmark-contamination check: flag every training document
+    sharing at least one word ``n``-gram with the (small) eval set.
+
+    Scale shape: the eval side collapses to a DISTINCT set of 64-bit
+    n-gram hashes (tiny — broadcast), so the training corpus pays one
+    explode + broadcast semi-join; no shuffle of document text, no
+    pairwise comparison. Returns the distinct flagged ``id_col`` rows.
+    """
+    from bigdata_foundation_spark.operators.dedup import spread, word_ngrams
+
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngrams(text_col, n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_h"))
+        .distinct()
+    )
+    doc_grams = spread(docs, id_col).select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_g")
+    ).select(id_col, F.xxhash64("_g").alias("_h"))
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "_h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 _PII_PATTERNS = [
     # order matters: emails before bare phone-ish digit runs
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -1113,6 +1113,62 @@ def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_repetition",
+    r"""
+    WITH r AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+      FROM r
+    )
+    SELECT doc_id,
+           ROUND((len(grams) - len(list_distinct(grams)))::DOUBLE
+                 / greatest(len(grams), 1), 6) AS rep_ratio
+    FROM g
+    """,
+    "within-document repetition ratio (Gopher-style duplicate-3-gram fraction)",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.round(TX.repetition_ratio("text", 3), 6).alias("rep_ratio"))
+
+
+@q(
+    "contamination_check",
+    r"""
+    WITH r AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+      FROM r
+    )
+    SELECT DISTINCT d.doc_id
+    FROM g d JOIN g e ON d.gram = e.gram
+    WHERE e.doc_id % 50 = 0 AND d.doc_id % 50 <> 0
+    """,
+    "benchmark-contamination flags: training docs sharing a 5-gram with the eval split "
+    "(eval side collapses to broadcast hash set — no text shuffle)",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return TX.contamination_flags(train, eval_docs, n=5)
+
+
+@q(
     "pack_sequences_summary",
     None,  # shard-greedy bin assignment isn't SQL-expressible; pytest owns invariants
     "token-budget sequence packing (mapInPandas first-fit per shard) — corpus fill stats",

@@ -315,3 +315,33 @@ def test_upsert_semantics(spark):
     # idempotent: re-applying the same updates changes nothing
     again = {r["k"]: r["v"] for r in R.upsert(R.upsert(base, updates, ["k"]), updates, ["k"]).collect()}
     assert again == got
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, " ".join(f"w{i}" for i in range(40))),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", TX.repetition_ratio("text").alias("r")).collect()}
+    assert got[1] > 0.8  # all 3-grams identical
+    assert got[2] == 0.0  # all distinct
+
+
+def test_contamination_flags(spark):
+    phrase = "alpha bravo charlie delta echo"
+    train = spark.createDataFrame(
+        [
+            (1, f"clean doc one {' '.join(f'x{i}' for i in range(10))}"),
+            (2, f"this copies {phrase} wholesale plus extra words"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"benchmark question containing {phrase} inside")],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"] for r in TX.contamination_flags(train, eval_docs, n=5).collect()}
+    assert flagged == {2}
