@@ -96,3 +96,12 @@ def test_hash_sample_is_pushed_filter(spark):
     plan = plan_of(spark, "hash_sample_orders")
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """The eval-set gram table must broadcast (tiny side), and the
+    training corpus must never shuffle its exploded grams for the
+    semi-join."""
+    plan = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
