@@ -341,7 +341,10 @@ def yens_k(
                         root_eidxs + sp[2],
                     )
 
-        n_slices = min(len(tasks), parallelism * 2) or 1
+        # Post-landmark, each probe is ~ms-scale: fewer, larger slices
+        # cut per-task scheduling overhead (probes are uniform enough
+        # that slice skew doesn't bite).
+        n_slices = min(len(tasks), parallelism) or 1
         results = sc.parallelize(tasks, n_slices).mapPartitions(_probe).collect()
         for nodes_i, costs_i, eidxs_i in results:
             key = tuple(eidxs_i)
