@@ -88,3 +88,33 @@ def test_ordered_collect_deterministic(spark, group_vals):
     one = R.ordered_collect(df.repartition(1), ["grp"], "ord", "val").collect()
     many = R.ordered_collect(df.repartition(7), ["grp"], "ord", "val").collect()
     assert {r["grp"]: r["val_list"] for r in one} == {r["grp"]: r["val_list"] for r in many}
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=15, unique_by=lambda t: (t[0], t[1])
+    ),
+    strict=st.booleans(),
+)
+@_settings
+def test_asof_join_matches_bruteforce(spark, left, right, strict):
+    """asof_join == per-row brute-force: for each left row, the right
+    row with the greatest ts <= (or <) left ts within the key."""
+    ldf = spark.createDataFrame([(k, float(t)) for k, t in left], "k int, t double")
+    rdf = spark.createDataFrame(
+        [(k, float(t), f"v{k}_{t}") for k, t in right], "k int, t double, v string"
+    )
+    out = R.asof_join(ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+                      payload={"v": "v"}, strict=strict)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["k"], r["t"]), []).append(r["v"])
+    for k, t in left:
+        t = float(t)
+        cands = [(rt, v) for rk, rt, v in ((x[0], float(x[1]), f"v{x[0]}_{x[1]}") for x in right)
+                 if rk == k and (rt < t if strict else rt <= t)]
+        want = max(cands)[1] if cands else None
+        assert want in got[(k, t)], (k, t, want, got)
