@@ -295,6 +295,32 @@ def events_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_json_parse",
+    """
+    SELECT event_type,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(k) AS BIGINT) AS n_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events) t
+    GROUP BY event_type
+    """,
+    "native JSON parsing (from_json → typed struct), not regex scraping",
+)
+def events_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("_j")
+    ).select("event_type", F.col("_j.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.count("k").cast("bigint").alias("n_k"),
+    )
+
+
+@q(
     "array_ops_customer",
     """
     SELECT o_custkey,
