@@ -1974,6 +1974,24 @@ def graph_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "graph_dijkstra_agg",
+    None,
+    "G1 aggregate variant (neo4j-code.txt:19–36): PathNodeNumber + totalcost "
+    "(goldens 66 / 9221.720431; rows-only gate, pytest pins the values)",
+)
+def graph_dijkstra_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import dijkstra
+    from bigdata_foundation_spark.graph.paths import path_summary
+
+    _nodes, roads = _graph(spark)
+    stream = dijkstra(spark, roads, "2022", "2802", projection=_graph_projection(spark))
+    return path_summary(stream).select(
+        F.col("PathNodeNumber").cast("bigint").alias("PathNodeNumber"),
+        F.round("totalcost", 6).alias("totalcost"),
+    )
+
+
+@q(
     "graph_astar",
     None,
     "G4 A* 2022→2802 (admissible heuristic — equals Dijkstra cost; rows-only gate)",

@@ -172,3 +172,12 @@ def test_bsp_equals_broadcast(spark, graph1, proj):
     assert [r["NodeId"] for r in b] == [r["NodeId"] for r in s]
     for rb, rs in zip(b, s):
         assert rb["cost"] == pytest.approx(rs["cost"], abs=1e-9)
+
+
+def test_dijkstra_agg_golden(spark):
+    """The reference's aggregate variant pins to the CSV1 goldens."""
+    from bigdata_foundation_spark.queries import registry
+
+    row = registry()["graph_dijkstra_agg"].fn(spark, "unused").collect()[0]
+    assert row["PathNodeNumber"] == 66
+    assert abs(row["totalcost"] - 9221.720431) < 1e-6
