@@ -194,6 +194,31 @@ def range_join(
     return joined
 
 
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    salt: str = "balance",
+) -> DataFrame:
+    """Deterministic per-group downsample: keep ``n_per_group`` rows per
+    group, chosen by md5-hash order of the key — the class-balancing
+    step of a training-data pipeline, reproducible across runs/engines
+    (unlike sampleBy, whose picks depend on partitioning).
+
+    One window pass per group; at 100 TB this is a single shuffle on
+    ``group_col`` — same cost as any per-group top-k."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rank_key, key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """MERGE-style upsert: rows from ``updates`` replace base rows with
     the same key; unmatched update rows are inserted — the generic form

@@ -1170,6 +1170,23 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "balanced_sample_docs",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5('balance' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+    "class balancing: deterministic md5-ordered 20-per-language downsample",
+)
+def balanced_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return R.balanced_sample(d, "lang", "doc_id", 20).select("doc_id", "lang", "source")
+
+
+@q(
     "upsert_orders",
     """
     WITH updates AS (

@@ -345,3 +345,17 @@ def test_contamination_flags(spark):
     )
     flagged = {r["doc_id"] for r in TX.contamination_flags(train, eval_docs, n=5).collect()}
     assert flagged == {2}
+
+
+def test_balanced_sample(spark):
+    from bigdata_foundation_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], "k long, g string"
+    )
+    out = R.balanced_sample(df, "g", "k", 5)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 5, "small": 5}
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in R.balanced_sample(df, "g", "k", 5).collect())
+    assert a == b  # deterministic
