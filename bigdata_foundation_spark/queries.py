@@ -1170,6 +1170,64 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "curation_funnel",
+    r"""
+    WITH deduped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY regexp_replace(lower(text), '\s+', ' ', 'g')
+                                  ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(( least(length(text) / 500.0, 1.0)
+                   + (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                                  / greatest(length(text), 1) * 2.0, 1.0))
+                   + least(CAST(len(list_filter(
+                         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                         x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x)))
+                       AS DOUBLE)
+                       / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1)
+                       * 5.0, 1.0)
+                   ) / 3.0, 6) AS quality
+      FROM deduped
+    ),
+    kept AS (SELECT doc_id, lang FROM scored WHERE quality >= 0.5),
+    balanced AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5('balance' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM kept) t
+      WHERE rn <= 50
+    )
+    SELECT 'raw' AS stage, CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n
+    UNION ALL SELECT 'deduped', CAST((SELECT COUNT(*) FROM deduped) AS BIGINT)
+    UNION ALL SELECT 'quality', CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+    UNION ALL SELECT 'balanced', CAST((SELECT COUNT(*) FROM balanced) AS BIGINT)
+    """,
+    "end-to-end curation funnel: exact dedup → quality filter → class balance, "
+    "per-stage counts (each stage is the engine's own operator; all replayed in SQL)",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    deduped = D.exact_dedup(d)
+    scored = deduped.withColumn("quality", TX.quality_score("text"))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    balanced = R.balanced_sample(kept, "lang", "doc_id", 50)
+    stages = [
+        ("raw", d), ("deduped", deduped), ("quality", kept), ("balanced", balanced)
+    ]
+    rows = None
+    for name, df in stages:
+        one = df.agg(F.count("*").cast("bigint").alias("n")).select(F.lit(name).alias("stage"), "n")
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+@q(
     "balanced_sample_docs",
     """
     SELECT doc_id, lang, source FROM (
