@@ -1170,6 +1170,24 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "fuzzy_name_match",
+    """
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+    """,
+    "fuzzy string matching (edit distance <= 2) — record-linkage primitive",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    dist = F.levenshtein("c_name", F.lit("Customer#000000042"))
+    return c.filter(dist <= 2).select(
+        "c_custkey", "c_name", dist.cast("bigint").alias("dist")
+    )
+
+
+@q(
     "curation_funnel",
     r"""
     WITH deduped AS (
