@@ -2055,6 +2055,31 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "graph_sssp_slice",
+    None,  # distances aren't SQL-computable; slice semantics pinned by property tests
+    "G2 post-pipeline (neo4j-code.txt:54): ordered collect of SSSP distances, "
+    "Cypher-style [2181..2191] slice → one row of (NodeIds, distances) arrays",
+)
+def graph_sssp_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph import sssp
+
+    _nodes, roads = _graph(spark)
+    d = sssp(spark, roads, "2022", projection=_graph_projection(spark))
+    # R6 ordered collect (explicit order: distance, then NodeId) + R7
+    # 0-based half-open slice — the reference slices its 29930-node
+    # result near the tail; CSV1 reaches 2191 nodes so slice the
+    # matching tail window [2181..2191).
+    pair = F.struct(F.col("distance"), F.col("NodeId"))
+    collected = d.agg(F.sort_array(F.collect_list(pair)).alias("_p"))
+    return collected.select(
+        R.array_slice(F.transform("_p", lambda s: s["NodeId"]), 2181, 10).alias("NodeIds"),
+        R.array_slice(
+            F.transform("_p", lambda s: F.round(s["distance"], 6)), 2181, 10
+        ).alias("distances"),
+    )
+
+
+@q(
     "graph_dijkstra",
     None,
     "G1 point-to-point Dijkstra 2022→2802 streamed path (66 rows; rows-only gate)",

@@ -181,3 +181,25 @@ def test_dijkstra_agg_golden(spark):
     row = registry()["graph_dijkstra_agg"].fn(spark, "unused").collect()[0]
     assert row["PathNodeNumber"] == 66
     assert abs(row["totalcost"] - 9221.720431) < 1e-6
+
+
+def test_sssp_slice_query(spark):
+    """The CODE:54-shape slice query returns the tail window of the
+    distance-ordered stream; the last element is the farthest golden."""
+    from bigdata_foundation_spark.queries import registry
+
+    row = registry()["graph_sssp_slice"].fn(spark, "unused").collect()[0]
+    assert len(row["NodeIds"]) == 10 and len(row["distances"]) == 10
+    assert row["NodeIds"][-1] == "2802"  # farthest reachable (FIXTURES §3.2)
+    assert abs(row["distances"][-1] - 9221.720431) < 1e-6
+    assert row["distances"] == sorted(row["distances"])
+
+
+def test_sssp_csv7_farthest_golden(spark):
+    from bigdata_foundation_spark.graph import load_graph, sssp
+
+    nodes, roads = load_graph(spark, "/root/reference/Shenzhen_Edgelist_7.csv")
+    d = sssp(spark, roads, "2022").collect()
+    far = max(d, key=lambda r: r["distance"])
+    assert far["NodeId"] == "1319"
+    assert abs(far["distance"] - 98318.360585) < 1e-5
