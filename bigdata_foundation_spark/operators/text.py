@@ -201,3 +201,79 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint_md5(text_col).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the standard pre-tokenization chunking step of an LLM training /
+    RAG-indexing pipeline.
+
+    Chunk starts are ``1, 1+step, 1+2*step, …`` (step = size-overlap)
+    up to the text length, so consecutive chunks share ``overlap``
+    characters and the final chunk may be shorter. Entirely JVM-side
+    (``sequence`` + ``posexplode`` + ``substring``): one narrow
+    transformation, no shuffle, no Python — at 100 TB the chunker
+    inherits the scan's partitioning and pipelines into whatever
+    follows (tokenize / pack / embed).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    # NULL text -> NULL starts array -> posexplode emits no rows (a
+    # document with no text has no chunks); empty text -> one empty
+    # chunk (greatest(.,1) keeps the sequence non-empty).
+    starts = F.when(
+        F.col(text_col).isNotNull(),
+        F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(step)),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.substring(F.col(text_col), F.col("_start"), size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm_text") -> DataFrame:
+    """Unicode-normalize a text column: NFC composition → lowercase →
+    collapse runs of whitespace → trim. The canonical first stage of a
+    multilingual curation pipeline (dedup keys, tokenizers, and
+    fingerprints all assume composed forms).
+
+    NFC has no JVM builtin, so this is the documented Pandas-UDF slow
+    path: Arrow-batched, columnar, ~vectorized string ops — not a
+    row-at-a-time Python UDF. Everything downstream should consume
+    ``out_col`` so the cost is paid once per document.
+    """
+    # The pandas_udf type hints must resolve at decoration time:
+    # `from __future__ import annotations` stringifies them, so bind the
+    # signature explicitly instead of via module-scope annotations.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_impl(s):
+        import re
+        import unicodedata
+
+        def one(v):
+            if v is None:
+                return None
+            return re.sub(r"\s+", " ", unicodedata.normalize("NFC", v).lower()).strip()
+
+        return s.map(one)
+
+    _norm_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf("string")(_norm_impl)
+    return df.withColumn(out_col, _norm(F.col(text_col)))

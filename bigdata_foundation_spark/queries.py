@@ -2571,3 +2571,58 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists_cond = (F.col("l_orderkey") == F.col("_okey")) & (F.col("l_suppkey") != F.col("_skey"))
     waited = l1.join(l2, exists_cond, "left_semi").join(l3, exists_cond, "left_anti")
     return waited.groupBy("s_name").agg(F.count("*").cast("bigint").alias("numwait"))
+
+
+# ===========================================================================
+# Training-data pipeline: chunking, normalization, grouping sets
+# ===========================================================================
+
+@q(
+    "chunk_documents",
+    """
+    SELECT doc_id,
+           (start - 1) // 150 AS chunk_id,
+           substr(text, CAST(start AS INTEGER), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(start AS INTEGER), 200)) AS BIGINT) AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text), 1), 150)) AS start
+          FROM documents)
+    """,
+    "LLM-pipeline document chunking: 200-char windows, 50-char overlap (JVM sequence+posexplode, zero shuffle)",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.chunk_documents(_docs(spark, sf_dir), size=200, overlap=50)
+
+
+@q(
+    "normalize_documents",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+    "Unicode NFC + lowercase + whitespace-collapse normalization (Arrow-batched pandas UDF; DuckDB nfc_normalize oracle)",
+)
+def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.normalize_text(_docs(spark, sf_dir)).select("doc_id", F.col("norm_text"))
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT)                  AS n,
+           ROUND(SUM(o_totalprice), 2)               AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@q(
+    "grouping_sets_orders",
+    _GROUPING_SETS_SQL,
+    "explicit GROUPING SETS with GROUPING() subtotal markers — the ORACLE TEXT runs on both engines",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)

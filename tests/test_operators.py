@@ -359,3 +359,55 @@ def test_balanced_sample(spark):
     a = sorted(r["k"] for r in out.collect())
     b = sorted(r["k"] for r in R.balanced_sample(df, "g", "k", 5).collect())
     assert a == b  # deterministic
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Every chunk is <= size chars; step-prefixes of consecutive chunks
+    reassemble the original text; overlap region matches."""
+    rows = [
+        (1, "a" * 10),
+        (2, "x"),
+        (3, "abcdefghijklmnopqrstuvwxyz" * 20),  # 520 chars
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    size, overlap, step = 7, 3, 4
+    out = TX.chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = dict(rows)
+    # empty string and NULL produce a single empty/NULL-free handling:
+    assert 5 not in by_doc  # NULL text -> no chunks (sequence over null)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        original = texts[doc_id] or ""
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.chunk_len == len(c.chunk_text) <= size for c in chunks)
+        rebuilt = "".join(c.chunk_text[:step] for c in chunks[:-1]) + chunks[-1].chunk_text
+        assert rebuilt == original
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a.chunk_text) == size:
+                assert a.chunk_text[step:] == b.chunk_text[: overlap]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, size=5, overlap=5)
+
+
+def test_normalize_text_unicode(spark):
+    # é (decomposed) must compose to é; case folds; runs of
+    # mixed whitespace collapse; outer whitespace trimmed.
+    rows = [
+        (1, "Café  du\tMonde\n"),
+        (2, "  HELLO   world  "),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.norm_text for r in TX.normalize_text(df).collect()}
+    assert got[1] == "café du monde"
+    assert got[2] == "hello world"
+    assert got[3] is None
