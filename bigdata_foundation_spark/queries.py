@@ -2626,3 +2626,31 @@ _GROUPING_SETS_SQL = """
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@q(
+    "streaming_upsert_sink",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "foreachBatch MERGE-upsert sink: stream events into a parquet table keyed by event_id, "
+    "then aggregate the final table (event_ids unique -> equals a direct aggregate)",
+)
+def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.streaming import read_events_stream
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_upsert
+
+    target = tempfile.mkdtemp(prefix="q_upsert_sink_") + "/events"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    foreach_batch_upsert(ev, target, ["event_id"])
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""Streaming sinks beyond the built-in formats.
+
+``foreachBatch`` is Structured Streaming's escape hatch for sinks
+Spark has no native connector for — here, a MERGE-style upsert into a
+parquet dataset (the lakehouse "streaming upsert" pattern). Each
+micro-batch runs an idempotent batch MERGE, so checkpoint replays
+after a crash converge to the same table instead of duplicating rows
+(effectively-once end to end: at-least-once delivery x idempotent
+apply).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from bigdata_foundation_spark.operators.relational import upsert
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Run ``stream_df`` to completion (Trigger.AvailableNow), MERGE-ing
+    every micro-batch into the parquet dataset at ``target_path`` by
+    ``keys``.
+
+    Batch rows replace same-key target rows; new keys are inserted;
+    within a batch the last row per key (by arrival order) wins. The
+    rewrite goes through a temp dir + atomic rename so a crash never
+    leaves a half-written table — the same discipline as ``io.compact``.
+    At warehouse scale this apply step is what Delta/Iceberg MERGE
+    does transactionally; on raw parquet the full-table rewrite is the
+    documented cost of having no table format, and the per-batch plan
+    (anti-join + union, one keyed shuffle) is identical.
+    """
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(keys)
+        if os.path.isdir(target_path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(target_path)
+        ):
+            merged = upsert(spark.read.parquet(target_path), batch_df, keys)
+        else:
+            merged = batch_df
+        tmp = target_path.rstrip("/") + "._upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_path):
+            shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_")
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)

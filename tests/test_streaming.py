@@ -68,3 +68,89 @@ def test_running_zscore_stream_equals_batch(spark, events_stream):
     for k, (z, n) in g.items():
         assert w[k][1] == n
         assert abs(w[k][0] - z) < 1e-9, (k, z, w[k])
+
+
+def _write_batch(spark, path, rows, schema, mtime):
+    import os
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    df.write.mode("append").parquet(path)
+    # file-source processes in modification-time order; pin it
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if not f.startswith(("_", ".")):
+            cur = os.path.getmtime(full)
+            if cur > mtime:
+                os.utime(full, (mtime, mtime))
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_upsert
+
+    src, target, ckpt = str(tmp_path / "src"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    schema = "k long, v long"
+    _write_batch(spark, src, [(1, 1), (2, 2)], schema, 1_000_000)
+    _write_batch(spark, src, [(1, 10), (3, 3)], schema, 2_000_000)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    foreach_batch_upsert(stream(), target, ["k"], checkpoint_dir=ckpt)
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10, 2: 2, 3: 3}
+
+    # Incremental restart from the same checkpoint: only the new file
+    # is processed, existing keys update in place.
+    _write_batch(spark, src, [(2, 20)], schema, 3_000_000)
+    foreach_batch_upsert(stream(), target, ["k"], checkpoint_dir=ckpt)
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10, 2: 20, 3: 3}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than the watermark must be excluded from its
+    (already-finalized) window — the late-data contract that makes
+    streaming aggregation state bounded at production scale."""
+    import datetime as dt
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    on_time = [(1, 1, t(10), 1.0), (2, 1, t(10, 30), 1.0), (3, 1, t(11), 1.0), (4, 1, t(12), 1.0)]
+    _write_batch(spark, src, on_time, schema, 1_000_000)
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("hour"), "n")
+        )
+        rows = []
+        # foreachBatch (unlike the memory sink) supports restarting
+        # from a checkpoint, which run2 needs
+        q = (
+            agg.writeStream.foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.hour: r.n for r in rows}
+
+    first = run("wm_run1")  # watermark after batch: 12:00 - 1h = 11:00
+    assert first.get(t(10)) == 2  # hour-10 window finalized with both rows
+
+    # late row at 09:00 (behind the 11:00 watermark -> dropped) plus a
+    # fresh row at 14:00 that advances the watermark past hour 12
+    _write_batch(spark, src, [(5, 1, t(9), 1.0), (6, 1, t(14), 1.0)], schema, 2_000_000)
+    second = run("wm_run2")
+    emitted = {**first, **second}
+    assert t(9) not in emitted  # late row silently dropped
+    assert emitted.get(t(11)) == 1 and emitted.get(t(12)) == 1
