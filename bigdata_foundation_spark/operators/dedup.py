@@ -405,3 +405,72 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components over the undirected pair graph, labelling every member
+    with the minimum id in its component.
+
+    This is the step that turns any pairwise dedup (MinHash/SimHash/
+    n-gram/embedding) into an actionable keep-one-per-cluster policy:
+    transitivity (A~B, B~C) must merge A,B,C even when A~C was never
+    emitted as a pair.
+
+    Algorithm: distributed min-label propagation with pointer jumping
+    (path halving) — each superstep (a) takes the min label over
+    neighbours, then (b) replaces every label by the label's own label.
+    (b) doubles label-reach per step, so convergence is
+    O(log(diameter)) supersteps rather than O(diameter); each superstep
+    is two keyed shuffles, no driver-side graph state. This is the
+    Hash-to-Min / large-star-small-star family (Rastogi et al. 2013)
+    specialised to min-labels. ``localCheckpoint`` truncates the
+    iterated-join lineage (same discipline as graph/bsp.py).
+
+    Returns (node, cluster_id); nodes never seen in a pair are absent
+    (singletons are trivially their own cluster).
+    """
+    e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    labels = edges.select("a").distinct().withColumn("cluster_id", F.col("a")).localCheckpoint()
+
+    for _ in range(max_iters):
+        # (a) min over neighbours' labels (plus own label).
+        prop = edges.join(labels, "a").select(F.col("b").alias("a"), "cluster_id")
+        relaxed = (
+            labels.unionByName(prop).groupBy("a").agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # (b) pointer jumping: label <- label(label). Every cluster_id
+        # is itself a node present in `labels` (labels start as self
+        # and only ever take values from the node set), so the inner
+        # join below is total.
+        lab2 = relaxed.select(
+            F.col("a").alias("_l"), F.col("cluster_id").alias("_ll")
+        )
+        jumped = (
+            relaxed.join(lab2, relaxed.cluster_id == lab2._l)
+            .select("a", F.least("cluster_id", "_ll").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("a").alias("node"), "cluster_id")

@@ -2654,3 +2654,128 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@q(
+    "streaming_interval_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "stream-stream interval join (click->purchase within 30 min, watermark-bounded state); "
+    "oracle = the batch interval join (stream==batch equivalence)",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.streaming import (
+        click_purchase_interval_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(click_purchase_interval_join(ev), "q_streaming_ij", spark)
+
+
+@q(
+    "dedup_cluster_canonical",
+    r"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+             )) AS grams
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), t -> t <> '') AS toks
+        FROM documents) raw
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b AS a, id_a AS b FROM p
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    lab AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS is_canonical
+    FROM lab l JOIN sz s USING (cluster_id)
+    """,
+    "near-dup pairs (exact 3-gram Jaccard >= 0.3) -> connected components -> "
+    "keep-min-id-per-cluster policy; oracle = recursive-CTE transitive closure",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.3, block_cols=["lang"])
+    clusters = D.duplicate_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        clusters.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "events_gapfill",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    hours AS (
+      SELECT unnest(generate_series((SELECT MIN(date_trunc('hour', ts)) FROM events),
+                                    (SELECT MAX(date_trunc('hour', ts)) FROM events),
+                                    INTERVAL 1 HOUR)) AS h),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(b.n_events, 0) AS n_events
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN b ON b.h = h.h AND b.event_type = t.event_type
+    """,
+    "time-series resample/gap-fill: dense hourly grid (sequence+explode) x event types, "
+    "zero-filled — the feed-health shape a pipeline dashboard runs",
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    # Both grid dims are tiny (hours x 5 types) — broadcast keeps the
+    # left join shuffle-free on the big aggregated side.
+    grid = F.broadcast(hours).crossJoin(F.broadcast(types))
+    return grid.join(hourly, ["h", "event_type"], "left").select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )

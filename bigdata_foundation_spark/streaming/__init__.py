@@ -9,8 +9,10 @@ from bigdata_foundation_spark.streaming.events import (
     sessionize_stream,
     streaming_dedup,
 )
+from bigdata_foundation_spark.streaming.joins import click_purchase_interval_join
 
 __all__ = [
+    "click_purchase_interval_join",
     "read_events_stream",
     "hourly_counts_stream",
     "sessionize_stream",

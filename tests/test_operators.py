@@ -411,3 +411,33 @@ def test_normalize_text_unicode(spark):
     assert got[1] == "café du monde"
     assert got[2] == "hello world"
     assert got[3] is None
+
+
+def test_duplicate_clusters_transitive(spark):
+    # A~B and B~C but never A~C: transitivity must still merge all
+    # three; {10,11} is a separate component; pair graph with a cycle.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    from bigdata_foundation_spark.operators.dedup import duplicate_clusters
+
+    got = {(r.node, r.cluster_id) for r in duplicate_clusters(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_duplicate_clusters_long_chain(spark):
+    # A 40-node path graph: pointer jumping must converge well inside
+    # max_iters (O(log diameter)), and the label must be the chain min.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    from bigdata_foundation_spark.operators.dedup import duplicate_clusters
+
+    got = duplicate_clusters(pairs, max_iters=10)
+    assert got.count() == 41
+    assert {r.cluster_id for r in got.collect()} == {0}

@@ -154,3 +154,18 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     emitted = {**first, **second}
     assert t(9) not in emitted  # late row silently dropped
     assert emitted.get(t(11)) == 1 and emitted.get(t(12)) == 1
+
+
+def test_interval_join_stream_equals_batch(spark, events_stream):
+    from bigdata_foundation_spark.streaming import click_purchase_interval_join
+
+    got = run_to_memory(
+        click_purchase_interval_join(events_stream), "t_ij", spark
+    )
+    batch = spark.read.parquet(f"{SF_TINY}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = click_purchase_interval_join(batch)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) > 0
