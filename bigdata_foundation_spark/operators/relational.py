@@ -246,3 +246,93 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sampl
         F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10
     ).cast("long")
     return df.filter(bucket < F.lit(int(fraction * 2**32)))
+
+
+def profile_columns(df: DataFrame, cols: list[str], round_numeric: int = 2) -> DataFrame:
+    """One-pass data profiling: per column, row count, null count,
+    exact distinct count, and min/max (stringified). The multiple
+    DISTINCT aggregates compile to a single Expand-based aggregation
+    (one scan, partial aggregation map-side), so at 100 TB this is one
+    shuffle of tiny partial states — never N table scans.
+
+    Numeric columns are rounded before stringification so the
+    cross-engine decimal rendering can't differ.
+    """
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float", "decimal")
+    }
+
+    ts = {f.name for f in df.schema.fields if f.dataType.typeName().startswith("timestamp")}
+
+    def _s(c: str, agg):
+        col = F.round(F.col(c), round_numeric) if c in numeric else F.col(c)
+        out = agg(col)
+        if c in ts:
+            return F.date_format(out, "yyyy-MM-dd HH:mm:ss")
+        return out.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            _s(c, F.min).alias(f"{c}__min"),
+            _s(c, F.max).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            (F.col("_n") - F.col(f"{c}__nn")).cast("bigint").alias("n_null"),
+            F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table diff between two snapshots (the CDC / anti-entropy shape):
+    full outer join on the key, classify each key as added / deleted /
+    changed, drop unchanged. Comparison is null-safe (`eqNullSafe`).
+
+    At scale this is one key-partitioned shuffle of both snapshots;
+    with both sides bucketed on the key it is shuffle-free.
+    """
+    o = old.select(
+        *keys, F.lit(True).alias("_in_old"), *[F.col(c).alias(f"_old_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        *keys, F.lit(True).alias("_in_new"), *[F.col(c).alias(f"_new_{c}") for c in compare_cols]
+    )
+    j = o.join(n, keys, "full_outer")
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(~in_old, F.lit("added"))
+            .when(~in_new, F.lit("deleted"))
+            .when(~same, F.lit("changed")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[F.col(f"_old_{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"_new_{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -2779,3 +2779,81 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+@q(
+    "profile_orders",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey)    AS nn1, COUNT(DISTINCT o_custkey)    AS nd1,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn1, CAST(MAX(o_custkey) AS VARCHAR) AS mx1,
+             COUNT(o_orderstatus) AS nn2, COUNT(DISTINCT o_orderstatus) AS nd2,
+             MIN(o_orderstatus) AS mn2, MAX(o_orderstatus) AS mx2,
+             COUNT(o_totalprice) AS nn3, COUNT(DISTINCT o_totalprice) AS nd3,
+             CAST(MIN(ROUND(o_totalprice, 2)) AS VARCHAR) AS mn3,
+             CAST(MAX(ROUND(o_totalprice, 2)) AS VARCHAR) AS mx3,
+             COUNT(o_orderdate) AS nn4, COUNT(DISTINCT o_orderdate) AS nd4,
+             strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn4,
+             strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx4
+      FROM orders)
+    SELECT 'o_custkey' AS col_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(n - nn1 AS BIGINT) AS n_null, CAST(nd1 AS BIGINT) AS n_distinct,
+           mn1 AS min_s, mx1 AS max_s FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - nn2, nd2, mn2, mx2 FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n, n - nn3, nd3, mn3, mx3 FROM a
+    UNION ALL
+    SELECT 'o_orderdate', n, n - nn4, nd4, mn4, mx4 FROM a
+    """,
+    "one-pass multi-column data profiling (nulls / exact distinct / min / max) — "
+    "the ingest-audit shape; N distinct aggregates compile to one Expand scan, "
+    "not N table scans",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.profile_columns(
+        o, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+
+
+@q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type,
+           o.o_orderstatus   AS old_o_orderstatus,
+           o.o_orderpriority AS old_o_orderpriority,
+           n.o_orderstatus   AS new_o_orderstatus,
+           n.o_orderpriority AS new_o_orderpriority
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    """,
+    "CDC-style snapshot diff: full-outer join on the key, classify "
+    "added/deleted/changed with null-safe comparison, drop unchanged — "
+    "one key-partitioned shuffle (shuffle-free when both snapshots are "
+    "bucketed on the key)",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    return R.snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_orderpriority"]
+    )

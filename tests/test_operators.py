@@ -441,3 +441,49 @@ def test_duplicate_clusters_long_chain(spark):
     got = duplicate_clusters(pairs, max_iters=10)
     assert got.count() == 41
     assert {r.cluster_id for r in got.collect()} == {0}
+
+
+def test_profile_columns(spark):
+    from bigdata_foundation_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.234),
+            (2, "b", None),
+            (3, None, 2.567),
+            (4, "b", 9.999),
+        ],
+        "k long, s string, v double",
+    )
+    got = {r["col_name"]: r.asDict() for r in R.profile_columns(df, ["k", "s", "v"]).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 0 and got["k"]["n_distinct"] == 4
+    assert got["k"]["min_s"] == "1" and got["k"]["max_s"] == "4"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_s"] == "a" and got["s"]["max_s"] == "b"
+    # doubles are rounded to 2 dp before min/max stringification
+    assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 3
+    assert got["v"]["min_s"] == "1.23" and got["v"]["max_s"] == "10.0"
+
+
+def test_snapshot_diff(spark):
+    from bigdata_foundation_spark.operators import relational as R
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {
+        r["k"]: r.asDict()
+        for r in R.snapshot_diff(old, new, keys=["k"], compare_cols=["s", "v"]).collect()
+    }
+    # k=2 unchanged, k=4 unchanged (null-safe: None == None) -> dropped
+    assert set(got) == {1, 3, 5}
+    assert got[1]["change_type"] == "deleted" and got[1]["old_s"] == "a" and got[1]["new_s"] is None
+    assert got[3]["change_type"] == "changed"
+    assert got[3]["old_s"] == "c" and got[3]["new_s"] == "CHANGED"
+    assert got[5]["change_type"] == "added" and got[5]["new_v"] == 50
