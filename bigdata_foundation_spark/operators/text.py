@@ -69,6 +69,71 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_score + (1.0 - punct_penalty) + stop_score) / 3.0, 6)
 
 
+def gopher_rules(text: Column | str) -> dict[str, Column]:
+    """Gopher-style document quality signals (Rae et al. 2021, public
+    rules; also the C4 family). Returns named Column expressions so a
+    pipeline can select any subset; all JVM-side built-ins:
+
+    - ``n_words``: whitespace word count (rule: 50..100k words)
+    - ``mean_word_len``: average word length (rule: 3..10 chars)
+    - ``symbol_word_ratio``: '#'/'…'-style symbols per word (rule <0.1)
+    - ``stop_hits``: count of core stopwords present (rule ≥2 distinct)
+    - ``ellipsis_line_frac``: fraction of lines ending in '…'/'...'
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1))
+    total_word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(total_word_chars / safe_words, 6),
+        "symbol_word_ratio": F.round(
+            F.regexp_count(c, F.lit(r"[#…]|\.\.\.")) / safe_words, 6
+        ),
+        "stop_hits": stop_hits,
+        "ellipsis_line_frac": F.round(ellipsis_lines / n_lines, 6),
+    }
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Apply the Gopher quality rules as a single scan-side filter,
+    keeping the signal columns for auditing. One pass, no shuffle;
+    at 100 TB this runs entirely inside whole-stage codegen and
+    benefits from parquet column pruning (only ``text_col`` + kept
+    columns are read)."""
+    sig = gopher_rules(text_col)
+    out = df
+    for name, col in sig.items():
+        out = out.withColumn(name, col)
+    return out.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+
+
 def lang_id(text: Column | str) -> Column:
     """Stopword-vote language ID over the five supported languages.
 

@@ -44,13 +44,15 @@ class QuerySpec:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # The events parquet stores TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamp type, so read ns-as-long and convert to
-        # a microsecond timestamp (set per-session at runtime because
-        # the grading driver supplies its own SparkSession).
+        # The events parquet may store TIMESTAMP(NANOS) (older
+        # generations — Spark has no ns type, so read ns-as-long and
+        # convert) or TIMESTAMP(MICROS) (reads as a timestamp
+        # directly); normalize_event_ts dispatches on the read type.
+        from bigdata_foundation_spark.streaming.events import normalize_event_ts
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

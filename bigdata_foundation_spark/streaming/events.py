@@ -23,16 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns-as-long (see queries._t note)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to a microsecond timestamp regardless of how
+    the parquet was generated: TIMESTAMP(MICROS) reads as a timestamp
+    directly; TIMESTAMP(NANOS) (with ``nanosAsLong``) reads as a long
+    of epoch-nanos and is converted. Type-dispatch keeps the pipeline
+    working across either writer."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -50,8 +49,16 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The stream source needs an explicit schema; take it from the
+    # batch reader's footer inspection so it tracks the writer.
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    out = normalize_event_ts(raw)
+    # Watermarks require the instant type (TIMESTAMP, not _NTZ); the
+    # session runs in UTC so the cast is wall-clock preserving.
+    if isinstance(out.schema["ts"].dataType, T.TimestampNTZType):
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+    return out
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

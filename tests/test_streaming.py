@@ -59,9 +59,12 @@ def test_running_zscore_stream_equals_batch(spark, events_stream):
     order) — the stream-equals-batch oracle for custom state."""
     from bigdata_foundation_spark.streaming import running_zscore_batch, running_zscore_stream
 
+    from bigdata_foundation_spark.streaming.events import normalize_event_ts
+
     got = run_to_memory(running_zscore_stream(events_stream), "t_zscore", spark)
-    want = running_zscore_batch(spark.read.parquet(f"{SF_TINY}/events.parquet")
-                                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    want = running_zscore_batch(
+        normalize_event_ts(spark.read.parquet(f"{SF_TINY}/events.parquet"))
+    )
     g = {(r["user_id"], r["event_id"]): (r["z"], r["n_prior"]) for r in got.collect()}
     w = {(r["user_id"], r["event_id"]): (r["z"], r["n_prior"]) for r in want.collect()}
     assert len(g) > 100 and g.keys() == w.keys()
@@ -162,9 +165,9 @@ def test_interval_join_stream_equals_batch(spark, events_stream):
     got = run_to_memory(
         click_purchase_interval_join(events_stream), "t_ij", spark
     )
-    batch = spark.read.parquet(f"{SF_TINY}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from bigdata_foundation_spark.streaming.events import normalize_event_ts
+
+    batch = normalize_event_ts(spark.read.parquet(f"{SF_TINY}/events.parquet"))
     want = click_purchase_interval_join(batch)
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
