@@ -22,19 +22,18 @@ from bigdata_foundation_spark.queries import registry
 from bigdata_foundation_spark.session import get_spark
 
 
+def _norm_val(v):
+    if hasattr(v, "tolist"):  # numpy array / scalar from DuckDB .df()
+        v = v.tolist()
+    if isinstance(v, list):
+        return str([_norm_val(x) for x in v])
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else str(round(v, 6))
+    return str(v)
+
+
 def normalize(rows, cols):
-    out = []
-    for row in rows:
-        vals = []
-        for c in cols:
-            v = row[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            vals.append(str(v))
-        out.append(tuple(vals))
+    out = [tuple(_norm_val(row[c]) for c in cols) for row in rows]
     out.sort()
     return out
 
