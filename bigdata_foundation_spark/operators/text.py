@@ -75,17 +75,20 @@ def gopher_rules(text: Column | str) -> dict[str, Column]:
     pipeline can select any subset; all JVM-side built-ins:
 
     - ``n_words``: whitespace word count (rule: 50..100k words)
-    - ``mean_word_len``: average word length (rule: 3..10 chars)
+    - ``mean_word_len``: average word length (rule: 3..10 chars);
+      approximation: whitespace tokens keep attached punctuation
     - ``symbol_word_ratio``: '#'/'…'-style symbols per word (rule <0.1)
     - ``stop_hits``: count of core stopwords present (rule ≥2 distinct)
     - ``ellipsis_line_frac``: fraction of lines ending in '…'/'...'
+      (rule: <30% of lines)
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens(c)
     n_words = F.size(toks)
     safe_words = F.greatest(n_words, F.lit(1))
+    # bigint accumulator: an int32 zero would overflow on multi-GB docs
     total_word_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
     lines = F.split(c, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
@@ -108,18 +111,21 @@ def gopher_rules(text: Column | str) -> dict[str, Column]:
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",
-    min_words: int = 5,
+    min_words: int = 50,
     max_words: int = 100_000,
-    min_mean_word_len: float = 2.0,
-    max_mean_word_len: float = 12.0,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
     max_symbol_word_ratio: float = 0.1,
-    min_stop_hits: int = 1,
+    min_stop_hits: int = 2,
+    max_ellipsis_line_frac: float = 0.3,
 ) -> DataFrame:
-    """Apply the Gopher quality rules as a single scan-side filter,
-    keeping the signal columns for auditing. One pass, no shuffle;
-    at 100 TB this runs entirely inside whole-stage codegen and
-    benefits from parquet column pruning (only ``text_col`` + kept
-    columns are read)."""
+    """Apply the Gopher quality rules (Rae et al. 2021 defaults) as a
+    single scan-side filter, keeping the signal columns for auditing.
+    One pass, no shuffle; the predicate and every signal run inside
+    whole-stage codegen. All input columns are kept (select before
+    calling if the sink needs a narrower schema). ``mean_word_len``
+    counts attached punctuation (whitespace tokenization) — a
+    documented approximation of the paper's rule."""
     sig = gopher_rules(text_col)
     out = df
     for name, col in sig.items():
@@ -131,6 +137,7 @@ def gopher_filter(
         & (F.col("mean_word_len") <= max_mean_word_len)
         & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
         & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
     )
 
 

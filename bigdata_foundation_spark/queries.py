@@ -125,6 +125,7 @@ GATE_ORDER: list[str] = [
     "text_redact_pii",
     "chunk_documents",
     "normalize_documents",
+    "gopher_quality",
     # multimodal plumbing
     "multimodal_ingest",
     "multimodal_decode",
@@ -1112,6 +1113,64 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.round(F.col("quality") * 1e6).cast("bigint")) / (F.count("*") * F.lit(1e6)), 6
         ).alias("avg_quality"),
+    )
+
+
+@q(
+    "gopher_quality",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_word_len,
+             ROUND(CAST(len(regexp_extract_all(text, '[#…]|\.\.\.')) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+             len(list_filter(list_distinct(toks), x -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','was'], x))) AS stop_hits,
+             ROUND(CAST(len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                   / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+      FROM s
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+           symbol_word_ratio, CAST(stop_hits AS INT) AS stop_hits,
+           ellipsis_line_frac
+    FROM sig
+    WHERE n_words BETWEEN 10 AND 100000
+      AND mean_word_len BETWEEN 2.0 AND 12.0
+      AND symbol_word_ratio <= 0.1
+      AND stop_hits >= 1
+      AND ellipsis_line_frac <= 0.3
+    """,
+    "Gopher-style quality filter (Rae et al. 2021 rules, loosened thresholds for "
+    "the synthetic corpus): one scan-side pass, signals kept for auditing",
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    kept = TX.gopher_filter(
+        d,
+        min_words=10,
+        max_words=100_000,
+        min_mean_word_len=2.0,
+        max_mean_word_len=12.0,
+        max_symbol_word_ratio=0.1,
+        min_stop_hits=1,
+        max_ellipsis_line_frac=0.3,
+    )
+    return kept.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        F.col("stop_hits").cast("int").alias("stop_hits"),
+        "ellipsis_line_frac",
     )
 
 

@@ -31,6 +31,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     working across either writer."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # TIMESTAMP_NTZ → instant type so batch and stream paths agree
+        # on one ts type (watermarks also require it); the session runs
+        # in UTC so the cast is wall-clock preserving.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -53,12 +58,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # batch reader's footer inspection so it tracks the writer.
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(path)
-    out = normalize_event_ts(raw)
-    # Watermarks require the instant type (TIMESTAMP, not _NTZ); the
-    # session runs in UTC so the cast is wall-clock preserving.
-    if isinstance(out.schema["ts"].dataType, T.TimestampNTZType):
-        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
-    return out
+    return normalize_event_ts(raw)
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -487,3 +487,51 @@ def test_snapshot_diff(spark):
     assert got[3]["change_type"] == "changed"
     assert got[3]["old_s"] == "c" and got[3]["new_s"] == "CHANGED"
     assert got[5]["change_type"] == "added" and got[5]["new_v"] == 50
+
+
+def test_gopher_filter_planted_docs(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs off "
+        "to find some food for the long winter that is coming soon"
+    )
+    df = spark.createDataFrame(
+        [
+            ("good", good),
+            ("too_short", "the cat sat"),
+            ("no_stopwords", "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+                             "tempor incididunt ut labore et dolore magna aliqua ut enim ad minim"),
+            ("symbol_heavy", "the " + "# " * 40 + "and of to in is that for with was"),
+            ("ellipsis", "the first line...\nthe second line...\nthe third line...\n"
+                         "and of to in is that for with was more words here to pass length"),
+            ("null_text", None),
+            ("empty_text", ""),
+        ],
+        "doc_id string, text string",
+    )
+    kept = TX.gopher_filter(
+        df, min_words=10, min_mean_word_len=2.0, max_mean_word_len=12.0,
+        min_stop_hits=2, max_ellipsis_line_frac=0.3,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == ["good"]
+    # signal columns are exposed for auditing
+    row = kept.first()
+    assert row["n_words"] == 25 and row["stop_hits"] >= 2
+    assert row["ellipsis_line_frac"] == 0.0
+
+    # paper defaults: the 25-word doc fails the 50-word floor
+    assert TX.gopher_filter(df).count() == 0
+
+
+def test_gopher_rules_signal_values(spark):
+    df = spark.createDataFrame(
+        [("d1", "aa bb cc dd\nend of line...\nthe plain line")],
+        "doc_id string, text string",
+    )
+    sig = TX.gopher_rules("text")
+    row = df.select(*[c.alias(n) for n, c in sig.items()]).first()
+    assert row["n_words"] == 10
+    # 32 word chars / 10 words (whitespace tokens keep '...' on 'line...')
+    assert row["mean_word_len"] == pytest.approx(3.2)
+    assert row["ellipsis_line_frac"] == pytest.approx(round(1 / 3, 6))
+    assert row["stop_hits"] == 2  # 'of', 'the'
+    assert row["symbol_word_ratio"] == pytest.approx(0.1)
