@@ -116,8 +116,9 @@ def minhash_signature_table(
     whole-stage codegen (the array-lambda formulation above is ~5-10×
     slower at corpus scale). Returns (id, _h0.._hN)."""
     base = shingle_hash_table(df, text_col, id_col, shingle_k)
+    fam = _minhash_family(num_hashes)
     return base.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+        *[F.min(fam[i]).alias(f"_h{i}") for i in range(num_hashes)]
     )
 
 
@@ -130,14 +131,25 @@ def shingle_hash_table(
     """(id, _h): 64-bit hash per distinct character shingle.
 
     Hash each shingle string ONCE here; the signature aggregate then
-    derives the per-seed hash family from the 64-bit value (64
-    int-hashes are far cheaper than 64 string-hashes per shingle), and
+    derives the per-seed hash family from the 64-bit value (int
+    mul-adds are far cheaper than per-seed string hashes), and
     the exact-Jaccard verifier compares these hashes instead of
     re-shingling the text (exact up to 64-bit collisions)."""
     return spread(df, id_col).select(
         F.col(id_col),
         F.explode(char_shingles(text_col, shingle_k)).alias("_s"),
     ).select(id_col, F.xxhash64("_s").alias("_h"))
+
+
+def _minhash_family(num_hashes: int) -> list[Column]:
+    """Per-seed hash family over the shingle's 64-bit hash ``_h``:
+    h_i = xxhash64(_h, i). Integer re-hashes are cheap (<2ns each,
+    fully codegen'd) and each seed is an independent permutation-like
+    map — a double-hashing shortcut (h1 + i·h2) was tried and REVERTED:
+    its per-seed argmins correlate (the min shingle is driven by h2
+    alone for large i), which wrecks both the banding recall and the
+    agreement estimator."""
+    return [F.xxhash64("_h", F.lit(i)) for i in range(num_hashes)]
 
 
 def minhash_jaccard_est(sig_a: Column, sig_b: Column, num_hashes: int = 64) -> Column:
@@ -163,9 +175,14 @@ def _bucket_pairs(
     Buckets larger than ``max_bucket`` are dropped (quadratic guard —
     degenerate keys otherwise explode the self-join; this is LSH's
     skew-salting analog and is a documented recall trade)."""
-    sized = buckets.withColumn(
-        "_bsize", F.count("*").over(Window.partitionBy(*bucket_cols))
-    ).filter(F.col("_bsize") <= max_bucket).drop("_bsize")
+    # Bucket sizing via groupBy + join (map-side partial agg, no
+    # sort): a count-window over billions of bucket rows would pay a
+    # full sort per partition at scale.
+    sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_bsize"))
+    sized = (
+        buckets.join(sizes.filter(F.col("_bsize") <= max_bucket), bucket_cols)
+        .drop("_bsize")
+    )
     a = sized.select(*bucket_cols, F.col(id_col).alias("id_a"))
     b = sized.select(*bucket_cols, F.col(id_col).alias("id_b"))
     return (
@@ -192,13 +209,25 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a <
     id_b. Pipeline: shingle-hash table (computed ONCE, cached — feeds
     both the signature aggregate and the verifier) → 64-min signature
-    → 16 bands of 4 → explode bands → bucket-join candidates →
-    exact-Jaccard verify on the hashed shingle sets (exact up to
-    64-bit collisions; only candidate pairs ever pay this cost)."""
+    (cached: one narrow row per doc; the banded self-join and the
+    estimate-prune both read it) → 16 bands of 4 → explode bands →
+    bucket-join candidates → signature-agreement prune → exact-Jaccard
+    verify on the hashed shingle sets.
+
+    Banding with r=4 over-generates mid-Jaccard candidates (~300× the
+    true pairs on a clustered corpus), so candidates are pruned by the
+    MinHash agreement estimate BEFORE the exact verify: the prune
+    threshold sits 0.15 below ``threshold``, where the estimator's
+    false-negative probability (Binomial(64, J) tail) is far below the
+    banding miss rate itself — the output contract (exact Jaccard on
+    survivors, up to 64-bit hash collisions) is unchanged."""
     rows_per_band = num_hashes // bands
     base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
-    sig = base.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    fam = _minhash_family(num_hashes)
+    sig = (
+        base.groupBy(id_col)
+        .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
+        .cache()
     )
 
     banded = sig.select(
@@ -210,7 +239,7 @@ def minhash_lsh_pairs(
                         F.lit(i).alias("band"),
                         # multi-arg xxhash64 over the band's signature slice
                         F.xxhash64(
-                            *[F.col(f"_h{j}") for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
+                            *[F.col("_sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
                         ).alias("key"),
                     )
                     for i in range(bands)
@@ -219,16 +248,19 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
-    # Materialize candidates once — their lineage contains the full
-    # signature pipeline and two consumers follow.
-    cand = _bucket_pairs(banded, id_col, ["band", "key"], max_bucket).cache()
+    raw_cand = _bucket_pairs(banded, id_col, ["band", "key"], max_bucket)
+    est = minhash_jaccard_est(F.col("_sig_a"), F.col("_sig_b"), num_hashes)
+    cand = (
+        raw_cand.join(sig.withColumnsRenamed({id_col: "id_a", "_sig": "_sig_a"}), "id_a")
+        .join(sig.withColumnsRenamed({id_col: "id_b", "_sig": "_sig_b"}), "id_b")
+        .filter(est >= F.lit(max(threshold - 0.15, 0.0)))
+        .select("id_a", "id_b")
+        .cache()
+    )
 
     # Exact verify from the cached hash table: sorted long arrays per
-    # candidate doc, then set intersection/union — long compares, no
-    # second pass over the text. Banding with r=4 over-generates for
-    # mid-Jaccard pairs, but intersecting two ~300-long arrays is
-    # cheap enough that a separate estimate-prune stage costs more
-    # (one wide join + one codegen'd stage) than it saves.
+    # surviving doc, then set intersection/union — long compares, no
+    # second pass over the text.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -288,6 +320,8 @@ def ngram_jaccard_pairs(
         )
     )
     prefix_len = (F.lit(1.0 - threshold) * F.col("_sz")).cast("int") + F.lit(1)
+    # cached: both sides of the candidate self-join read it, and its
+    # lineage holds the doc-frequency join + sort
     pref = (
         ordered.join(g.select(F.col(id_col), *blocks, "_sz"), id_col)
         .select(
@@ -295,6 +329,7 @@ def ngram_jaccard_pairs(
             *blocks,
             F.explode(F.slice("_sorted", F.lit(1), prefix_len)).alias("_gram"),
         )
+        .cache()
     )
     a = pref.withColumnRenamed(id_col, "id_a")
     b = pref.withColumnRenamed(id_col, "id_b")
@@ -376,8 +411,16 @@ def simhash_pairs(
 
     Candidates via the pigeonhole trick: split the fingerprint into
     ``chunks`` pieces — any pair within distance < chunks agrees on at
-    least one piece, so bucket-join per piece then verify exactly."""
-    base = simhash_table(df, text_col, id_col, bits).withColumnRenamed("simhash", "_sh64")
+    least one piece, so bucket-join per piece then verify exactly.
+
+    ``base`` is cached: one narrow row per doc, read by both sides of
+    the bucket self-join and the verify join — without it the vote
+    aggregation (the pipeline's expensive stage) runs three times."""
+    base = (
+        simhash_table(df, text_col, id_col, bits)
+        .withColumnRenamed("simhash", "_sh64")
+        .cache()
+    )
     width = bits // chunks
     mask = (1 << width) - 1
     pieces = base.select(
