@@ -8,7 +8,7 @@ it composes into any select/filter and Catalyst can prune around it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A deliberately small, deterministic stopword table per language —
@@ -349,3 +349,114 @@ def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm_t
     _norm_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _norm = pandas_udf("string")(_norm_impl)
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (the C4/RefinedWeb dedup step
+    that strips boilerplate navigation/cookie lines appearing across
+    many pages).
+
+    A line whose exact content occurs ``min_count``+ times across the
+    corpus is dropped from every document — except, when ``keep_first``,
+    the single canonical occurrence (minimum (doc_id, position)) which
+    is kept so the corpus retains one copy of the content.
+
+    Scale shape: posexplode lines → 8-byte line-hash shuffle (one
+    groupBy computing count + canonical occurrence — never shuffles
+    line text twice) → join back on hash → reassemble with
+    ``concat_ws`` over the position-ordered survivors. Documents whose
+    every line is dropped stay in the result with empty text.
+
+    Returns (id_col, text_col) with the same row count as the input.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    ).withColumn("_lh", F.xxhash64("_line"))
+    stats = lines.groupBy("_lh").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(id_col, "_pos")).alias("_first"),
+    )
+    joined = lines.join(stats, "_lh")
+    is_canonical = (F.col(f"_first.{id_col}") == F.col(id_col)) & (
+        F.col("_first._pos") == F.col("_pos")
+    )
+    keep = (F.col("_n") < min_count) | (is_canonical if keep_first else F.lit(False))
+    survivors = joined.filter(keep)
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col)
+    )
+    # left join keeps fully-deduped docs (empty text), preserving count
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(text_col, F.lit("")).alias(text_col)
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k word n-gram counts — the classic MapReduce
+    job, as one explode + one partial-aggregated groupBy + a
+    TakeOrderedAndProject top-k (count desc, gram asc tie-break).
+
+    The shuffle carries (gram, partial count) pairs after map-side
+    combine; no document ever crosses the wire."""
+    from bigdata_foundation_spark.operators.dedup import word_ngrams
+
+    grams = df.select(F.explode(word_ngrams(text_col, n, distinct=False)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per group by TF-IDF, where a "document" is the
+    concatenation of a group's texts: tf = term count within the
+    group, idf = ln(n_groups / n_groups_containing_term).
+
+    Ranking uses the UNROUNDED score (deterministic: ties broken by
+    term asc); the returned score is rounded to 6 dp. Two keyed
+    aggregations + one broadcastable group-count join — no windows
+    over raw tokens."""
+    toks = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(group_col, "term").agg(F.count("*").alias("_tf"))
+    n_groups = df.select(group_col).distinct().count()
+    gf = tf.groupBy("term").agg(F.count("*").alias("_gf"))
+    scored = tf.join(gf, "term").withColumn(
+        "_score", F.col("_tf") * F.log(F.lit(float(n_groups)) / F.col("_gf"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col(group_col),
+            F.col("_rk").cast("int").alias("rank"),
+            "term",
+            F.col("_tf").cast("bigint").alias("tf"),
+            F.round("_score", 6).alias("tfidf"),
+        )
+    )

@@ -126,6 +126,9 @@ GATE_ORDER: list[str] = [
     "chunk_documents",
     "normalize_documents",
     "gopher_quality",
+    "ngram_counts_top",
+    "tfidf_top_terms",
+
     # multimodal plumbing
     "multimodal_ingest",
     "multimodal_decode",
@@ -142,7 +145,6 @@ GATE_ORDER: list[str] = [
     "events_gapfill",
     "profile_orders",
     "snapshot_diff_orders",
-    "grouping_sets_orders",
 ]
 
 
@@ -1172,6 +1174,58 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stop_hits").cast("int").alias("stop_hits"),
         "ellipsis_line_frac",
     )
+
+
+@q(
+    "ngram_counts_top",
+    r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT array_to_string(toks[i.i : i.i + 2], ' ') AS gram
+      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i) i
+      WHERE len(toks) > 0
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY gram
+    ORDER BY n DESC, gram ASC LIMIT 100
+    """,
+    "corpus-wide top-100 word trigram counts (the classic MapReduce job): "
+    "explode + map-side-combined groupBy + TakeOrderedAndProject",
+)
+def ngram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.ngram_counts(_docs(spark, sf_dir), "text", n=3, k=100)
+
+
+@q(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS _tf FROM toks GROUP BY source, term),
+    gf AS (SELECT term, COUNT(*) AS _gf FROM tf GROUP BY term),
+    ng AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf._tf,
+             tf._tf * ln(CAST(ng.n AS DOUBLE) / gf._gf) AS _score
+      FROM tf JOIN gf USING (term) CROSS JOIN ng
+    )
+    SELECT source, CAST(rk AS INT) AS rank, term,
+           CAST(_tf AS BIGINT) AS tf, ROUND(_score, 6) AS tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY _score DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    "top-5 terms per source by TF-IDF (group = concatenated source corpus); "
+    "ranking on the unrounded score, term-asc tie-break",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tfidf_top_terms(_docs(spark, sf_dir), "text", "source", k=5)
 
 
 @q(

@@ -535,3 +535,37 @@ def test_gopher_rules_signal_values(spark):
     assert row["ellipsis_line_frac"] == pytest.approx(round(1 / 3, 6))
     assert row["stop_hits"] == 2  # 'of', 'the'
     assert row["symbol_word_ratio"] == pytest.approx(0.1)
+
+
+def test_line_dedup_repeated_boilerplate(spark):
+    boiler = "accept cookies to continue"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique first line\n{boiler}\nreal content one"),
+            (2, f"{boiler}\nreal content two"),
+            (3, f"real content three\n{boiler}"),
+            (4, "entirely unique document"),
+            (5, boiler),  # document that is ONLY the boilerplate line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in TX.line_dedup(df, min_count=2).collect()}
+    assert len(got) == 5  # row count preserved
+    # canonical copy (min (doc_id, pos)) survives in doc 1 only
+    assert got[1] == f"unique first line\n{boiler}\nreal content one"
+    assert got[2] == "real content two"
+    assert got[3] == "real content three"
+    assert got[4] == "entirely unique document"
+    assert got[5] == ""  # fully deduped doc stays, empty
+
+    # keep_first=False removes every copy including the canonical one
+    got2 = {r["doc_id"]: r["text"] for r in TX.line_dedup(df, min_count=2, keep_first=False).collect()}
+    assert got2[1] == "unique first line\nreal content one"
+
+
+def test_line_dedup_below_threshold_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "c\nd")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in TX.line_dedup(df, min_count=2).collect()}
+    assert got == {1: "a\nb", 2: "c\nd"}
