@@ -105,3 +105,28 @@ def test_contamination_broadcasts_eval_grams(spark):
     plan = plan_of(spark, "contamination_check")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_counts_partial_agg_topk(spark):
+    """Corpus n-gram counting must combine map-side and take the top-k
+    with a bounded heap — the difference between shuffling (gram,
+    partial-count) pairs and shuffling every gram occurrence."""
+    plan = plan_of(spark, "ngram_counts_top")
+    assert "TakeOrderedAndProject" in plan
+    before_exchange = plan.split("Exchange")[-1]  # deepest = pre-shuffle
+    assert "partial_count" in before_exchange or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_filter_is_scan_side(spark):
+    """The quality filter is one codegen'd scan pass: no Exchange, no
+    Python, no join anywhere in the plan."""
+    plan = plan_of(spark, "gopher_quality")
+    assert "Exchange" not in plan.replace("AQEShuffleRead", "")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_no_python_bounded_shuffles(spark):
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
