@@ -357,6 +357,7 @@ def line_dedup(
     id_col: str = "doc_id",
     min_count: int = 2,
     keep_first: bool = True,
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """Corpus-wide repeated-line removal (the C4/RefinedWeb dedup step
     that strips boilerplate navigation/cookie lines appearing across
@@ -365,7 +366,17 @@ def line_dedup(
     A line whose exact content occurs ``min_count``+ times across the
     corpus is dropped from every document — except, when ``keep_first``,
     the single canonical occurrence (minimum (doc_id, position)) which
-    is kept so the corpus retains one copy of the content.
+    is kept so the corpus retains one copy of the content. Lines
+    shorter than ``min_line_chars`` (default: empty lines, i.e. the
+    ``\\n\\n`` paragraph separators) are exempt from dedup entirely —
+    they are structure, not content, and C4/RefinedWeb-style pipelines
+    preserve them in every document.
+
+    Line identity is the 64-bit xxhash of the exact line content; as
+    with the document-level dedup family (see dedup.py), a 64-bit
+    collision merging two distinct lines is accepted (p ≈ n²/2⁶⁵; at
+    10¹⁰ corpus lines ≈ 0.3% chance of a single collision) in exchange
+    for never shuffling line text into the aggregation.
 
     Scale shape: posexplode lines → 8-byte line-hash shuffle (one
     groupBy computing count + canonical occurrence — never shuffles
@@ -387,7 +398,11 @@ def line_dedup(
     is_canonical = (F.col(f"_first.{id_col}") == F.col(id_col)) & (
         F.col("_first._pos") == F.col("_pos")
     )
-    keep = (F.col("_n") < min_count) | (is_canonical if keep_first else F.lit(False))
+    keep = (
+        (F.length("_line") < min_line_chars)
+        | (F.col("_n") < min_count)
+        | (is_canonical if keep_first else F.lit(False))
+    )
     survivors = joined.filter(keep)
     rebuilt = survivors.groupBy(id_col).agg(
         F.concat_ws(
@@ -419,6 +434,11 @@ def ngram_counts(
     from bigdata_foundation_spark.operators.dedup import word_ngrams
 
     grams = df.select(F.explode(word_ngrams(text_col, n, distinct=False)).alias("gram"))
+    # word_ngrams emits one '' gram for a zero-token (empty/NULL-text)
+    # document (its greatest(size-n+1, 1) floor); a real gram is never
+    # '' (tokens are non-empty), so this filter exactly drops tokenless
+    # docs — matching the oracle's WHERE len(toks) > 0.
+    grams = grams.filter(F.col("gram") != "")
     return (
         grams.groupBy("gram")
         .agg(F.count("*").cast("bigint").alias("n"))

@@ -77,20 +77,39 @@ def q(name: str, oracle: str | None, doc: str = ""):
 
 # The driver's correctness gate runs the FIRST 50 registry entries
 # (empirically: CORRECTNESS_r01.json == the first 50 registrations).
-# Round 1 gated the original first 50 (TPC-H core + relational breadth
-# + text/events — all green). This list front-loads the queries that
-# round's gate did NOT reach — graph parity (now pinned-golden
-# oracled), the TPC-H completion shapes, dedup/similarity/streaming/
-# multimodal — plus re-gates the fixed text_quality, so the union of
-# CORRECTNESS_r{N} files covers the whole registry. Entries not listed
-# keep their registration order after these.
+# Rounds 1–2 together gated 99 of the 108 registry entries; this list
+# front-loads (a) the 9 queries no round has ever gated, (b) the
+# round-3 fixes/upgrades that need fresh rows (graph_sssp_slice's
+# posexploded shape, pinned-golden oracles for the dedup/ANN/packing
+# rows-only family, the LSH-default embedding dedup, the empty-gram
+# ngram fix), and (c) re-gates of the full graph family, whose shared
+# projection/kernel code changed this round. Entries not listed keep
+# their registration order after these.
 GATE_ORDER: list[str] = [
-    # graph parity (SURVEY §2.1–2.2) — pinned-golden oracles
+    # (a) never gated in any round
+    "ann_lsh_topk",
+    "argmin_supplier_per_nation",
+    "grouping_sets_orders",
+    "having_large_orders",
+    "order_count_histogram",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "sql_q6_revenue",
+    "streaming_sliding",
+    # (b) round-3 fixes / oracle upgrades
+    "graph_sssp_slice",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "pack_sequences_summary",
+    "dedup_embedding_cosine",
+    "ngram_counts_top",
+    "line_dedup_gate",
+    # (c) graph family re-gates (projection/kernel changed this round)
     "graph_nodes",
     "graph_edges",
     "graph_ingest_limit",
     "graph_sssp",
-    "graph_sssp_slice",
     "graph_dijkstra",
     "graph_dijkstra_agg",
     "graph_astar",
@@ -98,60 +117,44 @@ GATE_ORDER: list[str] = [
     "graph_writeback",
     "graph_yens_postprocess",
     "graph_apsp_top10",
-    # fixed in round 2 (deterministic fixed-point average)
-    "text_quality",
-    # TPC-H completion (round 1 gated the other 13 shapes)
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "q18_large_volume_customers",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # training-data pipeline: dedup family
+    # re-confirmations of the operator families most adjacent to the
+    # round's changes (dedup/similarity/text/streaming/multimodal)
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_cluster_canonical",
-    # similarity / embeddings
     "embedding_normalize",
     "ann_brute_topk",
-    "ann_ivf_topk",
-    # text pipeline
+    "text_quality",
+    "gopher_quality",
+    "tfidf_top_terms",
     "text_redact_pii",
     "chunk_documents",
     "normalize_documents",
-    "gopher_quality",
-    "ngram_counts_top",
-    "tfidf_top_terms",
-
-    # multimodal plumbing
     "multimodal_ingest",
     "multimodal_decode",
     "multimodal_frame_sample",
-    # structured streaming
     "streaming_hourly",
     "streaming_sessionize",
     "streaming_dedup",
     "streaming_running_zscore",
     "streaming_upsert_sink",
     "streaming_interval_join",
-    # ops / observability
     "salted_agg_events",
     "events_gapfill",
-    "profile_orders",
-    "snapshot_diff_orders",
 ]
 
 
 def registry() -> dict[str, QuerySpec]:
     ordered: dict[str, QuerySpec] = {}
     for name in GATE_ORDER:
-        ordered[name] = _REGISTRY[name]
+        spec = _REGISTRY.get(name)
+        if spec is None:
+            # A renamed/removed query must not take down every registry
+            # consumer; the gate simply falls back to registration order
+            # for the missing slot (test_gate_order_names pins the list
+            # against silent drift).
+            continue
+        ordered[name] = spec
     for name, spec in _REGISTRY.items():
         ordered.setdefault(name, spec)
     return ordered
@@ -1229,6 +1232,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "line_dedup_gate",
+    r"""
+    WITH pages AS (
+      SELECT source AS page_id,
+             'ACCEPT COOKIES TO CONTINUE' || chr(10) ||
+             string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+             'COPYRIGHT FOOTER EXAMPLE' AS text
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source
+    ),
+    lines AS (
+      SELECT page_id, i - 1 AS pos, parts[i] AS line
+      FROM (SELECT page_id, string_split(text, chr(10)) AS parts FROM pages) p,
+           LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) i
+    ),
+    marked AS (
+      SELECT page_id, pos, line,
+             COUNT(*) OVER (PARTITION BY line) AS n,
+             row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rk
+      FROM lines
+    ),
+    rebuilt AS (
+      SELECT page_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM marked
+      WHERE length(line) < 1 OR n < 2 OR rk = 1
+      GROUP BY page_id
+    )
+    SELECT p.page_id AS page_id, coalesce(r.text, '') AS text
+    FROM pages p LEFT JOIN rebuilt r ON p.page_id = r.page_id
+    """,
+    "C4-style corpus line dedup gate: the flat corpus has no multi-line docs, "
+    "so build one page per source (docs joined by \\n, shared cookie-banner "
+    "header + copyright footer injected) and strip the cross-page boilerplate "
+    "down to its canonical occurrence; oracle re-derives the full keep rule "
+    "(count<2 OR first-occurrence OR empty-line exemption) with windows",
+)
+def line_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    body = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+    )
+    pages = d.groupBy(F.col("source").alias("page_id")).agg(
+        F.concat_ws(
+            "\n", F.lit("ACCEPT COOKIES TO CONTINUE"), body, F.lit("COPYRIGHT FOOTER EXAMPLE")
+        ).alias("text")
+    )
+    return TX.line_dedup(pages, id_col="page_id")
+
+
+@q(
     "token_totals_by_source",
     r"""
     SELECT source,
@@ -2255,7 +2312,8 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_sssp_slice",
     GOLDEN_SQL["graph_sssp_slice"],
     "G2 post-pipeline (neo4j-code.txt:54): ordered collect of SSSP distances, "
-    "Cypher-style [2181..2191] slice → one row of (NodeIds, distances) arrays",
+    "Cypher-style [2181..2191] slice, posexploded to scalar (pos, NodeId, "
+    "distance) rows so the gate can hash-compare them",
 )
 def graph_sssp_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.graph import sssp
@@ -2265,14 +2323,16 @@ def graph_sssp_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R6 ordered collect (explicit order: distance, then NodeId) + R7
     # 0-based half-open slice — the reference slices its 29930-node
     # result near the tail; CSV1 reaches 2191 nodes so slice the
-    # matching tail window [2181..2191).
+    # matching tail window [2181..2191). The slice window is then
+    # posexploded back to rows: array columns can't be hash-compared
+    # by the driver's pandas canonicalizer.
     pair = F.struct(F.col("distance"), F.col("NodeId"))
     collected = d.agg(F.sort_array(F.collect_list(pair)).alias("_p"))
-    return collected.select(
-        R.array_slice(F.transform("_p", lambda s: s["NodeId"]), 2181, 10).alias("NodeIds"),
-        R.array_slice(
-            F.transform("_p", lambda s: F.round(s["distance"], 6)), 2181, 10
-        ).alias("distances"),
+    window = collected.select(R.array_slice(F.col("_p"), 2181, 10).alias("_w"))
+    return window.select(F.posexplode("_w").alias("pos", "s")).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.NodeId").alias("NodeId"),
+        F.round("s.distance", 6).alias("distance"),
     )
 
 

@@ -569,3 +569,31 @@ def test_line_dedup_below_threshold_untouched(spark):
     )
     got = {r["doc_id"]: r["text"] for r in TX.line_dedup(df, min_count=2).collect()}
     assert got == {1: "a\nb", 2: "c\nd"}
+
+
+def test_line_dedup_preserves_blank_lines(spark):
+    """Empty lines (\\n\\n paragraph separators) are structure, not
+    content: every document keeps them even though '' repeats
+    corpus-wide (C4/RefinedWeb practice)."""
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "other one\n\nother two"), (3, "x\n\ny")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in TX.line_dedup(df, min_count=2).collect()}
+    assert got == {
+        1: "para one\n\npara two",
+        2: "other one\n\nother two",
+        3: "x\n\ny",
+    }
+
+
+def test_gate_order_names_all_registered():
+    """Every GATE_ORDER entry must name a registered query — a rename
+    must update the gate list, and registry() must never KeyError on a
+    stale entry (it skips, but that silently drops a gate slot)."""
+    from bigdata_foundation_spark.queries import _REGISTRY, GATE_ORDER
+
+    missing = [n for n in GATE_ORDER if n not in _REGISTRY]
+    assert not missing, f"GATE_ORDER names not in registry: {missing}"
+    dupes = [n for n in set(GATE_ORDER) if GATE_ORDER.count(n) > 1]
+    assert not dupes, f"duplicate GATE_ORDER entries: {dupes}"

@@ -185,14 +185,19 @@ def test_dijkstra_agg_golden(spark):
 
 def test_sssp_slice_query(spark):
     """The CODE:54-shape slice query returns the tail window of the
-    distance-ordered stream; the last element is the farthest golden."""
+    distance-ordered stream as scalar (pos, NodeId, distance) rows;
+    the last element is the farthest golden."""
     from bigdata_foundation_spark.queries import registry
 
-    row = registry()["graph_sssp_slice"].fn(spark, "unused").collect()[0]
-    assert len(row["NodeIds"]) == 10 and len(row["distances"]) == 10
-    assert row["NodeIds"][-1] == "2802"  # farthest reachable (FIXTURES §3.2)
-    assert abs(row["distances"][-1] - 9221.720431) < 1e-6
-    assert row["distances"] == sorted(row["distances"])
+    rows = sorted(
+        registry()["graph_sssp_slice"].fn(spark, "unused").collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [r["pos"] for r in rows] == list(range(10))
+    assert rows[-1]["NodeId"] == "2802"  # farthest reachable (FIXTURES §3.2)
+    assert abs(rows[-1]["distance"] - 9221.720431) < 1e-6
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
 
 
 def test_sssp_csv7_farthest_golden(spark):

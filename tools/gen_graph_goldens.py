@@ -169,13 +169,14 @@ def main() -> None:
     sssp_rows = sorted((n, r6(d)) for n, d in dist.items())
     oracles["graph_sssp"] = values_sql([("NodeId", "VARCHAR"), ("distance", "DOUBLE")], sssp_rows)
 
-    # --- graph_sssp_slice: ordered by (distance, NodeId), slice [2181, 2191)
+    # --- graph_sssp_slice: ordered by (distance, NodeId), slice [2181, 2191),
+    # posexploded to scalar (pos, NodeId, distance) rows — the driver's
+    # pandas canonicalizer cannot hash array columns (round-2 lesson).
     by_dist = sorted(((d, n) for n, d in dist.items()))
     window = by_dist[2181:2191]
-    ids = "[" + ", ".join(lit(n) for _d, n in window) + "]"
-    ds = "[" + ", ".join(repr(r6(d)) for d, _n in window) + "]"
-    oracles["graph_sssp_slice"] = (
-        f"{note}SELECT {ids}::VARCHAR[] AS NodeIds, {ds}::DOUBLE[] AS distances"
+    slice_rows = [(i, n, r6(d)) for i, (d, n) in enumerate(window)]
+    oracles["graph_sssp_slice"] = values_sql(
+        [("pos", "INTEGER"), ("NodeId", "VARCHAR"), ("distance", "DOUBLE")], slice_rows
     )
 
     # --- graph_dijkstra: streamed path (NodeId, cumulative cost)
