@@ -32,6 +32,7 @@ from bigdata_foundation_spark.operators import relational as R
 from bigdata_foundation_spark.operators import similarity as S
 from bigdata_foundation_spark.operators import text as TX
 from bigdata_foundation_spark.graph_goldens import GOLDEN_SQL
+from bigdata_foundation_spark.pipeline_goldens import PIPELINE_GOLDEN_SQL
 
 SHENZHEN_CSV = "/root/reference/Shenzhen_Edgelist_1.csv"
 
@@ -1661,8 +1662,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "pack_sequences_summary",
-    None,  # shard-greedy bin assignment isn't SQL-expressible; pytest owns invariants
-    "token-budget sequence packing (mapInPandas first-fit per shard) — corpus fill stats",
+    PIPELINE_GOLDEN_SQL["pack_sequences_summary"],
+    "token-budget sequence packing (mapInPandas first-fit per shard) — corpus "
+    "fill stats (pinned-golden oracle, gen_pipeline_goldens.py)",
 )
 def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.operators import packing as P
@@ -1726,8 +1728,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_minhash_lsh",
-    None,  # xxhash64-based signatures aren't reproducible in DuckDB
-    "MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only gate; pytest has planted-duplicate oracle)",
+    PIPELINE_GOLDEN_SQL["dedup_minhash_lsh"],
+    "MinHash+LSH near-dup pairs, exact-Jaccard verified (pinned-golden oracle from "
+    "the independent pure-Python replay, tools/gen_pipeline_goldens.py)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1736,8 +1739,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_simhash",
-    None,
-    "SimHash near-dup pairs, Hamming<=3 (rows-only gate; pytest oracle)",
+    PIPELINE_GOLDEN_SQL["dedup_simhash"],
+    "SimHash near-dup pairs, Hamming<=3 (pinned-golden oracle, gen_pipeline_goldens.py)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1861,8 +1864,9 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "ann_ivf_topk",
-    None,  # approximate by construction — recall measured in pytest
-    "IVF-cell approximate top-k, sampled centroids + n_probe re-rank (rows-only gate)",
+    PIPELINE_GOLDEN_SQL["ann_ivf_topk"],
+    "IVF-cell approximate top-k, sampled centroids + n_probe re-rank "
+    "(pinned-golden oracle, gen_pipeline_goldens.py)",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")

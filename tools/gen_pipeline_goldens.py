@@ -1,0 +1,327 @@
+"""Generate pinned-golden DuckDB oracles for the four training-data
+pipeline queries whose semantics DuckDB cannot re-derive directly
+(xxhash64 signatures / Spark-hash partitioning):
+
+    dedup_minhash_lsh, dedup_simhash, ann_ivf_topk,
+    pack_sequences_summary
+
+Same pattern as tools/gen_graph_goldens.py: an INDEPENDENT pure-Python
+re-implementation of each algorithm's published contract (Broder 1997
+MinHash + banding; Charikar 2002 SimHash + pigeonhole; FAISS-style IVF
+probe; first-fit bin packing) computes the expected rows from the raw
+parquet, and we pin them as VALUES tables. No engine code is imported —
+only tools/spark_hashes.py's spec-ported hash functions (themselves
+pinned against live-Spark vectors).
+
+The goldens replay the algorithms at sf0.01 on the driver's fixed
+corpus — the scale the correctness gate runs at. Output:
+``bigdata_foundation_spark/pipeline_goldens.py``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+from itertools import combinations
+
+import pyarrow.parquet as pq
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(__file__))
+from spark_hashes import murmur3_long, pmod, spark_xxhash64, xxh64_int, xxh64_long  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def r6(x: float) -> float:
+    """Spark-compatible round-half-up to 6 dp of a double."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+NOTE = (
+    "-- pinned golden computed by tools/gen_pipeline_goldens.py's\n"
+    "    -- INDEPENDENT pure-Python implementation at sf0.01 (xxhash64\n"
+    "    -- signatures are not reproducible inside DuckDB)\n    "
+)
+
+
+def values_sql(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
+    if not rows:
+        # empty result with the right column names/types
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return f"{NOTE}SELECT {sel} WHERE FALSE"
+    body = ",\n      ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    names = ", ".join(n for n, _t in cols)
+    return f"{NOTE}SELECT {sel} FROM (VALUES\n      {body}\n    ) AS t({names})"
+
+
+# --- corpus ----------------------------------------------------------------
+
+def load_documents() -> list[tuple[int, str]]:
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def load_embeddings() -> list[tuple[int, list[float]]]:
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return list(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+
+
+def normalize_text(s: str) -> str:
+    """engine normalize_text: lower + collapse ASCII whitespace runs
+    to one space (Java regex \\s is ASCII-only)."""
+    return re.sub(r"\s+", " ", s.lower(), flags=re.ASCII)
+
+
+# --- dedup_minhash_lsh -----------------------------------------------------
+
+def char_shingles(t: str, k: int = 5) -> list[str]:
+    n = max(len(t) - (k - 1), 1)
+    seen, out = set(), []
+    for i in range(n):
+        s = t[i : i + k]
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def minhash_golden(docs, num_hashes=64, bands=16, shingle_k=5, threshold=0.5, max_bucket=1000):
+    rows_per_band = num_hashes // bands
+    fam_cache: dict[int, list[int]] = {}
+
+    def family(h: int) -> list[int]:
+        got = fam_cache.get(h)
+        if got is None:
+            base = xxh64_long(h, 42)
+            got = fam_cache[h] = [xxh64_int(i, base) for i in range(num_hashes)]
+        return got
+
+    shingle_hashes: dict[int, set[int]] = {}
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in docs:
+        hs = {spark_xxhash64(s) for s in char_shingles(normalize_text(text), shingle_k)}
+        shingle_hashes[doc_id] = hs
+        sig = [min(family(h)[i] for h in hs) for i in range(num_hashes)]
+        sigs[doc_id] = sig
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = spark_xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band])
+            buckets.setdefault((b, key), []).append(doc_id)
+
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        for a, b in combinations(sorted(ids), 2):
+            cand.add((a, b))
+
+    est_floor = max(threshold - 0.15, 0.0)
+    out = []
+    for a, b in sorted(cand):
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        if agree / float(num_hashes) < est_floor:
+            continue
+        sa, sb = shingle_hashes[a], shingle_hashes[b]
+        j = r6(len(sa & sb) / max(len(sa | sb), 1))
+        if j >= threshold:
+            out.append((a, b, j))
+    return values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("jaccard", "DOUBLE")], out
+    )
+
+
+# --- dedup_simhash ---------------------------------------------------------
+
+def simhash_golden(docs, bits=60, chunks=4, max_hamming=3, max_bucket=1000):
+    tok_cache: dict[str, int] = {}
+    fingerprints: dict[int, int] = {}
+    for doc_id, text in docs:
+        toks = [t for t in normalize_text(text).split(" ") if t != ""]
+        votes = [0] * bits
+        for t in toks:
+            h = tok_cache.get(t)
+            if h is None:
+                h = tok_cache[t] = spark_xxhash64(t)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        packed = 0
+        for i in range(bits):
+            if votes[i] > 0:
+                packed |= 1 << i
+        fingerprints[doc_id] = packed
+
+    width = bits // chunks
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, fp in fingerprints.items():
+        for c in range(chunks):
+            buckets.setdefault((c, (fp >> (c * width)) & mask), []).append(doc_id)
+
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        for a, b in combinations(sorted(ids), 2):
+            cand.add((a, b))
+
+    out = []
+    for a, b in sorted(cand):
+        ham = bin(fingerprints[a] ^ fingerprints[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")], out
+    )
+
+
+# --- ann_ivf_topk ----------------------------------------------------------
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _norm(a):
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _cos(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8):
+    byid = dict(vecs)
+    centroids = [(cid, byid[vid]) for cid, vid in enumerate(sorted(byid)[:n_cells])]
+
+    def cell_scores(v):
+        return [(_cos(v, cvec), cid) for cid, cvec in centroids]
+
+    corpus_cell = {vid: max(cell_scores(v))[1] for vid, v in vecs}
+    cells: dict[int, list[int]] = {}
+    for vid, cell in corpus_cell.items():
+        cells.setdefault(cell, []).append(vid)
+
+    out = []
+    for qid in sorted(vid for vid in byid if vid < max_query_id):
+        qv = byid[qid]
+        probed = [cid for _s, cid in sorted(cell_scores(qv), reverse=True)[:n_probe]]
+        cand = {nid for cid in probed for nid in cells.get(cid, ()) if nid != qid}
+        scored = sorted(
+            ((r6(_cos(qv, byid[nid])), nid) for nid in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, nid) in enumerate(scored[:k], start=1):
+            out.append((qid, nid, cos, rank))
+    return values_sql(
+        [
+            ("query_id", "BIGINT"),
+            ("neighbor_id", "BIGINT"),
+            ("cosine", "DOUBLE"),
+            ("rank", "BIGINT"),
+        ],
+        out,
+    )
+
+
+# --- pack_sequences_summary ------------------------------------------------
+
+def pack_golden(docs, budget=512, num_shards=32):
+    def n_tokens(text: str) -> int:
+        return len([t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t != ""])
+
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        shards.setdefault(pmod(murmur3_long(doc_id), num_shards), []).append(
+            (doc_id, n_tokens(text))
+        )
+
+    pack_tokens: list[int] = []
+    n_docs = 0
+    for pid in shards:
+        bins: list[int] = []  # remaining capacity
+        toks: list[int] = []  # filled tokens per bin
+        for doc_id, n in sorted(shards[pid]):
+            n_docs += 1
+            placed = None
+            for i, cap in enumerate(bins):
+                if n <= cap:
+                    bins[i] = cap - n
+                    toks[i] += n
+                    placed = i
+                    break
+            if placed is None:
+                bins.append(max(budget - n, 0))
+                toks.append(n)
+        pack_tokens.extend(toks)
+
+    n_packs = len(pack_tokens)
+    avg_fill = r6(sum(t / float(budget) for t in pack_tokens) / n_packs)
+    pct_90 = r6(sum(1.0 for t in pack_tokens if t >= 0.9 * budget) / n_packs)
+    return values_sql(
+        [
+            ("n_packs", "BIGINT"),
+            ("n_docs", "BIGINT"),
+            ("avg_fill", "DOUBLE"),
+            ("pct_90_full", "DOUBLE"),
+        ],
+        [(n_packs, n_docs, avg_fill, pct_90)],
+    )
+
+
+def main() -> None:
+    docs = load_documents()
+    vecs = load_embeddings()
+    assert len(docs) == 500 and len(vecs) == 500, (len(docs), len(vecs))
+
+    oracles = {
+        "dedup_minhash_lsh": minhash_golden(docs),
+        "dedup_simhash": simhash_golden(docs),
+        "ann_ivf_topk": ivf_golden(vecs),
+        "pack_sequences_summary": pack_golden(docs),
+    }
+
+    out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
+    with open(out, "w") as f:
+        f.write(
+            '"""Pinned-golden DuckDB oracles for the hash-signature pipeline\n'
+            "queries at sf0.01 (the correctness gate's scale).\n\n"
+            "GENERATED by tools/gen_pipeline_goldens.py from an independent\n"
+            "pure-Python replay of each algorithm's published contract over\n"
+            "the raw parquet — NOT by the engine. Do not edit by hand;\n"
+            'regenerate instead."""\n\n'
+            "PIPELINE_GOLDEN_SQL: dict[str, str] = {\n"
+        )
+        for k, v in oracles.items():
+            f.write(f"    {k!r}: r'''{v}''',\n")
+        f.write("}\n")
+    print(f"wrote {out} with {len(oracles)} oracles")
+    for k, v in oracles.items():
+        print(f"  {k}: {len(v)} chars")
+
+
+if __name__ == "__main__":
+    main()
