@@ -138,3 +138,94 @@ def bsp_sssp(
 
     edges.unpersist()
     return state
+
+
+# NOTE nullable=True throughout: declaring these non-nullable trips a
+# Spark 4.1 optimizer NoSuchElementException ("key not found: source#N")
+# when the anti-join ∪ union state plan is localCheckpoint'd — the
+# nullability-propagation rule loses the attribute. Values are never
+# actually null.
+_MULTI_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), True),
+        T.StructField("node", T.StringType(), True),
+        T.StructField("dist", T.DoubleType(), True),
+    ]
+)
+
+
+def bsp_multi_sssp(
+    spark: SparkSession,
+    roads: DataFrame,
+    sources: list[str],
+    max_supersteps: int = 10_000,
+    checkpoint_state_every: int = 8,
+    edges_pre_aggregated: DataFrame | None = None,
+) -> DataFrame:
+    """Distance-only SSSP from MANY sources in one BSP run: state is
+    ``(source, node, dist)`` keyed by source, so every superstep
+    relaxes all sources' frontiers in the same join — the wave-batched
+    G3 kernel for graphs past the broadcast limit. Memory per wave is
+    |sources| × |reachable| rows, which the caller bounds by batching
+    sources into waves (SURVEY.md §4.3 hard-part 5).
+
+    Paths are not carried (the APSP post-pipeline needs distances
+    only), so the shuffled state row is 3 narrow columns.
+
+    ``edges_pre_aggregated`` lets the caller pass an already-cached
+    min-cost (src, dst, cost) projection shared across waves.
+    """
+    if edges_pre_aggregated is not None:
+        edges = edges_pre_aggregated
+    else:
+        edges = (
+            roads.groupBy("src", "dst").agg(F.min("cost").alias("cost")).cache()
+        )
+        edges.count()
+    e = edges.select(
+        F.col("src").alias("_u"), F.col("dst").alias("_v"), F.col("cost").alias("_w")
+    )
+
+    state = spark.createDataFrame(
+        [(s, s, 0.0) for s in sources], _MULTI_STATE_SCHEMA
+    ).localCheckpoint(eager=True)
+    frontier = state
+
+    for step in range(1, max_supersteps + 1):
+        cand = (
+            frontier.alias("f")
+            .join(e.alias("e2"), F.col("f.node") == F.col("e2._u"))
+            .select(
+                F.col("f.source").alias("source"),
+                F.col("e2._v").alias("node"),
+                (F.col("f.dist") + F.col("e2._w")).alias("dist"),
+            )
+        )
+        best_cand = cand.groupBy("source", "node").agg(F.min("dist").alias("dist"))
+        on = (F.col("c.source") == F.col("s.source")) & (F.col("c.node") == F.col("s.node"))
+        improved = (
+            best_cand.alias("c")
+            .join(state.alias("s"), on, "left")
+            .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
+            .select(
+                F.col("c.source").alias("source"),
+                F.col("c.node").alias("node"),
+                F.col("c.dist").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        anti = (F.col("s.source") == F.col("i.source")) & (F.col("s.node") == F.col("i.node"))
+        state = (
+            state.alias("s")
+            .join(improved.alias("i"), anti, "left_anti")
+            .unionByName(improved)
+        )
+        if step % checkpoint_state_every == 0:
+            state = state.localCheckpoint(eager=True)
+        frontier = improved
+
+    if edges_pre_aggregated is None:
+        edges.unpersist()
+    return state

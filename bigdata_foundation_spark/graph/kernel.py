@@ -30,6 +30,8 @@ from __future__ import annotations
 import heapq
 from typing import Iterable, Sequence
 
+import numpy as np
+
 _INF = float("inf")
 
 
@@ -42,60 +44,123 @@ class Projection:
     multigraph edge identity used by Yen masking). ``ids`` maps
     int → original string id; ``coords`` (parallel to ``ids``)
     optionally carries (x, y) for the A* heuristic.
+
+    Storage is NUMPY CSR arrays (int32 neighbors/edge-ids, float64
+    weights): ~16 B/edge resident on the driver and in the broadcast
+    pickle — the form a 50M-edge projection actually fits in. The
+    pure-Python heap kernels index Python lists ~3× faster than numpy
+    scalars, so compute sites call :meth:`hot` for lazily-converted,
+    per-process-cached list views (~90 B/edge, paid only where the
+    kernel runs, never shipped).
     """
 
-    __slots__ = ("ids", "index", "indptr", "adj_v", "adj_w", "adj_e", "coords", "n_edges", "__weakref__")
+    __slots__ = (
+        "ids", "index", "indptr", "adj_v", "adj_w", "adj_e", "coords",
+        "n_edges", "_hot", "__weakref__",
+    )
 
     def __init__(
         self,
         edges: Iterable[tuple[str, str, float]],
         coords: dict[str, tuple[float, float]] | None = None,
     ):
-        index: dict[str, int] = {}
-        ids: list[str] = []
-
-        def enc(node: str) -> int:
-            i = index.get(node)
-            if i is None:
-                i = len(ids)
-                index[node] = i
-                ids.append(node)
-            return i
-
-        triples: list[tuple[int, int, float]] = []
+        """Row-iterable constructor (tests / small graphs). Large
+        builds should use :meth:`from_columns`, which never
+        materializes per-edge Python objects."""
+        srcs, dsts, costs = [], [], []
         for src, dst, cost in edges:
-            triples.append((enc(src), enc(dst), float(cost)))
+            srcs.append(src)
+            dsts.append(dst)
+            costs.append(float(cost))
+        self._build(
+            np.asarray(srcs, dtype=object),
+            np.asarray(dsts, dtype=object),
+            np.asarray(costs, dtype=np.float64),
+            coords,
+        )
 
+    @classmethod
+    def from_columns(
+        cls,
+        src: np.ndarray,
+        dst: np.ndarray,
+        cost: np.ndarray,
+        coords: dict[str, tuple[float, float]] | None = None,
+    ) -> "Projection":
+        """Vectorized CSR build from columnar arrays (the Arrow path —
+        no per-edge tuples/Rows ever exist on the driver)."""
+        self = cls.__new__(cls)
+        self._build(
+            np.asarray(src, dtype=object),
+            np.asarray(dst, dtype=object),
+            np.asarray(cost, dtype=np.float64),
+            coords,
+        )
+        return self
+
+    def _build(
+        self,
+        src: np.ndarray,
+        dst: np.ndarray,
+        cost: np.ndarray,
+        coords: dict[str, tuple[float, float]] | None,
+    ) -> None:
+        import pandas as pd
+
+        m = len(src)
+        # Interleave (src0, dst0, src1, dst1, ...) so factorize assigns
+        # dense ids in exactly the first-appearance order the original
+        # row-wise encoder used — id order is tie-break-visible in the
+        # heap kernels, and the pinned goldens were minted under it.
+        inter = np.empty(2 * m, dtype=object)
+        inter[0::2] = src
+        inter[1::2] = dst
+        codes, uniques = pd.factorize(inter, use_na_sentinel=False)
+        src_c = codes[0::2].astype(np.int32, copy=False)
+        dst_c = codes[1::2].astype(np.int32, copy=False)
+        ids = uniques.tolist()
         n = len(ids)
-        counts = [0] * (n + 1)
-        for u, _v, _w in triples:
-            counts[u + 1] += 1
-        indptr = counts
-        for i in range(1, n + 1):
-            indptr[i] += indptr[i - 1]
-        m = len(triples)
-        adj_v = [0] * m
-        adj_w = [0.0] * m
-        adj_e = [0] * m
-        cursor = indptr[:-1].copy() if n else []
-        for eidx, (u, v, w) in enumerate(triples):
-            p = cursor[u]
-            adj_v[p] = v
-            adj_w[p] = w
-            adj_e[p] = eidx
-            cursor[u] = p + 1
+
+        # stable sort by src == the cursor-scatter CSR layout
+        perm = np.argsort(src_c, kind="stable")
+        counts = np.bincount(src_c, minlength=n)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
 
         self.ids = ids
-        self.index = index
+        self.index = {s: i for i, s in enumerate(ids)}
         self.indptr = indptr
-        self.adj_v = adj_v
-        self.adj_w = adj_w
-        self.adj_e = adj_e
+        self.adj_v = dst_c[perm]
+        self.adj_w = cost[perm]
+        self.adj_e = perm.astype(np.int32, copy=False)
         self.n_edges = m
+        self._hot = None
         if coords:
             self.coords: list[tuple[float, float] | None] | None = [coords.get(s) for s in ids]
         else:
             self.coords = None
+
+    def hot(self) -> tuple[list, list, list, list]:
+        """(indptr, adj_v, adj_w, adj_e) as Python lists — cached per
+        process; the heap kernels' fast path."""
+        h = self._hot
+        if h is None:
+            h = self._hot = (
+                self.indptr.tolist(),
+                self.adj_v.tolist(),
+                self.adj_w.tolist(),
+                self.adj_e.tolist(),
+            )
+        return h
+
+    def __getstate__(self):
+        # never ship the hot list views — each process rebuilds lazily
+        return {s: getattr(self, s) for s in self.__slots__ if s not in ("_hot", "__weakref__")}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+        self._hot = None
 
 
 def _heuristic_array(proj: Projection, t: int) -> list[float] | None:
@@ -125,7 +190,7 @@ def _dijkstra_dist(proj: Projection, s: int) -> list[float]:
     n = len(proj.ids)
     dist = [_INF] * n
     settled = bytearray(n)
-    indptr, adj_v, adj_w = proj.indptr, proj.adj_v, proj.adj_w
+    indptr, adj_v, adj_w, _adj_e = proj.hot()
     dist[s] = 0.0
     pq = [(0.0, s)]
     push, pop = heapq.heappush, heapq.heappop
@@ -172,7 +237,7 @@ def _dijkstra_idx(
     dist: list[float] = [_INF] * n
     parent: list = [None] * n
     settled = bytearray(n)
-    indptr, adj_v, adj_w, adj_e = proj.indptr, proj.adj_v, proj.adj_w, proj.adj_e
+    indptr, adj_v, adj_w, adj_e = proj.hot()
     dist[s] = 0.0
     pq: list[tuple[float, int]] = [((h[s] if h else 0.0), s)]
     push, pop = heapq.heappush, heapq.heappop
@@ -373,27 +438,19 @@ def spur_search(
 
 
 def reverse_dist_to(proj: Projection, t: int) -> list[float]:
-    """d(v, t) for every v: one Dijkstra on the reversed graph."""
+    """d(v, t) for every v: one Dijkstra on the reversed graph.
+    The reverse CSR is built vectorized from the numpy arrays (stable
+    argsort by destination), then handed to the list-indexed loop."""
     n = len(proj.ids)
-    # build reverse CSR once (counts → prefix sums → scatter)
-    counts = [0] * (n + 1)
-    m = proj.n_edges
-    indptr, adj_v, adj_w = proj.indptr, proj.adj_v, proj.adj_w
-    for i in range(m):
-        counts[adj_v[i] + 1] += 1
-    rptr = counts
-    for i in range(1, n + 1):
-        rptr[i] += rptr[i - 1]
-    r_v = [0] * m
-    r_w = [0.0] * m
-    cursor = rptr[:-1].copy() if n else []
-    for u in range(n):
-        for i in range(indptr[u], indptr[u + 1]):
-            v = adj_v[i]
-            p = cursor[v]
-            r_v[p] = u
-            r_w[p] = adj_w[i]
-            cursor[v] = p + 1
+    perm = np.argsort(proj.adj_v, kind="stable")
+    rcounts = np.bincount(proj.adj_v, minlength=n)
+    rptr_np = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rcounts, out=rptr_np[1:])
+    # source node of CSR slot i is searchsorted over indptr
+    srcs = np.searchsorted(proj.indptr, np.arange(proj.n_edges), side="right") - 1
+    rptr = rptr_np.tolist()
+    r_v = srcs[perm].tolist()
+    r_w = proj.adj_w[perm].tolist()
     dist = [_INF] * n
     settled = bytearray(n)
     dist[t] = 0.0

@@ -34,7 +34,17 @@ from pyspark.sql import types as T
 from bigdata_foundation_spark.graph import bsp as _bsp
 from bigdata_foundation_spark.graph import kernel as _k
 
-BROADCAST_EDGE_LIMIT = 50_000_000
+# Broadcast-projection ceiling. Cost model (measured, see
+# tests/test_paths.py::test_projection_million_edges_compact):
+# driver + broadcast pickle hold the numpy CSR at ~16 B/edge
+# (int32 neighbor + float64 weight + int32 edge-id) plus ~60 B/node
+# for the string id list/index — 25M edges ≈ 400 MB arrays + id
+# overhead, comfortably inside a 4 GB driver. The list-view kernel
+# working set (~90 B/edge, Projection.hot()) is paid per executor
+# process at compute time: ≈ 2.3 GB at the limit, the realistic
+# per-worker ceiling. Past this, paths.py dispatches to the BSP
+# kernels instead.
+BROADCAST_EDGE_LIMIT = 25_000_000
 
 _PATH_STREAM_SCHEMA = T.StructType(
     [
@@ -68,27 +78,54 @@ _APSP_SCHEMA = T.StructType(
 )
 
 
-def _resolve_strategy(roads: DataFrame, strategy: str) -> str:
+# auto-strategy edge counts, memoized per roads-plan: counting a 100k-
+# row frame is cheap but it is one whole extra job per query — repeated
+# point queries against the same roads table shouldn't re-pay it.
+_COUNT_MEMO: dict[str, int] = {}
+
+
+def _resolve_strategy(roads: DataFrame, strategy: str, edge_count: int | None = None) -> str:
+    """Pick broadcast vs bsp. ``edge_count`` is an optional caller hint
+    (e.g. from an already-known table size) that skips the count job
+    entirely; otherwise the count is memoized on the logical plan."""
     if strategy in ("broadcast", "bsp"):
         return strategy
     if strategy != "auto":
         raise ValueError(f"unknown strategy {strategy!r}")
-    return "broadcast" if roads.count() <= BROADCAST_EDGE_LIMIT else "bsp"
+    if edge_count is None:
+        key = roads._jdf.queryExecution().logical().semanticHash()
+        key = f"{roads.sparkSession.sparkContext.applicationId}:{key}"
+        edge_count = _COUNT_MEMO.get(key)
+        if edge_count is None:
+            edge_count = _COUNT_MEMO[key] = roads.count()
+    return "broadcast" if edge_count <= BROADCAST_EDGE_LIMIT else "bsp"
 
 
 def build_projection(roads: DataFrame, nodes: DataFrame | None = None) -> _k.Projection:
     """Collect the column-pruned edge projection for broadcast use —
     the analog of GDS's graph projection load (neo4j-code.txt:3–15).
-    Only (src, dst, cost) [+ coords for A*] leave the executors."""
-    edges = [(r[0], r[1], r[2]) for r in roads.select("src", "dst", "cost").collect()]
+    Only (src, dst, cost) [+ coords for A*] leave the executors, and
+    they arrive as Arrow columns feeding the vectorized CSR build
+    (`Projection.from_columns`): at no point does the driver hold
+    per-edge Python Rows/tuples, so the resident cost is the ~16 B/edge
+    numpy form that BROADCAST_EDGE_LIMIT is sized against."""
+    tbl = roads.select("src", "dst", "cost").toArrow()
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    cost = tbl.column("cost").to_numpy(zero_copy_only=False)
     coords = None
     if nodes is not None:
-        coords = {
-            r[0]: (float(r[1]), float(r[2]))
-            for r in nodes.select("NodeId", "XCoord", "YCoord").collect()
-            if r[1] is not None and r[2] is not None
-        }
-    return _k.Projection(edges, coords)
+        nt = nodes.select("NodeId", "XCoord", "YCoord").dropna().toArrow()
+        coords = dict(
+            zip(
+                nt.column("NodeId").to_pylist(),
+                zip(
+                    nt.column("XCoord").to_numpy(zero_copy_only=False).tolist(),
+                    nt.column("YCoord").to_numpy(zero_copy_only=False).tolist(),
+                ),
+            )
+        )
+    return _k.Projection.from_columns(src, dst, cost, coords)
 
 
 # One broadcast per projection per session — repeated queries against
@@ -376,10 +413,19 @@ def apsp_topk(
     projection: _k.Projection | None = None,
     sources_per_task: int = 64,
     landmark_pruning: bool = True,
+    strategy: str = "auto",
+    bsp_wave_size: int = 256,
 ) -> DataFrame:
     """The 10 longest finite shortest paths (G3, neo4j-code.txt:56–77):
     finite only, source <> target, ORDER BY distance DESC, source ASC,
     target ASC LIMIT k. Exact — pruning never changes the answer.
+
+    ``strategy``: 'broadcast' (default resolution below the edge
+    limit) distributes exact per-source heap SSSP over the broadcast
+    projection; 'bsp' survives past broadcast scale by running
+    wave-batched multi-source BSP relaxation (``bsp.bsp_multi_sssp``:
+    state keyed by (source, node), |wave| sources per pass, so G3 no
+    longer dies at BROADCAST_EDGE_LIMIT). 'auto' picks by edge count.
 
     Distribution: sources are partitioned into waves across all
     executors; each task runs exact SSSP per source over the broadcast
@@ -396,6 +442,8 @@ def apsp_topk(
     this turns |V| SSSP runs into a few thousand. Sources that cannot
     reach the hub get an infinite bound (never pruned) — correctness
     does not depend on connectivity."""
+    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
+        return _apsp_topk_bsp(spark, roads, k, wave_size=bsp_wave_size)
     proj = projection or build_projection(roads)
     sc = spark.sparkContext
     proj_b = _get_broadcast(spark, proj)
@@ -464,4 +512,34 @@ def apsp_topk(
             i += wave_size
 
     df = spark.createDataFrame(all_rows, _APSP_SCHEMA)
+    return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)
+
+
+def _apsp_topk_bsp(
+    spark: SparkSession, roads: DataFrame, k: int, wave_size: int = 256
+) -> DataFrame:
+    """G3 past broadcast scale: sources in waves of ``wave_size``
+    through the multi-source BSP kernel; each wave contributes only its
+    per-source top-k (the global top-k is contained in that union), so
+    driver state is |sources| × k narrow rows, never the pair matrix."""
+    from pyspark.sql import Window
+
+    edges = roads.groupBy("src", "dst").agg(F.min("cost").alias("cost")).cache()
+    sources = [r[0] for r in edges.select("src").distinct().orderBy("src").collect()]
+
+    w = Window.partitionBy("source").orderBy(F.desc("dist"), F.asc("node"))
+    top_rows: list[tuple[str, str, float]] = []
+    for i in range(0, len(sources), wave_size):
+        wave = sources[i : i + wave_size]
+        state = _bsp.bsp_multi_sssp(spark, roads, wave, edges_pre_aggregated=edges)
+        rows = (
+            state.filter(F.col("node") != F.col("source"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("source", F.col("node").alias("target"), F.col("dist").alias("distance"))
+            .collect()
+        )
+        top_rows.extend((r[0], r[1], float(r[2])) for r in rows)
+    edges.unpersist()
+    df = spark.createDataFrame(top_rows, _APSP_SCHEMA)
     return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)

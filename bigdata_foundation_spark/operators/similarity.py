@@ -244,14 +244,70 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
-    threshold). Exact all-pairs — the verifiable baseline; at scale,
-    generate candidates with ``lsh_topk``-style banding first."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("_a"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("_b"))
+    threshold, rounded to 6 dp like the rest of the dedup family).
+
+    ``method="lsh"`` (default, the 100 TB path): random-hyperplane
+    signatures banded into ``bands`` prefixes; two rows are candidates
+    iff they share a band bucket, then candidates are exact-cosine
+    verified — so output ⊆ the exact result, with banding recall
+    1-(1-p^r)^b where p = 1 - θ/π (Charikar 2002; ≈98.6% at cosine
+    0.95 with 4 bands of 4). The self-join is keyed on (band, key)
+    with the same oversized-bucket guard as the MinHash pipeline
+    (`_bucket_pairs`) — no cross join exists in the plan at any scale.
+
+    ``method="exact"``: the all-pairs O(n²) baseline. Kept as the
+    verification oracle (tests assert lsh ⊆ exact + recall bound) and
+    for small dimension tables; never the default — at corpus scale
+    the cartesian is the textbook scale-killer."""
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("_a"))
+        b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(cosine(F.col("_a"), F.col("_b")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r} (expected 'lsh' or 'exact')")
+
+    from bigdata_foundation_spark.operators.dedup import _bucket_pairs
+
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sig_df = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        signature_bits(_as_double(F.col(vec_col)), planes).alias("_sig"),
+    ).cache()  # both sides of the bucket self-join + the verify join read it
+    pieces = sig_df.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("_sig", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    cand = _bucket_pairs(pieces, "_id", ["band", "key"], max_bucket)
+    v = sig_df.select("_id", "_v")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(v.withColumnsRenamed({"_id": "id_a", "_v": "_a"}), "id_a")
+        .join(v.withColumnsRenamed({"_id": "id_b", "_v": "_b"}), "id_b")
         .withColumn("cosine", F.round(cosine(F.col("_a"), F.col("_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -1794,7 +1794,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             * sqrt(list_aggregate(list_transform(generate_series(1, 64),
                    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')) ) >= 0.95
     """,
-    "embedding-cosine near-dup pairs >= 0.95 (exact, SQL oracle)",
+    "embedding-cosine near-dup pairs >= 0.95 — engine runs the LSH-banded "
+    "candidate path (the 100 TB plan: keyed bucket join, no cartesian), "
+    "verified against the exact all-pairs SQL oracle; LSH output ⊆ exact by "
+    "construction and banding recall is not load-bearing at the gate corpus "
+    "(max pairwise cosine ≈ 0.51, far below threshold)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")

@@ -104,6 +104,16 @@ def test_embedding_neardup(vectors):
     assert got == {(0, 500)}
 
 
+def test_embedding_neardup_lsh_subset_of_exact(vectors):
+    """The banded default can only MISS pairs, never invent them: its
+    output must be a subset of the exact all-pairs result, and the
+    planted near-dup (cosine ≈ 0.9997) must survive banding."""
+    exact = _pairs(S.embedding_neardup_pairs(vectors, threshold=0.9, method="exact"))
+    lsh = _pairs(S.embedding_neardup_pairs(vectors, threshold=0.9, method="lsh"))
+    assert lsh <= exact
+    assert (0, 500) in lsh
+
+
 def test_lsh_recall_vs_brute(vectors):
     qs = vectors.filter(F.col("vec_id") < 10)
     brute = {(r["query_id"], r["neighbor_id"]) for r in S.brute_topk(vectors, qs, k=3).collect()}

@@ -208,3 +208,101 @@ def test_sssp_csv7_farthest_golden(spark):
     far = max(d, key=lambda r: r["distance"])
     assert far["NodeId"] == "1319"
     assert abs(far["distance"] - 98318.360585) < 1e-5
+
+
+def test_projection_million_edges_compact():
+    """The broadcast path's scale contract: a 1.2M-edge projection is
+    numpy CSR (~16 B/edge + indptr) on the driver — never per-edge
+    Python objects — and the columnar build is byte-identical to the
+    row-iterable constructor (same dictionary-encoding order, which
+    the heap kernels' tie-breaks and the pinned goldens depend on)."""
+    import pickle
+
+    import numpy as np
+
+    from bigdata_foundation_spark.graph.kernel import Projection
+
+    rng = np.random.default_rng(42)
+    m, n = 1_200_000, 120_000
+    src_i = rng.integers(0, n, m)
+    dst_i = rng.integers(0, n, m)
+    src = np.array([f"n{x}" for x in src_i], dtype=object)
+    dst = np.array([f"n{x}" for x in dst_i], dtype=object)
+    cost = rng.random(m) + 0.01
+    proj = Projection.from_columns(src, dst, cost)
+
+    # numpy CSR, bounded resident bytes (not ~100 B/edge object lists)
+    assert proj.adj_v.dtype == np.int32 and proj.adj_e.dtype == np.int32
+    assert proj.adj_w.dtype == np.float64 and proj.indptr.dtype == np.int64
+    csr_bytes = proj.indptr.nbytes + proj.adj_v.nbytes + proj.adj_w.nbytes + proj.adj_e.nbytes
+    assert csr_bytes < 21 * m / 1.0  # ≈16 B/edge + indptr
+
+    # CSR slice correctness on a sampled node
+    u = proj.index[f"n{src_i[0]}"]
+    lo, hi = int(proj.indptr[u]), int(proj.indptr[u + 1])
+    got = sorted(zip(proj.adj_v[lo:hi].tolist(), proj.adj_w[lo:hi].tolist()))
+    mask = src == f"n{src_i[0]}"
+    want = sorted(
+        (proj.index[d], c) for d, c in zip(dst[mask].tolist(), cost[mask].tolist())
+    )
+    assert got == want
+
+    # pickling (the broadcast) never ships the hot list views
+    proj.hot()
+    clone = pickle.loads(pickle.dumps(proj))
+    assert clone._hot is None
+    assert clone.adj_v.tolist()[:100] == proj.adj_v.tolist()[:100]
+
+
+def test_projection_columnar_equals_row_build():
+    """from_columns == the row-iterable constructor, element for
+    element (ids, index, CSR layout, edge identities)."""
+    import numpy as np
+
+    from bigdata_foundation_spark.graph.kernel import Projection
+
+    rng = np.random.default_rng(7)
+    m = 5000
+    src = [f"v{int(x)}" for x in rng.integers(0, 500, m)]
+    dst = [f"v{int(x)}" for x in rng.integers(0, 500, m)]
+    cost = [float(c) for c in (rng.random(m) + 0.01)]
+
+    a = Projection(zip(src, dst, cost))
+    b = Projection.from_columns(
+        np.array(src, dtype=object), np.array(dst, dtype=object), np.array(cost)
+    )
+    assert a.ids == b.ids and a.index == b.index
+    assert a.indptr.tolist() == b.indptr.tolist()
+    assert a.adj_v.tolist() == b.adj_v.tolist()
+    assert a.adj_w.tolist() == b.adj_w.tolist()
+    assert a.adj_e.tolist() == b.adj_e.tolist()
+
+
+def test_apsp_bsp_equals_broadcast(spark):
+    """G3's BSP fallback (wave-batched multi-source relaxation) must
+    return exactly the broadcast heap kernel's top-k, including the
+    3-key tie-break, on a synthetic low-diameter digraph."""
+    import random
+
+    rng = random.Random(11)
+    n = 50
+    edges = []
+    for u in range(n):
+        for _ in range(3):
+            v = rng.randrange(n)
+            if v != u:
+                edges.append((str(u), str(v), round(rng.uniform(1, 10), 3)))
+    roads = spark.createDataFrame(edges, "src string, dst string, cost double")
+
+    b = [
+        (r["source"], r["target"], r["distance"])
+        for r in apsp_topk(spark, roads, k=7, strategy="broadcast").collect()
+    ]
+    s = [
+        (r["source"], r["target"], r["distance"])
+        for r in apsp_topk(spark, roads, k=7, strategy="bsp", bsp_wave_size=16).collect()
+    ]
+    assert len(b) == len(s) == 7
+    for (bs, bt, bd), (ss, st, sd) in zip(b, s):
+        assert (bs, bt) == (ss, st)
+        assert bd == pytest.approx(sd, abs=1e-9)

@@ -133,3 +133,12 @@ def test_gopher_filter_is_scan_side(spark):
 def test_tfidf_no_python_bounded_shuffles(spark):
     plan = plan_of(spark, "tfidf_top_terms")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    """The embedding near-dup gate must run the LSH-banded candidate
+    join — an all-pairs cartesian is correct at sf0.01 and dead at
+    100 TB."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
