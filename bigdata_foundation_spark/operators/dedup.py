@@ -64,18 +64,18 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     would re-run the regex for every shingle (~400× per document; this
     exact pitfall cost 15s of a 30s pipeline before the rewrite).
 
-    The text is split to a char array first and each shingle is an
-    array_join of a k-slice: ``substring(t, i, k)`` re-seeks the
-    UTF-8 string from the start for every position (O(L²) per doc) and
-    was 6.5× slower on the same corpus — measured, identical output."""
+    A split-to-char-array + array_join(slice) formulation was measured
+    steady-state EQUAL to substring (UTF8String has an ASCII fast
+    path; early "6.5×" reading was JIT warm-up bias) — keep the
+    simpler substring form."""
 
-    def inner(cs: Column) -> Column:
-        n = F.greatest(F.size(cs) - F.lit(k - 1), F.lit(1))
+    def inner(t: Column) -> Column:
+        n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
         return F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(cs, i, k), ""))
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k))
         )
 
-    return F.transform(F.array(F.split(normalize_text(text), "")), inner)[0]
+    return F.transform(F.array(normalize_text(text)), inner)[0]
 
 
 def word_ngrams(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
@@ -383,19 +383,22 @@ def simhash_table(
         F.col(id_col),
         F.explode(F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")).alias("_tok"),
     ).withColumn("_h", F.xxhash64("_tok"))
+    # ±1 votes computed branch-free: the vote sum for bit i equals
+    # 2·(count of ones) − (token count), so sign(votes_i) > 0 iff
+    # 2·ones_i > n — bit-identical fingerprints, steady-state equal
+    # cost to the when/otherwise form (kept for the simpler codegen).
     votes = toks.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_b{i}")
+            F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_o{i}")
             for i in range(bits)
-        ]
+        ],
     )
     packed = F.lit(0).cast("long")
     for i in range(bits):
-        packed = packed + F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        packed = packed + F.when(
+            2 * F.col(f"_o{i}") > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
