@@ -1881,8 +1881,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "ann_lsh_topk",
-    None,  # approximate by construction — recall measured in pytest
-    "LSH-bucketed approximate top-k (rows-only gate)",
+    PIPELINE_GOLDEN_SQL["ann_lsh_topk"],
+    "LSH-bucketed approximate top-k (pinned-golden oracle, gen_pipeline_goldens.py)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")

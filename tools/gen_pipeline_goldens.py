@@ -247,6 +247,62 @@ def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8):
     )
 
 
+# --- ann_lsh_topk ----------------------------------------------------------
+
+def lsh_golden(vecs, k=5, n_planes=16, bands=4, dim=64, seed=42, max_query_id=8):
+    """Replay of similarity.lsh_topk: random-hyperplane signatures from
+    the same seeded construction (stdlib Random(seed).gauss — a public,
+    reproducible sequence), banded prefixes, candidate = shares any
+    band, exact cosine re-rank."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def sig(v):
+        s = 0
+        for i, p in enumerate(planes):
+            if _dot(v, p) >= 0:
+                s |= 1 << i
+        return s
+
+    byid = dict(vecs)
+    bands_of = {
+        vid: [(b, (sig(v) >> (b * width)) & mask) for b in range(bands)]
+        for vid, v in vecs
+    }
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vid, bl in bands_of.items():
+        for key in bl:
+            buckets.setdefault(key, []).append(vid)
+
+    out = []
+    for qid in sorted(vid for vid in byid if vid < max_query_id):
+        cand = {
+            nid
+            for key in bands_of[qid]
+            for nid in buckets.get(key, ())
+            if nid != qid
+        }
+        scored = sorted(
+            ((r6(_cos(byid[qid], byid[nid])), nid) for nid in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, nid) in enumerate(scored[:k], start=1):
+            out.append((qid, nid, cos, rank))
+    return values_sql(
+        [
+            ("query_id", "BIGINT"),
+            ("neighbor_id", "BIGINT"),
+            ("cosine", "DOUBLE"),
+            ("rank", "BIGINT"),
+        ],
+        out,
+    )
+
+
 # --- pack_sequences_summary ------------------------------------------------
 
 def pack_golden(docs, budget=512, num_shards=32):
@@ -301,6 +357,7 @@ def main() -> None:
         "dedup_minhash_lsh": minhash_golden(docs),
         "dedup_simhash": simhash_golden(docs),
         "ann_ivf_topk": ivf_golden(vecs),
+        "ann_lsh_topk": lsh_golden(vecs),
         "pack_sequences_summary": pack_golden(docs),
     }
 
