@@ -460,13 +460,19 @@ def tfidf_top_terms(
     Ranking uses the UNROUNDED score (deterministic: ties broken by
     term asc); the returned score is rounded to 6 dp. Two keyed
     aggregations + one broadcastable group-count join — no windows
-    over raw tokens."""
+    over raw tokens. The group count enters as a broadcast 1-row
+    cross join, keeping the whole operator lazy (no count job at
+    plan-construction time)."""
     toks = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(group_col, "term").agg(F.count("*").alias("_tf"))
-    n_groups = df.select(group_col).distinct().count()
+    ng = df.select(group_col).distinct().agg(
+        F.count("*").cast("double").alias("_n_groups")
+    )
     gf = tf.groupBy("term").agg(F.count("*").alias("_gf"))
-    scored = tf.join(gf, "term").withColumn(
-        "_score", F.col("_tf") * F.log(F.lit(float(n_groups)) / F.col("_gf"))
+    scored = (
+        tf.join(gf, "term")
+        .crossJoin(F.broadcast(ng))
+        .withColumn("_score", F.col("_tf") * F.log(F.col("_n_groups") / F.col("_gf")))
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("_score"), F.asc("term"))
     return (

@@ -104,6 +104,7 @@ GATE_ORDER: list[str] = [
     "ann_ivf_topk",
     "pack_sequences_summary",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ngram_counts_top",
     "line_dedup_gate",
     # (c) graph family re-gates (projection/kernel changed this round)
@@ -141,7 +142,6 @@ GATE_ORDER: list[str] = [
     "streaming_upsert_sink",
     "streaming_interval_join",
     "salted_agg_events",
-    "events_gapfill",
 ]
 
 
@@ -1803,6 +1803,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return S.embedding_neardup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_embedding_lsh",
+    PIPELINE_GOLDEN_SQL["dedup_embedding_lsh"],
+    "embedding near-dup via the LSH-banded path at threshold 0.4 — low enough "
+    "that the gate corpus has real pairs, so banding recall itself is part of "
+    "the pinned answer (independent pure-Python replay of banding + verify)",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(e, threshold=0.4, method="lsh").orderBy("id_a", "id_b")
 
 
 @q(

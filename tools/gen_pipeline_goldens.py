@@ -303,6 +303,54 @@ def lsh_golden(vecs, k=5, n_planes=16, bands=4, dim=64, seed=42, max_query_id=8)
     )
 
 
+# --- dedup_embedding_lsh (threshold low enough for real pairs) -------------
+
+def neardup_lsh_golden(
+    vecs, threshold=0.4, n_planes=16, bands=4, dim=64, seed=42, max_bucket=100_000
+):
+    """Replay of similarity.embedding_neardup_pairs(method='lsh'): the
+    banded-candidate path itself is the contract under test, so the
+    golden replays banding + exact verify (not all-pairs) — at this
+    threshold real pairs exist AND banding recall is part of the
+    pinned answer."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def sig(v):
+        s = 0
+        for i, p in enumerate(planes):
+            if _dot(v, p) >= 0:
+                s |= 1 << i
+        return s
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    byid = dict(vecs)
+    for vid, v in vecs:
+        s = sig(v)
+        for b in range(bands):
+            buckets.setdefault((b, (s >> (b * width)) & mask), []).append(vid)
+
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        for a, b in combinations(sorted(ids), 2):
+            cand.add((a, b))
+
+    out = []
+    for a, b in sorted(cand):
+        cos = r6(_cos(byid[a], byid[b]))
+        if cos >= threshold:
+            out.append((a, b, cos))
+    return values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")], out
+    )
+
+
 # --- pack_sequences_summary ------------------------------------------------
 
 def pack_golden(docs, budget=512, num_shards=32):
@@ -358,6 +406,7 @@ def main() -> None:
         "dedup_simhash": simhash_golden(docs),
         "ann_ivf_topk": ivf_golden(vecs),
         "ann_lsh_topk": lsh_golden(vecs),
+        "dedup_embedding_lsh": neardup_lsh_golden(vecs),
         "pack_sequences_summary": pack_golden(docs),
     }
 
