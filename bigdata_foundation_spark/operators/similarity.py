@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -190,28 +190,11 @@ def ivf_topk(
     literal-expression argmax evaluated JVM-side — the corpus is
     bucketed once (write it partitioned by cell in a real deployment
     and probing becomes partition pruning)."""
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(id_col, _as_double(F.col(vec_col)).alias("_v"))
-        .collect()
-    )
-    centroids = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
-
-    def cell_scores(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("sim"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in centroids
-            ]
-        )
+    centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("cell", F.array_max(cell_scores(F.col("_cv")))["cid"])
+    ).withColumn("cell", F.array_max(_cell_scores(F.col("_cv"), centroids))["cid"])
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
@@ -219,12 +202,109 @@ def ivf_topk(
         "cell",
         F.explode(
             F.transform(
-                F.slice(F.sort_array(cell_scores(F.col("_qv")), asc=False), 1, n_probe),
+                F.slice(F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False), 1, n_probe),
                 lambda s: s["cid"],
             )
         ),
     )
 
+    cand = (
+        F.broadcast(q).join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _centroids_from(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str):
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+        .collect()
+    )
+    return [(i, list(r["_v"])) for i, r in enumerate(seeds)]
+
+
+def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("sim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet table —
+    the 100 TB deployment of ``ivf_topk``: the corpus is written once
+    partitioned by its nearest-centroid cell, and querying becomes
+    partition pruning (the scan touches only the probed cells'
+    directories; `tests/test_operators.py` pins ``PartitionFilters``
+    in the physical plan). Centroids are persisted next to the index
+    (``<path>__centroids``) so the query path needs no corpus pass."""
+    centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
+    spark = corpus.sparkSession
+    c = corpus.withColumn(
+        "cell", F.array_max(_cell_scores(_as_double(F.col(vec_col)), centroids))["cid"]
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "__centroids")
+
+
+def ivf_query(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against an ``ivf_build`` index. Each query's ``n_probe``
+    nearest cells are resolved driver-side from the persisted
+    centroids; their union becomes a static ``cell IN (...)`` filter
+    that Spark turns into partition pruning — at corpus scale the scan
+    reads |probed cells| / n_cells of the data, no full pass. Results
+    are identical to ``ivf_topk`` with the same parameters."""
+    centroids = [
+        (int(r["cell"]), list(r["centroid"]))
+        for r in spark.read.parquet(path + "__centroids").collect()
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select("cell", F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    )
     cand = (
         F.broadcast(q).join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -607,3 +607,23 @@ def test_gate_order_names_all_registered():
     assert not missing, f"GATE_ORDER names not in registry: {missing}"
     dupes = [n for n in set(GATE_ORDER) if GATE_ORDER.count(n) > 1]
     assert not dupes, f"duplicate GATE_ORDER entries: {dupes}"
+
+
+def test_ivf_build_query_partition_pruning(spark, vectors, tmp_path):
+    """The materialized IVF index must (a) return exactly ivf_topk's
+    results and (b) plan its scan with PartitionFilters on cell — the
+    partition-pruning deployment where probing skips unprobed cells'
+    files entirely."""
+    path = str(tmp_path / "ivf_index")
+    S.ivf_build(vectors, path, n_cells=8)
+    qs = vectors.filter(F.col("vec_id") < 6)
+    got = S.ivf_query(spark, path, qs, k=3, n_probe=2)
+    want = S.ivf_topk(vectors, qs, k=3, n_cells=8, n_probe=2)
+    as_rows = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
