@@ -37,10 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; omitted
-    keys (iterative graph search, LSH approximations, hash-based
-    fakes) get the driver's rows-only check and are covered by pytest
-    oracles instead (tests/)."""
+    """DuckDB-equivalent SQL for every query — either a direct ANSI-SQL
+    re-derivation or a pinned-golden VALUES oracle minted by an
+    independent pure-Python replay (tools/gen_graph_goldens.py,
+    tools/gen_pipeline_goldens.py). The only omitted keys are the two
+    approximate sketches (HLL / quantile digest), which get the
+    driver's rows-only check plus pytest error-bound oracles."""
     from bigdata_foundation_spark.queries import registry
 
     return {name: spec.oracle for name, spec in registry().items() if spec.oracle is not None}

@@ -467,13 +467,20 @@ def apsp_topk(
         # Spaced interior hubs: upper bounds want CENTRAL hubs (small
         # ecc); periphery-seeking selection would loosen them.
         hubs = list(dict.fromkeys(sources[j * n_src // 4] for j in (1, 2, 3)))
-        per_hub: list[tuple[list[float], list[float], float]] = []
-        for hub in hubs:
-            hi = index[hub]
-            fwd_l = _k._dijkstra_dist(proj, hi)
-            rev_l = _k.reverse_dist_to(proj, hi)
-            ecc_h = max(d for d in fwd_l if d != inf)
-            per_hub.append((fwd_l, rev_l, ecc_h))
+        # Hub SSSPs run as one executor task each (compute stays off
+        # the driver; only 2·|V| floats per hub come back).
+        hub_idxs = [index[h] for h in hubs]
+
+        def _hub_task(p: _k.Projection):
+            out = []
+            for hi in hub_idxs:
+                fwd_l = _k._dijkstra_dist(p, hi)
+                rev_l = _k.reverse_dist_to(p, hi)
+                ecc_h = max(d for d in fwd_l if d != inf)
+                out.append((fwd_l, rev_l, ecc_h))
+            return out
+
+        per_hub = _run_on_executor(spark, proj, _hub_task)
         for s in sources:
             si = index[s]
             b = inf
