@@ -118,3 +118,62 @@ def test_asof_join_matches_bruteforce(spark, left, right, strict):
                  if rk == k and (rt < t if strict else rt <= t)]
         want = max(cands)[1] if cands else None
         assert want in got[(k, t)], (k, t, want, got)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "", "delta d"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    min_count=st.integers(min_value=2, max_value=3),
+)
+@_settings
+def test_line_dedup_matches_reference_model(spark, docs, min_count):
+    """line_dedup == an independent pure-Python model of its contract
+    on arbitrary small corpora: repeated (non-blank) lines survive only
+    at their canonical (min doc_id, pos) occurrence; unique and blank
+    lines survive everywhere; row count is preserved."""
+    from bigdata_foundation_spark.operators.text import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in line_dedup(df, min_count=min_count).collect()}
+
+    # reference model
+    occurrences: dict[str, int] = {}
+    first: dict[str, tuple[int, int]] = {}
+    for i, lines in enumerate(rows):
+        for pos, ln in enumerate(lines[1].split("\n")):
+            occurrences[ln] = occurrences.get(ln, 0) + 1
+            first.setdefault(ln, (i, pos))
+    want = {}
+    for i, text in rows:
+        kept = [
+            ln
+            for pos, ln in enumerate(text.split("\n"))
+            if ln == "" or occurrences[ln] < min_count or first[ln] == (i, pos)
+        ]
+        want[i] = "\n".join(kept)
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=40),
+    budget=st.sampled_from([64, 512]),
+)
+@_settings
+def test_pack_sequences_invariants(spark, toks, budget):
+    """Every document is packed exactly once, and no pack exceeds the
+    budget unless it holds a single over-budget document."""
+    from bigdata_foundation_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join("w" for _ in range(n)) if n else "") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pack_sequences(df, budget=budget).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(len(toks)))
+    packs: dict[int, list[int]] = {}
+    for r in got:
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for members in packs.values():
+        assert sum(members) <= budget or len(members) == 1
