@@ -93,11 +93,19 @@ def _resolve_strategy(roads: DataFrame, strategy: str, edge_count: int | None = 
     if strategy != "auto":
         raise ValueError(f"unknown strategy {strategy!r}")
     if edge_count is None:
-        key = roads._jdf.queryExecution().logical().semanticHash()
-        key = f"{roads.sparkSession.sparkContext.applicationId}:{key}"
-        edge_count = _COUNT_MEMO.get(key)
+        try:
+            key = roads._jdf.queryExecution().logical().semanticHash()
+            key = f"{roads.sparkSession.sparkContext.applicationId}:{key}"
+        except Exception:
+            # semanticHash is a stable but semi-internal JVM surface;
+            # if it's ever unavailable, fall back to counting each time
+            # rather than failing the query.
+            key = None
+        edge_count = _COUNT_MEMO.get(key) if key is not None else None
         if edge_count is None:
-            edge_count = _COUNT_MEMO[key] = roads.count()
+            edge_count = roads.count()
+            if key is not None:
+                _COUNT_MEMO[key] = edge_count
     return "broadcast" if edge_count <= BROADCAST_EDGE_LIMIT else "bsp"
 
 
