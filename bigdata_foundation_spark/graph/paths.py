@@ -81,7 +81,12 @@ _APSP_SCHEMA = T.StructType(
 # auto-strategy edge counts, memoized per roads-plan: counting a 100k-
 # row frame is cheap but it is one whole extra job per query — repeated
 # point queries against the same roads table shouldn't re-pay it.
+# CONTRACT: the memo assumes a plan's cardinality is stable for the
+# session (true for immutable snapshots; a source that grows in place
+# mid-session should pass `edge_count` or an explicit strategy).
+# Bounded so a plan-churning session can't grow it without limit.
 _COUNT_MEMO: dict[str, int] = {}
+_COUNT_MEMO_MAX = 256
 
 
 def _resolve_strategy(roads: DataFrame, strategy: str, edge_count: int | None = None) -> str:
@@ -105,6 +110,8 @@ def _resolve_strategy(roads: DataFrame, strategy: str, edge_count: int | None = 
         if edge_count is None:
             edge_count = roads.count()
             if key is not None:
+                if len(_COUNT_MEMO) >= _COUNT_MEMO_MAX:
+                    _COUNT_MEMO.clear()
                 _COUNT_MEMO[key] = edge_count
     return "broadcast" if edge_count <= BROADCAST_EDGE_LIMIT else "bsp"
 

@@ -298,7 +298,9 @@ def ivf_query(
                 lambda s: s["cid"],
             )
         ),
-    )
+    ).cache()  # evaluated twice (probed-cell collect + the join) — cache
+    # so the probe assignment is computed once and is consistent even if
+    # the incoming `queries` plan is nondeterministic (sample/limit)
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
         spark.read.parquet(path)

@@ -156,6 +156,10 @@ def simhash_golden(docs, bits=60, chunks=4, max_hamming=3, max_bucket=1000):
     fingerprints: dict[int, int] = {}
     for doc_id, text in docs:
         toks = [t for t in normalize_text(text).split(" ") if t != ""]
+        if not toks:
+            # engine parity: a zero-token doc has no rows after the
+            # token explode, so simhash_table assigns it NO fingerprint
+            continue
         votes = [0] * bits
         for t in toks:
             h = tok_cache.get(t)
