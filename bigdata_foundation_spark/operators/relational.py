@@ -336,3 +336,47 @@ def snapshot_diff(
             *[F.col(f"_new_{c}").alias(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "shuffle",
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every row gets
+    a dense rank ``_shuffle_rank`` (0-based) in md5(seed || key) order —
+    the reproducible random permutation a training run reads the corpus
+    in, stable across runs, partitionings, and engines.
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` funnels
+    the corpus through ONE partition. Instead the hash's leading 16
+    bits give an order-aligned bucket (bucket is a monotone function of
+    the sort key, so (bucket, hash) order == global hash order); ranking
+    is then row_number within each bucket — one keyed shuffle — plus
+    each bucket's cumulative row offset, computed from a 
+    ``buckets``-row aggregate collected driver-side. No single-partition
+    exchange anywhere (pinned in tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    keyed = df.withColumn("_sk", key).withColumn("_bk", bucket)
+
+    counts = keyed.groupBy("_bk").agg(F.count("*").alias("_n")).collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_bk"]):
+        offsets[r["_bk"]] = acc
+        acc += r["_n"]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_bk")
+    )
+
+    w = Window.partitionBy("_bk").orderBy("_sk", key_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_shuffle_rank", (off + F.col("_rn") - 1).cast("bigint"))
+        .drop("_sk", "_bk", "_rn")
+    )

@@ -107,6 +107,7 @@ GATE_ORDER: list[str] = [
     "dedup_embedding_lsh",
     "ngram_counts_top",
     "line_dedup_gate",
+    "shuffle_deterministic_order",
     # (c) graph family re-gates (projection/kernel changed this round)
     "graph_nodes",
     "graph_edges",
@@ -141,7 +142,6 @@ GATE_ORDER: list[str] = [
     "streaming_running_zscore",
     "streaming_upsert_sink",
     "streaming_interval_join",
-    "salted_agg_events",
 ]
 
 
@@ -1230,6 +1230,27 @@ def ngram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(_docs(spark, sf_dir), "text", "source", k=5)
+
+
+@q(
+    "shuffle_deterministic_order",
+    r"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    "deterministic global shuffle order for training (reproducible random "
+    "permutation): rank in md5 order via order-aligned hash buckets + "
+    "per-bucket row_number + driver-side cumulative offsets — one keyed "
+    "shuffle, no single-partition sort (plan pinned)",
+)
+def shuffle_deterministic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return R.shuffle_rank(d, "doc_id").select(
+        "doc_id", F.col("_shuffle_rank").alias("shuffle_rank")
+    )
 
 
 @q(

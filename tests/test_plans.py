@@ -142,3 +142,12 @@ def test_embedding_neardup_no_cartesian(spark):
     plan = plan_of(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shuffle_rank_no_single_partition_sort(spark):
+    """Global shuffle-order ranking must never funnel the corpus
+    through one partition: ranking is per-bucket row_number + offset,
+    so the plan has no SinglePartition exchange."""
+    plan = plan_of(spark, "shuffle_deterministic_order")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
