@@ -380,3 +380,59 @@ def shuffle_rank(
         .withColumn("_shuffle_rank", (off + F.col("_rn") - 1).cast("bigint"))
         .drop("_sk", "_bk", "_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic N-way split (train/val/test): each row lands in
+    exactly one named split, chosen by where the first 8 hex digits of
+    md5(salt || key) fall among cumulative weight boundaries over 2^32.
+
+    Engine/run/partitioning-independent (same reproducibility contract
+    as ``hash_sample``), evaluated as one scan-side CASE expression —
+    no shuffle, composes with pushdown. Weights must sum to 1 (±1e-9);
+    adds a ``split`` column."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    acc = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < F.lit(int(acc * 2**32))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Training-mixture downsampling: keep a per-group deterministic
+    fraction of rows (e.g. {'web': 0.1, 'code': 1.0, 'books': 0.5} —
+    the data-mixing step of a pretraining pipeline). Groups absent from
+    ``fractions`` are dropped.
+
+    One scan-side filter (md5 bucket per row vs the group's threshold
+    via a literal map lookup) — no shuffle, no sampleBy partitioning
+    dependence, reproducible across engines."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    thresholds = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in (kv[0], int(kv[1] * 2**32))]
+    )
+    thr = F.element_at(thresholds, F.col(group_col))
+    return df.filter(thr.isNotNull() & (bucket < thr))

@@ -108,6 +108,8 @@ GATE_ORDER: list[str] = [
     "ngram_counts_top",
     "line_dedup_gate",
     "shuffle_deterministic_order",
+    "split_train_val_test",
+    "mixture_sample_sources",
     # (c) graph family re-gates (projection/kernel changed this round)
     "graph_nodes",
     "graph_edges",
@@ -140,8 +142,6 @@ GATE_ORDER: list[str] = [
     "streaming_sessionize",
     "streaming_dedup",
     "streaming_running_zscore",
-    "streaming_upsert_sink",
-    "streaming_interval_join",
 ]
 
 
@@ -1230,6 +1230,58 @@ def ngram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(_docs(spark, sf_dir), "text", "source", k=5)
+
+
+@q(
+    "split_train_val_test",
+    """
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     < 3435973836 THEN 'train'
+                WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "deterministic 80/10/10 train-val-test split by md5 bucket — each row in "
+    "exactly one split, reproducible across engines/runs/partitionings, "
+    "evaluated as one scan-side CASE (no shuffle)",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return R.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
+@q(
+    "mixture_sample_sources",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE CASE source
+            WHEN 'src0' THEN 4294967296
+            WHEN 'src1' THEN 2147483648
+            WHEN 'src2' THEN 1073741824
+            WHEN 'src3' THEN 429496729
+          END IS NOT NULL
+      AND ('0x' || substr(md5('mixture' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < CASE source
+              WHEN 'src0' THEN 4294967296
+              WHEN 'src1' THEN 2147483648
+              WHEN 'src2' THEN 1073741824
+              WHEN 'src3' THEN 429496729
+            END
+    """,
+    "training-mixture downsampling: per-source deterministic keep fractions "
+    "(src0 100%, src1 50%, src2 25%, src3 10%, others dropped) as one "
+    "scan-side filter — the pretraining data-mixing step",
+)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return R.mixture_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}, "doc_id"
+    ).select("doc_id", "source")
 
 
 @q(

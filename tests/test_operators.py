@@ -627,3 +627,44 @@ def test_ivf_build_query_partition_pruning(spark, vectors, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_hash_split_partitions_every_row(spark):
+    """hash_split: every row lands in exactly one split, proportions
+    are within binomial noise of the weights, and re-running yields
+    identical assignments (engine-independent determinism)."""
+    from bigdata_foundation_spark.operators import relational as R2
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = {r["k"]: r["split"] for r in R2.hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    s2 = {r["k"]: r["split"] for r in R2.hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert s1 == s2 and len(s1) == 2000
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        R2.hash_split(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_mixture_sample_fractions(spark):
+    """mixture_sample keeps ~the configured per-group fraction, drops
+    unlisted groups entirely, and is deterministic."""
+    from bigdata_foundation_spark.operators import relational as R2
+
+    rows = [(i, ["web", "code", "books"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out = R2.mixture_sample(df, "grp", {"web": 0.2, "code": 1.0}, "k")
+    got = [(r["k"], r["grp"]) for r in out.collect()]
+    grps = {g for _k, g in got}
+    assert grps <= {"web", "code"}  # 'books' dropped
+    n_code = sum(1 for _k, g in got if g == "code")
+    n_web = sum(1 for _k, g in got if g == "web")
+    assert n_code == 1000  # fraction 1.0 keeps everything
+    assert 0.13 < n_web / 1000 < 0.27
+    again = [(r["k"], r["grp"]) for r in R2.mixture_sample(df, "grp", {"web": 0.2, "code": 1.0}, "k").collect()]
+    assert sorted(again) == sorted(got)
