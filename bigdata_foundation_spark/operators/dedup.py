@@ -525,3 +525,33 @@ def duplicate_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("a").alias("node"), "cluster_id")
+
+
+def cluster_keep_best(
+    clusters: DataFrame,
+    attrs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Keep-BEST canonicalization of duplicate clusters: production
+    pipelines keep the highest-quality (or longest) member of each
+    duplicate cluster, not the smallest id. Given ``duplicate_clusters``
+    output and a per-id score, marks the max-score member (ties → min
+    id) canonical.
+
+    One broadcastable join + one per-cluster window — a single keyed
+    shuffle on cluster_id at any scale. Returns (id_col, cluster_id,
+    score_col, is_canonical)."""
+    scored = clusters.join(
+        attrs.select(F.col(id_col).alias("node"), F.col(score_col)), "node"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc(score_col), F.asc("node"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col("node").alias(id_col),
+            "cluster_id",
+            F.col(score_col),
+            (F.col("_rk") == 1).alias("is_canonical"),
+        )
+    )

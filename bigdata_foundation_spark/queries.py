@@ -127,6 +127,7 @@ GATE_ORDER: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
+    "dedup_cluster_keep_best",
     "embedding_normalize",
     "ann_brute_topk",
     "text_quality",
@@ -141,7 +142,6 @@ GATE_ORDER: list[str] = [
     "streaming_hourly",
     "streaming_sessionize",
     "streaming_dedup",
-    "streaming_running_zscore",
 ]
 
 
@@ -3089,6 +3089,60 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "dedup_cluster_keep_best",
+    r"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+             )) AS grams
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), t -> t <> '') AS toks
+        FROM documents) raw
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b AS a, id_a AS b FROM p
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    lab AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    best AS (
+      SELECT l.doc_id, l.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+      FROM lab l JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+           rk = 1 AS is_canonical
+    FROM best
+    """,
+    "keep-BEST cluster canonicalization (production policy: keep the longest/"
+    "highest-quality duplicate, ties -> min id) over the same near-dup "
+    "clusters; oracle = recursive-CTE closure + per-cluster arg-max window",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.3, block_cols=["lang"])
+    clusters = D.duplicate_clusters(pairs)
+    return D.cluster_keep_best(
+        clusters, d.select("doc_id", F.col("n_chars")), id_col="doc_id", score_col="n_chars"
+    ).orderBy("doc_id")
 
 
 @q(

@@ -668,3 +668,22 @@ def test_mixture_sample_fractions(spark):
     assert 0.13 < n_web / 1000 < 0.27
     again = [(r["k"], r["grp"]) for r in R2.mixture_sample(df, "grp", {"web": 0.2, "code": 1.0}, "k").collect()]
     assert sorted(again) == sorted(got)
+
+
+def test_cluster_keep_best(spark):
+    """Keep-best canonicalization: within each duplicate cluster, the
+    max-score member wins (ties -> min id); singletons are their own
+    canonical."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    attrs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (8, 10)], "doc_id long, score long"
+    )
+    clusters = D.duplicate_clusters(pairs)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in D.cluster_keep_best(clusters, attrs, score_col="score").collect()
+    }
+    # cluster {1,2,3}: scores 50/90/90 -> 2 wins the tie over 3 (min id)
+    assert got[1] == (1, False) and got[2] == (1, True) and got[3] == (1, False)
+    # cluster {7,8}: tie at 10 -> 7 wins
+    assert got[7] == (7, True) and got[8] == (7, False)
