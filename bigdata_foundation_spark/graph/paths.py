@@ -322,12 +322,24 @@ def yens_k(
     on the driver. Wall-clock per iteration ≈ the slowest single spur
     search instead of their sum.
 
-    ``strategy`` accepts 'auto'/'broadcast' (identical here): Yen runs
-    on the broadcast projection. A pure-BSP Yen (for graphs beyond
-    broadcast) would chain k·|path| BSP searches — supported math,
-    prohibitive latency — so it is deliberately not provided."""
+    ``strategy`` semantics: Yen runs on the broadcast projection only —
+    a pure-BSP Yen (for graphs beyond broadcast) would chain k·|path|
+    BSP searches — supported math, prohibitive latency — so it is
+    deliberately not provided. ``auto`` therefore CHECKS the edge count
+    first and raises a clear error past ``BROADCAST_EDGE_LIMIT``
+    instead of silently collecting a projection that would OOM the
+    driver; pass ``strategy='broadcast'`` to force (e.g. when you know
+    the count is stale or your driver is sized for it)."""
     if strategy not in ("auto", "broadcast"):
         raise ValueError("yens_k supports strategy 'auto' or 'broadcast' only (see docstring)")
+    if projection is None and strategy == "auto" and _resolve_strategy(roads, "auto") == "bsp":
+        raise ValueError(
+            "yens_k: graph exceeds BROADCAST_EDGE_LIMIT "
+            f"({BROADCAST_EDGE_LIMIT:,} edges) and Yen's has no BSP execution "
+            "(k·|path| chained BSP searches — prohibitive; see docstring). "
+            "Pass strategy='broadcast' to force the broadcast projection anyway, "
+            "or reduce the graph (subgraph filter) first."
+        )
     proj = projection or build_projection(roads)
     s, t = proj.index.get(source), proj.index.get(target)
     if s is None or t is None:
@@ -541,27 +553,58 @@ def _apsp_topk_bsp(
     spark: SparkSession, roads: DataFrame, k: int, wave_size: int = 256
 ) -> DataFrame:
     """G3 past broadcast scale: sources in waves of ``wave_size``
-    through the multi-source BSP kernel; each wave contributes only its
-    per-source top-k (the global top-k is contained in that union), so
-    driver state is |sources| × k narrow rows, never the pair matrix."""
-    from pyspark.sql import Window
+    through the multi-source BSP kernel.
 
+    Scale contract (the whole reason this fallback exists): driver
+    state is bounded by O(wave_size + k) at every point —
+
+    * sources are NEVER collected as one list; each source gets a
+      deterministic wave id (``pmod(xxhash64(src), n_waves)``) and only
+      the CURRENT wave's ids (≈ ``wave_size``, hash-spread) are
+      materialized on the driver; each multi-SSSP kernel call is then
+      seeded with a strict ≤ ``wave_size`` chunk of that list;
+    * per-wave winners stay IN SPARK: each wave reduces to its global
+      top-k rows (the overall top-k is contained in the union of
+      per-wave top-k, since waves partition the sources), and a
+      running k-row best is folded via union → orderBy → limit(k) →
+      ``localCheckpoint`` (truncates lineage; keeps every wave's fold
+      a k-row frame). No Python list ever holds |sources| × k rows.
+
+    Ordering/tie-breaks are the G3 contract (distance DESC, source ASC,
+    target ASC) at every fold, so the result is deterministic and
+    identical to the one-shot sort."""
     edges = roads.groupBy("src", "dst").agg(F.min("cost").alias("cost")).cache()
-    sources = [r[0] for r in edges.select("src").distinct().orderBy("src").collect()]
+    src_df = edges.select("src").distinct()
+    n_sources = src_df.count()
+    if n_sources == 0:
+        edges.unpersist()
+        return spark.createDataFrame([], _APSP_SCHEMA)
+    n_waves = -(-n_sources // wave_size)
+    waved = src_df.withColumn(
+        "_wave", F.pmod(F.xxhash64("src"), F.lit(n_waves))
+    ).localCheckpoint(eager=True)
 
-    w = Window.partitionBy("source").orderBy(F.desc("dist"), F.asc("node"))
-    top_rows: list[tuple[str, str, float]] = []
-    for i in range(0, len(sources), wave_size):
-        wave = sources[i : i + wave_size]
-        state = _bsp.bsp_multi_sssp(spark, roads, wave, edges_pre_aggregated=edges)
-        rows = (
-            state.filter(F.col("node") != F.col("source"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .select("source", F.col("node").alias("target"), F.col("dist").alias("distance"))
-            .collect()
+    best: DataFrame | None = None
+    for wave_i in range(n_waves):
+        wave = sorted(
+            r[0] for r in waved.filter(F.col("_wave") == wave_i).select("src").collect()
         )
-        top_rows.extend((r[0], r[1], float(r[2])) for r in rows)
+        for lo in range(0, len(wave), wave_size):
+            chunk = wave[lo : lo + wave_size]
+            state = _bsp.bsp_multi_sssp(spark, roads, chunk, edges_pre_aggregated=edges)
+            wave_top = (
+                state.filter(F.col("node") != F.col("source"))
+                .select("source", F.col("node").alias("target"), F.col("dist").alias("distance"))
+                .orderBy(F.desc("distance"), F.asc("source"), F.asc("target"))
+                .limit(k)
+            )
+            folded = wave_top if best is None else best.unionByName(wave_top)
+            best = (
+                folded.orderBy(F.desc("distance"), F.asc("source"), F.asc("target"))
+                .limit(k)
+                .localCheckpoint(eager=True)
+            )
     edges.unpersist()
-    df = spark.createDataFrame(top_rows, _APSP_SCHEMA)
-    return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)
+    if best is None:
+        return spark.createDataFrame([], _APSP_SCHEMA)
+    return best.orderBy(F.desc("distance"), F.asc("source"), F.asc("target"))

@@ -306,3 +306,69 @@ def test_apsp_bsp_equals_broadcast(spark):
     for (bs, bt, bd), (ss, st, sd) in zip(b, s):
         assert (bs, bt) == (ss, st)
         assert bd == pytest.approx(sd, abs=1e-9)
+
+
+def test_apsp_bsp_driver_rows_bounded(spark, monkeypatch):
+    """The BSP fallback's scale contract: the driver never holds more
+    than one wave of source ids at a time (each multi-SSSP call is
+    seeded with ≤ wave_size sources), and together the waves partition
+    the full source set — no all-sources collect anywhere."""
+    import random
+
+    from bigdata_foundation_spark.graph import bsp as _bsp_mod
+    from bigdata_foundation_spark.graph import paths as _paths_mod
+
+    rng = random.Random(3)
+    n = 60
+    edges = []
+    for u in range(n):
+        for _ in range(2):
+            v = rng.randrange(n)
+            if v != u:
+                edges.append((str(u), str(v), round(rng.uniform(1, 10), 3)))
+    roads = spark.createDataFrame(edges, "src string, dst string, cost double")
+    all_sources = {e[0] for e in edges}
+
+    seen_waves: list[list[str]] = []
+    real = _bsp_mod.bsp_multi_sssp
+
+    def spy(spark_, roads_, sources, **kw):
+        seen_waves.append(list(sources))
+        return real(spark_, roads_, sources, **kw)
+
+    monkeypatch.setattr(_bsp_mod, "bsp_multi_sssp", spy)
+    wave_size = 16
+    got = apsp_topk(spark, roads, k=5, strategy="bsp", bsp_wave_size=wave_size).collect()
+    assert len(got) == 5
+    assert seen_waves, "bsp fallback never invoked the multi-SSSP kernel"
+    assert all(len(w) <= wave_size for w in seen_waves)
+    covered = set().union(*(set(w) for w in seen_waves))
+    assert covered == all_sources
+    # waves partition (no source visited twice)
+    assert sum(len(w) for w in seen_waves) == len(all_sources)
+    # bounded: with |sources| ≈ 60 and wave_size 16, several waves
+    assert len(seen_waves) >= 3
+    # sanity vs broadcast
+    monkeypatch.undo()
+    b = apsp_topk(spark, roads, k=5, strategy="broadcast").collect()
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in b]
+
+
+def test_yens_k_auto_guards_beyond_broadcast(spark, monkeypatch):
+    """yens_k(strategy='auto') on a graph past BROADCAST_EDGE_LIMIT
+    must raise a clear error instead of collecting a projection that
+    would OOM the driver; strategy='broadcast' still forces it."""
+    from bigdata_foundation_spark.graph import paths as _paths_mod
+
+    roads = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0)],
+        "src string, dst string, cost double",
+    )
+    monkeypatch.setattr(_paths_mod, "BROADCAST_EDGE_LIMIT", 2)
+    _paths_mod._COUNT_MEMO.clear()
+    with pytest.raises(ValueError, match="BROADCAST_EDGE_LIMIT"):
+        yens_k(spark, roads, "a", "c", k=2)
+    # forcing broadcast bypasses the guard and still returns k paths
+    got = yens_k(spark, roads, "a", "c", k=2, strategy="broadcast").collect()
+    assert [r["totalCost"] for r in got] == [2.0, 5.0]
+    _paths_mod._COUNT_MEMO.clear()
