@@ -184,9 +184,27 @@ def _heuristic_array(proj: Projection, t: int) -> list[float] | None:
     return out
 
 
+# Distance-only SSSP dispatch: below this edge count the pure-Python
+# binary-heap loop wins (no per-round numpy call overhead); above it
+# the vectorized delta-stepping kernel takes over. Crossover measured
+# with tools/kernel_bench.py (see KERNEL_BENCH.md): at 69k edges heap
+# ≈ numpy; at 1M+ edges numpy is >5× faster and the gap widens with
+# density. Kept below the bench/golden graphs' size so every pinned
+# golden still runs the kernel it was minted under.
+_NUMPY_DIST_EDGE_THRESHOLD = 150_000
+
+
 def _dijkstra_dist(proj: Projection, s: int) -> list[float]:
-    """Distance-only Dijkstra — the APSP/SSSP hot loop (no parent
-    tracking, no masks, locals bound)."""
+    """Distance-only shortest distances — the APSP/SSSP hot loop.
+
+    Dispatches between the binary-heap Dijkstra (small graphs: lower
+    constant) and the numpy bucketed delta-stepping kernel
+    (``_delta_dist_numpy``) whose per-edge work is vectorized — the
+    scale answer to "CPython seconds per source" at the 25M-edge
+    broadcast ceiling. Both are exact; identical results (min over the
+    same candidate float sums)."""
+    if proj.n_edges >= _NUMPY_DIST_EDGE_THRESHOLD:
+        return _delta_dist_numpy(proj, s).tolist()
     n = len(proj.ids)
     dist = [_INF] * n
     settled = bytearray(n)
@@ -207,6 +225,90 @@ def _dijkstra_dist(proj: Projection, s: int) -> list[float]:
             if nd < dist[v]:
                 dist[v] = nd
                 push(pq, (nd, v))
+    return dist
+
+
+def _expand_csr(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Edge indices of a node frontier: for each node j, the range
+    ``starts[j] .. starts[j]+counts[j]`` — flattened, fully vectorized
+    (the repeat/arange trick; no Python per-node loop)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1])))
+    return np.arange(total, dtype=np.int64) - np.repeat(offsets, counts) + np.repeat(starts, counts)
+
+
+def _delta_dist_numpy(proj: Projection, s: int, delta: float | None = None) -> np.ndarray:
+    """Exact single-source distances by bucketed delta-stepping with
+    vectorized frontier relaxation (Meyer & Sanders 2003, numpy form).
+
+    Nodes are settled in distance buckets of width ``delta`` (default:
+    mean edge weight — the classic choice). Within a bucket, the
+    request set's out-edges are relaxed in ONE vectorized pass
+    (gather → add → ``np.minimum.at`` scatter-min), and only nodes
+    whose tentative distance improved into the open bucket re-enter
+    the request set — convergence per bucket, then the bucket settles.
+    Heavy edges are relaxed eagerly with the light ones (a constant-
+    factor trade that keeps the kernel to one relaxation primitive).
+
+    Exactness: with non-negative weights, a settled node's distance
+    can never improve (any later candidate path enters through a node
+    with tentative distance ≥ the bucket floor), so this computes the
+    same min-over-candidate-sums as the heap kernel."""
+    return _delta_dist_arrays(proj.indptr, proj.adj_v, proj.adj_w, len(proj.ids), s, delta)
+
+
+def _delta_dist_arrays(
+    indptr: np.ndarray,
+    adj_v: np.ndarray,
+    adj_w: np.ndarray,
+    n: int,
+    s: int,
+    delta: float | None = None,
+) -> np.ndarray:
+    """Array-core of :func:`_delta_dist_numpy` — also runs on the
+    reversed CSR (``reverse_dist_to``)."""
+    dist = np.full(n, np.inf)
+    dist[s] = 0.0
+    if len(adj_w) == 0:
+        return dist
+    if delta is None:
+        delta = float(np.nanmean(adj_w))
+        if not np.isfinite(delta) or delta <= 0.0:
+            delta = 1.0
+    settled = np.zeros(n, dtype=bool)
+
+    while True:
+        open_d = dist[~settled]
+        m = open_d.min() if open_d.size else np.inf
+        if not np.isfinite(m):
+            break
+        hi = (np.floor(m / delta) + 1.0) * delta
+        req = np.flatnonzero(~settled & (dist < hi))
+        while req.size:
+            starts = indptr[req]
+            counts = indptr[req + 1] - starts
+            eidx = _expand_csr(starts, counts)
+            if eidx.size == 0:
+                break
+            tgt = adj_v[eidx]
+            nd = np.repeat(dist[req], counts) + adj_w[eidx]
+            # NaN costs never relax in the heap kernel (nd < dist is
+            # false); mask them here too — np.minimum would propagate
+            # the NaN into dist otherwise.
+            bad = np.isnan(nd)
+            if bad.any():
+                keep = ~bad
+                tgt = tgt[keep]
+                nd = nd[keep]
+            old = dist[tgt]
+            np.minimum.at(dist, tgt, nd)
+            imp = np.unique(tgt[dist[tgt] < old])
+            # only improvements that land inside the open bucket need
+            # re-relaxation now; the rest wait for their own bucket
+            req = imp[dist[imp] < hi]
+        settled |= dist < hi
     return dist
 
 
@@ -404,15 +506,31 @@ def per_source_longest(
     target ASC — among equal distances keep smallest target ids."""
     ids = proj.ids
     out: list[tuple[str, str, float]] = []
+    use_np = proj.n_edges >= _NUMPY_DIST_EDGE_THRESHOLD
     for src in sources:
         s = proj.index.get(src)
         if s is None:
             continue
-        dist = _dijkstra_dist(proj, s)
-        # k-heap instead of a full sort: O(V log k) per source.
-        best = heapq.nsmallest(
-            topk, ((-d, ids[i]) for i, d in enumerate(dist) if d != _INF and i != s)
-        )
+        if use_np:
+            dist_np = _delta_dist_numpy(proj, s)
+            dist_np[s] = np.inf  # self-pair excluded
+            finite = np.flatnonzero(np.isfinite(dist_np))
+            if finite.size == 0:
+                continue
+            if finite.size > topk:
+                d = dist_np[finite]
+                # np.partition boundary ties are arbitrary, so keep ALL
+                # candidates >= the k-th largest value and let the final
+                # (-d, id) sort apply the deterministic tie-break.
+                kth = np.partition(d, finite.size - topk)[finite.size - topk]
+                finite = finite[d >= kth]
+            best = sorted((-float(dist_np[i]), ids[i]) for i in finite)[:topk]
+        else:
+            dist = _dijkstra_dist(proj, s)
+            # k-heap instead of a full sort: O(V log k) per source.
+            best = heapq.nsmallest(
+                topk, ((-d, ids[i]) for i, d in enumerate(dist) if d != _INF and i != s)
+            )
         out.extend((src, t, -negd) for negd, t in best)
     return out
 
@@ -437,20 +555,31 @@ def spur_search(
     return _reconstruct_idx(par, spur, t)
 
 
-def reverse_dist_to(proj: Projection, t: int) -> list[float]:
-    """d(v, t) for every v: one Dijkstra on the reversed graph.
-    The reverse CSR is built vectorized from the numpy arrays (stable
-    argsort by destination), then handed to the list-indexed loop."""
+def _reverse_csr(proj: Projection) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(rptr, r_v, r_w) — the reversed graph's CSR, built vectorized
+    (stable argsort by destination)."""
     n = len(proj.ids)
     perm = np.argsort(proj.adj_v, kind="stable")
     rcounts = np.bincount(proj.adj_v, minlength=n)
-    rptr_np = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(rcounts, out=rptr_np[1:])
+    rptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rcounts, out=rptr[1:])
     # source node of CSR slot i is searchsorted over indptr
     srcs = np.searchsorted(proj.indptr, np.arange(proj.n_edges), side="right") - 1
+    return rptr, srcs[perm].astype(np.int32, copy=False), proj.adj_w[perm]
+
+
+def reverse_dist_to(proj: Projection, t: int) -> list[float]:
+    """d(v, t) for every v: one SSSP on the reversed graph. Small
+    graphs run the list-indexed heap loop; past the numpy threshold
+    the reverse CSR feeds the vectorized delta-stepping kernel (same
+    dispatch rationale as ``_dijkstra_dist``)."""
+    n = len(proj.ids)
+    rptr_np, rv_np, rw_np = _reverse_csr(proj)
+    if proj.n_edges >= _NUMPY_DIST_EDGE_THRESHOLD:
+        return _delta_dist_arrays(rptr_np, rv_np, rw_np, n, t).tolist()
     rptr = rptr_np.tolist()
-    r_v = srcs[perm].tolist()
-    r_w = proj.adj_w[perm].tolist()
+    r_v = rv_np.tolist()
+    r_w = rw_np.tolist()
     dist = [_INF] * n
     settled = bytearray(n)
     dist[t] = 0.0

@@ -253,6 +253,61 @@ def test_projection_million_edges_compact():
     assert clone._hot is None
     assert clone.adj_v.tolist()[:100] == proj.adj_v.tolist()[:100]
 
+    # ... and the vectorized delta-stepping kernel (the path this size
+    # dispatches to) beats the heap loop by the documented margin
+    # (KERNEL_BENCH.md: 13× at 1M edges; bar set at 5× per the
+    # round-3 verdict) while agreeing on every distance.
+    import time
+
+    from bigdata_foundation_spark.graph import kernel as K
+
+    assert proj.n_edges >= K._NUMPY_DIST_EDGE_THRESHOLD  # dispatch covers this size
+    proj.hot()
+    sources = [proj.index["n0"], proj.index["n7"]]
+    saved = K._NUMPY_DIST_EDGE_THRESHOLD
+    try:
+        K._NUMPY_DIST_EDGE_THRESHOLD = 1 << 60  # force heap
+        t0 = time.perf_counter()
+        heap_d = [K._dijkstra_dist(proj, s) for s in sources]
+        t_heap = time.perf_counter() - t0
+    finally:
+        K._NUMPY_DIST_EDGE_THRESHOLD = saved
+    t0 = time.perf_counter()
+    np_d = [K._delta_dist_numpy(proj, s) for s in sources]
+    t_np = time.perf_counter() - t0
+    for h, d in zip(heap_d, np_d):
+        ha = np.asarray(h)
+        assert np.allclose(np.nan_to_num(ha, posinf=-1.0), np.nan_to_num(d, posinf=-1.0))
+    assert t_heap / t_np >= 5.0, f"numpy kernel speedup {t_heap/t_np:.1f}x < 5x"
+
+
+def test_numpy_kernel_exact_on_int_weights(monkeypatch):
+    """Integer-valued weights make every path sum exactly representable
+    in float64, so the heap and numpy kernels must agree BIT-exactly —
+    including through the per_source_longest top-k tie-breaks (equal
+    distances are common with small integer weights)."""
+    import numpy as np
+
+    from bigdata_foundation_spark.graph import kernel as K
+
+    rng = np.random.default_rng(5)
+    n, m = 400, 2400
+    src = np.array([f"n{x}" for x in rng.integers(0, n, m)], dtype=object)
+    dst = np.array([f"n{x}" for x in rng.integers(0, n, m)], dtype=object)
+    cost = rng.integers(1, 9, m).astype(np.float64)
+    proj = K.Projection.from_columns(src, dst, cost)
+
+    for s in (0, 17, 256):
+        heap_d = K._dijkstra_dist(proj, s)  # below threshold → heap
+        np_d = K._delta_dist_numpy(proj, s)
+        assert heap_d == np_d.tolist()
+
+    srcs = [proj.ids[i] for i in range(0, len(proj.ids), 37)]
+    want = K.per_source_longest(proj, srcs, 5)
+    monkeypatch.setattr(K, "_NUMPY_DIST_EDGE_THRESHOLD", 1)  # force numpy path
+    got = K.per_source_longest(proj, srcs, 5)
+    assert got == want
+
 
 def test_projection_columnar_equals_row_build():
     """from_columns == the row-iterable constructor, element for
