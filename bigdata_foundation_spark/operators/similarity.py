@@ -223,12 +223,24 @@ def ivf_topk(
 
 
 def _centroids_from(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str):
+    """Deterministic HASH-SPREAD centroid seeds: the ``n_cells`` corpus
+    rows with the smallest ``(xxhash64(id), id)``. A uniform pseudo-
+    random sample of the corpus — unlike first-n-by-id (round-3 weak
+    spot: ids correlate with ingest order/content, skewing cells at
+    scale) — yet fully deterministic, engine-replayable (the golden
+    generator replays the same xxhash64), and one TakeOrderedAndProject
+    job (top-k by hash, no shuffle of the corpus). Cell ids are
+    assigned in ascending seed-id order so labels don't depend on hash
+    order. A seeded k-means refinement could drop in here without
+    changing the query path; seeds alone already debias cell sizes
+    (`tests/test_operators.py::test_ivf_cell_balance`)."""
     seeds = (
-        corpus.orderBy(id_col)
+        corpus.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(n_cells)
         .select(id_col, _as_double(F.col(vec_col)).alias("_v"))
         .collect()
     )
+    seeds = sorted(seeds, key=lambda r: r[id_col])
     return [(i, list(r["_v"])) for i, r in enumerate(seeds)]
 
 

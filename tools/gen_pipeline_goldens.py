@@ -218,8 +218,13 @@ def _cos(a, b):
 
 
 def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8):
+    """Replay of similarity.ivf_topk with hash-spread centroid seeds:
+    the n_cells ids with smallest (xxhash64(id), id) — same selection
+    the Spark operator computes via orderBy(xxhash64(id)).limit —
+    cell ids assigned in ascending seed-id order."""
     byid = dict(vecs)
-    centroids = [(cid, byid[vid]) for cid, vid in enumerate(sorted(byid)[:n_cells])]
+    chosen = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:n_cells]
+    centroids = [(cid, byid[vid]) for cid, vid in enumerate(sorted(chosen))]
 
     def cell_scores(v):
         return [(_cos(v, cvec), cid) for cid, cvec in centroids]
