@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_foundation_spark.operators._cache import tracked_cache
+
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Widen a narrow scan before a CPU-heavy per-row stage.
@@ -198,6 +200,31 @@ def _bucket_pairs(
     )
 
 
+def bucket_drop_stats(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """One-row metric frame for the `_bucket_pairs` skew guard:
+    (n_buckets, n_dropped, rows_dropped). Run it on the same bucket
+    pieces a candidate-generation pass uses to SEE what the
+    ``max_bucket`` cap silently removed — at near-dup thresholds drops
+    should be rare degenerate keys; if rows_dropped is a material
+    fraction of the corpus the banding is too coarse for the data
+    (round-3 advice: surface the drop, don't just guard it)."""
+    sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_bsize"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.coalesce(
+            F.sum((F.col("_bsize") > max_bucket).cast("long")), F.lit(0)
+        ).alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bsize") > max_bucket, F.col("_bsize")).otherwise(0)),
+            F.lit(0),
+        ).alias("rows_dropped"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -227,12 +254,11 @@ def minhash_lsh_pairs(
     banding miss rate itself — the output contract (exact Jaccard on
     survivors, up to 64-bit hash collisions) is unchanged."""
     rows_per_band = num_hashes // bands
-    base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
+    base = tracked_cache(shingle_hash_table(df, text_col, id_col, shingle_k))
     fam = _minhash_family(num_hashes)
-    sig = (
+    sig = tracked_cache(
         base.groupBy(id_col)
         .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
-        .cache()
     )
 
     banded = sig.select(
@@ -260,8 +286,8 @@ def minhash_lsh_pairs(
         .join(sig.withColumnsRenamed({id_col: "id_b", "_sig": "_sig_b"}), "id_b")
         .filter(est >= F.lit(max(threshold - 0.15, 0.0)))
         .select("id_a", "id_b")
-        .cache()
     )
+    cand = tracked_cache(cand)
 
     # Exact verify from the cached hash table: sorted long arrays per
     # surviving doc, then set intersection/union — long compares, no
@@ -311,7 +337,8 @@ def ngram_jaccard_pairs(
     blocks = list(block_cols or [])
     g = spread(df, id_col).select(
         F.col(id_col), *blocks, word_ngrams(text_col, n).alias("_g")
-    ).withColumn("_sz", F.size("_g")).cache()
+    ).withColumn("_sz", F.size("_g"))
+    g = tracked_cache(g)
 
     grams = g.select(F.col(id_col), F.explode("_g").alias("_gram"))
     dfreq = grams.groupBy("_gram").agg(F.count("*").alias("_df"))
@@ -334,8 +361,8 @@ def ngram_jaccard_pairs(
             *blocks,
             F.explode(F.slice("_sorted", F.lit(1), prefix_len)).alias("_gram"),
         )
-        .cache()
     )
+    pref = tracked_cache(pref)
     a = pref.withColumnRenamed(id_col, "id_a")
     b = pref.withColumnRenamed(id_col, "id_b")
     cand = (
@@ -424,10 +451,9 @@ def simhash_pairs(
     ``base`` is cached: one narrow row per doc, read by both sides of
     the bucket self-join and the verify join — without it the vote
     aggregation (the pipeline's expensive stage) runs three times."""
-    base = (
+    base = tracked_cache(
         simhash_table(df, text_col, id_col, bits)
         .withColumnRenamed("simhash", "_sh64")
-        .cache()
     )
     width = bits // chunks
     mask = (1 << width) - 1
@@ -541,11 +567,19 @@ def cluster_keep_best(
 
     One broadcastable join + one per-cluster window — a single keyed
     shuffle on cluster_id at any scale. Returns (id_col, cluster_id,
-    score_col, is_canonical)."""
+    score_col, is_canonical).
+
+    Members absent from ``attrs`` are KEPT with a null score and rank
+    after every scored member (a left join — an inner join would
+    silently drop them, possibly leaving a cluster with no canonical
+    row; round-3 advice). CONTRACT: ``attrs`` must have at most one
+    row per id — duplicate attr rows would duplicate members."""
     scored = clusters.join(
-        attrs.select(F.col(id_col).alias("node"), F.col(score_col)), "node"
+        attrs.select(F.col(id_col).alias("node"), F.col(score_col)), "node", "left"
     )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc(score_col), F.asc("node"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last(score_col), F.asc("node")
+    )
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .select(

@@ -342,43 +342,57 @@ def shuffle_rank(
     df: DataFrame,
     key_col: str,
     seed: str = "shuffle",
-    buckets: int = 256,
+    buckets: int = 65_536,
 ) -> DataFrame:
     """Deterministic global shuffle order for training: every row gets
     a dense rank ``_shuffle_rank`` (0-based) in md5(seed || key) order —
     the reproducible random permutation a training run reads the corpus
-    in, stable across runs, partitionings, and engines.
+    in, stable across runs, partitionings, bucket counts, and engines
+    (the rank depends only on the md5 order, never on ``buckets``).
 
     Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` funnels
-    the corpus through ONE partition. Instead the hash's leading 16
-    bits give an order-aligned bucket (bucket is a monotone function of
-    the sort key, so (bucket, hash) order == global hash order); ranking
-    is then row_number within each bucket — one keyed shuffle — plus
-    each bucket's cumulative row offset, computed from a 
-    ``buckets``-row aggregate collected driver-side. No single-partition
-    exchange anywhere (pinned in tests/test_plans.py).
+    the corpus through ONE partition. Instead the hash's leading hex
+    digits give an order-aligned bucket (bucket is a monotone function
+    of the sort key, so (bucket, hash) order == global hash order);
+    ranking is then row_number within each bucket — one keyed
+    shuffle — plus each bucket's cumulative row offset. ``buckets``
+    is rounded up to the next power of 16 (hex-prefix widths); size it
+    so corpus/buckets rows sort comfortably per task. Offsets come
+    from a ≤ ``buckets``-row aggregate collected driver-side and
+    rejoined as a broadcast table (not a giant literal map). No
+    single-partition exchange anywhere (pinned in tests/test_plans.py).
+
+    CONTRACT (same as paths._COUNT_MEMO): ``df``'s plan must be
+    deterministic — the bucket counts and the final ranking evaluate
+    it twice, so a nondeterministic source (sample/limit over
+    unordered input) can disagree between passes; cache such inputs
+    first.
     """
+    import math
+
     from pyspark.sql import Window
 
+    width = max(1, math.ceil(math.log(max(buckets, 2), 16)))
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
-    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    bucket = F.conv(F.substring(key, 1, width), 16, 10).cast("long")
     keyed = df.withColumn("_sk", key).withColumn("_bk", bucket)
 
     counts = keyed.groupBy("_bk").agg(F.count("*").alias("_n")).collect()
-    offsets = {}
+    rows = []
     acc = 0
     for r in sorted(counts, key=lambda r: r["_bk"]):
-        offsets[r["_bk"]] = acc
+        rows.append((r["_bk"], acc))
         acc += r["_n"]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_bk")
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(rows, "_bk long, _off long")
     )
 
     w = Window.partitionBy("_bk").orderBy("_sk", key_col)
     return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_shuffle_rank", (off + F.col("_rn") - 1).cast("bigint"))
-        .drop("_sk", "_bk", "_rn")
+        keyed.join(off_df, "_bk")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_shuffle_rank", (F.col("_off") + F.col("_rn") - 1).cast("bigint"))
+        .drop("_sk", "_bk", "_rn", "_off")
     )
 
 

@@ -24,6 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_foundation_spark.operators._cache import tracked_cache
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -96,7 +98,10 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     """Sign pattern of the vector against each hyperplane, packed into
-    a long — computed with literal arrays + zip_with, JVM-side."""
+    a long — computed with literal arrays + zip_with, JVM-side.
+    Limited to ≤63 planes by the packing; the banded operators use
+    :func:`band_key_structs`, which packs per band and has no such
+    cap."""
     bits = []
     for i, p in enumerate(planes):
         lit = F.array(*[F.lit(float(x)) for x in p])
@@ -107,6 +112,43 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def band_key_structs(vec: Column, planes: list[list[float]], bands: int) -> Column:
+    """array<struct<band,key>>: band ``i``'s key packs the sign bits of
+    planes ``[i·r, (i+1)·r)`` (r = len(planes)//bands), bit ``j`` from
+    plane ``i·r+j`` — bit-identical to slicing a packed signature, but
+    with no 63-plane ceiling (each band only needs r ≤ 60 bits). All
+    JVM literal-array dot products; one projection per row."""
+    r = len(planes) // bands
+    entries = []
+    for i in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(r):
+            lit = F.array(*[F.lit(float(x)) for x in planes[i * r + j]])
+            key = key + F.when(
+                dot(vec, lit) >= 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        entries.append(F.struct(F.lit(i).alias("band"), key.alias("key")))
+    return F.array(*entries)
+
+
+def auto_lsh_params(threshold: float, bands: int = 8, target_recall: float = 0.9) -> tuple[int, int]:
+    """(n_planes, bands) sized from the similarity threshold: the
+    widest per-band key r such that banding recall
+    ``1-(1-p^r)^bands ≥ target_recall`` at ``p = 1 - acos(threshold)/π``
+    (Charikar 2002). Wider keys = exponentially fewer false-positive
+    collisions, so we take every bit the recall budget allows:
+    threshold 0.95 → r=13 (8k buckets/band); 0.9 → r≈9; 0.4 → r=3
+    (low thresholds are information-theoretically hostile to LSH —
+    the bucket-cap guard and ``bucket_drop_stats`` cover the fallout)."""
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    if p <= 0.0 or p >= 1.0:
+        return bands, bands
+    need = 1.0 - (1.0 - target_recall) ** (1.0 / bands)
+    r = int(math.floor(math.log(need) / math.log(p)))
+    r = max(1, min(r, 30))
+    return r * bands, bands
 
 
 def lsh_topk(
@@ -126,30 +168,16 @@ def lsh_topk(
 
     Same output shape as brute_topk; recall < 1 by construction."""
     planes = hyperplanes(dim, n_planes, seed)
-    width = n_planes // bands
-    mask = (1 << width) - 1
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = signature_bits(_as_double(F.col(vec_col)), planes)
         base = df.select(
             F.col(id_col).alias(f"{role}_id"),
             _as_double(F.col(vec_col)).alias(f"_{role}v"),
-            sig.alias("_sig"),
         )
         return base.select(
             f"{role}_id",
             f"_{role}v",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftrightunsigned("_sig", i * width).bitwiseAND(F.lit(mask)).alias("key"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("b"),
+            F.explode(band_key_structs(F.col(f"_{role}v"), planes, bands)).alias("b"),
         ).select(f"{role}_id", f"_{role}v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
     qb = F.broadcast(banded(queries, "query"))
@@ -310,9 +338,11 @@ def ivf_query(
                 lambda s: s["cid"],
             )
         ),
-    ).cache()  # evaluated twice (probed-cell collect + the join) — cache
-    # so the probe assignment is computed once and is consistent even if
-    # the incoming `queries` plan is nondeterministic (sample/limit)
+    )
+    q = tracked_cache(q)  # evaluated twice (probed-cell collect + the
+    # join) — cache so the probe assignment is computed once and is
+    # consistent even if the incoming `queries` plan is nondeterministic
+    # (sample/limit); release via operators.release_operator_caches()
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
         spark.read.parquet(path)
@@ -339,8 +369,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int | None = None,
+    bands: int | None = None,
     dim: int = 64,
     seed: int = 42,
     max_bucket: int = 100_000,
@@ -349,13 +379,23 @@ def embedding_neardup_pairs(
     threshold, rounded to 6 dp like the rest of the dedup family).
 
     ``method="lsh"`` (default, the 100 TB path): random-hyperplane
-    signatures banded into ``bands`` prefixes; two rows are candidates
-    iff they share a band bucket, then candidates are exact-cosine
+    sign bits banded into ``bands`` keys; two rows are candidates iff
+    they share a band bucket, then candidates are exact-cosine
     verified — so output ⊆ the exact result, with banding recall
-    1-(1-p^r)^b where p = 1 - θ/π (Charikar 2002; ≈98.6% at cosine
-    0.95 with 4 bands of 4). The self-join is keyed on (band, key)
+    1-(1-p^r)^b where p = 1 - θ/π (Charikar 2002).
+
+    ``n_planes``/``bands`` default to :func:`auto_lsh_params`: per-band
+    keys are sized as WIDE as a 0.9-recall budget at ``threshold``
+    allows (e.g. 13 bits × 8 bands at 0.95 → 8k buckets per band), so
+    bucket collision probability for non-neighbours falls exponentially
+    instead of the old fixed 4-bit keys whose 16 buckets per band made
+    ~23% of all pairs candidates and overflowed ``max_bucket`` past
+    ~1.6M rows (round-3 advice). The self-join is keyed on (band, key)
     with the same oversized-bucket guard as the MinHash pipeline
-    (`_bucket_pairs`) — no cross join exists in the plan at any scale.
+    (`_bucket_pairs`); pair ``dedup.bucket_drop_stats`` with the same
+    (band, key) pieces to MEASURE what the cap dropped — at thresholds
+    ≲0.8 LSH keys are inherently narrow (p is small) and the cap is
+    doing real work.
 
     ``method="exact"``: the all-pairs O(n²) baseline. Kept as the
     verification oracle (tests assert lsh ⊆ exact + recall bound) and
@@ -375,27 +415,21 @@ def embedding_neardup_pairs(
 
     from bigdata_foundation_spark.operators.dedup import _bucket_pairs
 
+    if bands is None and n_planes is None:
+        n_planes, bands = auto_lsh_params(threshold)
+    elif bands is None or n_planes is None:
+        raise ValueError("pass both n_planes and bands, or neither (auto)")
+
     planes = hyperplanes(dim, n_planes, seed)
-    width = n_planes // bands
-    mask = (1 << width) - 1
-    sig_df = df.select(
-        F.col(id_col).alias("_id"),
-        _as_double(F.col(vec_col)).alias("_v"),
-        signature_bits(_as_double(F.col(vec_col)), planes).alias("_sig"),
-    ).cache()  # both sides of the bucket self-join + the verify join read it
+    sig_df = tracked_cache(
+        df.select(
+            F.col(id_col).alias("_id"),
+            _as_double(F.col(vec_col)).alias("_v"),
+        )
+    )  # both sides of the bucket self-join + the verify join read it
     pieces = sig_df.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("_sig", i * width).bitwiseAND(F.lit(mask)).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("b"),
+        F.explode(band_key_structs(F.col("_v"), planes, bands)).alias("b"),
     ).select("_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     cand = _bucket_pairs(pieces, "_id", ["band", "key"], max_bucket)
     v = sig_df.select("_id", "_v")

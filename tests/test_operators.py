@@ -114,6 +114,50 @@ def test_embedding_neardup_lsh_subset_of_exact(vectors):
     assert (0, 500) in lsh
 
 
+def test_auto_lsh_params_and_drop_stats(vectors):
+    """Band keys auto-size from the threshold: high thresholds earn
+    wide keys (many buckets per band — the scale fix for the old fixed
+    4-bit keys); recall stays >= the 0.9 target by construction. The
+    drop-stats companion surfaces what the bucket cap removes."""
+    import math
+
+    for t, b in [(0.95, 8), (0.9, 8), (0.4, 8)]:
+        n_planes, bands = S.auto_lsh_params(t, bands=b)
+        r = n_planes // bands
+        p = 1.0 - math.acos(t) / math.pi
+        assert 1.0 - (1.0 - p**r) ** bands >= 0.9 - 1e-9  # recall target met
+    assert S.auto_lsh_params(0.95)[0] // 8 >= 12  # wide keys at near-dup thresholds
+    assert S.auto_lsh_params(0.4)[0] // 8 <= 4  # honest: low thresholds stay narrow
+
+    # drop stats on the same (band, key) pieces the candidate pass uses
+    planes = S.hyperplanes(64, 16, 42)
+    pieces = vectors.select(
+        F.col("vec_id").alias("_id"),
+        F.explode(S.band_key_structs(S._as_double(F.col("embedding")), planes, 4)).alias("b"),
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    stats = D.bucket_drop_stats(pieces, ["band", "key"], max_bucket=10).first()
+    assert stats["n_buckets"] > 0
+    assert stats["n_dropped"] >= 1  # 121 vecs over 16 buckets/band must overflow cap 10
+    assert stats["rows_dropped"] > 0
+    none_dropped = D.bucket_drop_stats(pieces, ["band", "key"], max_bucket=10**6).first()
+    assert none_dropped["n_dropped"] == 0 and none_dropped["rows_dropped"] == 0
+
+
+def test_cluster_keep_best_left_join(spark):
+    """Members missing from attrs survive with null score (ranked
+    last); a fully-unscored cluster still gets a canonical row (min
+    id)."""
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")], "node string, cluster_id string"
+    )
+    attrs = spark.createDataFrame([("a", 1.0), ("b", 5.0)], "doc_id string, score double")
+    rows = {r["doc_id"]: r for r in D.cluster_keep_best(clusters, attrs).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}  # nothing dropped
+    assert rows["b"]["is_canonical"] and not rows["a"]["is_canonical"]
+    assert rows["c"]["score"] is None and rows["d"]["score"] is None
+    assert rows["c"]["is_canonical"] and not rows["d"]["is_canonical"]  # min id wins
+
+
 def test_lsh_recall_vs_brute(vectors):
     qs = vectors.filter(F.col("vec_id") < 10)
     brute = {(r["query_id"], r["neighbor_id"]) for r in S.brute_topk(vectors, qs, k=3).collect()}

@@ -314,16 +314,32 @@ def lsh_golden(vecs, k=5, n_planes=16, bands=4, dim=64, seed=42, max_query_id=8)
 
 # --- dedup_embedding_lsh (threshold low enough for real pairs) -------------
 
+def auto_lsh_params(threshold, bands=8, target_recall=0.9):
+    """Independent replay of similarity.auto_lsh_params (same math,
+    no package import — the replay must not share code with the
+    engine)."""
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    if p <= 0.0 or p >= 1.0:
+        return bands, bands
+    need = 1.0 - (1.0 - target_recall) ** (1.0 / bands)
+    r = int(math.floor(math.log(need) / math.log(p)))
+    r = max(1, min(r, 30))
+    return r * bands, bands
+
+
 def neardup_lsh_golden(
-    vecs, threshold=0.4, n_planes=16, bands=4, dim=64, seed=42, max_bucket=100_000
+    vecs, threshold=0.4, n_planes=None, bands=None, dim=64, seed=42, max_bucket=100_000
 ):
     """Replay of similarity.embedding_neardup_pairs(method='lsh'): the
     banded-candidate path itself is the contract under test, so the
     golden replays banding + exact verify (not all-pairs) — at this
     threshold real pairs exist AND banding recall is part of the
-    pinned answer."""
+    pinned answer. Band keys: bit j of band i = sign bit of plane
+    i*width+j — identical to the engine's band_key_structs packing."""
     import random
 
+    if n_planes is None and bands is None:
+        n_planes, bands = auto_lsh_params(threshold)
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
     width = n_planes // bands
