@@ -78,70 +78,70 @@ def q(name: str, oracle: str | None, doc: str = ""):
 
 # The driver's correctness gate runs the FIRST 50 registry entries
 # (empirically: CORRECTNESS_r01.json == the first 50 registrations).
-# Rounds 1–2 together gated 99 of the 108 registry entries; this list
-# front-loads (a) the 9 queries no round has ever gated, (b) the
-# round-3 fixes/upgrades that need fresh rows (graph_sssp_slice's
-# posexploded shape, pinned-golden oracles for the dedup/ANN/packing
-# rows-only family, the LSH-default embedding dedup, the empty-gram
-# ngram fix), and (c) re-gates of the full graph family, whose shared
-# projection/kernel code changed this round. Entries not listed keep
-# their registration order after these.
+# After r1∪r2∪r3 every one of the 114 entries has been gated at least
+# once; round 4's staleness policy (VERDICT r3 task 3): (a) queries
+# whose code or pinned golden CHANGED this round gate first, then
+# (b) the 16 entries last gated in r2 (2 rounds stale), then (c) the
+# oldest r1-only entries, most-load-bearing families first (TPC-H,
+# join family, windows/rollups). The 26 r1-only entries that don't
+# fit this round's 50 slots are next round's (b); the whole registry
+# is additionally value-checked locally each round via
+# tools/check_oracles.py — see ORACLES_r04.md. Entries not listed
+# keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) never gated in any round
-    "ann_lsh_topk",
-    "argmin_supplier_per_nation",
-    "grouping_sets_orders",
-    "having_large_orders",
-    "order_count_histogram",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "sql_q6_revenue",
-    "streaming_sliding",
-    # (b) round-3 fixes / oracle upgrades
-    "graph_sssp_slice",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "pack_sequences_summary",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "ngram_counts_top",
-    "line_dedup_gate",
-    "shuffle_deterministic_order",
-    "split_train_val_test",
-    "mixture_sample_sources",
-    # (c) graph family re-gates (projection/kernel changed this round)
-    "graph_nodes",
-    "graph_edges",
-    "graph_ingest_limit",
-    "graph_sssp",
-    "graph_dijkstra",
-    "graph_dijkstra_agg",
-    "graph_astar",
-    "graph_yens_k3",
-    "graph_writeback",
-    "graph_yens_postprocess",
-    "graph_apsp_top10",
-    # re-confirmations of the operator families most adjacent to the
-    # round's changes (dedup/similarity/text/streaming/multimodal)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical",
-    "dedup_cluster_keep_best",
-    "embedding_normalize",
-    "ann_brute_topk",
-    "text_quality",
-    "gopher_quality",
-    "tfidf_top_terms",
-    "text_redact_pii",
-    "chunk_documents",
-    "normalize_documents",
-    "multimodal_ingest",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "streaming_hourly",
-    "streaming_sessionize",
-    "streaming_dedup",
+    # (a) code/golden changed in round 4
+    "ann_ivf_topk",  # hash-spread centroids (new golden)
+    "dedup_embedding_lsh",  # auto-sized LSH params (new golden)
+    "dedup_embedding_cosine",  # auto-sized LSH params
+    "ann_lsh_topk",  # band_key_structs refactor (same keys)
+    "shuffle_deterministic_order",  # bucket-width/offset-join rework
+    "dedup_cluster_keep_best",  # left-join + nulls-last rework
+    "dedup_minhash_lsh",  # tracked-cache refactor
+    "dedup_simhash",  # tracked-cache refactor
+    "dedup_ngram_jaccard",  # tracked-cache refactor
+    "graph_apsp_top10",  # per_source_longest/kernel dispatch rework
+    "graph_yens_k3",  # auto-strategy guard
+    "graph_yens_postprocess",  # rides yens_k
+    # (b) last gated in round 2
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q18_large_volume_customers",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "events_gapfill",
+    "profile_orders",
+    "salted_agg_events",
+    "snapshot_diff_orders",
+    "streaming_interval_join",
+    "streaming_running_zscore",
+    "streaming_upsert_sink",
+    # (c) last gated in round 1 — TPC-H, joins, windows first
+    "q1_pricing_summary",
+    "q3_segment_topk",
+    "q4_late_orders",
+    "q5_region_revenue",
+    "q10_returned_revenue",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "asof_join_attribution",
+    "range_join_attribution",
+    "upsert_orders",
+    "left_join_order_counts",
+    "anti_join_quiet_customers",
+    "semi_join_ordered_parts",
+    "window_top_orders_per_customer",
+    "window_funcs_orders",
+    "rollup_order_stats",
+    "cube_revenue",
+    "events_hourly",
 ]
 
 
