@@ -70,7 +70,12 @@ def pack_sequences(
                         placed = i
                         break
                 if placed is None:
-                    bins.append(max(budget - n, 0))
+                    # Oversize docs (n > budget) get a CLOSED pack of
+                    # their own: capacity -1 so nothing — not even a
+                    # zero-token doc — ever joins it (a 0-capacity bin
+                    # would admit n == 0 and break the pack-of-their-own
+                    # contract; found by the hypothesis invariant test).
+                    bins.append(budget - n if n <= budget else -1)
                     placed = len(bins) - 1
                 out_ids.append(int(doc))
                 out_tok.append(n)

@@ -102,6 +102,7 @@ GATE_ORDER: list[str] = [
     "graph_apsp_top10",  # per_source_longest/kernel dispatch rework
     "graph_yens_k3",  # auto-strategy guard
     "graph_yens_postprocess",  # rides yens_k
+    "pack_sequences_summary",  # oversize-bin close fix (same golden)
     # (b) last gated in round 2
     "q2_min_cost_supplier",
     "q7_nation_volume",
@@ -141,7 +142,6 @@ GATE_ORDER: list[str] = [
     "window_funcs_orders",
     "rollup_order_stats",
     "cube_revenue",
-    "events_hourly",
 ]
 
 

@@ -403,7 +403,10 @@ def pack_golden(docs, budget=512, num_shards=32):
                     placed = i
                     break
             if placed is None:
-                bins.append(max(budget - n, 0))
+                # oversize docs open a CLOSED bin (capacity -1, nothing
+                # joins — not even zero-token docs), mirroring
+                # packing.pack_sequences
+                bins.append(budget - n if n <= budget else -1)
                 toks.append(n)
         pack_tokens.extend(toks)
 
