@@ -208,15 +208,23 @@ def contamination_flags(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_eval: bool = True,
 ) -> "DataFrame":
     """Benchmark-contamination check: flag every training document
-    sharing at least one word ``n``-gram with the (small) eval set.
+    sharing at least one word ``n``-gram with the eval set.
 
     Scale shape: the eval side collapses to a DISTINCT set of 64-bit
-    n-gram hashes (tiny — broadcast), so the training corpus pays one
-    explode + broadcast semi-join; no shuffle of document text, no
-    pairwise comparison. Returns the distinct flagged ``id_col`` rows.
-    """
+    n-gram hashes, so the training corpus pays one explode + semi-join
+    on 8-byte keys; no shuffle of document text, no pairwise
+    comparison. Returns the distinct flagged ``id_col`` rows.
+
+    ``broadcast_eval`` picks the join regime: True (default) pins a
+    broadcast semi-join — right whenever the eval-gram set fits an
+    executor (typical benchmark suites: ≤ tens of millions of grams ≈
+    hundreds of MB). For GIANT held-out sets (10⁹+ grams) pass False:
+    the semi-join becomes a keyed shuffle of 8-byte hashes on both
+    sides — still never the documents — which is the correct 100 TB
+    plan when the eval side itself is beyond broadcast."""
     from bigdata_foundation_spark.operators.dedup import spread, word_ngrams
 
     eval_grams = (
@@ -224,11 +232,13 @@ def contamination_flags(
         .select(F.xxhash64("_g").alias("_h"))
         .distinct()
     )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     doc_grams = spread(docs, id_col).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_g")
     ).select(id_col, F.xxhash64("_g").alias("_h"))
     return (
-        doc_grams.join(F.broadcast(eval_grams), "_h", "left_semi")
+        doc_grams.join(eval_grams, "_h", "left_semi")
         .select(id_col)
         .distinct()
     )

@@ -422,6 +422,14 @@ def test_contamination_flags(spark):
     )
     flagged = {r["doc_id"] for r in TX.contamination_flags(train, eval_docs, n=5).collect()}
     assert flagged == {2}
+    # beyond-broadcast regime: identical answer, and no broadcast HINT
+    # pinned in the plan (AQE may still broadcast a tiny test input at
+    # runtime — at a 10^9-gram eval scale it won't, which is the point)
+    big = TX.contamination_flags(train, eval_docs, n=5, broadcast_eval=False)
+    assert {r["doc_id"] for r in big.collect()} == {2}
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    small = TX.contamination_flags(train, eval_docs, n=5)
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
 
 
 def test_balanced_sample(spark):
