@@ -499,24 +499,29 @@ def apsp_topk(
         hub_idxs = [index[h] for h in hubs]
 
         def _hub_task(p: _k.Projection):
+            import numpy as _np
+
             out = []
             for hi in hub_idxs:
-                fwd_l = _k._dijkstra_dist(p, hi)
-                rev_l = _k.reverse_dist_to(p, hi)
-                ecc_h = max(d for d in fwd_l if d != inf)
-                out.append((fwd_l, rev_l, ecc_h))
+                fwd = _np.asarray(_k._dijkstra_dist(p, hi))
+                rev = _np.asarray(_k.reverse_dist_to(p, hi))
+                finite = fwd[_np.isfinite(fwd)]
+                ecc_h = float(finite.max()) if finite.size else inf
+                out.append((fwd, rev, ecc_h))
             return out
 
         per_hub = _run_on_executor(spark, proj, _hub_task)
-        for s in sources:
-            si = index[s]
-            b = inf
-            for fwd_l, rev_l, ecc_h in per_hub:
-                if fwd_l[si] != inf and rev_l[si] != inf:
-                    cand = rev_l[si] + ecc_h
-                    if cand < b:
-                        b = cand
-            bounds[s] = b
+        # Vectorized bound fold: min over hubs of rev(s,h)+ecc(h) where
+        # s is in h's SCC (finite fwd AND rev) — numpy over |V| instead
+        # of a Python |V|×|hubs| loop (driver cost matters at 10^7+
+        # sources).
+        import numpy as _np
+
+        bvec = _np.full(len(proj.ids), inf)
+        for fwd, rev, ecc_h in per_hub:
+            cand = _np.where(_np.isfinite(fwd) & _np.isfinite(rev), rev + ecc_h, inf)
+            _np.minimum(bvec, cand, out=bvec)
+        bounds = {s: float(bvec[index[s]]) for s in sources}
         sources = sorted(sources, key=lambda s: -bounds[s])
 
     def _wave(batch: list[str]) -> list[tuple[str, str, float]]:
