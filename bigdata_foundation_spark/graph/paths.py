@@ -170,6 +170,20 @@ def _run_on_executor(spark: SparkSession, proj: _k.Projection, fn):
     return sc.parallelize([0], 1).mapPartitions(_task).collect()
 
 
+def _run_on_executor_df(spark: SparkSession, proj: _k.Projection, fn, schema) -> DataFrame:
+    """Like ``_run_on_executor`` but the rows become a DataFrame
+    WITHOUT ever materializing on the driver — for per-node result
+    sets (SSSP streams |V| rows; at a 10M-node broadcast graph that is
+    GBs the driver must not hold)."""
+    sc = spark.sparkContext
+    proj_b = _get_broadcast(spark, proj)
+
+    def _task(_it):
+        return iter(fn(proj_b.value))
+
+    return spark.createDataFrame(sc.parallelize([0], 1).mapPartitions(_task), schema)
+
+
 def _cumulative_stream(nodes_seq: list[str], hop_costs: list[float]) -> list[tuple[str, float]]:
     """(node sequence, per-hop costs) → GDS-style stream rows of
     (NodeId, cumulative cost), cost monotone (MAIN:310–326)."""
@@ -205,8 +219,9 @@ def sssp(
         res = _bsp.bsp_sssp(spark, roads, source)
         return res.select(F.col("node").alias("NodeId"), F.col("dist").alias("distance"))
     proj = projection or build_projection(roads)
-    rows = _run_on_executor(spark, proj, lambda p: sorted(_k.sssp(p, source).items()))
-    return spark.createDataFrame(rows, _SSSP_SCHEMA)
+    return _run_on_executor_df(
+        spark, proj, lambda p: sorted(_k.sssp(p, source).items()), _SSSP_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -533,24 +548,31 @@ def apsp_topk(
 
         return sc.parallelize(batch, n_slices).mapPartitions(_task).collect()
 
-    if not landmark_pruning:
-        all_rows = _wave(sources)
-    else:
-        all_rows = []
-        wave_size = max(sources_per_task * max(sc.defaultParallelism, 1), 512)
-        i = 0
-        while i < len(sources):
-            wave = sources[i : i + wave_size]
-            if len(all_rows) >= k:
-                kth = sorted((r[2] for r in all_rows), reverse=True)[k - 1]
-                # every source in this (bound-sorted) wave is bounded
-                # strictly below the current k-th best → done.
-                if bounds[wave[0]] < kth:
-                    break
-            all_rows.extend(_wave(wave))
-            i += wave_size
+    # Driver state is a running top-k under the output's total order
+    # (distance DESC, source, target) — NEVER the |sources|×k union
+    # (same bounded-driver contract as the BSP fallback): each wave's
+    # collect is ≤ |wave|×k transient rows, folded immediately.
+    best_rows: list[tuple[str, str, float]] = []
 
-    df = spark.createDataFrame(all_rows, _APSP_SCHEMA)
+    def _fold(new_rows: list[tuple[str, str, float]]) -> None:
+        nonlocal best_rows
+        merged = best_rows + new_rows
+        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
+        best_rows = merged[:k]
+
+    wave_size = max(sources_per_task * max(sc.defaultParallelism, 1), 512)
+    i = 0
+    while i < len(sources):
+        wave = sources[i : i + wave_size]
+        if landmark_pruning and len(best_rows) >= k:
+            # every source in this (bound-sorted) wave is bounded
+            # strictly below the current k-th best → done.
+            if bounds[wave[0]] < best_rows[-1][2]:
+                break
+        _fold(_wave(wave))
+        i += wave_size
+
+    df = spark.createDataFrame(best_rows, _APSP_SCHEMA)
     return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)
 
 
