@@ -229,3 +229,292 @@ def bsp_multi_sssp(
     if edges_pre_aggregated is None:
         edges.unpersist()
     return state
+
+
+# Probe state for BSP Yen: one row per (probe, node) with the best
+# known spur path. nullable=True for the same Spark 4.1 optimizer
+# reason as _MULTI_STATE_SCHEMA above.
+_PROBE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), True),
+        T.StructField("node", T.StringType(), True),
+        T.StructField("dist", T.DoubleType(), True),
+        T.StructField("path", T.ArrayType(T.StringType()), True),
+        T.StructField("cpath", T.ArrayType(T.DoubleType()), True),
+        T.StructField("epath", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+_MASK_E_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), True),
+        T.StructField("eid", T.LongType(), True),
+    ]
+)
+
+_MASK_N_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), True),
+        T.StructField("node", T.StringType(), True),
+    ]
+)
+
+
+def _edges_with_identity(roads: DataFrame) -> DataFrame:
+    """(src, dst, cost, eid): the multigraph with a stable 64-bit edge
+    identity. The ingest's quadruple dedup (operator I6) makes
+    (src, dst, road_id, cost) unique per edge, so hashing the available
+    identity columns gives a deterministic per-edge key — Yen's edge
+    masking needs identity, not endpoints, so parallel edges stay
+    individually maskable (same contract as the broadcast kernel's CSR
+    edge index). NO min-cost pre-aggregation here: masking the cheapest
+    parallel edge must expose the next-cheapest one, so the per-
+    superstep groupBy does the reduction after masks apply."""
+    id_cols = [c for c in ("src", "dst", "road_id", "cost") if c in roads.columns]
+    return roads.select(
+        "src", "dst", "cost", F.xxhash64(*[F.col(c) for c in id_cols]).alias("eid")
+    )
+
+
+def _bsp_probe_wave(
+    spark: SparkSession,
+    e: DataFrame,
+    h: DataFrame,
+    probes: list[tuple[int, str, frozenset, frozenset]],
+    target: str,
+    max_supersteps: int,
+    checkpoint_state_every: int = 8,
+) -> dict[int, tuple[list[str], list[float], list[int], float]]:
+    """Run one wave of masked point-to-point probes as a SINGLE
+    probe-keyed BSP relaxation. ``probes`` is (pid, spur_node,
+    masked_eids, masked_nodes); returns pid → (node path, hop costs,
+    edge ids, spur dist) for probes that reached ``target``.
+
+    Pruning (both exact, so results match the unmasked-lower-bound
+    contract of the broadcast spur search):
+
+    * candidates inner-join the reverse-distance table ``h`` — a node
+      that cannot reach the target in the UNMASKED graph can never lie
+      on a spur path (masks only remove edges), so the search space is
+      pre-restricted to target-reaching nodes;
+    * ``dist + h(node) >= best known target dist for the probe`` drops
+      the candidate (admissible bound ⇒ cannot improve).
+    """
+    mask_e = F.broadcast(
+        spark.createDataFrame(
+            [(pid, int(eid)) for pid, _s, me, _mn in probes for eid in me],
+            _MASK_E_SCHEMA,
+        )
+    )
+    mask_n = F.broadcast(
+        spark.createDataFrame(
+            [(pid, n) for pid, _s, _me, mn in probes for n in mn], _MASK_N_SCHEMA
+        )
+    )
+    state = spark.createDataFrame(
+        [(pid, spur, 0.0, [spur], [], []) for pid, spur, _me, _mn in probes],
+        _PROBE_STATE_SCHEMA,
+    ).localCheckpoint(eager=True)
+    frontier = state
+    best: dict[int, float] = {}
+
+    for step in range(1, max_supersteps + 1):
+        cand = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.node") == F.col("e.src"))
+            .join(
+                mask_e.alias("me"),
+                (F.col("f.pid") == F.col("me.pid")) & (F.col("e.eid") == F.col("me.eid")),
+                "left_anti",
+            )
+            .join(
+                mask_n.alias("mn"),
+                (F.col("f.pid") == F.col("mn.pid")) & (F.col("e.dst") == F.col("mn.node")),
+                "left_anti",
+            )
+            # inner join: restrict to nodes with a finite unmasked
+            # reverse distance (h also feeds the bound prune below).
+            .join(h.alias("h"), F.col("e.dst") == F.col("h.node"))
+            .select(
+                F.col("f.pid").alias("pid"),
+                F.col("e.dst").alias("node"),
+                (F.col("f.dist") + F.col("e.cost")).alias("dist"),
+                F.concat(F.col("f.path"), F.array(F.col("e.dst"))).alias("path"),
+                F.concat(F.col("f.cpath"), F.array(F.col("e.cost"))).alias("cpath"),
+                F.concat(F.col("f.epath"), F.array(F.col("e.eid"))).alias("epath"),
+                F.col("h._h").alias("_h"),
+            )
+        )
+        if best:
+            bt = F.broadcast(
+                spark.createDataFrame(
+                    list(best.items()),
+                    T.StructType(
+                        [
+                            T.StructField("pid", T.IntegerType(), True),
+                            T.StructField("_bt", T.DoubleType(), True),
+                        ]
+                    ),
+                )
+            )
+            cand = (
+                cand.join(bt, "pid", "left")
+                .filter(F.col("_bt").isNull() | (F.col("dist") + F.col("_h") < F.col("_bt")))
+                .drop("_bt")
+            )
+        cand = cand.drop("_h")
+
+        best_cand = (
+            cand.groupBy("pid", "node")
+            .agg(F.min(F.struct("dist", "path", "cpath", "epath")).alias("m"))
+            .select(
+                "pid",
+                "node",
+                F.col("m.dist").alias("dist"),
+                F.col("m.path").alias("path"),
+                F.col("m.cpath").alias("cpath"),
+                F.col("m.epath").alias("epath"),
+            )
+        )
+        on = (F.col("c.pid") == F.col("s.pid")) & (F.col("c.node") == F.col("s.node"))
+        improved = (
+            best_cand.alias("c")
+            .join(state.alias("s"), on, "left")
+            .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
+            .select(
+                F.col("c.pid").alias("pid"),
+                F.col("c.node").alias("node"),
+                F.col("c.dist").alias("dist"),
+                F.col("c.path").alias("path"),
+                F.col("c.cpath").alias("cpath"),
+                F.col("c.epath").alias("epath"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        for r in improved.filter(F.col("node") == target).select("pid", "dist").collect():
+            pid, d = int(r[0]), float(r[1])
+            if d < best.get(pid, float("inf")):
+                best[pid] = d
+        anti = (F.col("s.pid") == F.col("i.pid")) & (F.col("s.node") == F.col("i.node"))
+        state = (
+            state.alias("s").join(improved.alias("i"), anti, "left_anti").unionByName(improved)
+        )
+        if step % checkpoint_state_every == 0:
+            state = state.localCheckpoint(eager=True)
+        frontier = improved
+
+    out: dict[int, tuple[list[str], list[float], list[int], float]] = {}
+    for r in state.filter(F.col("node") == target).collect():
+        out[int(r["pid"])] = (
+            list(r["path"]),
+            [float(c) for c in r["cpath"]],
+            [int(x) for x in r["epath"]],
+            float(r["dist"]),
+        )
+    return out
+
+
+def bsp_yens_k(
+    spark: SparkSession,
+    roads: DataFrame,
+    source: str,
+    target: str,
+    k: int = 3,
+    max_supersteps: int = 10_000,
+    probes_per_wave: int = 64,
+) -> list[tuple[list[str], list[float], float]]:
+    """Yen's K loopless shortest paths for graphs past the broadcast
+    limit (G5 at BSP scale). Same semantics as the broadcast
+    ``paths.yens_k`` — k paths ordered by total cost with the broadcast
+    kernel's tie-breaks, path #0 = Dijkstra's, multigraph edge identity
+    respected — but no per-node structure ever materializes on the
+    driver beyond the k result paths themselves.
+
+    Execution: Yen is sequential in k, but each iteration's ~|path|
+    masked spur probes are independent, so they run as ONE probe-keyed
+    BSP relaxation per wave (``probes_per_wave`` bounds distributed
+    state at |wave| × |target-reaching nodes| rows). One reverse BSP
+    SSSP from the target, computed once, serves as the exact admissible
+    heuristic for every probe (the BSP analog of the broadcast path's
+    reverse-distance landmark). Total cost ≈ (1 + k·ceil(|path| /
+    probes_per_wave)) BSP runs — honest but latency-heavy, which is why
+    ``auto`` only dispatches here past BROADCAST_EDGE_LIMIT.
+
+    Returns [(node path, hop costs, total cost)] — driver-sized.
+    """
+    e = _edges_with_identity(roads).cache()
+    e.count()
+    try:
+        # Reverse-distance table (node, _h): one BSP SSSP from target
+        # over reversed edges, reused by every probe of every wave.
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+        h = (
+            bsp_multi_sssp(spark, rev, [target], max_supersteps=max_supersteps)
+            .select("node", F.col("dist").alias("_h"))
+            .cache()
+        )
+        h.count()
+        try:
+            first = _bsp_probe_wave(
+                spark, e, h, [(0, source, frozenset(), frozenset())], target, max_supersteps
+            )
+            if 0 not in first:
+                return []
+            p0_nodes, p0_costs, p0_eids, _d0 = first[0]
+            a_paths: list[tuple[list[str], list[float], list[int]]] = [
+                (p0_nodes, p0_costs, p0_eids)
+            ]
+            seen: set[tuple[int, ...]] = {tuple(p0_eids)}
+            import heapq as _hq
+
+            candidates: list[tuple[float, list[str], list[float], list[int]]] = []
+            while len(a_paths) < k:
+                prev_nodes, prev_costs, prev_eids = a_paths[-1]
+                probes = []
+                for i in range(len(prev_nodes) - 1):
+                    root_nodes = prev_nodes[: i + 1]
+                    masked_e = frozenset(
+                        p_eids[i]
+                        for p_nodes, _pc, p_eids in a_paths
+                        if p_nodes[: i + 1] == root_nodes and len(p_eids) > i
+                    )
+                    probes.append(
+                        (i, prev_nodes[i], masked_e, frozenset(root_nodes[:-1]))
+                    )
+                results: dict[int, tuple[list[str], list[float], list[int], float]] = {}
+                for lo in range(0, len(probes), probes_per_wave):
+                    results.update(
+                        _bsp_probe_wave(
+                            spark,
+                            e,
+                            h,
+                            probes[lo : lo + probes_per_wave],
+                            target,
+                            max_supersteps,
+                        )
+                    )
+                for i, (sp_nodes, sp_costs, sp_eids, _sd) in results.items():
+                    nodes_i = prev_nodes[:i] + sp_nodes
+                    costs_i = prev_costs[:i] + sp_costs
+                    eids_i = prev_eids[:i] + sp_eids
+                    key = tuple(eids_i)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    _hq.heappush(
+                        candidates, (float(sum(costs_i)), nodes_i, costs_i, eids_i)
+                    )
+                if not candidates:
+                    break
+                _total, nodes_i, costs_i, eids_i = _hq.heappop(candidates)
+                a_paths.append((nodes_i, costs_i, eids_i))
+            return [
+                (nodes_i, costs_i, float(sum(costs_i)))
+                for nodes_i, costs_i, _e2 in a_paths
+            ]
+        finally:
+            h.unpersist()
+    finally:
+        e.unpersist()

@@ -337,24 +337,26 @@ def yens_k(
     on the driver. Wall-clock per iteration ≈ the slowest single spur
     search instead of their sum.
 
-    ``strategy`` semantics: Yen runs on the broadcast projection only —
-    a pure-BSP Yen (for graphs beyond broadcast) would chain k·|path|
-    BSP searches — supported math, prohibitive latency — so it is
-    deliberately not provided. ``auto`` therefore CHECKS the edge count
-    first and raises a clear error past ``BROADCAST_EDGE_LIMIT``
-    instead of silently collecting a projection that would OOM the
-    driver; pass ``strategy='broadcast'`` to force (e.g. when you know
-    the count is stale or your driver is sized for it)."""
-    if strategy not in ("auto", "broadcast"):
-        raise ValueError("yens_k supports strategy 'auto' or 'broadcast' only (see docstring)")
-    if projection is None and strategy == "auto" and _resolve_strategy(roads, "auto") == "bsp":
+    ``strategy`` semantics: below ``BROADCAST_EDGE_LIMIT`` Yen runs on
+    the broadcast projection (each iteration's spur probes fan out as
+    executor tasks). Past the limit, ``auto`` (or explicit ``'bsp'``)
+    dispatches to ``bsp.bsp_yens_k``: each iteration's ~|path| masked
+    probes share ONE probe-keyed BSP relaxation (wave-bounded state,
+    no driver-side per-node structures), goal-directed by a single
+    reverse BSP SSSP from the target. Results are identical; latency
+    is ~(1 + k·ceil(|path|/wave)) BSP runs, so broadcast is always
+    preferred when the projection fits."""
+    if strategy not in ("auto", "broadcast", "bsp"):
         raise ValueError(
-            "yens_k: graph exceeds BROADCAST_EDGE_LIMIT "
-            f"({BROADCAST_EDGE_LIMIT:,} edges) and Yen's has no BSP execution "
-            "(k·|path| chained BSP searches — prohibitive; see docstring). "
-            "Pass strategy='broadcast' to force the broadcast projection anyway, "
-            "or reduce the graph (subgraph filter) first."
+            "yens_k supports strategy 'auto', 'broadcast' or 'bsp' (see docstring)"
         )
+    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
+        paths = _bsp.bsp_yens_k(spark, roads, source, target, k=k)
+        rows = [
+            (i, nodes_i, costs_i, total_i)
+            for i, (nodes_i, costs_i, total_i) in enumerate(paths)
+        ]
+        return spark.createDataFrame(rows, _YENS_SCHEMA)
     proj = projection or build_projection(roads)
     s, t = proj.index.get(source), proj.index.get(target)
     if s is None or t is None:

@@ -409,10 +409,11 @@ def test_apsp_bsp_driver_rows_bounded(spark, monkeypatch):
     assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in b]
 
 
-def test_yens_k_auto_guards_beyond_broadcast(spark, monkeypatch):
-    """yens_k(strategy='auto') on a graph past BROADCAST_EDGE_LIMIT
-    must raise a clear error instead of collecting a projection that
-    would OOM the driver; strategy='broadcast' still forces it."""
+def test_yens_k_auto_dispatches_bsp_beyond_broadcast(spark, monkeypatch):
+    """yens_k(strategy='auto') past BROADCAST_EDGE_LIMIT must dispatch
+    to the BSP Yen (never collect a projection that would OOM the
+    driver) and return the same paths broadcast would."""
+    from bigdata_foundation_spark.graph import bsp as _bsp_mod
     from bigdata_foundation_spark.graph import paths as _paths_mod
 
     roads = spark.createDataFrame(
@@ -421,9 +422,59 @@ def test_yens_k_auto_guards_beyond_broadcast(spark, monkeypatch):
     )
     monkeypatch.setattr(_paths_mod, "BROADCAST_EDGE_LIMIT", 2)
     _paths_mod._COUNT_MEMO.clear()
-    with pytest.raises(ValueError, match="BROADCAST_EDGE_LIMIT"):
-        yens_k(spark, roads, "a", "c", k=2)
-    # forcing broadcast bypasses the guard and still returns k paths
-    got = yens_k(spark, roads, "a", "c", k=2, strategy="broadcast").collect()
+    calls: list[int] = []
+    real = _bsp_mod.bsp_yens_k
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(_paths_mod._bsp, "bsp_yens_k", spy)
+    got = yens_k(spark, roads, "a", "c", k=2).collect()
+    assert calls, "auto past the limit must run the BSP Yen"
     assert [r["totalCost"] for r in got] == [2.0, 5.0]
+    assert [r["nodeIds"] for r in got] == [["a", "b", "c"], ["a", "c"]]
+    # forcing broadcast still works and agrees
+    monkeypatch.undo()
     _paths_mod._COUNT_MEMO.clear()
+    b = yens_k(spark, roads, "a", "c", k=2, strategy="broadcast").collect()
+    assert [r["totalCost"] for r in b] == [2.0, 5.0]
+    _paths_mod._COUNT_MEMO.clear()
+
+
+def test_bsp_yens_equals_broadcast_multigraph(spark):
+    """BSP Yen vs broadcast Yen on a random low-diameter MULTIGRAPH
+    (parallel edges with distinct road_id/cost force true edge-identity
+    masking — endpoint masking would wrongly kill the parallel edge)."""
+    import random
+
+    rng = random.Random(11)
+    n = 30
+    edges = []
+    eid = 0
+    for u in range(n):
+        for _ in range(3):
+            v = rng.randrange(n)
+            if v == u:
+                continue
+            edges.append((str(u), str(v), f"r{eid}", round(rng.uniform(1.0, 9.0), 3)))
+            eid += 1
+            if rng.random() < 0.3:  # parallel edge, different cost
+                edges.append(
+                    (str(u), str(v), f"r{eid}", round(rng.uniform(1.0, 9.0), 3))
+                )
+                eid += 1
+    roads = spark.createDataFrame(edges, "src string, dst string, road_id string, cost double")
+
+    b = yens_k(spark, roads, "0", str(n - 1), k=4, strategy="broadcast").collect()
+    s = yens_k(spark, roads, "0", str(n - 1), k=4, strategy="bsp").collect()
+    assert len(b) == len(s) == 4
+    for rb, rs in zip(b, s):
+        assert rb["totalCost"] == pytest.approx(rs["totalCost"], abs=1e-9)
+    # path #0 must be the Dijkstra path on both strategies
+    assert b[0]["nodeIds"] == s[0]["nodeIds"]
+    # loopless + monotone costs on the BSP side
+    for r in s:
+        assert len(set(r["nodeIds"])) == len(r["nodeIds"])
+    totals = [r["totalCost"] for r in s]
+    assert totals == sorted(totals)
