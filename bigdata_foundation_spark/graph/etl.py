@@ -98,14 +98,25 @@ def load_graph(spark: SparkSession, path: str, cache: bool = True) -> tuple[Data
 
     ``cache=True`` mirrors the reference's in-memory graph projection
     (``nodeProjection``/``relationshipProjection``, neo4j-code.txt:3–15)
-    — the algorithms iterate over these tables many times.
+    — the algorithms iterate over these tables many times. The import
+    is EAGER in that mode (the reference's import is too): the raw
+    edgelist is cached for the duration of the build so the CSV is
+    scanned once instead of once per derived table, both tables are
+    materialized, and the edgelist scratch cache is released.
     """
     edgelist = read_edgelist(spark, path)
-    nodes = build_nodes(edgelist)
-    roads = build_edges(edgelist, nodes)
-    if cache:
-        nodes = nodes.cache()
-        roads = roads.cache()
+    if not cache:
+        nodes = build_nodes(edgelist)
+        roads = build_edges(edgelist, nodes)
+        return nodes, roads
+    edgelist = edgelist.cache()
+    try:
+        nodes = build_nodes(edgelist).cache()
+        roads = build_edges(edgelist, nodes).cache()
+        nodes.count()
+        roads.count()
+    finally:
+        edgelist.unpersist()
     return nodes, roads
 
 
