@@ -60,6 +60,28 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Machine-speed calibration (reported, not added to the total):
+    # two fixed synthetic jobs — pure whole-stage-codegen CPU and a
+    # keyed shuffle — whose cost depends only on the host, never on
+    # this repo's code. Round-over-round query deltas should be read
+    # relative to these (container boots differ measurably: the same
+    # commit benched 37s on one boot and 46s on another, with the
+    # calibration shifting by the same factor).
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 + 7)").collect()
+    calib_cpu = round(time.time() - t0, 3)
+    t0 = time.time()
+    (
+        spark.range(0, 4_000_000, 1, 32)
+        .selectExpr("id % 100000 AS k", "id AS v")
+        .groupBy("k")
+        .sum("v")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    calib_shuffle = round(time.time() - t0, 3)
+
     def run_once(name: str, fn, clear: bool = False) -> float:
         t0 = time.time()
         df = fn()
@@ -130,6 +152,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": {"jvm_cpu_sec": calib_cpu, "shuffle_sec": calib_shuffle},
             }
         )
     )

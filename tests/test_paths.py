@@ -478,3 +478,27 @@ def test_bsp_yens_equals_broadcast_multigraph(spark):
         assert len(set(r["nodeIds"])) == len(r["nodeIds"])
     totals = [r["totalCost"] for r in s]
     assert totals == sorted(totals)
+
+
+def test_bsp_yens_probe_wave_batching(spark):
+    """probes_per_wave bounds distributed state without changing
+    results: forcing 2-probe waves must reproduce the unbatched
+    answer on a multigraph with parallel edges."""
+    from bigdata_foundation_spark.graph.bsp import bsp_yens_k
+
+    edges = [
+        ("a", "b", "r1", 1.0),
+        ("b", "c", "r2", 1.0),
+        ("c", "d", "r3", 1.0),
+        ("a", "c", "r4", 3.5),
+        ("b", "d", "r5", 3.0),
+        ("a", "b", "r6", 2.0),  # parallel to r1
+        ("c", "d", "r7", 1.5),  # parallel to r3
+    ]
+    roads = spark.createDataFrame(edges, "src string, dst string, road_id string, cost double")
+    full = bsp_yens_k(spark, roads, "a", "d", k=4, probes_per_wave=64)
+    waved = bsp_yens_k(spark, roads, "a", "d", k=4, probes_per_wave=2)
+    assert [(p, round(t, 9)) for p, _c, t in full] == [
+        (p, round(t, 9)) for p, _c, t in waved
+    ]
+    assert full[0][2] == pytest.approx(3.0)  # a-b-c-d via r1,r2,r3
