@@ -267,9 +267,12 @@ def _edges_with_identity(roads: DataFrame) -> DataFrame:
     identity columns gives a deterministic per-edge key — Yen's edge
     masking needs identity, not endpoints, so parallel edges stay
     individually maskable (same contract as the broadcast kernel's CSR
-    edge index). NO min-cost pre-aggregation here: masking the cheapest
-    parallel edge must expose the next-cheapest one, so the per-
-    superstep groupBy does the reduction after masks apply."""
+    edge index). Rows identical on EVERY identity column hash alike
+    and are treated as one edge — exactly the duplicates operator I6
+    removes at ingest, so engine-built tables never hit it. NO
+    min-cost pre-aggregation here: masking the cheapest parallel edge
+    must expose the next-cheapest one, so the per-superstep groupBy
+    does the reduction after masks apply."""
     id_cols = [c for c in ("src", "dst", "road_id", "cost") if c in roads.columns]
     return roads.select(
         "src", "dst", "cost", F.xxhash64(*[F.col(c) for c in id_cols]).alias("eid")

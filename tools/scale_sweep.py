@@ -67,11 +67,24 @@ def main() -> None:
             fn().write.format("noop").mode("overwrite").save()
             return time.time() - t
 
-        t_dij = timed(lambda: dijkstra(spark, roads, "2022", target, projection=proj))
-        t_astar = timed(lambda: astar(spark, roads, nodes, "2022", target, projection=proj))
-        t_yen = timed(lambda: yens_k(spark, roads, "2022", target, k=3, projection=proj))
-        t_sssp = timed(lambda: sssp(spark, roads, "2022", projection=proj))
-        t_apsp = timed(lambda: apsp_topk(spark, roads, k=10, projection=proj))
+        # Interleaved min-of-2 per algorithm (same rationale as
+        # bench.py): single runs on this container jitter by 2-3x,
+        # which would read as scaling noise in the shape comparison.
+        algos = [
+            ("dij", lambda: dijkstra(spark, roads, "2022", target, projection=proj)),
+            ("astar", lambda: astar(spark, roads, nodes, "2022", target, projection=proj)),
+            ("yen", lambda: yens_k(spark, roads, "2022", target, k=3, projection=proj)),
+            ("sssp", lambda: sssp(spark, roads, "2022", projection=proj)),
+            ("apsp", lambda: apsp_topk(spark, roads, k=10, projection=proj)),
+        ]
+        best: dict[str, float] = {}
+        for _pass in range(2):
+            for name, fn in algos:
+                dt = timed(fn)
+                best[name] = min(best.get(name, dt), dt)
+        t_dij, t_astar, t_yen, t_sssp, t_apsp = (
+            best["dij"], best["astar"], best["yen"], best["sssp"], best["apsp"]
+        )
 
         lines.append(
             f"| {rows} | {n_nodes} | {n_roads} | {t_ingest:.2f} | {t_proj:.2f} | "
