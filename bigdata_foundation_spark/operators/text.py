@@ -187,6 +187,87 @@ def fingerprint_md5(text: Column | str, normalize: bool = True) -> Column:
     return F.md5(c)
 
 
+def winnow_fingerprints(text: Column | str, k: int = 7, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS rolling-hash scheme): hash every character
+    ``k``-gram in position order, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum, and return the ordered-distinct
+    minima as ``array<long>``.
+
+    Guarantee (the paper's theorem): any substring match of length
+    >= w + k - 1 between two documents contributes at least one SHARED
+    fingerprint — unlike whole-document hashing, partial overlaps are
+    detectable from the compact fingerprint set (expected density 2 /
+    (w + 1) of all k-gram positions).
+
+    Everything stays in whole-stage codegen: the normalized text and
+    the hash sequence are each bound ONCE per row (the one-element
+    array-transform trick — see ``dedup.char_shingles``); a rolling
+    (Rabin-Karp) hash is an *implementation* of this contract for
+    byte-at-a-time scanners, while here each k-gram hashes
+    independently inside the JVM, producing the identical selection.
+    Documents shorter than ``k`` fingerprint their whole text."""
+
+    def over_hashes(hs: Column) -> Column:
+        nw = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), nw), lambda j: F.array_min(F.slice(hs, j, w)))
+        )
+
+    def over_text(t: Column) -> Column:
+        nh = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+        hashes = F.transform(
+            F.sequence(F.lit(1), nh), lambda i: F.xxhash64(F.substring(t, i, k))
+        )
+        return F.transform(F.array(hashes), over_hashes)[0]
+
+    c = F.col(text) if isinstance(text, str) else text
+    return F.transform(F.array(F.regexp_replace(F.lower(c), r"\s+", " ")), over_text)[0]
+
+
+def winnow_overlap_pairs(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 4,
+    min_shared: int = 5,
+    max_doc_freq: int = 100,
+) -> "DataFrame":
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the MOSS-style partial-overlap detector (catches shared passages
+    that whole-document or shingle-set Jaccard measures dilute away).
+
+    Scale shape (same family as the LSH dedups): explode to (id, fp),
+    drop DEGENERATE fingerprints appearing in > ``max_doc_freq``
+    documents (boilerplate — winnowing practice, and the skew guard
+    that keeps the self-join linear), self-join on the 8-byte
+    fingerprint, count per pair. Shuffles carry hashes, never text;
+    fan-out per fingerprint is capped by ``max_doc_freq``.
+
+    Returns (id_a, id_b, shared) with id_a < id_b."""
+    from bigdata_foundation_spark.operators.dedup import spread
+
+    fps = spread(df, id_col).select(
+        F.col(id_col), F.explode(winnow_fingerprints(text_col, k, w)).alias("_fp")
+    )
+    freq = fps.groupBy("_fp").agg(F.count("*").alias("_df"))
+    kept = (
+        fps.join(freq.filter(F.col("_df") <= max_doc_freq), "_fp")
+        .select(F.col(id_col), F.col("_fp"))
+    )
+    a = kept.withColumnRenamed(id_col, "id_a")
+    b = kept.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        # fingerprint arrays are distinct per doc, so count == #shared
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram
     in the same document — the Gopher-style within-document repetition

@@ -78,18 +78,22 @@ def q(name: str, oracle: str | None, doc: str = ""):
 
 # The driver's correctness gate runs the FIRST 50 registry entries
 # (empirically: CORRECTNESS_r01.json == the first 50 registrations).
-# After r1∪r2∪r3 every one of the 114 entries has been gated at least
+# After r1∪r2∪r3 every pre-existing entry has been gated at least
 # once; round 4's staleness policy (VERDICT r3 task 3): (a) queries
 # whose code or pinned golden CHANGED this round gate first, then
 # (b) the 16 entries last gated in r2 (2 rounds stale), then (c) the
 # oldest r1-only entries, most-load-bearing families first (TPC-H,
-# join family, windows/rollups). The 26 r1-only entries that don't
-# fit this round's 50 slots are next round's (b); the whole registry
-# is additionally value-checked locally each round via
+# join family, windows/rollups). Entries past position 50 (now
+# rollup_order_stats, cube_revenue — displaced by the two NEW winnow
+# queries, which must gate on their debut round) are next round's
+# (b) alongside the r1-only remainder; the whole registry is
+# additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r04.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
     # (a) code/golden changed in round 4
+    "winnow_fingerprint_stats",  # NEW this round (rolling-hash winnowing)
+    "winnow_overlap_pairs",  # NEW this round
     "ann_ivf_topk",  # hash-spread centroids (new golden)
     "dedup_embedding_lsh",  # auto-sized LSH params (new golden)
     "dedup_embedding_cosine",  # auto-sized LSH params
@@ -1049,6 +1053,36 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.bpe_ish_token_count("text").cast("bigint").alias("n_tokens_bpe"),
         TX.fingerprint_md5("text").alias("fingerprint"),
     )
+
+
+@q(
+    "winnow_fingerprint_stats",
+    PIPELINE_GOLDEN_SQL["winnow_fingerprint_stats"],
+    "winnowing rolling-hash fingerprints per document (Schleimer 2003; "
+    "pinned-golden oracle from the independent pure-Python replay)",
+)
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = TX.winnow_fingerprints("text", k=20, w=8)
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+    )
+
+
+@q(
+    "winnow_overlap_pairs",
+    PIPELINE_GOLDEN_SQL["winnow_overlap_pairs"],
+    "MOSS-style partial-overlap pairs via shared winnowed fingerprints "
+    "(pinned-golden oracle, gen_pipeline_goldens.py)",
+)
+def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return TX.winnow_overlap_pairs(
+        d, k=20, w=8, min_shared=2, max_doc_freq=50
+    ).orderBy("id_a", "id_b")
 
 
 @q(

@@ -407,6 +407,68 @@ def test_repetition_ratio(spark):
     assert got[2] == 0.0  # all distinct
 
 
+def test_winnow_fingerprints(spark):
+    """Winnowing contract (Schleimer 2003): any substring match of
+    length >= w + k - 1 contributes a shared fingerprint; disjoint
+    texts share nothing; fingerprints are a subset of the k-gram
+    hashes (each is a window MINIMUM of them)."""
+    k, w = 7, 4
+    shared_passage = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated preamble AAAA {shared_passage} trailing junk one"),
+            (2, f"zzz different intro {shared_passage} and a different ending"),
+            (3, "completely disjoint content qqq www eee rrr ttt yyy uuu"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", TX.winnow_fingerprints("text", k=k, w=w).alias("fp")
+        ).collect()
+    }
+    assert len(shared_passage) >= w + k - 1
+    assert fps[1] & fps[2], "shared passage must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # every fingerprint is one of the doc's k-gram hashes
+    norm = "unrelated preamble aaaa " + shared_passage + " trailing junk one"
+    grams = {norm[i : i + k] for i in range(max(len(norm) - (k - 1), 1))}
+    gram_hashes = {
+        r[0]
+        for r in spark.createDataFrame([(g,) for g in grams], "g string")
+        .select(F.xxhash64("g"))
+        .collect()
+    }
+    assert fps[1] <= gram_hashes
+    # short-doc edge: text shorter than k still fingerprints
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    got = tiny.select(TX.winnow_fingerprints("text", k=k, w=w).alias("fp")).head()["fp"]
+    assert len(got) == 1
+
+
+def test_winnow_overlap_pairs(spark):
+    passage = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = [
+        (1, f"first document with {passage} inside it"),
+        (2, f"second document also contains {passage} but differs elsewhere"),
+        (3, "nothing in common here at all kkk lll mmm nnn ooo ppp"),
+    ]
+    # boilerplate shared by EVERYONE — must be killed by the doc-freq cap
+    boiler = " copyright footer all rights reserved worldwide"
+    df = spark.createDataFrame(
+        [(i, t + boiler) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in TX.winnow_overlap_pairs(
+            df, k=7, w=4, min_shared=2, max_doc_freq=2
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert not any(3 in p for p in got), "cap must kill the all-docs boilerplate"
+
+
 def test_contamination_flags(spark):
     phrase = "alpha bravo charlie delta echo"
     train = spark.createDataFrame(

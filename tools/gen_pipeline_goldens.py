@@ -149,6 +149,60 @@ def minhash_golden(docs, num_hashes=64, bands=16, shingle_k=5, threshold=0.5, ma
     )
 
 
+# --- winnowing fingerprints ------------------------------------------------
+
+def winnow(text: str, k: int = 7, w: int = 4) -> list[int]:
+    """Schleimer/Wilkerson/Aiken winnowing, mirroring the engine
+    contract: hash every char k-gram of the normalized text in
+    position order (short tail slices hash as-is, matching Spark
+    substring), min per w-window, ordered-distinct minima."""
+    t = normalize_text(text)
+    nh = max(len(t) - (k - 1), 1)
+    hs = [spark_xxhash64(t[i : i + k]) for i in range(nh)]
+    nw = max(nh - (w - 1), 1)
+    mins = [min(hs[j : j + w]) for j in range(nw)]
+    return list(dict.fromkeys(mins))
+
+
+def winnow_stats_golden(docs, k=7, w=4):
+    rows = []
+    for doc_id, text in docs:
+        fps = winnow(text, k, w)
+        rows.append((doc_id, len(fps), min(fps), max(fps)))
+    return values_sql(
+        [
+            ("doc_id", "BIGINT"),
+            ("n_fp", "INTEGER"),
+            ("fp_min", "BIGINT"),
+            ("fp_max", "BIGINT"),
+        ],
+        rows,
+    )
+
+
+def winnow_pairs_golden(docs, k=7, w=4, min_shared=5, max_doc_freq=100):
+    fps = {doc_id: winnow(text, k, w) for doc_id, text in docs}
+    df_count: dict[int, int] = {}
+    for fp_list in fps.values():
+        for fp in fp_list:
+            df_count[fp] = df_count.get(fp, 0) + 1
+    postings: dict[int, list[int]] = {}
+    for doc_id, fp_list in fps.items():
+        for fp in fp_list:
+            if df_count[fp] <= max_doc_freq:
+                postings.setdefault(fp, []).append(doc_id)
+    shared: dict[tuple[int, int], int] = {}
+    for ids in postings.values():
+        for a, b in combinations(sorted(ids), 2):
+            shared[(a, b)] = shared.get((a, b), 0) + 1
+    rows = [
+        (a, b, c) for (a, b), c in sorted(shared.items()) if c >= min_shared
+    ]
+    return values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("shared", "BIGINT")], rows
+    )
+
+
 # --- dedup_simhash ---------------------------------------------------------
 
 def simhash_golden(docs, bits=60, chunks=4, max_hamming=3, max_bucket=1000):
@@ -436,6 +490,10 @@ def main() -> None:
         "ann_lsh_topk": lsh_golden(vecs),
         "dedup_embedding_lsh": neardup_lsh_golden(vecs),
         "pack_sequences_summary": pack_golden(docs),
+        "winnow_fingerprint_stats": winnow_stats_golden(docs, k=20, w=8),
+        "winnow_overlap_pairs": winnow_pairs_golden(
+            docs, k=20, w=8, min_shared=2, max_doc_freq=50
+        ),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
