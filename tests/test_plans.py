@@ -151,3 +151,14 @@ def test_shuffle_rank_no_single_partition_sort(spark):
     plan = plan_of(spark, "shuffle_deterministic_order")
     assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_overlap_no_cartesian_no_python(spark):
+    """Winnow overlap pairs must run as the fingerprint-keyed
+    self-join (8-byte shuffle keys), never a cartesian, with every
+    expression in codegen — the MOSS-style detector at 100 TB hinges
+    on exactly this shape."""
+    plan = plan_of(spark, "winnow_overlap_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
