@@ -225,6 +225,35 @@ def bucket_drop_stats(
     )
 
 
+def _banded_keys(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, key): one 64-bit bucket key per band, hashing the
+    band's signature slice with the multi-arg (seed-chained) xxhash64
+    — shared by the batch pipeline and the persisted index so their
+    keys are bit-identical."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("_sig")[j]
+                                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                            ]
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -253,7 +282,6 @@ def minhash_lsh_pairs(
     false-negative probability (Binomial(64, J) tail) is far below the
     banding miss rate itself — the output contract (exact Jaccard on
     survivors, up to 64-bit hash collisions) is unchanged."""
-    rows_per_band = num_hashes // bands
     base = tracked_cache(shingle_hash_table(df, text_col, id_col, shingle_k))
     fam = _minhash_family(num_hashes)
     sig = tracked_cache(
@@ -261,23 +289,7 @@ def minhash_lsh_pairs(
         .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
     )
 
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        # multi-arg xxhash64 over the band's signature slice
-                        F.xxhash64(
-                            *[F.col("_sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    banded = _banded_keys(sig, id_col, num_hashes, bands)
 
     raw_cand = _bucket_pairs(banded, id_col, ["band", "key"], max_bucket)
     est = minhash_jaccard_est(F.col("_sig_a"), F.col("_sig_b"), num_hashes)
@@ -308,6 +320,129 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> None:
+    """Persist the corpus's MinHash-LSH index for INCREMENTAL dedup —
+    the production-ingest shape: the reference corpus is shingled,
+    signed and banded ONCE, and each new batch dedups against it by
+    probing the stored buckets instead of re-processing the corpus
+    (``minhash_index_query``). Mirrors ``ivf_build``/``ivf_query``.
+
+    Layout under ``path``: ``bands/`` (id, band, key — the bucket
+    postings), ``signatures/`` (id, _sig — for the agreement prune),
+    ``shingles/`` (id, _h — for the exact-Jaccard verify), ``meta/``
+    (the parameters; queries must band identically to probe
+    correctly)."""
+    spark = df.sparkSession
+    base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
+    try:
+        base.write.mode("overwrite").parquet(path + "/shingles")
+        fam = _minhash_family(num_hashes)
+        sig = (
+            base.groupBy(id_col)
+            .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
+            .cache()
+        )
+        try:
+            sig.write.mode("overwrite").parquet(path + "/signatures")
+            _banded_keys(sig, id_col, num_hashes, bands).write.mode("overwrite").parquet(
+                path + "/bands"
+            )
+        finally:
+            sig.unpersist()
+    finally:
+        base.unpersist()
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_k, id_col)],
+        "num_hashes int, bands int, shingle_k int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def minhash_index_query(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against a ``minhash_index_build``
+    index: (query_id, index_id, jaccard) with exact Jaccard >=
+    ``threshold``. Only the new batch is shingled/signed; the stored
+    corpus contributes via keyed joins on its persisted tables —
+    banding params come from the index metadata so bucket keys are
+    bit-identical to build time.
+
+    Scale shape: bucket probe = one join on (band, key); stored
+    buckets larger than ``max_bucket`` are dropped (the batch
+    pipeline's degenerate-key guard); agreement prune and verify read
+    only the candidate ids' rows (semi-join pushdown into the index
+    scan). Against a bucket-capped-free corpus this returns exactly
+    the cross-batch subset of ``minhash_lsh_pairs`` on the union
+    (pinned by ``test_minhash_index_cross_batch``)."""
+    meta = spark.read.parquet(path + "/meta").head()
+    num_hashes, bands, shingle_k = int(meta[0]), int(meta[1]), int(meta[2])
+    idx_id = str(meta[3])
+
+    nbase = tracked_cache(shingle_hash_table(df, text_col, id_col, shingle_k))
+    fam = _minhash_family(num_hashes)
+    nsig = tracked_cache(
+        nbase.groupBy(id_col)
+        .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
+    )
+    nbanded = _banded_keys(nsig, id_col, num_hashes, bands)
+
+    stored = spark.read.parquet(path + "/bands")
+    sizes = stored.groupBy("band", "key").agg(F.count("*").alias("_bsize"))
+    kept = stored.join(sizes.filter(F.col("_bsize") <= max_bucket), ["band", "key"]).drop(
+        "_bsize"
+    )
+    cand = tracked_cache(
+        nbanded.withColumnRenamed(id_col, "query_id")
+        .join(kept.withColumnRenamed(idx_id, "index_id"), ["band", "key"])
+        .select("query_id", "index_id")
+        .distinct()
+    )
+
+    ssig = spark.read.parquet(path + "/signatures")
+    est = minhash_jaccard_est(F.col("_sig_q"), F.col("_sig_i"), num_hashes)
+    pruned = tracked_cache(
+        cand.join(nsig.withColumnsRenamed({id_col: "query_id", "_sig": "_sig_q"}), "query_id")
+        .join(ssig.withColumnsRenamed({idx_id: "index_id", "_sig": "_sig_i"}), "index_id")
+        .filter(est >= F.lit(max(threshold - 0.15, 0.0)))
+        .select("query_id", "index_id")
+    )
+
+    q_ids = pruned.select(F.col("query_id").alias(id_col)).distinct()
+    i_ids = pruned.select(F.col("index_id").alias(idx_id)).distinct()
+    qsh = (
+        nbase.join(q_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
+    )
+    ish = (
+        spark.read.parquet(path + "/shingles")
+        .join(i_ids, idx_id, "left_semi")
+        .groupBy(idx_id)
+        .agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
+    )
+    return (
+        pruned.join(qsh.withColumnsRenamed({id_col: "query_id", "_sh": "_sh_q"}), "query_id")
+        .join(ish.withColumnsRenamed({idx_id: "index_id", "_sh": "_sh_i"}), "index_id")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sh_q"), F.col("_sh_i")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("query_id", "index_id", "jaccard")
     )
 
 

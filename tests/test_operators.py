@@ -407,6 +407,33 @@ def test_repetition_ratio(spark):
     assert got[2] == 0.0  # all distinct
 
 
+def test_minhash_index_cross_batch(spark, tmp_path):
+    """Incremental dedup: build the LSH index on batch A, query batch
+    B against it — results must equal EXACTLY the cross-batch subset
+    of the one-shot pipeline on A ∪ B (no bucket caps trigger at this
+    size, so candidate generation is identical by construction)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_idx")
+    D.minhash_index_build(a, idx)
+    got = {
+        (r["query_id"], r["index_id"]): r["jaccard"]
+        for r in D.minhash_index_query(spark, idx, b, threshold=0.5).collect()
+    }
+    union_pairs = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    want = {}
+    for r in union_pairs:
+        ia, ib, j = r["id_a"], r["id_b"], r["jaccard"]
+        if ia % 2 != ib % 2:  # cross-batch only
+            q, i = (ia, ib) if ia % 2 == 1 else (ib, ia)
+            want[(q, i)] = j
+    assert got == want
+    assert want, "sf0.01 corpus must contain at least one cross-parity near-dup"
+
+
 def test_winnow_fingerprints(spark):
     """Winnowing contract (Schleimer 2003): any substring match of
     length >= w + k - 1 contributes a shared fingerprint; disjoint
