@@ -474,6 +474,34 @@ def test_winnow_fingerprints(spark):
     assert len(got) == 1
 
 
+def test_winnow_engine_matches_replay(spark):
+    """The engine's JVM winnowing must equal the pure-Python replay
+    the pinned goldens are minted from (tools/gen_pipeline_goldens) on
+    arbitrary text — random strings over a small alphabet maximize
+    k-gram collisions and window ties, the cases where a selection
+    mismatch would hide."""
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_pipeline_goldens import winnow as py_winnow
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        n = rng.randrange(0, 120)
+        docs.append((i, "".join(rng.choice("ab c") for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in df.select(
+            "doc_id", TX.winnow_fingerprints("text", k=5, w=3).alias("fp")
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == py_winnow(text, k=5, w=3), (doc_id, text)
+
+
 def test_winnow_overlap_pairs(spark):
     passage = "the quick brown fox jumps over the lazy dog tonight again"
     rows = [
