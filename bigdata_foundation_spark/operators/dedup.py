@@ -355,7 +355,13 @@ def minhash_index_build(
         )
         try:
             sig.write.mode("overwrite").parquet(path + "/signatures")
-            _banded_keys(sig, id_col, num_hashes, bands).write.mode("overwrite").parquet(
+            # Bucket sizes are precomputed at build and stored on the
+            # postings, so a query's degenerate-bucket guard is a
+            # pushed-down `_bsize <= cap` filter on the scan — not an
+            # aggregation pass over the whole index per batch.
+            banded = _banded_keys(sig, id_col, num_hashes, bands)
+            sizes = banded.groupBy("band", "key").agg(F.count("*").alias("_bsize"))
+            banded.join(sizes, ["band", "key"]).write.mode("overwrite").parquet(
                 path + "/bands"
             )
         finally:
@@ -403,10 +409,12 @@ def minhash_index_query(
     )
     nbanded = _banded_keys(nsig, id_col, num_hashes, bands)
 
-    stored = spark.read.parquet(path + "/bands")
-    sizes = stored.groupBy("band", "key").agg(F.count("*").alias("_bsize"))
-    kept = stored.join(sizes.filter(F.col("_bsize") <= max_bucket), ["band", "key"]).drop(
-        "_bsize"
+    # _bsize was precomputed at build: the degenerate-bucket guard is
+    # a pushed-down scan filter, no aggregation over the stored index.
+    kept = (
+        spark.read.parquet(path + "/bands")
+        .filter(F.col("_bsize") <= max_bucket)
+        .drop("_bsize")
     )
     cand = tracked_cache(
         nbanded.withColumnRenamed(id_col, "query_id")

@@ -177,3 +177,29 @@ def test_pack_sequences_invariants(spark, toks, budget):
         packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
     for members in packs.values():
         assert sum(members) <= budget or len(members) == 1
+
+
+@given(
+    a=st.text(alphabet="abc d", max_size=60),
+    b=st.text(alphabet="abc d", max_size=60),
+    shared=st.text(alphabet="xyzw", min_size=10, max_size=30),
+)
+@_settings
+def test_winnow_guarantee_property(a, b, shared):
+    """The winnowing theorem (Schleimer 2003 §3), on the pure-Python
+    replay: two documents sharing any substring of length >= w + k - 1
+    share at least one fingerprint. Pure Python — the replay equals
+    the engine by test_winnow_engine_matches_replay, so the property
+    transfers. The planted passage's alphabet is disjoint from the
+    fillers' and whitespace-free, so it survives normalization intact
+    and any shared fingerprint provably has to come from somewhere."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_pipeline_goldens import winnow
+
+    k, w = 5, 4
+    assert len(shared) >= w + k - 1
+    fa = set(winnow(a + shared + a, k, w))
+    fb = set(winnow(b + shared + b, k, w))
+    assert fa & fb
