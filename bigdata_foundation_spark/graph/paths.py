@@ -558,8 +558,17 @@ def apsp_topk(
         for fwd, rev, ecc_h in per_hub:
             cand = _np.where(_np.isfinite(fwd) & _np.isfinite(rev), rev + ecc_h, inf)
             _np.minimum(bvec, cand, out=bvec)
-        bounds = {s: float(bvec[index[s]]) for s in sources}
-        sources = sorted(sources, key=lambda s: -bounds[s])
+        # Bounds stay a numpy vector ALIGNED to the sorted source list
+        # (no per-source Python dict — ~1 GB of dict overhead at the
+        # 10^7-source broadcast ceiling); stable argsort keeps the
+        # id-order tie-break the goldens were minted under. inf-bound
+        # sources (outside every hub's SCC) sort first: never pruned.
+        src_bounds = bvec[
+            _np.fromiter((index[s] for s in sources), dtype=_np.int64, count=len(sources))
+        ]
+        order = _np.argsort(-src_bounds, kind="stable")
+        sources = [sources[j] for j in order]
+        bnd = src_bounds[order]
 
     def _wave(batch: list[str]) -> list[tuple[str, str, float]]:
         n_slices = max(1, len(batch) // sources_per_task)
@@ -590,7 +599,7 @@ def apsp_topk(
             kth = best_rows[-1][2]
             # every remaining source (bound-sorted) bounded strictly
             # below the current k-th best → done.
-            if bounds[sources[i]] < kth:
+            if bnd[i] < kth:
                 break
             # Mid-wave cutoff: within the wave, bisect to the first
             # source with bound < kth and process only the prefix —
@@ -601,7 +610,7 @@ def apsp_topk(
             lo, hi2 = i, hi_end
             while lo < hi2:
                 mid = (lo + hi2) // 2
-                if bounds[sources[mid]] >= kth:
+                if bnd[mid] >= kth:
                     lo = mid + 1
                 else:
                     hi2 = mid
