@@ -109,11 +109,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # INTERLEAVED min-of-2 (A,B,…,A,B,… — not A,A,B,B): the first pass
-    # pays JIT/codegen warmup for everyone (measured: the minhash gate
-    # is 7.0s cold vs 2.2s steady-state), the second pass measures the
-    # steady state a production session actually runs in; interleaving
-    # keeps repeat runs far apart so no query's repeat rides its own
-    # just-warmed JIT profile unfairly vs the others.
+    # pays JIT/codegen warmup for everyone, the second measures with a
+    # warm JIT; interleaving keeps repeat runs far apart so no query's
+    # repeat rides its own just-warmed JIT profile unfairly vs the
+    # others. REGIME: every number is COLD-CACHE (clear=True drops
+    # operator-internal caches after each run), JIT-warm — each
+    # measured pass pays its pipeline's full recompute, shared
+    # materializations inside one run count, reuse across runs does
+    # not. Speedups must come from the pipeline, not cache residue.
     for pass_i in range(2):
         for name in HEADLINE:
             dt = run_once(name, lambda name=name: reg[name].fn(spark, sf_dir), clear=True)

@@ -180,22 +180,48 @@ def _bucket_pairs(
     """Distinct candidate id pairs (a < b) co-located in any bucket.
 
     Buckets larger than ``max_bucket`` are dropped (quadratic guard —
-    degenerate keys otherwise explode the self-join; this is LSH's
-    skew-salting analog and is a documented recall trade)."""
-    # Bucket sizing via groupBy + join (map-side partial agg, no
-    # sort): a count-window over billions of bucket rows would pay a
-    # full sort per partition at scale.
-    sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_bsize"))
-    sized = (
-        buckets.join(sizes.filter(F.col("_bsize") <= max_bucket), bucket_cols)
-        .drop("_bsize")
+    degenerate keys otherwise explode the pair generation; this is
+    LSH's skew-salting analog and a documented recall trade).
+
+    Shape: a count aggregate finds the (by construction few) oversized
+    bucket keys, which are anti-joined away — AQE turns that into a
+    broadcast anti-join, so the exclusion never shuffles the postings.
+    Then ONE hash aggregate (collect_set of ids per bucket — ids are
+    unique within a bucket for every caller, so set size IS bucket
+    size) → JVM-side pair explosion over the sorted id array (a < b
+    falls out of the sort) → one distinct shuffle on 16-byte pairs.
+    The pre-exclusion keeps the collect_set state bounded at
+    ``max_bucket`` ids per group (without it a degenerate key would
+    materialize its whole bucket as one array before the size filter
+    could drop it); the earlier sizes + inner-join + self-join +
+    distinct form spent 2 extra shuffle stages for the same rows."""
+    oversized = (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("_bsize"))
+        .filter(F.col("_bsize") > max_bucket)
+        .select(*bucket_cols)
     )
-    a = sized.select(*bucket_cols, F.col(id_col).alias("id_a"))
-    b = sized.select(*bucket_cols, F.col(id_col).alias("id_b"))
+    grouped = (
+        buckets.join(oversized, bucket_cols, "left_anti")
+        .groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     return (
-        a.join(b, bucket_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ids",
+                        lambda x, i: F.transform(
+                            F.slice("_ids", i + F.lit(2), F.size("_ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
