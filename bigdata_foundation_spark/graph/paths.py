@@ -503,28 +503,39 @@ def apsp_topk(
         # component (then reach(s) == reach(h); membership = finite
         # forward AND reverse distance). Sources outside every hub's
         # SCC keep an infinite bound and are never pruned, so pruning
-        # is provably exact on any digraph. Hubs are farthest-point
-        # selected (the classic landmark spread), which tightens the
-        # min-over-hubs bound where one hub is loose.
+        # is provably exact on any digraph.
         index = proj.index
         n_src = len(sources)
-        # Spaced interior hub POOL: upper bounds want CENTRAL hubs
-        # (small ecc), but no positional pick can guarantee centrality
-        # on an unknown id ordering — so take a pool of ~11 spread
-        # positions and min-fold over ALL of them: each source's bound
-        # rides whichever pool hub happens to be central for it, and a
-        # peripheral hub only ever loosens its own term, never the
-        # fold. Hub searches run as parallel tasks (below), so the
-        # pool costs one scheduling round regardless of size —
-        # measured: the wider pool cut must-process sources ~35% on
-        # the mid-scale Shenzhen subsets where the 3-hub bounds were
-        # too loose to prune (csv2: 5418 -> 4153 of 7272).
-        hubs = list(
-            dict.fromkeys(
-                [sources[j * n_src // 4] for j in (1, 2, 3)]
-                + [sources[j * n_src // 9] for j in range(1, 9)]
-            )
-        )
+        # Spaced positional hub POOL, min-folded: upper bounds want
+        # CENTRAL hubs (small ecc), but no positional pick can
+        # guarantee centrality on an unknown id ordering — so take a
+        # pool of spread positions and min-fold the bound over ALL of
+        # them: each source's bound rides whichever pool hub happens
+        # to be central for it, and a peripheral hub only ever loosens
+        # its own term, never the fold. Hub searches run as parallel
+        # tasks (below), so the pool costs one scheduling round
+        # regardless of size. Pool size follows graph size: on graphs
+        # small enough that the first wave covers most sources anyway,
+        # extra hub SSSPs are pure overhead (r4 measured pool size
+        # {3,6,11} within 0.1s at 70k edges — the pool is NOT the
+        # lever there; the wave ramp below is); on mid-scale graphs
+        # the wider pool provably prunes more (csv2: 5418 -> 4153 of
+        # 7272 must-process sources).
+        # Positions mix three coprime stride families (quarters,
+        # sevenths, ninths) — measured on csv2 (7,272 sources): the
+        # quarter+ninth pool alone left 3,606 must-process sources
+        # because none of its 11 positions landed near the network's
+        # center (best ecc 25.7km on a ~35km-diameter graph), while
+        # adding the sevenths caught a 15.7km-ecc hub and cut
+        # must-process to 539. No single family is reliable on an
+        # unknown id ordering; three interleaved families make a
+        # central landing overwhelmingly likely, and the min-fold
+        # ignores the peripheral rest.
+        positions = [j * n_src // 4 for j in (1, 2, 3)]
+        if n_src > 2048:
+            positions += [j * n_src // 9 for j in range(1, 9)]
+            positions += [j * n_src // 7 for j in range(1, 7)]
+        hubs = list(dict.fromkeys([sources[p] for p in positions]))
         # Hub SSSPs fan out as one executor task per (hub, direction) —
         # 2·|hubs| independent searches run concurrently instead of
         # serialized in a single task (measured 2.5s → 0.5s at 70k
@@ -570,8 +581,13 @@ def apsp_topk(
         sources = [sources[j] for j in order]
         bnd = src_bounds[order]
 
+    par = max(sc.defaultParallelism, 1)
+
     def _wave(batch: list[str]) -> list[tuple[str, str, float]]:
-        n_slices = max(1, len(batch) // sources_per_task)
+        # Small (ramp) waves still spread across every core — capping
+        # slices at len//sources_per_task would run a 256-source wave
+        # as 4 fat tasks on a 32-core cluster.
+        n_slices = min(len(batch), max(len(batch) // sources_per_task, min(par, len(batch))))
 
         def _task(it: Iterator[str]):
             b = list(it)
@@ -591,7 +607,19 @@ def apsp_topk(
         merged.sort(key=lambda r: (-r[2], r[0], r[1]))
         best_rows = merged[:k]
 
-    wave_size = max(sources_per_task * max(sc.defaultParallelism, 1), 512)
+    # Wave-size RAMP (pruning runs only): the top-k cutoff T exists
+    # only after the first fold, so a full-width first wave runs
+    # wave_cap SSSPs before pruning can fire — with k tiny and sources
+    # bound-sorted descending, the k-th best from the first few
+    # hundred sources already prunes most of the rest. Start at 256
+    # and grow 4× per wave up to the cap: measured at 70k edges this
+    # cut processed sources 2048 -> 1280 (theoretical minimum for the
+    # final cutoff: 993) and wave time 3.8s -> 2.3s. Geometric growth
+    # bounds the extra scheduling rounds at O(log(cap/256)) when early
+    # cutoffs are too weak to prune. Without pruning there is no
+    # cutoff to establish, so ramping would only add rounds.
+    wave_cap = max(sources_per_task * par, 512)
+    wave_size = min(256, wave_cap) if landmark_pruning else wave_cap
     i = 0
     while i < len(sources):
         hi_end = min(i + wave_size, len(sources))
@@ -617,6 +645,7 @@ def apsp_topk(
             hi_end = max(lo, i + 1)
         _fold(_wave(sources[i:hi_end]))
         i = hi_end
+        wave_size = min(wave_size * 4, wave_cap)
 
     df = spark.createDataFrame(best_rows, _APSP_SCHEMA)
     return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)
