@@ -365,10 +365,13 @@ def minhash_index_build(
     (``minhash_index_query``). Mirrors ``ivf_build``/``ivf_query``.
 
     Layout under ``path``: ``bands/`` (id, band, key — the bucket
-    postings), ``signatures/`` (id, _sig — for the agreement prune),
-    ``shingles/`` (id, _h — for the exact-Jaccard verify), ``meta/``
-    (the parameters; queries must band identically to probe
-    correctly)."""
+    postings, APPEND-ONLY), ``signatures/`` (id, _sig — for the
+    agreement prune, append-only), ``shingles/`` (id, _h — for the
+    exact-Jaccard verify, append-only), ``bucket_sizes/`` (band, key,
+    _bsize — the degenerate-bucket guard's sizes, REWRITTEN by
+    :func:`minhash_index_append` as an O(#buckets) merge that never
+    touches document text), ``meta/`` (the parameters; queries and
+    appends must band identically to probe correctly)."""
     spark = df.sparkSession
     base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
     try:
@@ -381,15 +384,15 @@ def minhash_index_build(
         )
         try:
             sig.write.mode("overwrite").parquet(path + "/signatures")
-            # Bucket sizes are precomputed at build and stored on the
-            # postings, so a query's degenerate-bucket guard is a
-            # pushed-down `_bsize <= cap` filter on the scan — not an
-            # aggregation pass over the whole index per batch.
+            # Bucket sizes are precomputed at build (and merged at
+            # append) into their own small table, so a query's
+            # degenerate-bucket guard never aggregates over the whole
+            # postings scan per batch.
             banded = _banded_keys(sig, id_col, num_hashes, bands)
-            sizes = banded.groupBy("band", "key").agg(F.count("*").alias("_bsize"))
-            banded.join(sizes, ["band", "key"]).write.mode("overwrite").parquet(
-                path + "/bands"
-            )
+            banded.write.mode("overwrite").parquet(path + "/bands")
+            banded.groupBy("band", "key").agg(
+                F.count("*").alias("_bsize")
+            ).write.mode("overwrite").parquet(path + "/bucket_sizes")
         finally:
             sig.unpersist()
     finally:
@@ -398,6 +401,70 @@ def minhash_index_build(
         [(num_hashes, bands, shingle_k, id_col)],
         "num_hashes int, bands int, shingle_k int, id_col string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def minhash_index_append(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+) -> None:
+    """Fold a NEW batch into a ``minhash_index_build`` index WITHOUT
+    re-processing the stored corpus — the missing half of production
+    ingest (batch N dedups against the corpus via
+    :func:`minhash_index_query`, then *joins* it here; before this
+    existed, that meant a full index rebuild per batch, re-shingling
+    everything the index exists to avoid).
+
+    Only the new batch is shingled/signed/banded (params from the
+    index metadata, so its bucket keys are bit-identical to build
+    time); its rows are APPENDED to ``shingles/``, ``signatures/``
+    and ``bands/``, and ``bucket_sizes/`` is refreshed by merging the
+    stored sizes with the batch's per-bucket counts — an O(#buckets)
+    read+write of 20-byte rows, never a pass over stored text or
+    shingles. CONTRACT: batch ids must be disjoint from ids already
+    in the index (same uniqueness contract as the one-shot pipeline).
+
+    After append, ``minhash_index_build(a, p)`` +
+    ``minhash_index_append(p, b)`` is row-identical to
+    ``minhash_index_build(a UNION b, p)`` (pinned by
+    ``test_minhash_index_append``)."""
+    meta = spark.read.parquet(path + "/meta").head()
+    num_hashes, bands, shingle_k = int(meta[0]), int(meta[1]), int(meta[2])
+    id_col = str(meta[3])
+
+    base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
+    try:
+        base.write.mode("append").parquet(path + "/shingles")
+        fam = _minhash_family(num_hashes)
+        sig = (
+            base.groupBy(id_col)
+            .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
+            .cache()
+        )
+        try:
+            sig.write.mode("append").parquet(path + "/signatures")
+            banded = _banded_keys(sig, id_col, num_hashes, bands)
+            banded.write.mode("append").parquet(path + "/bands")
+            # Incremental size merge: old sizes ∪ batch counts → sum.
+            # localCheckpoint materializes the merge BEFORE the
+            # overwrite so the write never reads the directory it is
+            # replacing.
+            batch_sizes = banded.groupBy("band", "key").agg(
+                F.count("*").alias("_bsize")
+            )
+            merged = (
+                spark.read.parquet(path + "/bucket_sizes")
+                .unionByName(batch_sizes)
+                .groupBy("band", "key")
+                .agg(F.sum("_bsize").alias("_bsize"))
+                .localCheckpoint()
+            )
+            merged.write.mode("overwrite").parquet(path + "/bucket_sizes")
+        finally:
+            sig.unpersist()
+    finally:
+        base.unpersist()
 
 
 def minhash_index_query(
@@ -416,13 +483,18 @@ def minhash_index_query(
     banding params come from the index metadata so bucket keys are
     bit-identical to build time.
 
-    Scale shape: bucket probe = one join on (band, key); stored
-    buckets larger than ``max_bucket`` are dropped (the batch
-    pipeline's degenerate-key guard); agreement prune and verify read
-    only the candidate ids' rows (semi-join pushdown into the index
-    scan). Against a bucket-capped-free corpus this returns exactly
-    the cross-batch subset of ``minhash_lsh_pairs`` on the union
-    (pinned by ``test_minhash_index_cross_batch``)."""
+    Scale shape: bucket probe = one join on (band, key); the
+    degenerate-key guard drops buckets whose COMBINED index+query
+    size exceeds ``max_bucket`` — exactly the batch pipeline's
+    union-count cap, computed from the precomputed ``bucket_sizes/``
+    table plus a counts aggregate over the (small) query batch, never
+    an aggregation pass over the stored postings. The few oversized
+    keys are removed from both sides with broadcast anti-joins.
+    Agreement prune and verify read only the candidate ids' rows
+    (semi-join pushdown into the index scan). This returns exactly
+    the cross-batch subset of ``minhash_lsh_pairs`` on the union —
+    including when caps trigger (pinned by
+    ``test_minhash_index_cross_batch``)."""
     meta = spark.read.parquet(path + "/meta").head()
     num_hashes, bands, shingle_k = int(meta[0]), int(meta[1]), int(meta[2])
     idx_id = str(meta[3])
@@ -435,15 +507,25 @@ def minhash_index_query(
     )
     nbanded = _banded_keys(nsig, id_col, num_hashes, bands)
 
-    # _bsize was precomputed at build: the degenerate-bucket guard is
-    # a pushed-down scan filter, no aggregation over the stored index.
-    kept = (
-        spark.read.parquet(path + "/bands")
-        .filter(F.col("_bsize") <= max_bucket)
-        .drop("_bsize")
+    # Union-size cap: total bucket size = stored size (precomputed at
+    # build/append) + this batch's count. Oversized keys are few by
+    # construction — both anti-joins broadcast.
+    qsizes = nbanded.groupBy("band", "key").agg(F.count("*").alias("_qsize"))
+    oversized = (
+        spark.read.parquet(path + "/bucket_sizes")
+        .join(qsizes, ["band", "key"], "full_outer")
+        .filter(
+            F.coalesce(F.col("_bsize"), F.lit(0)) + F.coalesce(F.col("_qsize"), F.lit(0))
+            > max_bucket
+        )
+        .select("band", "key")
+    )
+    kept = spark.read.parquet(path + "/bands").join(
+        oversized, ["band", "key"], "left_anti"
     )
     cand = tracked_cache(
-        nbanded.withColumnRenamed(id_col, "query_id")
+        nbanded.join(oversized, ["band", "key"], "left_anti")
+        .withColumnRenamed(id_col, "query_id")
         .join(kept.withColumnRenamed(idx_id, "index_id"), ["band", "key"])
         .select("query_id", "index_id")
         .distinct()

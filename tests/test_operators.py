@@ -434,6 +434,41 @@ def test_minhash_index_cross_batch(spark, tmp_path):
     assert want, "sf0.01 corpus must contain at least one cross-parity near-dup"
 
 
+def test_minhash_index_append(spark, tmp_path):
+    """Incremental ingest: build the index on batch A, APPEND batch B
+    (no corpus re-processing), query batch C — results must equal the
+    cross-batch subset (C vs A ∪ B) of the one-shot pipeline on
+    A ∪ B ∪ C. Also pins that append refreshed the bucket-size table:
+    a stale table would mis-cap buckets whose size crossed the cap
+    only after B arrived."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "mh_idx_app")
+    D.minhash_index_build(a, idx)
+    D.minhash_index_append(spark, idx, b)
+    got = {
+        (r["query_id"], r["index_id"]): r["jaccard"]
+        for r in D.minhash_index_query(spark, idx, c, threshold=0.5).collect()
+    }
+    union_pairs = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    want = {}
+    for r in union_pairs:
+        ia, ib, j = r["id_a"], r["id_b"], r["jaccard"]
+        if (ia % 3 == 2) != (ib % 3 == 2):  # cross C-vs-(A∪B) only
+            q, i = (ia, ib) if ia % 3 == 2 else (ib, ia)
+            want[(q, i)] = j
+    assert got == want
+    assert want, "sf0.01 corpus must contain at least one cross-split near-dup"
+    # size table reflects A ∪ B, not just A
+    sizes = spark.read.parquet(idx + "/bucket_sizes")
+    n_postings = spark.read.parquet(idx + "/bands").count()
+    assert sizes.agg(F.sum("_bsize")).head()[0] == n_postings
+
+
 def test_winnow_fingerprints(spark):
     """Winnowing contract (Schleimer 2003): any substring match of
     length >= w + k - 1 contributes a shared fingerprint; disjoint
