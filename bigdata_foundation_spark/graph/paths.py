@@ -343,7 +343,11 @@ def yens_k(
     dispatches to ``bsp.bsp_yens_k``: each iteration's ~|path| masked
     probes share ONE probe-keyed BSP relaxation (wave-bounded state,
     no driver-side per-node structures), goal-directed by a single
-    reverse BSP SSSP from the target. Results are identical; latency
+    reverse BSP SSSP from the target. Results are identical up to
+    equal-cost tie-breaks (the BSP kernel orders ties by (dist, path
+    node-id strings), the broadcast kernel by node index — both pick
+    valid shortest paths, but a graph with equal-cost alternatives can
+    see them select/order those alternatives differently); latency
     is ~(1 + k·ceil(|path|/wave)) BSP runs, so broadcast is always
     preferred when the projection fits."""
     if strategy not in ("auto", "broadcast", "bsp"):

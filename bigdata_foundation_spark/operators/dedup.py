@@ -183,29 +183,27 @@ def _bucket_pairs(
     degenerate keys otherwise explode the pair generation; this is
     LSH's skew-salting analog and a documented recall trade).
 
-    Shape: a count aggregate finds the (by construction few) oversized
-    bucket keys, which are anti-joined away — AQE turns that into a
-    broadcast anti-join, so the exclusion never shuffles the postings.
-    Then ONE hash aggregate (collect_set of ids per bucket — ids are
-    unique within a bucket for every caller, so set size IS bucket
-    size) → JVM-side pair explosion over the sorted id array (a < b
-    falls out of the sort) → one distinct shuffle on 16-byte pairs.
-    The pre-exclusion keeps the collect_set state bounded at
-    ``max_bucket`` ids per group (without it a degenerate key would
-    materialize its whole bucket as one array before the size filter
-    could drop it); the earlier sizes + inner-join + self-join +
-    distinct form spent 2 extra shuffle stages for the same rows."""
-    oversized = (
-        buckets.groupBy(*bucket_cols)
-        .agg(F.count("*").alias("_bsize"))
-        .filter(F.col("_bsize") > max_bucket)
-        .select(*bucket_cols)
-    )
+    Shape: ONE shuffle on the bucket key. A windowed count over the
+    (band, key) partitioning computes every bucket's size without a
+    second exchange (the window buffers rows in a spilling external
+    sorter, so a degenerate multi-million-row bucket is disk-bounded,
+    not memory-bounded), the size filter then drops oversized buckets
+    BEFORE any per-bucket state accumulates, and the following
+    collect_set aggregate reuses the window's hash partitioning (no
+    new exchange — its state is bounded at ``max_bucket`` ids per
+    group by the filter). Ids are unique within a bucket for every
+    caller, so set size IS bucket size. Pairs then come from JVM-side
+    explosion over the sorted id array (a < b falls out of the sort)
+    → one distinct shuffle on 16-byte pairs. The earlier two-pass
+    form (count aggregate → broadcast anti-join → collect_set
+    aggregate) produced the same rows with two extra exchanges and a
+    second pass over the postings."""
+    w = Window.partitionBy(*bucket_cols)
     grouped = (
-        buckets.join(oversized, bucket_cols, "left_anti")
+        buckets.withColumn("_bsize", F.count("*").over(w))
+        .filter((F.col("_bsize") >= 2) & (F.col("_bsize") <= max_bucket))
         .groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
     )
     return (
         grouped.select(
@@ -307,21 +305,52 @@ def minhash_lsh_pairs(
     threshold sits 0.15 below ``threshold``, where the estimator's
     false-negative probability (Binomial(64, J) tail) is far below the
     banding miss rate itself — the output contract (exact Jaccard on
-    survivors, up to 64-bit hash collisions) is unchanged."""
+    survivors, up to 64-bit hash collisions) is unchanged.
+
+    The band bucket keys are FUSED into the signature aggregate's
+    output projection (one pass emits both the signature array and the
+    ``bands`` keys — bit-identical to ``_banded_keys`` over the array,
+    which the persisted-index paths still use). Join strategies are
+    left to AQE: at gate scale every signature/shingle join broadcasts
+    from runtime stats; at corpus scale the signature table is
+    |docs|·64 longs — far past broadcast — and the same plan degrades
+    to keyed shuffles, which is the correct 100 TB shape."""
     base = tracked_cache(shingle_hash_table(df, text_col, id_col, shingle_k))
     fam = _minhash_family(num_hashes)
-    sig = tracked_cache(
-        base.groupBy(id_col)
-        .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
+    rows_per_band = num_hashes // bands
+    mins = base.groupBy(id_col).agg(
+        *[F.min(fam[i]).alias(f"_m{i}") for i in range(num_hashes)]
     )
-
-    banded = _banded_keys(sig, id_col, num_hashes, bands)
+    sig = tracked_cache(
+        mins.select(
+            id_col,
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"_m{j}")
+                                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            ).alias("_bands"),
+        )
+    )
+    banded = sig.select(id_col, F.explode("_bands").alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
 
     raw_cand = _bucket_pairs(banded, id_col, ["band", "key"], max_bucket)
     est = minhash_jaccard_est(F.col("_sig_a"), F.col("_sig_b"), num_hashes)
+    ssel = sig.select(id_col, "_sig")
     cand = (
-        raw_cand.join(sig.withColumnsRenamed({id_col: "id_a", "_sig": "_sig_a"}), "id_a")
-        .join(sig.withColumnsRenamed({id_col: "id_b", "_sig": "_sig_b"}), "id_b")
+        raw_cand.join(ssel.withColumnsRenamed({id_col: "id_a", "_sig": "_sig_a"}), "id_a")
+        .join(ssel.withColumnsRenamed({id_col: "id_b", "_sig": "_sig_b"}), "id_b")
         .filter(est >= F.lit(max(threshold - 0.15, 0.0)))
         .select("id_a", "id_b")
     )

@@ -486,13 +486,18 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_quiet_customers",
     """
     SELECT c_custkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    "anti join (NOT EXISTS)",
+    "anti join (NOT EXISTS) with a pushed inner predicate — customers with no "
+    "URGENT order (every customer has SOME order in the fixture, so the "
+    "unfiltered variant pinned only an empty result; r4 verdict gate-quality "
+    "fix: 203 rows at sf0.01)",
 )
 def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -1885,6 +1890,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_embedding_cosine",
     """
+    WITH aug AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id < 3
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(
              list_aggregate(list_transform(generate_series(1, 64),
@@ -1893,7 +1903,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
                * sqrt(list_aggregate(list_transform(generate_series(1, 64),
                       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')) ), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE list_aggregate(list_transform(generate_series(1, 64),
                          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
           / ( sqrt(list_aggregate(list_transform(generate_series(1, 64),
@@ -1903,13 +1913,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "embedding-cosine near-dup pairs >= 0.95 — engine runs the LSH-banded "
     "candidate path (the 100 TB plan: keyed bucket join, no cartesian), "
-    "verified against the exact all-pairs SQL oracle; LSH output ⊆ exact by "
-    "construction and banding recall is not load-bearing at the gate corpus "
-    "(max pairwise cosine ≈ 0.51, far below threshold)",
+    "verified against the exact all-pairs SQL oracle (LSH output ⊆ exact by "
+    "construction). The corpus is augmented with exact clones of vec_ids "
+    "0–2 (offset +1000000, identically in both engines) so the 0.95 path "
+    "pins a NON-EMPTY answer — the raw fixture's max pairwise cosine is "
+    "≈0.51, which made the r4 gate vacuous (both engines returned empty); "
+    "identical vectors share every band key, so banding recall on the "
+    "seeded pairs is deterministic, and their cosine rounds to exactly 1.0 "
+    "in both engines",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
+    clones = e.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding", "label"
+    )
+    aug = e.select("vec_id", "embedding", "label").unionByName(clones)
+    return S.embedding_neardup_pairs(aug, threshold=0.95).orderBy("id_a", "id_b")
 
 
 @q(
