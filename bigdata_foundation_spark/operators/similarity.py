@@ -251,18 +251,42 @@ def ivf_topk(
     )
 
 
-def _centroids_from(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str):
-    """Deterministic HASH-SPREAD centroid seeds: the ``n_cells`` corpus
-    rows with the smallest ``(xxhash64(id), id)``. A uniform pseudo-
-    random sample of the corpus — unlike first-n-by-id (round-3 weak
-    spot: ids correlate with ingest order/content, skewing cells at
-    scale) — yet fully deterministic, engine-replayable (the golden
-    generator replays the same xxhash64), and one TakeOrderedAndProject
-    job (top-k by hash, no shuffle of the corpus). Cell ids are
-    assigned in ascending seed-id order so labels don't depend on hash
-    order. A seeded k-means refinement could drop in here without
-    changing the query path; seeds alone already debias cell sizes
-    (`tests/test_operators.py::test_ivf_cell_balance`)."""
+def _centroids_from(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    lloyd_iters: int = 2,
+):
+    """Deterministic centroids: HASH-SPREAD seeds + seeded Lloyd
+    refinement.
+
+    Seeds are the ``n_cells`` corpus rows with the smallest
+    ``(xxhash64(id), id)`` — a uniform pseudo-random sample of the
+    corpus (unlike first-n-by-id, whose ids correlate with ingest
+    order/content; round-3 weak spot), fully deterministic and
+    engine-replayable (the golden generator replays the same
+    xxhash64), via one TakeOrderedAndProject job. Cell ids are
+    assigned in ascending seed-id order so labels don't depend on
+    hash order.
+
+    ``lloyd_iters`` spherical-k-means steps then move the seeds to
+    the data's actual density (r4 verdict item 5 — hash-spread fixes
+    ingest-order skew but cell sizes still track density on clustered
+    corpora): each step assigns every row to its max-cosine centroid
+    (JVM literal-expression argmax, one codegen'd pass) and replaces
+    each centroid with its cell's per-dimension MEAN — one 64-column
+    avg aggregate, partial map-side, collecting only n_cells×dim
+    doubles to the driver. The mean is not renormalized (cosine
+    scoring is scale-invariant, so the centroid's own norm never
+    affects assignment). Empty cells keep their previous centroid.
+
+    DETERMINISM: every refined coordinate is rounded to 6 dp before
+    reuse. Float summation order inside ``avg`` depends on partition
+    layout (and differs from the pure-Python replay's list order);
+    the ~1e-13 relative wobble that causes sits far below the 1e-6
+    rounding quantum, so the rounded centroids — and therefore every
+    downstream assignment, golden, and re-run — are reproducible."""
     seeds = (
         corpus.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(n_cells)
@@ -270,7 +294,23 @@ def _centroids_from(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str):
         .collect()
     )
     seeds = sorted(seeds, key=lambda r: r[id_col])
-    return [(i, list(r["_v"])) for i, r in enumerate(seeds)]
+    cents = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
+    if lloyd_iters and cents:
+        dim = len(cents[0][1])
+        v = corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+        for _ in range(lloyd_iters):
+            assigned = v.withColumn(
+                "cell", F.array_max(_cell_scores(F.col("_v"), cents))["cid"]
+            )
+            stats = assigned.groupBy("cell").agg(
+                *[F.avg(F.col("_v")[i]).alias(f"_c{i}") for i in range(dim)]
+            ).collect()
+            new = {
+                int(r["cell"]): [round(float(r[f"_c{i}"]), 6) for i in range(dim)]
+                for r in stats
+            }
+            cents = [(cid, new.get(cid, cvec)) for cid, cvec in cents]
+    return cents
 
 
 def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:

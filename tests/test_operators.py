@@ -221,7 +221,9 @@ def test_ivf_cell_balance(spark):
     e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     cents = S._centroids_from(e, 16, "vec_id", "embedding")
     assert len(cents) == 16
-    # determinism under repartitioning
+    # determinism under repartitioning — float summation order inside
+    # the Lloyd mean differs across layouts; the 6-dp rounding contract
+    # must absorb it
     cents2 = S._centroids_from(e.repartition(7), 16, "vec_id", "embedding")
     assert cents == cents2
 
@@ -231,7 +233,38 @@ def test_ivf_cell_balance(spark):
     sizes = [r[1] for r in c.groupBy("cell").count().collect()]
     n_rows = e.count()
     assert len(sizes) == 16 and min(sizes) >= 1
-    assert max(sizes) <= 2.0 * (n_rows / 16)  # measured 1.44x at sf0.01
+    # seeds alone measured 1.44x at sf0.01; 2 Lloyd iterations tighten
+    # to 1.31x (r5) — bound with headroom below the old 2.0x
+    assert max(sizes) <= 1.6 * (n_rows / 16)
+
+
+def test_ivf_lloyd_recall_clustered(spark):
+    """On a genuinely CLUSTERED corpus (the regime hash-spread seeds
+    alone can't debias — r4 verdict item 5), Lloyd-refined IVF keeps
+    full top-k agreement with brute force at n_probe=4: centroids move
+    onto the true cluster centers, so a query's probes cover the
+    clusters its true neighbours live in."""
+    import random
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.15) for x in centers[i % 8]], i % 8)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    qs = df.filter(F.col("vec_id") < 6)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_topk(df, qs, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(df, qs, k=5).collect()
+    }
+    assert len(brute) == 30
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.9, recall
 
 
 def test_text_operators(spark):

@@ -271,17 +271,44 @@ def _cos(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8):
-    """Replay of similarity.ivf_topk with hash-spread centroid seeds:
-    the n_cells ids with smallest (xxhash64(id), id) — same selection
-    the Spark operator computes via orderBy(xxhash64(id)).limit —
-    cell ids assigned in ascending seed-id order."""
+def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8, lloyd_iters=2):
+    """Replay of similarity.ivf_topk: hash-spread centroid seeds (the
+    n_cells ids with smallest (xxhash64(id), id) — same selection the
+    Spark operator computes via orderBy(xxhash64(id)).limit, cell ids
+    assigned in ascending seed-id order) followed by ``lloyd_iters``
+    spherical-k-means steps. Each step assigns every vector to its
+    max-(cosine, cid) centroid and replaces each centroid with its
+    cell's per-dimension mean ROUNDED TO 6 DP — the rounding is the
+    engine's determinism contract (float summation order differs
+    between Spark's partial aggregation and this list-order replay by
+    ~1e-13, far below the 1e-6 quantum). Empty cells keep their
+    previous centroid."""
     byid = dict(vecs)
     chosen = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:n_cells]
     centroids = [(cid, byid[vid]) for cid, vid in enumerate(sorted(chosen))]
 
     def cell_scores(v):
         return [(_cos(v, cvec), cid) for cid, cvec in centroids]
+
+    dim = len(vecs[0][1]) if vecs else 0
+    for _ in range(lloyd_iters):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for _vid, v in vecs:
+            cell = max(cell_scores(v))[1]
+            acc = sums.setdefault(cell, [0.0] * dim)
+            for i, x in enumerate(v):
+                acc[i] = acc[i] + x
+            counts[cell] = counts.get(cell, 0) + 1
+        centroids = [
+            (
+                cid,
+                [round(sums[cid][i] / counts[cid], 6) for i in range(dim)]
+                if cid in counts
+                else cvec,
+            )
+            for cid, cvec in centroids
+        ]
 
     corpus_cell = {vid: max(cell_scores(v))[1] for vid, v in vecs}
     cells: dict[int, list[int]] = {}
