@@ -108,16 +108,20 @@ def main() -> None:
         best = min(run_once(name, fn, clear) for _ in range(repeats))
         timings[name] = round(best, 3)
 
-    # INTERLEAVED min-of-2 (A,B,…,A,B,… — not A,A,B,B): the first pass
-    # pays JIT/codegen warmup for everyone, the second measures with a
+    # INTERLEAVED min-of-3 (A,B,…,A,B,… — not A,A,B,B): the first pass
+    # pays JIT/codegen warmup for everyone, later passes measure with a
     # warm JIT; interleaving keeps repeat runs far apart so no query's
     # repeat rides its own just-warmed JIT profile unfairly vs the
-    # others. REGIME: every number is COLD-CACHE (clear=True drops
-    # operator-internal caches after each run), JIT-warm — each
-    # measured pass pays its pipeline's full recompute, shared
-    # materializations inside one run count, reuse across runs does
-    # not. Speedups must come from the pipeline, not cache residue.
-    for pass_i in range(2):
+    # others. Three passes (r5; was two) because this host's run-to-run
+    # variance on identical code is ±2× (CPU steal / JIT-queue timing —
+    # CALIBRATION.md logs the same swing in the fixed synthetic jobs),
+    # and with two samples one bad draw still owns the min. REGIME:
+    # every number is COLD-CACHE (clear=True drops operator-internal
+    # caches after each run), JIT-warm — each measured pass pays its
+    # pipeline's full recompute, shared materializations inside one run
+    # count, reuse across runs does not. Speedups must come from the
+    # pipeline, not cache residue.
+    for pass_i in range(3):
         for name in HEADLINE:
             dt = run_once(name, lambda name=name: reg[name].fn(spark, sf_dir), clear=True)
             timings[name] = round(min(timings.get(name, dt), dt), 3)
@@ -125,20 +129,35 @@ def main() -> None:
     # The graph suite's ingest/projection sharing (below, no clear=) is
     # intentional — it mirrors the reference's amortized projection load.
 
-    # Graph suite: ingest once (import benchmark), then the reference's
+    # Graph suite: ingest (import benchmark), then the reference's
     # algorithm queries on the 70k-row graph (SURVEY.md §6.4 shape).
+    # Ingest + projection are min-of-2 like everything else (r5): both
+    # re-execute fully per pass (fresh CSV scan → ETL → collect); only
+    # OS/file-system caches persist between passes, which this host's
+    # noise floor dwarfs anyway (the same commit measured ingest at
+    # 2.5s and 7.7s on one boot).
     from bigdata_foundation_spark.graph import apsp_topk, astar, dijkstra, load_graph, sssp, yens_k
     from bigdata_foundation_spark.graph.paths import build_projection
 
-    t0 = time.time()
-    nodes, roads = load_graph(spark, GRAPH_CSV)
-    n_nodes, n_roads = nodes.count(), roads.count()
-    assert (n_nodes, n_roads) == (25341, 69070), (n_nodes, n_roads)  # published goldens
-    timings["graph_ingest_70k"] = round(time.time() - t0, 3)
+    proj = None
+    for pass_i in range(2):
+        if pass_i:
+            # load_graph caches nodes/roads; Spark's CacheManager
+            # matches the NEXT pass's identical plans against those
+            # entries, so without this drop pass 2 would measure a
+            # cache lookup, not an ingest.
+            spark.catalog.clearCache()
+        t0 = time.time()
+        nodes, roads = load_graph(spark, GRAPH_CSV)
+        n_nodes, n_roads = nodes.count(), roads.count()
+        assert (n_nodes, n_roads) == (25341, 69070), (n_nodes, n_roads)  # published goldens
+        dt = round(time.time() - t0, 3)
+        timings["graph_ingest_70k"] = min(timings.get("graph_ingest_70k", dt), dt)
 
-    t0 = time.time()
-    proj = build_projection(roads, nodes)
-    timings["graph_projection_70k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        proj = build_projection(roads, nodes)
+        dt = round(time.time() - t0, 3)
+        timings["graph_projection_70k"] = min(timings.get("graph_projection_70k", dt), dt)
 
     # Interleaved min-of-2 (same rationale as the headline loop): the
     # second pass measures the amortized-projection steady state (the

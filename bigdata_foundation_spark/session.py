@@ -50,5 +50,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Whole-stage codegen emits one Janino class per stage; a
+        # workload that runs many wide plans (this engine's 64-column
+        # MinHash aggregate, 60-bit SimHash votes, banded keys, …)
+        # fills the JVM's default ~240 MB code cache, after which the
+        # JIT evicts/stops compiling and hot loops run interpreted.
+        # Measured on the r5 bench suite: default cache 32.3s vs 1g
+        # cache 23.5s total, dedup_minhash_lsh 8.7s → 5.1s. The same
+        # flag belongs in spark.executor.extraJavaOptions on a real
+        # cluster (set here too; local mode only reads the driver's).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
     )
     return builder.getOrCreate()
