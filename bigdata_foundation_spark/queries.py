@@ -78,74 +78,74 @@ def q(name: str, oracle: str | None, doc: str = ""):
 
 # The driver's correctness gate runs the FIRST 50 registry entries
 # (empirically: CORRECTNESS_r01.json == the first 50 registrations).
-# After r1∪r2∪r3 every pre-existing entry has been gated at least
-# once; round 4's staleness policy (VERDICT r3 task 3): (a) queries
-# whose code or pinned golden CHANGED this round gate first, then
-# (b) the 16 entries last gated in r2 (2 rounds stale), then (c) the
-# oldest r1-only entries, most-load-bearing families first (TPC-H,
-# join family, windows/rollups). Entries past position 50 (now
-# rollup_order_stats, cube_revenue — displaced by the two NEW winnow
-# queries, which must gate on their debut round) are next round's
-# (b) alongside the r1-only remainder; the whole registry is
-# additionally value-checked locally each round via
-# tools/check_oracles.py — see ORACLES_r04.md. Entries not listed
-# keep registration order after these.
+# Rotation discipline (r4 verdict item 8), recomputed each round from
+# CORRECTNESS_r{N}.json records: (a) queries whose code or pinned
+# golden CHANGED this round gate first, then (b) the stalest entries —
+# for r5 that is the 29 entries absent from BOTH the r3 and r4 gates
+# (last gated r2 or earlier), then (c) as many of the r3-last-gated
+# entries as fit, kernel-riding graph queries and load-bearing
+# families first. The ~26 r3-gated entries that don't fit are next
+# round's (b); the whole registry is additionally value-checked
+# locally each round via tools/check_oracles.py — see ORACLES_r05.md.
+# Entries not listed keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) code/golden changed in round 4
-    "winnow_fingerprint_stats",  # NEW this round (rolling-hash winnowing)
-    "winnow_overlap_pairs",  # NEW this round
-    "ann_ivf_topk",  # hash-spread centroids (new golden)
-    "dedup_embedding_lsh",  # auto-sized LSH params (new golden)
-    "dedup_embedding_cosine",  # auto-sized LSH params
-    "ann_lsh_topk",  # band_key_structs refactor (same keys)
-    "shuffle_deterministic_order",  # bucket-width/offset-join rework
-    "dedup_cluster_keep_best",  # left-join + nulls-last rework
-    "dedup_minhash_lsh",  # tracked-cache refactor
-    "dedup_simhash",  # tracked-cache refactor
-    "dedup_ngram_jaccard",  # tracked-cache refactor
-    "graph_apsp_top10",  # per_source_longest/kernel dispatch rework
-    "graph_yens_k3",  # auto-strategy guard
-    "graph_yens_postprocess",  # rides yens_k
-    "pack_sequences_summary",  # oversize-bin close fix (same golden)
-    # (b) last gated in round 2
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "q18_large_volume_customers",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "events_gapfill",
-    "profile_orders",
-    "salted_agg_events",
-    "snapshot_diff_orders",
-    "streaming_interval_join",
-    "streaming_running_zscore",
-    "streaming_upsert_sink",
-    # (c) last gated in round 1 — TPC-H, joins, windows first
-    "q1_pricing_summary",
-    "q3_segment_topk",
-    "q4_late_orders",
-    "q5_region_revenue",
-    "q10_returned_revenue",
-    "q12_priority_by_flag",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_idle_customers",
-    "asof_join_attribution",
-    "range_join_attribution",
-    "upsert_orders",
-    "left_join_order_counts",
-    "anti_join_quiet_customers",
-    "semi_join_ordered_parts",
-    "window_top_orders_per_customer",
-    "window_funcs_orders",
+    # (a) code/golden changed in round 5 (incl. the post-r4-gate
+    # carry-over commits: bucket-pair window guard + fused band keys,
+    # IVF Lloyd refinement, APSP wave ramp + hub pool, numpy kernel
+    # adaptive delta, de-vacuated gates)
+    "dedup_minhash_lsh",  # single-shuffle bucket guard + fused band keys
+    "dedup_simhash",  # rides _bucket_pairs rework
+    "dedup_embedding_lsh",  # rides _bucket_pairs rework
+    "dedup_embedding_cosine",  # clone-seeded non-vacuous gate (new oracle)
+    "ann_ivf_topk",  # Lloyd-refined centroids (new golden)
+    "anti_join_quiet_customers",  # pushed inner predicate (new oracle)
+    "graph_apsp_top10",  # wave-size ramp + three-stride hub pool
+    "graph_sssp",  # kernel adaptive-delta dispatch
+    "graph_dijkstra",  # kernel adaptive-delta dispatch
+    "graph_astar",  # kernel adaptive-delta dispatch
+    "streaming_corpus_dedup",  # NEW this round (greedy cross-batch ingest)
+    # (b) last gated in round 2 or earlier (absent from r3+r4 gates)
+    "point_lookup_customer",
+    "orders_topk",
+    "distinct_agg_priority",
+    "events_hourly",
+    "events_kv_extract",
+    "events_json_parse",
+    "array_ops_customer",
+    "setop_repeat_customers",
     "rollup_order_stats",
+    "case_bucket_orders",
+    "orders_by_year",
+    "value_percentiles",
+    "string_funcs_customer",
+    "union_all_keys",
+    "cross_lookup_pair",
+    "hash_sample_orders",
+    "pivot_priority_by_year",
+    "date_functions_orders",
     "cube_revenue",
+    "top_docs_per_group",
+    "text_stats",
+    "token_totals_by_source",
+    "fuzzy_name_match",
+    "curation_funnel",
+    "balanced_sample_docs",
+    "stats_agg_lineitem",
+    "posexplode_leading_tokens",
+    "text_repetition",
+    "contamination_check",
+    # (c) last gated in round 3 — kernel-riding graph queries and
+    # load-bearing families first (remainder rotates in r6)
+    "graph_sssp_slice",
+    "graph_dijkstra_agg",
+    "graph_writeback",
+    "graph_nodes",
+    "graph_edges",
+    "graph_ingest_limit",
+    "dedup_exact",
+    "ann_brute_topk",
+    "multimodal_decode",
+    "line_dedup_gate",
 ]
 
 
@@ -3060,6 +3060,32 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@q(
+    "streaming_corpus_dedup",
+    PIPELINE_GOLDEN_SQL["streaming_corpus_dedup"],
+    "greedy streaming corpus ingest: the sf0.01 documents processed as two "
+    "batches (doc_id parity) through process_corpus_batch — within-batch "
+    "exact + MinHash-LSH cluster dedup, cross-batch rejection via the "
+    "persisted incremental index (union-size bucket cap), survivors appended "
+    "to corpus + index; result = final accepted doc_ids. Pinned-golden "
+    "oracle from the independent pure-Python greedy replay "
+    "(tools/gen_pipeline_goldens.py corpus_stream_golden)",
+)
+def streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.streaming.corpus import process_corpus_batch
+
+    root = tempfile.mkdtemp(prefix="q_corpus_dedup_")
+    idx, corp = root + "/index", root + "/corpus"
+    d = _t(spark, sf_dir, "documents")
+    for bi in range(2):
+        process_corpus_batch(
+            spark, d.filter(F.col("doc_id") % 2 == bi), idx, corp, threshold=0.5
+        )
+    return spark.read.parquet(corp).select("doc_id").orderBy("doc_id")
 
 
 @q(

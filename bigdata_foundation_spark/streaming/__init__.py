@@ -10,9 +10,17 @@ from bigdata_foundation_spark.streaming.events import (
     streaming_dedup,
 )
 from bigdata_foundation_spark.streaming.joins import click_purchase_interval_join
+from bigdata_foundation_spark.streaming.corpus import (
+    dedup_batch_within,
+    process_corpus_batch,
+    streaming_corpus_dedup,
+)
 
 __all__ = [
     "click_purchase_interval_join",
+    "dedup_batch_within",
+    "process_corpus_batch",
+    "streaming_corpus_dedup",
     "read_events_stream",
     "hourly_counts_stream",
     "sessionize_stream",

@@ -172,3 +172,65 @@ def test_interval_join_stream_equals_batch(spark, events_stream):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and len(g) > 0
+
+
+def test_streaming_corpus_dedup(spark, tmp_path):
+    """Greedy streaming corpus ingest: (a) the availableNow streaming
+    wrapper produces exactly the same accepted corpus as driving
+    process_corpus_batch over the same batches directly (stream ==
+    batch), (b) semantics — exact dup dropped within its batch,
+    cross-batch near-dup rejected via the persisted index, unrelated
+    docs accepted, (c) a checkpointed restart with no new files leaves
+    the corpus and index untouched."""
+    from bigdata_foundation_spark.streaming.corpus import (
+        process_corpus_batch,
+        streaming_corpus_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog in the morning light"
+    batch1 = [
+        (1, base),
+        (2, base),  # exact duplicate of 1 -> dropped within batch 1
+        (3, "completely different text about database systems and query engines"),
+    ]
+    batch2 = [
+        (4, base + "s"),  # near-duplicate of 1 -> rejected against the index
+        (5, "unrelated musings on distributed consensus and replicated logs"),
+    ]
+
+    # direct batch drive
+    d_idx, d_corp = str(tmp_path / "d_idx"), str(tmp_path / "d_corp")
+    for rows in (batch1, batch2):
+        process_corpus_batch(
+            spark, spark.createDataFrame(rows, schema), d_idx, d_corp
+        )
+    direct = sorted(r.doc_id for r in spark.read.parquet(d_corp).collect())
+    assert direct == [1, 3, 5]
+
+    # streaming drive over a file source, one file per micro-batch in
+    # pinned mtime order
+    src = str(tmp_path / "src")
+    s_idx, s_corp, ckpt = (
+        str(tmp_path / "s_idx"),
+        str(tmp_path / "s_corp"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_batch(spark, src, batch1, schema, 1_000_000)
+    _write_batch(spark, src, batch2, schema, 2_000_000)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    streaming_corpus_dedup(spark, stream, s_idx, s_corp, ckpt)
+    streamed = sorted(r.doc_id for r in spark.read.parquet(s_corp).collect())
+    assert streamed == direct
+    # accepted rows keep their original columns
+    row = spark.read.parquet(s_corp).filter(F.col("doc_id") == 3).first()
+    assert row.text.startswith("completely different")
+
+    # restart from the same checkpoint with no new input: no-op
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    streaming_corpus_dedup(spark, stream2, s_idx, s_corp, ckpt)
+    assert sorted(r.doc_id for r in spark.read.parquet(s_corp).collect()) == direct

@@ -149,6 +149,132 @@ def minhash_golden(docs, num_hashes=64, bands=16, shingle_k=5, threshold=0.5, ma
     )
 
 
+# --- streaming_corpus_dedup ------------------------------------------------
+
+def corpus_stream_golden(
+    docs,
+    threshold=0.5,
+    num_hashes=64,
+    bands=16,
+    shingle_k=5,
+    max_bucket=1000,
+    n_batches=2,
+):
+    """Replay of streaming.corpus.process_corpus_batch's greedy loop
+    over ``n_batches`` batches split by doc_id % n_batches: per batch,
+    exact dedup (lowest id per normalized text) → within-batch banding
+    + est-prune + exact-Jaccard pairs → min-label clusters (keep the
+    min id) → cross-batch probe of the accumulated index postings with
+    the UNION-size bucket cap (stored + query counts per (band, key))
+    → survivors join the index. Greedy first-seen-wins: a doc whose
+    only near-dup was itself rejected earlier is accepted."""
+    rows_per_band = num_hashes // bands
+    fam_cache: dict[int, list[int]] = {}
+
+    def family(h: int) -> list[int]:
+        got = fam_cache.get(h)
+        if got is None:
+            base = xxh64_long(h, 42)
+            got = fam_cache[h] = [xxh64_int(i, base) for i in range(num_hashes)]
+        return got
+
+    norm: dict[int, str] = {}
+    shingle_hashes: dict[int, set[int]] = {}
+    sigs: dict[int, list[int]] = {}
+    bkeys: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        t = normalize_text(text)
+        norm[doc_id] = t
+        hs = {spark_xxhash64(s) for s in char_shingles(t, shingle_k)}
+        shingle_hashes[doc_id] = hs
+        sig = [min(family(h)[i] for h in hs) for i in range(num_hashes)]
+        sigs[doc_id] = sig
+        bkeys[doc_id] = [
+            (b, spark_xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            for b in range(bands)
+        ]
+
+    est_floor = max(threshold - 0.15, 0.0)
+
+    def est_ok(a: int, b: int) -> bool:
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        return agree / float(num_hashes) >= est_floor
+
+    def jac(a: int, b: int) -> float:
+        sa, sb = shingle_hashes[a], shingle_hashes[b]
+        return r6(len(sa & sb) / max(len(sa | sb), 1))
+
+    idx_postings: dict[tuple[int, int], list[int]] = {}
+    idx_sizes: dict[tuple[int, int], int] = {}
+    accepted_all: list[int] = []
+    for bi in range(n_batches):
+        batch_ids = sorted(d for d, _t2 in docs if d % n_batches == bi)
+        # exact dedup: lowest id per normalized text
+        by_norm: dict[str, int] = {}
+        for did in batch_ids:
+            by_norm.setdefault(norm[did], did)
+        survivors0 = sorted(by_norm.values())
+        # within-batch near-dup pairs (batch-only buckets)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for did in survivors0:
+            for k_ in bkeys[did]:
+                buckets.setdefault(k_, []).append(did)
+        cand: set[tuple[int, int]] = set()
+        for ids in buckets.values():
+            if len(ids) > max_bucket:
+                continue
+            for a, b in combinations(sorted(ids), 2):
+                cand.add((a, b))
+        pairs = [
+            (a, b)
+            for a, b in sorted(cand)
+            if est_ok(a, b) and jac(a, b) >= threshold
+        ]
+        # min-label connected components; keep the min id per cluster
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        losers = {d for d in survivors0 if find(d) != d}
+        survivors = [d for d in survivors0 if d not in losers]
+        # cross-batch probe with the union-size cap
+        if idx_sizes:
+            qsizes: dict[tuple[int, int], int] = {}
+            for did in survivors:
+                for k_ in bkeys[did]:
+                    qsizes[k_] = qsizes.get(k_, 0) + 1
+            dropped: set[int] = set()
+            for did in survivors:
+                hit = False
+                for k_ in bkeys[did]:
+                    if idx_sizes.get(k_, 0) + qsizes.get(k_, 0) > max_bucket:
+                        continue
+                    for iid in idx_postings.get(k_, ()):
+                        if est_ok(did, iid) and jac(did, iid) >= threshold:
+                            hit = True
+                            break
+                    if hit:
+                        break
+                if hit:
+                    dropped.add(did)
+            survivors = [d for d in survivors if d not in dropped]
+        for did in survivors:
+            for k_ in bkeys[did]:
+                idx_postings.setdefault(k_, []).append(did)
+                idx_sizes[k_] = idx_sizes.get(k_, 0) + 1
+        accepted_all.extend(survivors)
+    return values_sql([("doc_id", "BIGINT")], [(d,) for d in sorted(accepted_all)])
+
+
 # --- winnowing fingerprints ------------------------------------------------
 
 def winnow(text: str, k: int = 7, w: int = 4) -> list[int]:
@@ -521,6 +647,7 @@ def main() -> None:
         "winnow_overlap_pairs": winnow_pairs_golden(
             docs, k=20, w=8, min_shared=2, max_doc_freq=50
         ),
+        "streaming_corpus_dedup": corpus_stream_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
