@@ -366,6 +366,39 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_profile(
+    documents: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus data card — the aggregate a 100 TB curation
+    pipeline runs after every ingest/filter step: document and token
+    counts, length stats, and the exact-duplicate rate (docs minus
+    distinct normalized fingerprints), grouped by ``group_cols``
+    (default: lang × source).
+
+    One codegen'd scan pass into one hash aggregate: token counts and
+    lengths are scan-side expressions, the duplicate rate rides an
+    exact count-distinct over the 64-bit normalized-text fingerprint —
+    at corpus scale swap ``F.countDistinct`` for
+    ``approx_count_distinct`` if a ±2% card is acceptable; the exact
+    form is kept here because the gate oracle pins exact values."""
+    cols = group_cols if group_cols is not None else ["lang", "source"]
+    c = F.col(text_col)
+    fp = F.xxhash64(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return (
+        documents.groupBy(*cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(whitespace_token_count(text_col)).cast("bigint").alias("n_tokens_ws"),
+            F.round(F.avg(F.length(c)), 2).alias("avg_chars"),
+            F.min(F.length(c)).cast("bigint").alias("min_chars"),
+            F.max(F.length(c)).cast("bigint").alias("max_chars"),
+            (F.count("*") - F.countDistinct(fp)).cast("bigint").alias("n_exact_dups"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -104,6 +104,7 @@ GATE_ORDER: list[str] = [
     "graph_dijkstra",  # kernel adaptive-delta dispatch
     "graph_astar",  # kernel adaptive-delta dispatch
     "streaming_corpus_dedup",  # NEW this round (greedy cross-batch ingest)
+    "corpus_profile",  # NEW this round (per-slice data card)
     # (b) last gated in round 2 or earlier (absent from r3+r4 gates)
     "point_lookup_customer",
     "orders_topk",
@@ -145,7 +146,6 @@ GATE_ORDER: list[str] = [
     "dedup_exact",
     "ann_brute_topk",
     "multimodal_decode",
-    "line_dedup_gate",
 ]
 
 
@@ -1058,6 +1058,27 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.bpe_ish_token_count("text").cast("bigint").alias("n_tokens_bpe"),
         TX.fingerprint_md5("text").alias("fingerprint"),
     )
+
+
+@q(
+    "corpus_profile",
+    r"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens_ws,
+           ROUND(AVG(LENGTH(text)), 2) AS avg_chars,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g')) AS BIGINT) AS n_exact_dups
+    FROM documents GROUP BY lang, source
+    """,
+    "per-(lang, source) corpus data card: doc/token counts, length stats, "
+    "exact-duplicate rate — one scan pass into one hash aggregate (the "
+    "post-ingest audit a curation pipeline runs after every filter step)",
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return TX.corpus_profile(d).orderBy("lang", "source")
 
 
 @q(
