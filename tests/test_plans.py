@@ -162,3 +162,25 @@ def test_winnow_overlap_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucket_pairs_single_shuffle_guard(spark):
+    """The LSH candidate generator's oversized-bucket guard must cost
+    ZERO extra exchanges: the windowed count and the collect_set
+    aggregate share one hash partitioning on (band, key), so the whole
+    bucket→pairs stage is exactly two shuffles — the bucket exchange
+    and the pair distinct. (The r4 two-pass form spent two more.)"""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, i % 5, i % 3) for i in range(100)], "id long, band int, key long"
+    )
+    pairs = D._bucket_pairs(df, "id", ["band", "key"], 10)
+    pairs.write.format("noop").mode("overwrite").save()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window") == 1, plan
