@@ -496,6 +496,24 @@ def minhash_index_append(
         base.unpersist()
 
 
+def minhash_index_compact(spark, path: str, target_file_mb: int = 512) -> dict[str, int]:
+    """Compact a ``minhash_index_build`` index after many appends.
+
+    Every ``minhash_index_append`` adds one file set per batch to the
+    append-only tables, so a long-lived ingest index fragments into
+    thousands of small files — the classic listing-storm failure mode
+    at 100 TB (same rationale as ``io.compact``, which this reuses per
+    table). Queries before and after compaction are row-identical (the
+    tables are unordered relations; only the file layout changes).
+    Returns {table: new_file_count}."""
+    from bigdata_foundation_spark.io import compact
+
+    return {
+        sub: compact(spark, f"{path}/{sub}", target_file_mb=target_file_mb)
+        for sub in ("shingles", "signatures", "bands", "bucket_sizes")
+    }
+
+
 def minhash_index_query(
     spark,
     path: str,

@@ -404,6 +404,33 @@ def ivf_query(
     )
 
 
+def ivf_append(
+    spark: SparkSession,
+    path: str,
+    new_corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into an ``ivf_build`` index WITHOUT touching
+    the stored corpus or retraining: each new row is assigned to its
+    max-cosine cell under the PERSISTED centroids and appended under
+    that cell's partition directory — the FAISS ``add()`` contract
+    (centroids stay fixed between retrains; rebuild periodically when
+    drift matters, exactly as an IVF deployment would). Queries after
+    the append are identical to ``ivf_query`` over the stored-∪-new
+    corpus with the original centroids — partition pruning keeps
+    working because the appended files land inside the probed cell
+    directories. Ids must be disjoint from the stored corpus (same
+    contract as ``minhash_index_append``)."""
+    centroids = [
+        (int(r["cell"]), list(r["centroid"]))
+        for r in spark.read.parquet(path + "__centroids").collect()
+    ]
+    c = new_corpus.withColumn(
+        "cell", F.array_max(_cell_scores(_as_double(F.col(vec_col)), centroids))["cid"]
+    )
+    c.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -947,3 +947,97 @@ def test_cluster_keep_best(spark):
     assert got[1] == (1, False) and got[2] == (1, True) and got[3] == (1, False)
     # cluster {7,8}: tie at 10 -> 7 wins
     assert got[7] == (7, True) and got[8] == (7, False)
+
+
+def test_minhash_index_compact_preserves_queries(spark, tmp_path):
+    """After several appends the index tables fragment into per-batch
+    file sets; minhash_index_compact must rewrite each table into few
+    files with query results row-identical before/after (the tables
+    are unordered relations — only layout changes)."""
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "mh_idx_cmp")
+    D.minhash_index_build(docs.filter(F.col("doc_id") % 4 == 0), idx)
+    for m in (1, 2):
+        D.minhash_index_append(spark, idx, docs.filter(F.col("doc_id") % 4 == m))
+    probe = docs.filter(F.col("doc_id") % 4 == 3)
+
+    def files(sub):
+        return sum(
+            1
+            for f in os.listdir(f"{idx}/{sub}")
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    def run():
+        return sorted(
+            (r["query_id"], r["index_id"], r["jaccard"])
+            for r in D.minhash_index_query(spark, idx, probe, threshold=0.5).collect()
+        )
+
+    before_rows, before_files = run(), files("bands")
+    assert before_files >= 3  # one file set per batch
+    new_counts = D.minhash_index_compact(spark, idx)
+    assert set(new_counts) == {"shingles", "signatures", "bands", "bucket_sizes"}
+    assert files("bands") < before_files
+    assert run() == before_rows and before_rows
+
+
+def test_ivf_append_matches_replay(spark, vectors, tmp_path):
+    """ivf_append = FAISS add(): new vectors are cell-assigned under
+    the PERSISTED centroids and appended in place. Pin (a) results
+    against an independent pure-Python replay of assign→probe→rerank
+    over the union with the original centroids, and (b) that the
+    planted near-dup added by the append becomes findable."""
+    import math
+
+    path = str(tmp_path / "ivf_app")
+    a = vectors.filter(F.col("vec_id") % 2 == 0)
+    b = vectors.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_build(a, path, n_cells=8)
+    S.ivf_append(spark, path, b)
+    qs = vectors.filter(F.col("vec_id") < 6)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in S.ivf_query(spark, path, qs, k=3, n_probe=2).collect()
+    )
+
+    # independent replay with python floats
+    cents = {
+        int(r["cell"]): list(r["centroid"])
+        for r in spark.read.parquet(path + "__centroids").collect()
+    }
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in vectors.collect()
+    }
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v)))
+
+    cell_of = {
+        vid: max((cos(v, cv), cid) for cid, cv in cents.items())[1]
+        for vid, v in rows.items()
+    }
+    want = []
+    for qid in sorted(vid for vid in rows if vid < 6):
+        probed = [
+            cid
+            for _s, cid in sorted(
+                ((cos(rows[qid], cv), cid) for cid, cv in cents.items()), reverse=True
+            )[:2]
+        ]
+        cand = [n for n, c in cell_of.items() if c in probed and n != qid]
+        scored = sorted(
+            ((round(cos(rows[qid], rows[n]), 6), n) for n in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rk, (cs, n) in enumerate(scored[:3], start=1):
+            want.append((qid, n, cs, rk))
+    assert got == sorted(want)
+    # vec 500 (odd batch, planted near-dup of vec 0) is now vec 0's top hit
+    top = [r for r in got if r[0] == 0 and r[3] == 1]
+    assert top and top[0][1] == 500
