@@ -161,27 +161,51 @@ def lsh_topk(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signatures split
     into ``bands`` prefixes; a corpus row is a candidate if it shares
     any band with the query; exact cosine re-rank on candidates.
 
+    ``multi_probe=1`` additionally probes, per band, every key at
+    Hamming distance 1 from the query's key (each of the r sign bits
+    flipped) — multi-probe LSH (Lv et al., VLDB 2007): a near
+    neighbour that lands one hyperplane away still collides, so recall
+    rises sharply WITHOUT more hash tables or a bigger index. Only the
+    query side fans out ((r+1)× band keys per query — queries are the
+    small side and stay broadcast); the corpus is hashed exactly once
+    either way, which is what matters at 100 TB.
+
     Same output shape as brute_topk; recall < 1 by construction."""
     planes = hyperplanes(dim, n_planes, seed)
+    r = n_planes // bands
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
+    def banded(df: DataFrame, role: str, probes: int) -> DataFrame:
         base = df.select(
             F.col(id_col).alias(f"{role}_id"),
             _as_double(F.col(vec_col)).alias(f"_{role}v"),
         )
-        return base.select(
+        out = base.select(
             f"{role}_id",
             f"_{role}v",
             F.explode(band_key_structs(F.col(f"_{role}v"), planes, bands)).alias("b"),
         ).select(f"{role}_id", f"_{role}v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        if probes:
+            out = out.select(
+                f"{role}_id",
+                f"_{role}v",
+                "band",
+                F.explode(
+                    F.array(
+                        F.col("key"),
+                        *[F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(r)],
+                    )
+                ).alias("key"),
+            )
+        return out
 
-    qb = F.broadcast(banded(queries, "query"))
-    cb = banded(corpus, "neighbor")
+    qb = F.broadcast(banded(queries, "query", multi_probe))
+    cb = banded(corpus, "neighbor", 0)
     cand = (
         qb.join(cb, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

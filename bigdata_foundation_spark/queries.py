@@ -105,6 +105,7 @@ GATE_ORDER: list[str] = [
     "graph_astar",  # kernel adaptive-delta dispatch
     "streaming_corpus_dedup",  # NEW this round (greedy cross-batch ingest)
     "corpus_profile",  # NEW this round (per-slice data card)
+    "ann_lsh_multiprobe",  # NEW this round (multi-probe LSH)
     # (b) last gated in round 2 or earlier (absent from r3+r4 gates)
     "point_lookup_customer",
     "orders_topk",
@@ -145,7 +146,6 @@ GATE_ORDER: list[str] = [
     "graph_ingest_limit",
     "dedup_exact",
     "ann_brute_topk",
-    "multimodal_decode",
 ]
 
 
@@ -2047,6 +2047,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8)
     res = S.lsh_topk(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "ann_lsh_multiprobe",
+    PIPELINE_GOLDEN_SQL["ann_lsh_multiprobe"],
+    "multi-probe LSH top-k (Lv 2007): the query side additionally probes every "
+    "band key at Hamming distance 1, raising recall without more hash tables — "
+    "the corpus is still hashed exactly once (pinned-golden oracle from the "
+    "independent replay with the same probe fan-out)",
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.lsh_topk(e, qs, k=5, multi_probe=1)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -465,11 +465,12 @@ def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8, lloyd_iters=2):
 
 # --- ann_lsh_topk ----------------------------------------------------------
 
-def lsh_golden(vecs, k=5, n_planes=16, bands=4, dim=64, seed=42, max_query_id=8):
+def lsh_golden(vecs, k=5, n_planes=16, bands=4, dim=64, seed=42, max_query_id=8, multi_probe=0):
     """Replay of similarity.lsh_topk: random-hyperplane signatures from
     the same seeded construction (stdlib Random(seed).gauss — a public,
     reproducible sequence), banded prefixes, candidate = shares any
-    band, exact cosine re-rank."""
+    band, exact cosine re-rank. ``multi_probe=1`` adds, per band, the
+    query keys with each of the ``width`` bits flipped (Lv 2007)."""
     import random
 
     rng = random.Random(seed)
@@ -496,9 +497,14 @@ def lsh_golden(vecs, k=5, n_planes=16, bands=4, dim=64, seed=42, max_query_id=8)
 
     out = []
     for qid in sorted(vid for vid in byid if vid < max_query_id):
+        probe_keys = [
+            (b, key ^ flip)
+            for b, key in bands_of[qid]
+            for flip in ([0] + [1 << j for j in range(width)] if multi_probe else [0])
+        ]
         cand = {
             nid
-            for key in bands_of[qid]
+            for key in probe_keys
             for nid in buckets.get(key, ())
             if nid != qid
         }
@@ -641,6 +647,7 @@ def main() -> None:
         "dedup_simhash": simhash_golden(docs),
         "ann_ivf_topk": ivf_golden(vecs),
         "ann_lsh_topk": lsh_golden(vecs),
+        "ann_lsh_multiprobe": lsh_golden(vecs, multi_probe=1),
         "dedup_embedding_lsh": neardup_lsh_golden(vecs),
         "pack_sequences_summary": pack_golden(docs),
         "winnow_fingerprint_stats": winnow_stats_golden(docs, k=20, w=8),
