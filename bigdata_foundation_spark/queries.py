@@ -2804,7 +2804,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT nation, o_year,
-           ROUND(CAST(SUM(profit) AS DOUBLE), 2) AS sum_profit
+           CAST(ROUND(SUM(profit), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -2839,10 +2839,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Cancellation (revenue minus cost) makes a double sum order-
     # sensitive at the cent level; summing exact DECIMAL(18,4) in both
-    # engines removes the dependence on partial-aggregation order.
+    # engines removes the dependence on partial-aggregation order. The
+    # final cent-round must ALSO happen in decimal: rounding after a
+    # cast to double diverges on exact .xx5 sums (Spark's round(double)
+    # goes through the shortest decimal repr and rounds "….665" up;
+    # DuckDB rounds the binary value ….66499999… down — sf0.001's
+    # NATION_13/2001 group hit exactly this).
     return joined.groupBy(
         "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
-    ).agg(F.round(F.sum(profit.cast("decimal(18,4)")).cast("double"), 2).alias("sum_profit"))
+    ).agg(F.round(F.sum(profit.cast("decimal(18,4)")), 2).cast("double").alias("sum_profit"))
 
 
 @q(

@@ -65,6 +65,13 @@ def main() -> int:
         if spec.oracle is None:
             print(f"ok   {name}: {len(srows)} rows [rows-only] ({dt:.1f}s)")
             continue
+        if "sf0.01" not in sf_dir and "pinned golden" in spec.oracle:
+            # pinned-golden VALUES encode the sf0.01 answers; at any
+            # other scale they would "fail" by design. The cross-scale
+            # sweep (r5: caught q9's decimal-vs-double cent-rounding
+            # divergence at sf0.001) covers the SQL-oracled subset.
+            print(f"ok   {name}: {len(srows)} rows [pinned@sf0.01, skipped at this sf]")
+            continue
         try:
             ddf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
