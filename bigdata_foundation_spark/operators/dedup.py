@@ -631,9 +631,17 @@ def ngram_jaccard_pairs(
 
     The full cross join never happens; every stage is a keyed
     shuffle/join. ``block_cols`` adds equality constraints (e.g.
-    language)."""
+    language).
+
+    Zero-token documents (null / empty / whitespace-only text) are
+    EXCLUDED: they carry no n-grams, and without this guard they all
+    share the degenerate empty gram and pair with each other at
+    jaccard 1.0 — exact dedup is the operator for contentless rows."""
     blocks = list(block_cols or [])
-    g = spread(df, id_col).select(
+    has_tokens = (
+        F.size(F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")) > 0
+    )
+    g = spread(df, id_col).filter(has_tokens).select(
         F.col(id_col), *blocks, word_ngrams(text_col, n).alias("_g")
     ).withColumn("_sz", F.size("_g"))
     g = tracked_cache(g)

@@ -1057,3 +1057,37 @@ def test_lsh_multiprobe_recall(vectors):
     assert r_multi >= r_single
     assert r_multi >= 0.8, (r_single, r_multi)
     assert (0, 500) in multi  # planted near-dup always found
+
+
+def test_operators_tolerate_empty_and_degenerate_text(spark):
+    """Edge-input contract sweep: every dedup/text operator must run
+    (not crash) on an EMPTY table and on null / empty-string /
+    whitespace-only / emoji text, with documented semantics —
+    contentless docs never produce fuzzy pairs (they carry no
+    shingles/tokens/n-grams; exact dedup is the operator for them),
+    and profile/analyze keep one output row per input row / slice."""
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+    weird = spark.createDataFrame(
+        [
+            (1, None, "en", "s"),
+            (2, "", "en", "s"),
+            (3, "🦊 the quick 🦊 fox", "en", "s"),
+            (4, "   ", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    assert D.exact_dedup(empty).count() == 0
+    assert D.minhash_lsh_pairs(empty).count() == 0
+    assert D.simhash_pairs(empty).count() == 0
+    assert D.ngram_jaccard_pairs(empty).count() == 0
+    assert D.duplicate_clusters(spark.createDataFrame([], "id_a long, id_b long")).count() == 0
+    assert TX.corpus_profile(empty).count() == 0
+
+    assert D.exact_dedup(weird).count() == 4  # all texts distinct after normalize
+    assert D.minhash_lsh_pairs(weird).count() == 0
+    assert D.simhash_pairs(weird).count() == 0
+    # the zero-token guard: contentless docs must NOT pair at jaccard 1.0
+    assert D.ngram_jaccard_pairs(weird).count() == 0
+    assert TX.analyze(weird).count() == 4
+    prof = TX.corpus_profile(weird).first()
+    assert prof["n_docs"] == 4 and prof["n_exact_dups"] == 0
