@@ -36,7 +36,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, TOTAL over degenerate inputs: a zero-norm
+    (or null) vector yields NULL instead of raising — under Spark 4's
+    default ANSI mode a plain division turns ONE zero embedding
+    (padding rows, failed encoder outputs) into a DIVIDE_BY_ZERO that
+    kills the whole corpus job. NULL cosine then falls out of every
+    threshold filter and ranks last in the top-k windows (all ordered
+    DESC), so degenerate rows silently drop from results — the
+    documented contract, pinned by
+    ``test_embedding_ops_tolerate_degenerate_vectors``."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def _as_double(vec: Column) -> Column:
@@ -51,11 +60,12 @@ def l2_normalize(vec: Column) -> Column:
     as a lambda variable via the outer-transform trick — dividing by
     ``norm(v)`` directly inside the per-element lambda would recompute
     the full reduction for every element (the HOF re-evaluation
-    pitfall)."""
+    pitfall). A zero vector cannot be normalized and is returned
+    unchanged (all zeros) instead of raising ANSI DIVIDE_BY_ZERO."""
     v = _as_double(vec)
 
     def inner(n: Column) -> Column:
-        return F.transform(v, lambda x: x / n)
+        return F.transform(v, lambda x: F.coalesce(x / F.nullif(n, F.lit(0.0)), x))
 
     return F.transform(F.array(norm(v)), inner)[0]
 
@@ -81,6 +91,7 @@ def brute_topk(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .filter(F.col("cosine").isNotNull())  # degenerate (zero/null) vectors drop
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -215,6 +226,7 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("cosine", F.round(cosine(F.col("_queryv"), F.col("_neighborv")), 6))
+        .filter(F.col("cosine").isNotNull())  # degenerate (zero/null) vectors drop
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -269,6 +281,7 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .filter(F.col("cosine").isNotNull())  # degenerate (zero/null) vectors drop
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -422,6 +435,7 @@ def ivf_query(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .filter(F.col("cosine").isNotNull())  # degenerate (zero/null) vectors drop
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")

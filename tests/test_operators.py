@@ -1091,3 +1091,32 @@ def test_operators_tolerate_empty_and_degenerate_text(spark):
     assert TX.analyze(weird).count() == 4
     prof = TX.corpus_profile(weird).first()
     assert prof["n_docs"] == 4 and prof["n_exact_dups"] == 0
+
+
+def test_embedding_ops_tolerate_degenerate_vectors(spark):
+    """Under Spark 4's default ANSI mode a single zero-norm embedding
+    (padding row, failed encoder output) used to kill the whole job
+    with DIVIDE_BY_ZERO inside cosine. Contract now: cosine is TOTAL —
+    degenerate (zero/null) vectors yield NULL similarity and silently
+    drop from top-k results and threshold pairs; l2_normalize returns
+    a zero vector unchanged; well-formed rows are unaffected."""
+    rows = [(0, [1.0] * 8), (1, [0.0] * 8), (2, [0.5] * 8), (3, None), (4, [2.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = S.brute_topk(df, df, k=3, vec_col="embedding").collect()
+    ids = {r["neighbor_id"] for r in out} | {r["query_id"] for r in out}
+    assert 1 not in ids and 3 not in ids  # degenerate rows absent both sides
+    top = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
+    assert top[(0, 1)] in (2, 4) and top[(2, 1)] in (0, 4)  # parallel vectors, cos 1.0
+
+    pairs = S.embedding_neardup_pairs(df, threshold=0.9, method="exact").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2), (0, 4), (2, 4)}
+
+    normed = {
+        r["vec_id"]: r["n"]
+        for r in df.filter(F.col("embedding").isNotNull())
+        .select("vec_id", S.l2_normalize(F.col("embedding")).alias("n"))
+        .collect()
+    }
+    assert normed[1] == [0.0] * 8  # zero vector unchanged, no crash
+    assert abs(sum(x * x for x in normed[0]) - 1.0) < 1e-9
