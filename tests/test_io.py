@@ -90,3 +90,43 @@ def test_compact(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 40000
     assert n_after < n_before and n_after <= 2
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    """Z-order sink: every output file must cover a narrow range of
+    EVERY z-order column (measured ~0.25 of the global range per dim
+    on 16 files at sf0.01) — a single-column sort can only achieve
+    this for its leading column; 1.0 means no clustering. Roundtrip
+    is lossless and schema-stable, and the helper columns never leak
+    into the files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    import bigdata_foundation_spark.io as eio
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = str(tmp_path / "zo")
+    eio.write_zordered(ev, out, ["user_id", "value"], n_files=16)
+    back = spark.read.parquet(out)
+    assert back.columns == ev.columns
+    assert back.count() == ev.count()
+    assert back.selectExpr("sum(hash(event_id))").first()[0] == ev.selectExpr(
+        "sum(hash(event_id))"
+    ).first()[0]
+
+    glo = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    span_u, span_v, n = 0.0, 0.0, 0
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f, columns=["user_id", "value"])
+        u, v = t.column("user_id").to_pylist(), t.column("value").to_pylist()
+        if not u:
+            continue
+        span_u += (max(u) - min(u)) / float(glo[1] - glo[0])
+        span_v += (max(v) - min(v)) / float(glo[3] - glo[2])
+        n += 1
+    assert n >= 8
+    assert span_u / n < 0.5 and span_v / n < 0.5, (span_u / n, span_v / n)
