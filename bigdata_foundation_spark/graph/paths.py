@@ -128,6 +128,18 @@ def build_projection(roads: DataFrame, nodes: DataFrame | None = None) -> _k.Pro
     src = tbl.column("src").to_numpy(zero_copy_only=False)
     dst = tbl.column("dst").to_numpy(zero_copy_only=False)
     cost = tbl.column("cost").to_numpy(zero_copy_only=False)
+    # Every shortest-path kernel here (heap Dijkstra, numpy
+    # delta-stepping, A*, the ALT bounds) assumes non-negative
+    # weights; a single negative cost silently corrupts distances.
+    # The check is vectorized over the already-materialized column —
+    # effectively free next to the collect itself.
+    if len(cost) and float(cost.min()) < 0:
+        raise ValueError(
+            "build_projection: negative edge cost "
+            f"{float(cost.min())!r} — shortest-path kernels require "
+            "non-negative weights (use Bellman-Ford-style relaxation "
+            "for negative edges; not part of the reference surface)"
+        )
     coords = None
     if nodes is not None:
         nt = nodes.select("NodeId", "XCoord", "YCoord").dropna().toArrow()

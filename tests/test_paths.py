@@ -532,3 +532,17 @@ def test_bsp_yens_probe_wave_batching(spark):
         (p, round(t, 9)) for p, _c, t in waved
     ]
     assert full[0][2] == pytest.approx(3.0)  # a-b-c-d via r1,r2,r3
+
+
+def test_projection_rejects_negative_costs(spark):
+    """Dijkstra/delta-stepping/A*/ALT all assume non-negative weights;
+    a negative cost must be rejected loudly at projection build, not
+    silently corrupt every distance downstream."""
+    import pytest as _pytest
+
+    roads = spark.createDataFrame(
+        [("a", "b", 1.0, "r1"), ("b", "c", -0.5, "r2")],
+        "src string, dst string, cost double, road_id string",
+    )
+    with _pytest.raises(ValueError, match="negative edge cost"):
+        build_projection(roads)
