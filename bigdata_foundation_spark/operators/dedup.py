@@ -287,9 +287,17 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash banding, verified with exact
     Jaccard on the shingle sets.
+
+    ``block_cols`` adds equality blocking (e.g. language): bucket keys
+    gain the block columns, so candidates — and therefore pairs —
+    never cross blocks, and a block mismatch also shrinks the
+    degenerate-bucket groups the cap guards. The block values ride a
+    narrow (id, blocks) join onto the banded keys (16 rows/doc), never
+    the shingle explosion.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a <
     id_b. Pipeline: shingle-hash table (computed ONCE, cached — feeds
@@ -345,7 +353,11 @@ def minhash_lsh_pairs(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
 
-    raw_cand = _bucket_pairs(banded, id_col, ["band", "key"], max_bucket)
+    blocks = list(block_cols or [])
+    if blocks:
+        banded = banded.join(df.select(id_col, *blocks), id_col)
+
+    raw_cand = _bucket_pairs(banded, id_col, ["band", "key", *blocks], max_bucket)
     est = minhash_jaccard_est(F.col("_sig_a"), F.col("_sig_b"), num_hashes)
     ssel = sig.select(id_col, "_sig")
     cand = (

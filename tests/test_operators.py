@@ -1120,3 +1120,19 @@ def test_embedding_ops_tolerate_degenerate_vectors(spark):
     }
     assert normed[1] == [0.0] * 8  # zero vector unchanged, no crash
     assert abs(sum(x * x for x in normed[0]) - 1.0) < 1e-9
+
+
+def test_minhash_lsh_block_cols(spark):
+    """Equality blocking for MinHash-LSH: identical texts in different
+    blocks (e.g. languages) must NOT pair when block_cols is set, and
+    the unblocked result is unchanged by the feature's default."""
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "de"),           # same text, different lang
+        (3, BASE + " extra", "en"),  # near-dup of 1, same lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    unblocked = _pairs(D.minhash_lsh_pairs(df, threshold=0.5))
+    assert unblocked == {(1, 2), (1, 3), (2, 3)}
+    blocked = _pairs(D.minhash_lsh_pairs(df, threshold=0.5, block_cols=["lang"]))
+    assert blocked == {(1, 3)}
