@@ -33,6 +33,7 @@ HEADLINE = [
     "window_top_orders_per_customer",
     "events_hourly",
     "text_stats",
+    "corpus_profile",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

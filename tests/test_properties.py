@@ -12,7 +12,12 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from bigdata_foundation_spark.operators import relational as R
-from bigdata_foundation_spark.operators.dedup import jaccard, ngram_jaccard_pairs, word_ngrams
+from bigdata_foundation_spark.operators.dedup import (
+    jaccard,
+    ngram_jaccard_pairs,
+    normalize_text,
+    word_ngrams,
+)
 
 _settings = settings(
     max_examples=12,
@@ -52,7 +57,10 @@ def test_array_slice_is_cypher_halfopen(spark, xs, start, length):
 @_settings
 def test_prefix_filter_join_is_exact(spark, texts):
     """The PPJoin-style candidate generation must lose nothing: its
-    output equals brute-force all-pairs Jaccard on word 2-grams."""
+    output equals brute-force all-pairs Jaccard on word 2-grams.
+    Zero-token (empty/whitespace) docs are outside the operator's
+    contract — they carry no n-grams and are excluded by design (r5
+    guard) — so the brute side applies the same filter."""
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     t = 0.4
@@ -60,7 +68,10 @@ def test_prefix_filter_join_is_exact(spark, texts):
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(df, n=2, threshold=t).collect()
     }
-    g = df.select("doc_id", word_ngrams("text", 2).alias("g"))
+    has_tokens = (
+        F.size(F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")) > 0
+    )
+    g = df.filter(has_tokens).select("doc_id", word_ngrams("text", 2).alias("g"))
     a = g.withColumnsRenamed({"doc_id": "ia", "g": "ga"})
     b = g.withColumnsRenamed({"doc_id": "ib", "g": "gb"})
     brute = {
