@@ -56,7 +56,7 @@ class Projection:
 
     __slots__ = (
         "ids", "index", "indptr", "adj_v", "adj_w", "adj_e", "coords",
-        "n_edges", "_hot", "__weakref__",
+        "n_edges", "_hot", "_rhot", "__weakref__",
     )
 
     def __init__(
@@ -135,6 +135,7 @@ class Projection:
         self.adj_e = perm.astype(np.int32, copy=False)
         self.n_edges = m
         self._hot = None
+        self._rhot = None
         if coords:
             self.coords: list[tuple[float, float] | None] | None = [coords.get(s) for s in ids]
         else:
@@ -153,14 +154,36 @@ class Projection:
             )
         return h
 
+    def rhot(self) -> tuple[list, list, list, list]:
+        """(rptr, r_v, r_w, r_e) list views of the REVERSED CSR —
+        built once per process (argsort + scatter over the edge
+        arrays), then cached like :meth:`hot`; backward searches
+        (bidirectional Dijkstra, reverse_dist_to) pay the transpose
+        once per projection instead of per query."""
+        h = self._rhot
+        if h is None:
+            rptr, r_v, r_w, r_e = _reverse_csr(self)
+            h = self._rhot = (
+                rptr.tolist(),
+                r_v.tolist(),
+                r_w.tolist(),
+                r_e.tolist(),
+            )
+        return h
+
     def __getstate__(self):
-        # never ship the hot list views — each process rebuilds lazily
-        return {s: getattr(self, s) for s in self.__slots__ if s not in ("_hot", "__weakref__")}
+        # never ship the hot/rhot list views — each process rebuilds lazily
+        return {
+            s: getattr(self, s)
+            for s in self.__slots__
+            if s not in ("_hot", "_rhot", "__weakref__")
+        }
 
     def __setstate__(self, state):
         for k, v in state.items():
             setattr(self, k, v)
         self._hot = None
+        self._rhot = None
 
 
 def _heuristic_array(proj: Projection, t: int) -> list[float] | None:
@@ -576,9 +599,13 @@ def spur_search(
     return _reconstruct_idx(par, spur, t)
 
 
-def _reverse_csr(proj: Projection) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(rptr, r_v, r_w) — the reversed graph's CSR, built vectorized
-    (stable argsort by destination)."""
+def _reverse_csr(
+    proj: Projection,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(rptr, r_v, r_w, r_e) — the reversed graph's CSR, built
+    vectorized (stable argsort by destination). ``r_e`` carries the
+    ORIGINAL edge index of each reversed slot so backward searches can
+    reconstruct paths with edge identity."""
     n = len(proj.ids)
     perm = np.argsort(proj.adj_v, kind="stable")
     rcounts = np.bincount(proj.adj_v, minlength=n)
@@ -586,7 +613,109 @@ def _reverse_csr(proj: Projection) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     np.cumsum(rcounts, out=rptr[1:])
     # source node of CSR slot i is searchsorted over indptr
     srcs = np.searchsorted(proj.indptr, np.arange(proj.n_edges), side="right") - 1
-    return rptr, srcs[perm].astype(np.int32, copy=False), proj.adj_w[perm]
+    return rptr, srcs[perm].astype(np.int32, copy=False), proj.adj_w[perm], perm
+
+
+def bidirectional_shortest_path(
+    proj: Projection, source: str, target: str
+) -> tuple[list[str], list[float]] | None:
+    """Point-to-point path by BIDIRECTIONAL Dijkstra (Pohl 1971; the
+    standard p2p accelerator): a forward search from the source and a
+    backward search from the target (over the reversed CSR) advance
+    alternately — always the side with the smaller heap minimum — and
+    stop once ``top_f + top_b >= mu``, the best meeting cost seen.
+    Each frontier only grows to roughly the ~half-radius ball, so on
+    large diameter graphs the two searches settle a small fraction of
+    what single-sided Dijkstra would.
+
+    Exact for non-negative weights (the classic stopping criterion);
+    the RETURNED PATH may differ from forward Dijkstra's on equal-cost
+    ties (both are valid shortest paths — same caveat as the BSP/
+    broadcast Yen pair). Returns (node ids, per-hop costs) or None."""
+    s, t = proj.index.get(source), proj.index.get(target)
+    if s is None or t is None:
+        return None
+    if s == t:
+        return [proj.ids[s]], []
+    n = len(proj.ids)
+    indptr, adj_v, adj_w, adj_e = proj.hot()
+    rptr, r_v, r_w, r_e = proj.rhot()
+
+    inf = _INF
+    dist_f: list[float] = [inf] * n
+    dist_b: list[float] = [inf] * n
+    par_f: list = [None] * n  # (pred, w, eidx) toward source
+    par_b: list = [None] * n  # (succ, w, eidx) toward target
+    set_f, set_b = bytearray(n), bytearray(n)
+    dist_f[s] = 0.0
+    dist_b[t] = 0.0
+    pq_f: list[tuple[float, int]] = [(0.0, s)]
+    pq_b: list[tuple[float, int]] = [(0.0, t)]
+    push, pop = heapq.heappush, heapq.heappop
+    mu = inf
+    meet = -1
+
+    while pq_f and pq_b:
+        if pq_f[0][0] + pq_b[0][0] >= mu:
+            break
+        forward = pq_f[0][0] <= pq_b[0][0]
+        if forward:
+            d, u = pop(pq_f)
+            if set_f[u]:
+                continue
+            set_f[u] = 1
+            du = dist_f[u]
+            for i in range(indptr[u], indptr[u + 1]):
+                v = adj_v[i]
+                if set_f[v]:
+                    continue
+                nd = du + adj_w[i]
+                if nd < dist_f[v]:
+                    dist_f[v] = nd
+                    par_f[v] = (u, adj_w[i], adj_e[i])
+                    push(pq_f, (nd, v))
+                if dist_b[v] != inf and nd + dist_b[v] < mu:
+                    mu = nd + dist_b[v]
+                    meet = v
+        else:
+            d, u = pop(pq_b)
+            if set_b[u]:
+                continue
+            set_b[u] = 1
+            du = dist_b[u]
+            for i in range(rptr[u], rptr[u + 1]):
+                v = r_v[i]
+                if set_b[v]:
+                    continue
+                nd = du + r_w[i]
+                if nd < dist_b[v]:
+                    dist_b[v] = nd
+                    par_b[v] = (u, r_w[i], r_e[i])
+                    push(pq_b, (nd, v))
+                if dist_f[v] != inf and nd + dist_f[v] < mu:
+                    mu = nd + dist_f[v]
+                    meet = v
+    if meet < 0:
+        return None
+    # forward half: source → meet
+    nodes = [meet]
+    costs: list[float] = []
+    cur = meet
+    while cur != s:
+        u, w, _e = par_f[cur]
+        nodes.append(u)
+        costs.append(w)
+        cur = u
+    nodes.reverse()
+    costs.reverse()
+    # backward half: meet → target
+    cur = meet
+    while cur != t:
+        u, w, _e = par_b[cur]
+        nodes.append(u)
+        costs.append(w)
+        cur = u
+    return [proj.ids[i] for i in nodes], costs
 
 
 def reverse_dist_to(proj: Projection, t: int) -> list[float]:
@@ -595,7 +724,7 @@ def reverse_dist_to(proj: Projection, t: int) -> list[float]:
     the reverse CSR feeds the vectorized delta-stepping kernel (same
     dispatch rationale as ``_dijkstra_dist``)."""
     n = len(proj.ids)
-    rptr_np, rv_np, rw_np = _reverse_csr(proj)
+    rptr_np, rv_np, rw_np, _re_np = _reverse_csr(proj)
     if proj.n_edges >= _NUMPY_DIST_EDGE_THRESHOLD:
         return _delta_dist_arrays(rptr_np, rv_np, rw_np, n, t).tolist()
     rptr = rptr_np.tolist()

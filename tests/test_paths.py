@@ -546,3 +546,49 @@ def test_projection_rejects_negative_costs(spark):
     )
     with _pytest.raises(ValueError, match="negative edge cost"):
         build_projection(roads)
+
+
+def test_bidirectional_dijkstra_equivalence(spark, graph1):
+    """Bidirectional Dijkstra (Pohl 1971): exact same cost as the
+    single-sided kernel on the CSV1 golden pair and on random pairs;
+    path is valid (edges exist, hop costs sum to the distance); the
+    unreachable case returns an empty frame like the forward path."""
+    import random
+
+    from bigdata_foundation_spark.graph import kernel as K
+
+    nodes, roads = graph1
+    proj = build_projection(roads, nodes)
+
+    fwd = dijkstra(spark, roads, "2022", "2802", projection=proj).collect()
+    bid = dijkstra(
+        spark, roads, "2022", "2802", projection=proj, bidirectional=True
+    ).collect()
+    assert abs(fwd[-1]["cost"] - bid[-1]["cost"]) < 1e-6
+    assert fwd[-1]["cost"] == pytest.approx(9221.720431, abs=1e-4)
+    assert bid[0]["NodeId"] == "2022" and bid[-1]["NodeId"] == "2802"
+
+    rng = random.Random(11)
+    ids = proj.ids
+    checked = 0
+    while checked < 10:
+        a, b = rng.choice(ids), rng.choice(ids)
+        sp = K.shortest_path(proj, a, b)
+        got = K.bidirectional_shortest_path(proj, a, b)
+        if sp is None:
+            assert got is None
+            continue
+        assert got is not None
+        assert abs(sum(sp[1]) - sum(got[1])) < 1e-9
+        # validity: every hop is a real edge with that cost
+        index = proj.index
+        for (u, v, w) in zip(got[0], got[0][1:], got[1]):
+            ui = index[u]
+            lo, hi = proj.indptr[ui], proj.indptr[ui + 1]
+            cand = [
+                float(proj.adj_w[i])
+                for i in range(lo, hi)
+                if proj.ids[proj.adj_v[i]] == v
+            ]
+            assert any(abs(c - w) < 1e-9 for c in cand), (u, v, w)
+        checked += 1
