@@ -56,7 +56,7 @@ class Projection:
 
     __slots__ = (
         "ids", "index", "indptr", "adj_v", "adj_w", "adj_e", "coords",
-        "n_edges", "_hot", "_rhot", "__weakref__",
+        "n_edges", "_hot", "_rhot", "_rnp", "__weakref__",
     )
 
     def __init__(
@@ -136,6 +136,7 @@ class Projection:
         self.n_edges = m
         self._hot = None
         self._rhot = None
+        self._rnp = None
         if coords:
             self.coords: list[tuple[float, float] | None] | None = [coords.get(s) for s in ids]
         else:
@@ -162,7 +163,7 @@ class Projection:
         once per projection instead of per query."""
         h = self._rhot
         if h is None:
-            rptr, r_v, r_w, r_e = _reverse_csr(self)
+            rptr, r_v, r_w, r_e = self.rnp()
             h = self._rhot = (
                 rptr.tolist(),
                 r_v.tolist(),
@@ -171,12 +172,22 @@ class Projection:
             )
         return h
 
+    def rnp(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+        """The reversed CSR as numpy arrays, cached per process (the
+        transpose argsort runs once per projection, not per query —
+        Yen calls ``reverse_dist_to`` every query and APSP once per
+        hub/direction)."""
+        r = self._rnp
+        if r is None:
+            r = self._rnp = _reverse_csr(self)
+        return r
+
     def __getstate__(self):
         # never ship the hot/rhot list views — each process rebuilds lazily
         return {
             s: getattr(self, s)
             for s in self.__slots__
-            if s not in ("_hot", "_rhot", "__weakref__")
+            if s not in ("_hot", "_rhot", "_rnp", "__weakref__")
         }
 
     def __setstate__(self, state):
@@ -184,6 +195,7 @@ class Projection:
             setattr(self, k, v)
         self._hot = None
         self._rhot = None
+        self._rnp = None
 
 
 def _heuristic_array(proj: Projection, t: int) -> list[float] | None:
@@ -724,7 +736,7 @@ def reverse_dist_to(proj: Projection, t: int) -> list[float]:
     the reverse CSR feeds the vectorized delta-stepping kernel (same
     dispatch rationale as ``_dijkstra_dist``)."""
     n = len(proj.ids)
-    rptr_np, rv_np, rw_np, _re_np = _reverse_csr(proj)
+    rptr_np, rv_np, rw_np, _re_np = proj.rnp()
     if proj.n_edges >= _NUMPY_DIST_EDGE_THRESHOLD:
         return _delta_dist_arrays(rptr_np, rv_np, rw_np, n, t).tolist()
     rptr = rptr_np.tolist()
