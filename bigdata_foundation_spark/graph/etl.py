@@ -130,3 +130,61 @@ def truncate(df: DataFrame) -> DataFrame:
     an empty frame with the same schema (the table overwrite happens at
     the sink)."""
     return df.limit(0)
+
+
+def degree_distribution(roads: DataFrame) -> DataFrame:
+    """Degree histogram of the directed multigraph: for every observed
+    degree value, how many nodes have that out-degree and how many
+    that in-degree (parallel edges each count — multigraph semantics,
+    MAIN:221–227). Pure relational shape — two keyed count aggregates
+    over the edge table, histogrammed and full-outer merged; at any
+    scale the shuffles carry (node, count) then (degree, n) rows.
+
+    Returns (degree, out_nodes, in_nodes) — nodes with no outgoing
+    (resp. incoming) edges simply don't contribute to that side, same
+    as the SQL oracle's aggregation over edge endpoints."""
+    outs = roads.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    ins = roads.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("d"))
+    oh = outs.groupBy("d").agg(F.count("*").alias("out_nodes"))
+    ih = ins.groupBy("d").agg(F.count("*").alias("in_nodes"))
+    return (
+        oh.join(ih, "d", "full_outer")
+        .select(
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("out_nodes", F.lit(0)).cast("bigint").alias("out_nodes"),
+            F.coalesce("in_nodes", F.lit(0)).cast("bigint").alias("in_nodes"),
+        )
+    )
+
+
+def k_hop_nodes(
+    spark: SparkSession, roads: DataFrame, source: str, k: int
+) -> DataFrame:
+    """Nodes reachable from ``source`` within ``k`` hops (directed),
+    with their minimum hop count — the ego-neighborhood extraction
+    every graph exploration UI runs before visualizing a subgraph.
+
+    Layered BFS as k keyed joins: frontier_i = (edges ⋈ frontier_{i-1})
+    minus everything already visited, so each node is emitted at its
+    FIRST (minimum) depth and the per-round state is one (NodeId, hops)
+    DataFrame. ``localCheckpoint`` truncates the iterated-join lineage
+    (same discipline as graph/bsp.py); the early-exit count reads one
+    driver scalar per round. k is a small constant (an ego radius), so
+    the k joins are the whole cost — no unbounded iteration."""
+    frontier = spark.createDataFrame([(source, 0)], "NodeId string, hops int")
+    visited = frontier.localCheckpoint()
+    frontier = visited
+    edges = roads.select(F.col("src").alias("NodeId"), F.col("dst"))
+    for i in range(1, k + 1):
+        nxt = (
+            edges.join(frontier, "NodeId")
+            .select(F.col("dst").alias("NodeId"), F.lit(i).alias("hops"))
+            .distinct()
+            .join(visited, "NodeId", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("NodeId", F.col("hops").cast("bigint").alias("hops"))

@@ -89,24 +89,37 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # locally each round via tools/check_oracles.py — see ORACLES_r05.md.
 # Entries not listed keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) code/golden changed in round 5 (incl. the post-r4-gate
-    # carry-over commits: bucket-pair window guard + fused band keys,
-    # IVF Lloyd refinement, APSP wave ramp + hub pool, numpy kernel
-    # adaptive delta, de-vacuated gates)
-    "dedup_minhash_lsh",  # single-shuffle bucket guard + fused band keys
-    "dedup_simhash",  # rides _bucket_pairs rework
-    "dedup_embedding_lsh",  # rides _bucket_pairs rework
-    "dedup_embedding_cosine",  # clone-seeded non-vacuous gate (new oracle)
+    # (a) code/golden changed in round 5: the _bucket_pairs window
+    # rework + fused band keys + equality blocking (minhash/simhash/
+    # embedding-LSH), the zero-token ngram guard, the total-cosine /
+    # l2_normalize ANSI fix (every ann_* and embedding query), IVF
+    # Lloyd refinement, the q9 decimal-rounding fix, de-vacuated
+    # gates, APSP wave ramp + numpy kernel adaptive delta, and the
+    # five queries NEW this round
+    "dedup_minhash_lsh",
+    "dedup_minhash_blocked",  # NEW (equality blocking)
+    "dedup_simhash",
+    "dedup_ngram_jaccard",  # zero-token guard
+    "dedup_embedding_lsh",
+    "dedup_embedding_cosine",  # clone-seeded non-vacuous gate
+    "embedding_normalize",  # l2_normalize zero-vector fix
+    "ann_brute_topk",  # total cosine
+    "ann_lsh_topk",  # multi-probe refactor (same default keys)
+    "ann_lsh_multiprobe",  # NEW (Lv 2007 multi-probe)
     "ann_ivf_topk",  # Lloyd-refined centroids (new golden)
     "anti_join_quiet_customers",  # pushed inner predicate (new oracle)
+    "q9_product_profit",  # decimal-first cent rounding (both sides)
     "graph_apsp_top10",  # wave-size ramp + three-stride hub pool
     "graph_sssp",  # kernel adaptive-delta dispatch
-    "graph_dijkstra",  # kernel adaptive-delta dispatch
+    "graph_dijkstra",  # kernel dispatch + bidirectional option
     "graph_astar",  # kernel adaptive-delta dispatch
-    "streaming_corpus_dedup",  # NEW this round (greedy cross-batch ingest)
-    "corpus_profile",  # NEW this round (per-slice data card)
-    "ann_lsh_multiprobe",  # NEW this round (multi-probe LSH)
-    # (b) last gated in round 2 or earlier (absent from r3+r4 gates)
+    "graph_degree_distribution",  # NEW (degree histogram, SQL oracle)
+    "graph_k_hop",  # NEW (layered BFS vs recursive-CTE oracle)
+    "streaming_corpus_dedup",  # NEW (greedy cross-batch ingest)
+    "corpus_profile",  # NEW (per-slice data card)
+    # (b) last gated in round 2 or earlier (absent from r3+r4 gates);
+    # the r3-gated remainder rotates in r6 and is covered by the
+    # whole-registry ORACLES_r05 check meanwhile
     "point_lookup_customer",
     "orders_topk",
     "distinct_agg_priority",
@@ -136,16 +149,6 @@ GATE_ORDER: list[str] = [
     "posexplode_leading_tokens",
     "text_repetition",
     "contamination_check",
-    # (c) last gated in round 3 — kernel-riding graph queries and
-    # load-bearing families first (remainder rotates in r6)
-    "graph_sssp_slice",
-    "graph_dijkstra_agg",
-    "graph_writeback",
-    "graph_nodes",
-    "graph_edges",
-    "graph_ingest_limit",
-    "dedup_exact",
-    "ann_brute_topk",
 ]
 
 
@@ -1871,6 +1874,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_minhash_blocked",
+    PIPELINE_GOLDEN_SQL["dedup_minhash_blocked"],
+    "MinHash+LSH near-dup pairs with equality blocking on lang — bucket keys "
+    "carry the block value, so pairs never cross languages (pinned-golden "
+    "oracle: the independent replay with the same blocked bucketing)",
+)
+def dedup_minhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.5, block_cols=["lang"]).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q(
     "dedup_simhash",
     PIPELINE_GOLDEN_SQL["dedup_simhash"],
     "SimHash near-dup pairs, Hamming<=3 (pinned-golden oracle, gen_pipeline_goldens.py)",
@@ -2430,6 +2447,68 @@ def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, roads = _graph(spark)
     return roads
+
+
+@q(
+    "graph_degree_distribution",
+    """
+    WITH el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el),
+    e AS (
+      SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst,
+             el.EDGE AS road_id, CAST(el.LENGTH AS DOUBLE) AS cost
+      FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+    ),
+    outs AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+    ins  AS (SELECT dst AS id, COUNT(*) AS d FROM e GROUP BY dst),
+    oh AS (SELECT d, COUNT(*) AS out_nodes FROM outs GROUP BY d),
+    ih AS (SELECT d, COUNT(*) AS in_nodes FROM ins GROUP BY d)
+    SELECT CAST(COALESCE(oh.d, ih.d) AS BIGINT) AS degree,
+           CAST(COALESCE(out_nodes, 0) AS BIGINT) AS out_nodes,
+           CAST(COALESCE(in_nodes, 0) AS BIGINT) AS in_nodes
+    FROM oh FULL OUTER JOIN ih ON oh.d = ih.d
+    """,
+    "degree histogram of the ingested multigraph (out/in node counts per degree "
+    "value; full SQL oracle over the same ETL semantics)",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import degree_distribution
+
+    _, roads = _graph(spark)
+    return degree_distribution(roads).orderBy("degree")
+
+
+@q(
+    "graph_k_hop",
+    """
+    WITH RECURSIVE el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el),
+    e AS (
+      SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst
+      FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+    ),
+    r(id, hops) AS (
+      SELECT '2022', 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id WHERE r.hops < 4
+    )
+    SELECT id AS NodeId, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM r GROUP BY id
+    """,
+    "4-hop ego neighborhood of node 2022 with minimum hop counts — layered-BFS "
+    "frontier joins in the engine, recursive CTE as the SQL oracle",
+)
+def graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import k_hop_nodes
+
+    _, roads = _graph(spark)
+    return k_hop_nodes(spark, roads, "2022", 4).orderBy("hops", "NodeId")
 
 
 @q(

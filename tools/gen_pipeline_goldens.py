@@ -78,6 +78,11 @@ def load_documents() -> list[tuple[int, str]]:
     return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
 
 
+def load_doc_langs() -> dict[int, str]:
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
+
+
 def load_embeddings() -> list[tuple[int, list[float]]]:
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     return list(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
@@ -102,7 +107,13 @@ def char_shingles(t: str, k: int = 5) -> list[str]:
     return out
 
 
-def minhash_golden(docs, num_hashes=64, bands=16, shingle_k=5, threshold=0.5, max_bucket=1000):
+def minhash_golden(
+    docs, num_hashes=64, bands=16, shingle_k=5, threshold=0.5, max_bucket=1000,
+    blocks=None,
+):
+    """``blocks`` (doc_id → block value) replays the engine's
+    ``block_cols`` equality blocking: bucket keys gain the block value,
+    so candidates never cross blocks."""
     rows_per_band = num_hashes // bands
     fam_cache: dict[int, list[int]] = {}
 
@@ -121,11 +132,12 @@ def minhash_golden(docs, num_hashes=64, bands=16, shingle_k=5, threshold=0.5, ma
         sig = [min(family(h)[i] for h in hs) for i in range(num_hashes)]
         sigs[doc_id] = sig
 
-    buckets: dict[tuple[int, int], list[int]] = {}
+    buckets: dict[tuple, list[int]] = {}
     for doc_id, sig in sigs.items():
         for b in range(bands):
             key = spark_xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band])
-            buckets.setdefault((b, key), []).append(doc_id)
+            bk = (b, key) if blocks is None else (b, key, blocks[doc_id])
+            buckets.setdefault(bk, []).append(doc_id)
 
     cand: set[tuple[int, int]] = set()
     for ids in buckets.values():
@@ -644,6 +656,7 @@ def main() -> None:
 
     oracles = {
         "dedup_minhash_lsh": minhash_golden(docs),
+        "dedup_minhash_blocked": minhash_golden(docs, blocks=load_doc_langs()),
         "dedup_simhash": simhash_golden(docs),
         "ann_ivf_topk": ivf_golden(vecs),
         "ann_lsh_topk": lsh_golden(vecs),
