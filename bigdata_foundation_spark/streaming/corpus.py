@@ -101,7 +101,10 @@ def process_corpus_batch(
     Batch ids must be globally unique across the stream (the index
     append contract). Idempotence across checkpoint replays comes from
     the streaming wrapper's availableNow/checkpoint discipline —
-    within one run each batch is applied exactly once."""
+    within one run each batch is applied exactly once. (Index
+    existence is probed via the local filesystem — on an object store,
+    swap the ``os.path`` check for a FileSystem listing; everything
+    else is storage-agnostic Spark IO.)"""
     survivors = dedup_batch_within(
         batch_df,
         text_col=text_col,
