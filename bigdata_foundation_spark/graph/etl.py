@@ -188,3 +188,52 @@ def k_hop_nodes(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited.select("NodeId", F.col("hops").cast("bigint").alias("hops"))
+
+
+def connected_components(roads: DataFrame) -> DataFrame:
+    """Weakly connected components of the road multigraph: every node
+    labelled with the lexicographically smallest NodeId in its
+    component (edges taken as undirected). Thin graph-flavored wrapper
+    over the generic distributed min-label propagation + pointer
+    jumping in ``operators.dedup.duplicate_clusters`` (O(log diameter)
+    supersteps, two keyed shuffles each, no driver-side graph state) —
+    the same machinery that clusters near-duplicate pairs clusters a
+    road network. Returns (NodeId, component_id); every edge endpoint
+    is labelled (isolated nodes cannot exist in the edge table by
+    construction)."""
+    from bigdata_foundation_spark.operators.dedup import duplicate_clusters
+
+    return duplicate_clusters(
+        roads.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    ).select(F.col("node").alias("NodeId"), F.col("cluster_id").alias("component_id"))
+
+
+def triangle_count(roads: DataFrame) -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph underlying
+    the road multigraph (parallel edges and direction collapsed —
+    the standard graph-analytics definition). Pure relational shape:
+    orient each undirected edge small→large once (kills duplicates and
+    direction), then two keyed self-joins count closed wedges — every
+    triangle a<b<c is found exactly once. At scale both joins shuffle
+    on a node key; the classic degree-ordered orientation bounds the
+    wedge fan-out by arboricity. Returns one row (n_triangles)."""
+    und = (
+        roads.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # wedges a<b<c: (a,b) ⋈ (b,c) on the shared middle node; the
+    # ordering invariant (every und row has a < b lexicographically)
+    # means each triangle appears as exactly one wedge, closed iff
+    # (a,c) is also an edge (a<c follows transitively).
+    wedges = (
+        und.select(F.col("a"), F.col("b"))
+        .join(und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+        .select("a", "b", "c")
+    )
+    closed = wedges.join(
+        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))

@@ -115,6 +115,8 @@ GATE_ORDER: list[str] = [
     "graph_astar",  # kernel adaptive-delta dispatch
     "graph_degree_distribution",  # NEW (degree histogram, SQL oracle)
     "graph_k_hop",  # NEW (layered BFS vs recursive-CTE oracle)
+    "graph_components",  # NEW (WCC vs recursive label closure)
+    "graph_triangles",  # NEW (wedge-join triangle count)
     "streaming_corpus_dedup",  # NEW (greedy cross-batch ingest)
     "corpus_profile",  # NEW (per-slice data card)
     # (b) last gated in round 2 or earlier (absent from r3+r4 gates);
@@ -147,8 +149,6 @@ GATE_ORDER: list[str] = [
     "balanced_sample_docs",
     "stats_agg_lineitem",
     "posexplode_leading_tokens",
-    "text_repetition",
-    "contamination_check",
 ]
 
 
@@ -2509,6 +2509,79 @@ def graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, roads = _graph(spark)
     return k_hop_nodes(spark, roads, "2022", 4).orderBy("hops", "NodeId")
+
+
+@q(
+    "graph_components",
+    """
+    WITH RECURSIVE el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el),
+    e AS (
+      SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst
+      FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+    ),
+    und AS (
+      SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+    ),
+    r(id, label) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.label FROM r JOIN und u ON u.a = r.id
+    )
+    SELECT label_min AS component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT id, MIN(label) AS label_min FROM r GROUP BY id)
+    GROUP BY label_min
+    """,
+    "weakly connected components of the road graph (min-label canonical) — "
+    "engine: distributed min-label propagation + pointer jumping "
+    "(duplicate_clusters machinery); oracle: recursive-CTE label closure + "
+    "MIN per node, aggregated to (component_id, n_nodes)",
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import connected_components
+
+    _, roads = _graph(spark)
+    return (
+        connected_components(roads)
+        .groupBy("component_id")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("component_id")
+    )
+
+
+@q(
+    "graph_triangles",
+    """
+    WITH el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el),
+    e AS (
+      SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst
+      FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e WHERE src <> dst
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "global triangle count of the undirected simple road graph — wedge "
+    "join + closure check in both engines (standard clustering-structure "
+    "analytic the reference's GDS family ships)",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import triangle_count
+
+    _, roads = _graph(spark)
+    return triangle_count(roads)
 
 
 @q(

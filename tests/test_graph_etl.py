@@ -50,3 +50,24 @@ def test_dangling_edges_dropped(spark, graph1):
     node_ids = {r[0] for r in nodes.select("NodeId").collect()}
     dsts = {r[0] for r in roads.select("dst").distinct().collect()}
     assert dsts <= node_ids
+
+
+def test_connected_components_and_triangles(spark):
+    """Toy graph with a known shape: two components (a-b-c-a triangle
+    plus pendant d; isolated pair x-y), 1 triangle; labels are the
+    lexicographic min of each component; parallel edges and direction
+    must not affect either result."""
+    from bigdata_foundation_spark.graph.etl import connected_components, triangle_count
+
+    rows = [
+        ("a", "b", 1.0, "r1"),
+        ("b", "c", 1.0, "r2"),
+        ("c", "a", 1.0, "r3"),
+        ("a", "b", 2.0, "r4"),  # parallel edge
+        ("c", "d", 1.0, "r5"),
+        ("y", "x", 1.0, "r6"),  # direction reversed vs min-label
+    ]
+    roads = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    comp = {r["NodeId"]: r["component_id"] for r in connected_components(roads).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+    assert triangle_count(roads).first()["n_triangles"] == 1
