@@ -237,3 +237,64 @@ def triangle_count(roads: DataFrame) -> DataFrame:
         und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
     )
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def pagerank(
+    spark: SparkSession,
+    roads: DataFrame,
+    damping: float = 0.85,
+    iters: int = 20,
+) -> DataFrame:
+    """PageRank over the directed road MULTIGRAPH (parallel edges each
+    carry mass — GDS relationship-multiplicity semantics), fixed
+    ``iters`` power iterations, dangling mass redistributed uniformly
+    (the classic formulation).
+
+    Scale shape: out-degrees are one count aggregate computed once;
+    each iteration is ONE keyed join (edges ⋈ ranks on src) + ONE
+    groupBy(dst) sum — partial aggregation map-side — plus a
+    two-scalar driver agg for the dangling/total mass (bounded state;
+    no per-node driver structures). ``localCheckpoint`` every few
+    iterations truncates the iterated-join lineage (graph/bsp.py
+    discipline). Returns (NodeId, rank) with rank rounded to 6 dp —
+    the determinism contract: float summation order across partitions
+    wobbles ~1e-13 per iteration, far below the rounding quantum, so
+    results are reproducible and replayable in pure Python
+    (tools/gen_pipeline_goldens.py pagerank replay)."""
+    nodes = roads.select(F.col("src").alias("id")).union(
+        roads.select(F.col("dst").alias("id"))
+    ).distinct().localCheckpoint()
+    n = nodes.count()
+    outdeg = (
+        roads.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
+    )
+    edges = roads.select(F.col("src").alias("id"), F.col("dst")).localCheckpoint()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+    for i in range(iters):
+        with_deg = ranks.join(outdeg, "id", "left")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            edges.join(with_deg.filter(F.col("deg").isNotNull()), "id")
+            .select(F.col("dst").alias("id"), (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+            )
+        )
+        if i % 4 == 3 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        F.col("id").alias("NodeId"), F.round(F.col("r"), 6).alias("rank")
+    )

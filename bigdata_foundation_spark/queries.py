@@ -117,6 +117,7 @@ GATE_ORDER: list[str] = [
     "graph_k_hop",  # NEW (layered BFS vs recursive-CTE oracle)
     "graph_components",  # NEW (WCC vs recursive label closure)
     "graph_triangles",  # NEW (wedge-join triangle count)
+    "graph_pagerank",  # NEW (pinned-replay power iteration)
     "streaming_corpus_dedup",  # NEW (greedy cross-batch ingest)
     "corpus_profile",  # NEW (per-slice data card)
     # (b) last gated in round 2 or earlier (absent from r3+r4 gates);
@@ -148,7 +149,6 @@ GATE_ORDER: list[str] = [
     "curation_funnel",
     "balanced_sample_docs",
     "stats_agg_lineitem",
-    "posexplode_leading_tokens",
 ]
 
 
@@ -2549,6 +2549,26 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("component_id")
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("component_id")
+    )
+
+
+@q(
+    "graph_pagerank",
+    PIPELINE_GOLDEN_SQL["graph_pagerank"],
+    "PageRank over the directed road multigraph (damping 0.85, 20 power "
+    "iterations, uniform dangling redistribution), top-100 by (rank DESC, "
+    "NodeId) — pinned-golden oracle from the independent pure-Python replay; "
+    "6-dp rounding is the determinism contract (float-order wobble ~1e-13 "
+    "vs the 1e-6 quantum)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import pagerank
+
+    _, roads = _graph(spark)
+    return (
+        pagerank(spark, roads)
+        .orderBy(F.desc("rank"), F.asc("NodeId"))
+        .limit(100)
     )
 
 

@@ -668,6 +668,7 @@ def main() -> None:
             docs, k=20, w=8, min_shared=2, max_doc_freq=50
         ),
         "streaming_corpus_dedup": corpus_stream_golden(docs),
+        "graph_pagerank": pagerank_golden(),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -687,6 +688,55 @@ def main() -> None:
     print(f"wrote {out} with {len(oracles)} oracles")
     for k, v in oracles.items():
         print(f"  {k}: {len(v)} chars")
+
+
+
+
+
+# --- graph_pagerank --------------------------------------------------------
+
+def load_csv1_edges() -> list[tuple[str, str]]:
+    """CSV1 (src, dst) multigraph rows replicating the ETL contract:
+    blank START_NODE rows dropped, nodes = distinct START_NODE,
+    dangling-END drop, quadruple dedup (parallel edges with distinct
+    EDGE/LENGTH survive and each carries PageRank mass)."""
+    import csv
+
+    with open("/root/reference/Shenzhen_Edgelist_1.csv", newline="") as f:
+        rows = [r for r in csv.DictReader(f) if r.get("START_NODE")]
+    nodes = {r["START_NODE"] for r in rows}
+    quads = list(
+        dict.fromkeys(
+            (r["START_NODE"], r["END_NODE"], r["EDGE"], r["LENGTH"])
+            for r in rows
+            if r["END_NODE"] in nodes
+        )
+    )
+    return [(s, d) for s, d, _e, _l in quads]
+
+
+def pagerank_golden(damping=0.85, iters=20, topk=100):
+    """Replay of graph.etl.pagerank: multigraph mass, uniform dangling
+    redistribution, fixed iterations, 6-dp final rounding (the
+    determinism contract — float-order wobble ~1e-13 sits far below
+    the quantum). Pins the top-``topk`` rows by (rank DESC, NodeId)."""
+    edges = load_csv1_edges()
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg: dict[str, int] = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rv for v, rv in r.items() if v not in outdeg)
+        base = (1.0 - damping) / n + damping * dangling / n
+        contrib: dict[str, float] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0.0) + r[s] / outdeg[s]
+        r = {v: base + damping * contrib.get(v, 0.0) for v in nodes}
+    ranked = sorted(((r6(rv), v) for v, rv in r.items()), key=lambda t: (-t[0], t[1]))
+    rows = [(v, rv) for rv, v in ranked[:topk]]
+    return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
 
 
 if __name__ == "__main__":
