@@ -1,9 +1,12 @@
-"""Generate pinned-golden DuckDB oracles for the four training-data
-pipeline queries whose semantics DuckDB cannot re-derive directly
-(xxhash64 signatures / Spark-hash partitioning):
+"""Generate pinned-golden DuckDB oracles for the queries whose
+semantics DuckDB cannot re-derive directly (xxhash64 signatures /
+Spark-hash partitioning / seeded constructions / iterative fixpoints):
 
-    dedup_minhash_lsh, dedup_simhash, ann_ivf_topk,
-    pack_sequences_summary
+    dedup_minhash_lsh, dedup_minhash_blocked, dedup_simhash,
+    ann_ivf_topk, ann_lsh_topk, ann_lsh_multiprobe,
+    dedup_embedding_lsh, pack_sequences_summary,
+    winnow_fingerprint_stats, winnow_overlap_pairs,
+    streaming_corpus_dedup, graph_pagerank
 
 Same pattern as tools/gen_graph_goldens.py: an INDEPENDENT pure-Python
 re-implementation of each algorithm's published contract (Broder 1997
