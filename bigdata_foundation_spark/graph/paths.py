@@ -737,3 +737,65 @@ def _apsp_topk_bsp(
     if best is None:
         return spark.createDataFrame([], _APSP_SCHEMA)
     return best.orderBy(F.desc("distance"), F.asc("source"), F.asc("target"))
+
+
+_HARMONIC_SCHEMA = T.StructType(
+    [
+        T.StructField("NodeId", T.StringType(), False),
+        T.StructField("harmonic", T.DoubleType(), False),
+        T.StructField("n_reachable", T.LongType(), False),
+    ]
+)
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    roads: DataFrame,
+    n_sources: int = 16,
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """Outbound harmonic centrality H(s) = Σ_{t reachable, t≠s} 1/d(s,t)
+    for a deterministic HASH-SPREAD sample of ``n_sources`` nodes (the
+    GDS closeness/harmonic family; harmonic handles disconnected
+    graphs gracefully — unreachable targets contribute 0, so no
+    infinite-distance special case).
+
+    Sampling: the ``n_sources`` node ids with smallest
+    ``(xxhash64(id), id)`` — the same uniform deterministic selection
+    as the IVF centroid seeds, replayable by the golden generator.
+    Exact-centrality-for-all-nodes is an |V|-SSSP job (the APSP
+    machinery); the sampled report is the standard estimator shape.
+
+    Distribution: one executor task per sampled source over the
+    broadcast projection (exact kernel SSSP per task, the APSP wave
+    idiom); only (NodeId, harmonic, n_reachable) rows return — never
+    per-target distances. DETERMINISM: per-target distances replay
+    exactly (path sums are left-to-right in both the kernel and the
+    pure-Python oracle); the harmonic SUM's float order differs, so
+    the result is rounded to 6 dp — wobble ~1e-16, quantum 1e-6 (same
+    contract as IVF Lloyd / PageRank)."""
+    proj = projection or build_projection(roads)
+    ids_df = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [
+        r["id"]
+        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(n_sources)
+        .collect()
+    ]
+    sc = spark.sparkContext
+    proj_b = _get_broadcast(spark, proj)
+
+    def _task(it: Iterator[str]) -> Iterator[tuple[str, float, int]]:
+        p = proj_b.value
+        for s in it:
+            dist = _k.sssp(p, s)
+            h = sum(1.0 / d for d in dist.values() if d > 0.0)
+            n = sum(1 for d in dist.values() if d > 0.0)
+            yield (s, round(h, 6), n)
+
+    rows = sc.parallelize(srcs, max(len(srcs), 1)).mapPartitions(_task)
+    return spark.createDataFrame(rows, _HARMONIC_SCHEMA).orderBy("NodeId")

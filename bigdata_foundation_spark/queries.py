@@ -118,6 +118,7 @@ GATE_ORDER: list[str] = [
     "graph_components",  # NEW (WCC vs recursive label closure)
     "graph_triangles",  # NEW (wedge-join triangle count)
     "graph_pagerank",  # NEW (pinned-replay power iteration)
+    "graph_harmonic",  # NEW (sampled harmonic centrality, Dijkstra replay)
     "streaming_corpus_dedup",  # NEW (greedy cross-batch ingest)
     "corpus_profile",  # NEW (per-slice data card)
     # (b) last gated in round 2 or earlier (absent from r3+r4 gates);
@@ -143,7 +144,6 @@ GATE_ORDER: list[str] = [
     "date_functions_orders",
     "cube_revenue",
     "top_docs_per_group",
-    "text_stats",
     "token_totals_by_source",
     "fuzzy_name_match",
     "curation_funnel",
@@ -2570,6 +2570,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("NodeId"))
         .limit(100)
     )
+
+
+@q(
+    "graph_harmonic",
+    PIPELINE_GOLDEN_SQL["graph_harmonic"],
+    "outbound harmonic centrality of a 16-node hash-spread sample (exact "
+    "per-source SSSP fanned out over executors; unreachable targets "
+    "contribute 0 — the disconnected-graph-safe centrality). Pinned-golden "
+    "oracle: independent pure-Python Dijkstra replay; distances replay "
+    "exactly, the harmonic sum rounds to 6 dp",
+)
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.paths import harmonic_centrality
+
+    _, roads = _graph(spark)
+    return harmonic_centrality(spark, roads, n_sources=16, projection=_graph_projection(spark))
 
 
 @q(

@@ -672,6 +672,7 @@ def main() -> None:
         ),
         "streaming_corpus_dedup": corpus_stream_golden(docs),
         "graph_pagerank": pagerank_golden(),
+        "graph_harmonic": harmonic_golden(),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -740,6 +741,67 @@ def pagerank_golden(damping=0.85, iters=20, topk=100):
     ranked = sorted(((r6(rv), v) for v, rv in r.items()), key=lambda t: (-t[0], t[1]))
     rows = [(v, rv) for rv, v in ranked[:topk]]
     return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
+
+
+
+
+# --- graph_harmonic --------------------------------------------------------
+
+def load_csv1_weighted_edges() -> list[tuple[str, str, float]]:
+    """CSV1 (src, dst, cost) multigraph rows with ETL semantics (same
+    contract as load_csv1_edges, keeping LENGTH as the float cost)."""
+    import csv
+
+    with open("/root/reference/Shenzhen_Edgelist_1.csv", newline="") as f:
+        rows = [r for r in csv.DictReader(f) if r.get("START_NODE")]
+    nodes = {r["START_NODE"] for r in rows}
+    quads = list(
+        dict.fromkeys(
+            (r["START_NODE"], r["END_NODE"], r["EDGE"], r["LENGTH"])
+            for r in rows
+            if r["END_NODE"] in nodes
+        )
+    )
+    return [(s, d, float(l)) for s, d, _e, l in quads]
+
+
+def harmonic_golden(n_sources=16):
+    """Replay of paths.harmonic_centrality: hash-spread source sample
+    (smallest (xxhash64(id), id) — node ids are STRINGS, hashed as
+    such), exact heap Dijkstra per source, H(s) = sum of 1/d over
+    reachable targets, rounded to 6 dp (the float-sum-order
+    determinism contract)."""
+    import heapq
+
+    edges = load_csv1_weighted_edges()
+    nodes = sorted({x for s, d, _c in edges for x in (s, d)})
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for s, d, c in edges:
+        adj.setdefault(s, []).append((d, c))
+    srcs = sorted(nodes, key=lambda v: (spark_xxhash64(v), v))[:n_sources]
+
+    rows = []
+    for s in sorted(srcs):
+        dist: dict[str, float] = {s: 0.0}
+        pq = [(0.0, s)]
+        done = set()
+        while pq:
+            du, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        h = sum(1.0 / d for d in dist.values() if d > 0.0)
+        n = sum(1 for d in dist.values() if d > 0.0)
+        rows.append((s, r6(h), n))
+    return values_sql(
+        [("NodeId", "VARCHAR"), ("harmonic", "DOUBLE"), ("n_reachable", "BIGINT")],
+        rows,
+    )
 
 
 if __name__ == "__main__":
