@@ -793,7 +793,9 @@ def harmonic_centrality(
         p = proj_b.value
         for s in it:
             dist = _k.sssp(p, s)
-            h = sum(1.0 / d for d in dist.values() if d > 0.0)
+            # start=0.0 keeps the empty case a float (an isolated or
+            # sink-only source reaches nothing)
+            h = sum((1.0 / d for d in dist.values() if d > 0.0), 0.0)
             n = sum(1 for d in dist.values() if d > 0.0)
             yield (s, round(h, 6), n)
 

@@ -71,3 +71,45 @@ def test_connected_components_and_triangles(spark):
     comp = {r["NodeId"]: r["component_id"] for r in connected_components(roads).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
     assert triangle_count(roads).first()["n_triangles"] == 1
+
+
+def test_pagerank_properties(spark):
+    """PageRank invariants on a toy graph: total mass stays 1 (dangling
+    redistribution), every rank >= (1-d)/N, and the hub of a star
+    graph outranks its satellites; determinism across partitionings."""
+    from bigdata_foundation_spark.graph.etl import pagerank
+
+    rows = [(s, "hub", 1.0, f"r{i}") for i, s in enumerate(["a", "b", "c", "d"])]
+    rows.append(("hub", "a", 1.0, "r9"))
+    roads = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    pr = {r["NodeId"]: r["rank"] for r in pagerank(spark, roads, iters=15).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-4
+    assert all(v >= (1 - 0.85) / 5 - 1e-9 for v in pr.values())
+    assert pr["hub"] == max(pr.values())
+    pr2 = {
+        r["NodeId"]: r["rank"]
+        for r in pagerank(spark, roads.repartition(7), iters=15).collect()
+    }
+    assert pr == pr2  # 6-dp determinism contract across layouts
+
+
+def test_harmonic_centrality_toy(spark):
+    """Harmonic centrality on a toy path graph a→b→c (+ isolated pair):
+    exact hand-computed values; unreachable targets contribute 0."""
+    from bigdata_foundation_spark.graph.paths import harmonic_centrality
+
+    rows = [
+        ("a", "b", 1.0, "r1"),
+        ("b", "c", 1.0, "r2"),
+        ("x", "y", 2.0, "r3"),
+    ]
+    roads = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    got = {
+        r["NodeId"]: (r["harmonic"], r["n_reachable"])
+        for r in harmonic_centrality(spark, roads, n_sources=10).collect()
+    }
+    assert got["a"] == (1.5, 2)  # 1/1 + 1/2
+    assert got["b"] == (1.0, 1)
+    assert got["c"] == (0.0, 0)
+    assert got["x"] == (0.5, 1)
+    assert got["y"] == (0.0, 0)
