@@ -25,7 +25,7 @@ already bound memory per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_foundation_spark.io import EDGELIST_RAW_SCHEMA, read_csv
@@ -298,3 +298,47 @@ def pagerank(
     return ranks.select(
         F.col("id").alias("NodeId"), F.round(F.col("r"), 6).alias("rank")
     )
+
+
+def label_propagation(
+    spark: SparkSession,
+    roads: DataFrame,
+    iters: int = 10,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (the GDS
+    LPA family) over the undirected multigraph, made fully
+    deterministic: every node starts as its own label; each of the
+    fixed ``iters`` rounds relabels every node to the most frequent
+    label among its neighbors (parallel edges weight their endpoint's
+    vote; ties break to the lexicographically smallest label; isolated
+    direction is irrelevant — edges vote both ways); nodes keep their
+    label when they have no neighbors. All-integer votes — unlike
+    PageRank there is no float contract at all, so results are exactly
+    reproducible and exactly replayable.
+
+    Scale shape per round: one keyed join (edges ⋈ labels) + one
+    count aggregate + one per-node window argmax — all shuffles keyed
+    on node id; ``localCheckpoint`` truncates the iterated lineage.
+    Returns (NodeId, community)."""
+    und = roads.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    nodes = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels.withColumnsRenamed({"id": "b"}), "b")
+            .groupBy(F.col("a").alias("id"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        winner = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select("id", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select(F.col("id").alias("NodeId"), F.col("label").alias("community"))

@@ -119,6 +119,7 @@ GATE_ORDER: list[str] = [
     "graph_triangles",  # NEW (wedge-join triangle count)
     "graph_pagerank",  # NEW (pinned-replay power iteration)
     "graph_harmonic",  # NEW (sampled harmonic centrality, Dijkstra replay)
+    "graph_label_propagation",  # NEW (all-integer LPA, exact replay)
     "streaming_corpus_dedup",  # NEW (greedy cross-batch ingest)
     "corpus_profile",  # NEW (per-slice data card)
     # (b) last gated in round 2 or earlier (absent from r3+r4 gates);
@@ -144,7 +145,6 @@ GATE_ORDER: list[str] = [
     "date_functions_orders",
     "cube_revenue",
     "top_docs_per_group",
-    "token_totals_by_source",
     "fuzzy_name_match",
     "curation_funnel",
     "balanced_sample_docs",
@@ -2586,6 +2586,26 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, roads = _graph(spark)
     return harmonic_centrality(spark, roads, n_sources=16, projection=_graph_projection(spark))
+
+
+@q(
+    "graph_label_propagation",
+    PIPELINE_GOLDEN_SQL["graph_label_propagation"],
+    "community detection by synchronous label propagation (10 rounds, "
+    "most-frequent neighbor label, ties to smallest label — all-integer "
+    "votes, so exactly reproducible), reported as the (community, n_nodes) "
+    "histogram; pinned-golden oracle from the independent replay",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import label_propagation
+
+    _, roads = _graph(spark)
+    return (
+        label_propagation(spark, roads)
+        .groupBy("community")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("community")
+    )
 
 
 @q(

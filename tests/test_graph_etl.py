@@ -113,3 +113,28 @@ def test_harmonic_centrality_toy(spark):
     assert got["c"] == (0.0, 0)
     assert got["x"] == (0.5, 1)
     assert got["y"] == (0.0, 0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """LPA on two 4-cliques joined by one bridge edge: each clique
+    converges to one community (its min node id), the bridge does not
+    merge them, and results are identical across partitionings
+    (all-integer determinism)."""
+    from bigdata_foundation_spark.graph.etl import label_propagation
+
+    def clique(names):
+        return [
+            (a, b, 1.0, f"{a}{b}") for a in names for b in names if a < b
+        ] + [(b, a, 1.0, f"{b}{a}") for a in names for b in names if a < b]
+
+    rows = clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+    rows.append(("a1", "b1", 1.0, "bridge"))
+    roads = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    got = {r["NodeId"]: r["community"] for r in label_propagation(spark, roads, iters=8).collect()}
+    assert {got[f"a{i}"] for i in range(1, 5)} == {"a1"}
+    assert {got[f"b{i}"] for i in range(1, 5)} == {"b1"}
+    got2 = {
+        r["NodeId"]: r["community"]
+        for r in label_propagation(spark, roads.repartition(5), iters=8).collect()
+    }
+    assert got == got2

@@ -673,6 +673,7 @@ def main() -> None:
         "streaming_corpus_dedup": corpus_stream_golden(docs),
         "graph_pagerank": pagerank_golden(),
         "graph_harmonic": harmonic_golden(),
+        "graph_label_propagation": lpa_golden(),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -802,6 +803,41 @@ def harmonic_golden(n_sources=16):
         [("NodeId", "VARCHAR"), ("harmonic", "DOUBLE"), ("n_reachable", "BIGINT")],
         rows,
     )
+
+
+
+
+# --- graph_label_propagation -----------------------------------------------
+
+def lpa_golden(iters=10):
+    """Replay of graph.etl.label_propagation: synchronous rounds,
+    neighbor-label votes over the undirected multigraph (parallel
+    edges each vote; both directions), most-frequent label wins with
+    ties to the lexicographically smallest label; isolated semantics
+    N/A (every node in the edge table has a neighbor). All integer —
+    exact replay, no rounding contract needed. Pins the
+    (community, n_nodes) histogram."""
+    edges = load_csv1_edges()
+    und: dict[str, list[str]] = {}
+    for s, d in edges:
+        und.setdefault(s, []).append(d)
+        und.setdefault(d, []).append(s)
+    labels = {v: v for v in und}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in und.items():
+            counts: dict[str, int] = {}
+            for u in nbrs:
+                lu = labels[u]
+                counts[lu] = counts.get(lu, 0) + 1
+            best = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0][0]
+            new[v] = best
+        labels = new
+    hist: dict[str, int] = {}
+    for lab in labels.values():
+        hist[lab] = hist.get(lab, 0) + 1
+    rows = sorted(hist.items())
+    return values_sql([("community", "VARCHAR"), ("n_nodes", "BIGINT")], rows)
 
 
 if __name__ == "__main__":
