@@ -801,3 +801,119 @@ def harmonic_centrality(
 
     rows = sc.parallelize(srcs, max(len(srcs), 1)).mapPartitions(_task)
     return spark.createDataFrame(rows, _HARMONIC_SCHEMA).orderBy("NodeId")
+
+
+_BETWEENNESS_SCHEMA = T.StructType(
+    [
+        T.StructField("NodeId", T.StringType(), False),
+        T.StructField("betweenness", T.DoubleType(), False),
+    ]
+)
+
+
+def _brandes_from(proj: _k.Projection, source: str) -> list[tuple[str, float]]:
+    """Single-source Brandes dependency accumulation (Brandes 2001) on
+    the weighted digraph: Dijkstra with shortest-path counts (sigma)
+    and predecessor lists, then delta accumulation processing nodes in
+    the EXPLICIT total order (-dist, NodeId-string) — the order pin
+    that makes the float accumulation bit-identical between this
+    kernel and the pure-Python oracle replay. Returns (NodeId, delta)
+    for nodes with nonzero dependency (endpoints excluded, standard
+    convention)."""
+    import heapq
+
+    s = proj.index.get(source)
+    if s is None:
+        return []
+    n = len(proj.ids)
+    indptr, adj_v, adj_w, _adj_e = proj.hot()
+    inf = float("inf")
+    dist = [inf] * n
+    sigma = [0] * n
+    preds: list[list[int]] = [[] for _ in range(n)]
+    settled = bytearray(n)
+    dist[s] = 0.0
+    sigma[s] = 1
+    pq = [(0.0, s)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if settled[u]:
+            continue
+        settled[u] = 1
+        du = dist[u]
+        for i in range(indptr[u], indptr[u + 1]):
+            v = adj_v[i]
+            if settled[v]:
+                continue
+            nd = du + adj_w[i]
+            if nd < dist[v]:
+                dist[v] = nd
+                sigma[v] = sigma[u]
+                preds[v] = [u]
+                heapq.heappush(pq, (nd, v))
+            elif nd == dist[v]:
+                sigma[v] += sigma[u]
+                preds[v].append(u)
+    ids = proj.ids
+    order = sorted(
+        (i for i in range(n) if dist[i] != inf and i != s),
+        key=lambda i: (-dist[i], ids[i]),
+    )
+    delta = [0.0] * n
+    for v in order:
+        coef = (1.0 + delta[v]) / sigma[v]
+        for u in preds[v]:
+            delta[u] += sigma[u] * coef
+    return [(ids[i], delta[i]) for i in range(n) if delta[i] > 0.0 and i != s]
+
+
+def betweenness_centrality(
+    spark: SparkSession,
+    roads: DataFrame,
+    n_sources: int = 16,
+    k: int = 50,
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, source-sampled
+    estimator): dependency contributions from a deterministic
+    hash-spread sample of ``n_sources`` sources, summed per node,
+    top-``k`` by (betweenness DESC, NodeId). The GDS betweenness
+    family's standard sampled form — exact betweenness is the same
+    computation over ALL sources (the APSP-scale job).
+
+    Distribution: one executor task per sampled source over the
+    broadcast projection; each task returns only its nonzero
+    (NodeId, delta) rows and the cross-source sum is one keyed
+    aggregate. DETERMINISM: within one source the accumulation order
+    is pinned to (-dist, NodeId), making per-source deltas
+    bit-identical to the pure-Python replay; only the cross-source
+    sum's float order varies (~1e-15), absorbed by the 6-dp rounding
+    (the IVF-Lloyd/PageRank contract)."""
+    proj = projection or build_projection(roads)
+    ids_df = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [
+        r["id"]
+        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(n_sources)
+        .collect()
+    ]
+    sc = spark.sparkContext
+    proj_b = _get_broadcast(spark, proj)
+
+    def _task(it: Iterator[str]) -> Iterator[tuple[str, float]]:
+        p = proj_b.value
+        for s in it:
+            yield from _brandes_from(p, s)
+
+    rows = sc.parallelize(srcs, max(len(srcs), 1)).mapPartitions(_task)
+    contrib = spark.createDataFrame(rows, _BETWEENNESS_SCHEMA)
+    return (
+        contrib.groupBy("NodeId")
+        .agg(F.round(F.sum("betweenness"), 6).alias("betweenness"))
+        .orderBy(F.desc("betweenness"), F.asc("NodeId"))
+        .limit(k)
+    )

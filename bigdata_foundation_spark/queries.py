@@ -120,6 +120,7 @@ GATE_ORDER: list[str] = [
     "graph_pagerank",  # NEW (pinned-replay power iteration)
     "graph_harmonic",  # NEW (sampled harmonic centrality, Dijkstra replay)
     "graph_label_propagation",  # NEW (all-integer LPA, exact replay)
+    "graph_betweenness",  # NEW (sampled Brandes, pinned-order replay)
     "streaming_corpus_dedup",  # NEW (greedy cross-batch ingest)
     "corpus_profile",  # NEW (per-slice data card)
     # (b) last gated in round 2 or earlier (absent from r3+r4 gates);
@@ -145,7 +146,6 @@ GATE_ORDER: list[str] = [
     "date_functions_orders",
     "cube_revenue",
     "top_docs_per_group",
-    "fuzzy_name_match",
     "curation_funnel",
     "balanced_sample_docs",
     "stats_agg_lineitem",
@@ -2605,6 +2605,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("community")
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("community")
+    )
+
+
+@q(
+    "graph_betweenness",
+    PIPELINE_GOLDEN_SQL["graph_betweenness"],
+    "sampled betweenness centrality (Brandes 2001; 16 hash-spread sources, "
+    "top-50 by dependency sum) — per-source deltas are bit-identical to the "
+    "pure-Python replay via the pinned (-dist, NodeId) accumulation order; "
+    "only the cross-source sum rounds at 6 dp (pinned-golden oracle)",
+)
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.paths import betweenness_centrality
+
+    _, roads = _graph(spark)
+    return betweenness_centrality(
+        spark, roads, n_sources=16, k=50, projection=_graph_projection(spark)
     )
 
 

@@ -138,3 +138,24 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(spark, roads.repartition(5), iters=8).collect()
     }
     assert got == got2
+
+
+def test_betweenness_path_graph(spark):
+    """Brandes on a directed path a→b→c→d with all four nodes sampled:
+    interior nodes carry the known dependencies (b: paths a→c, a→d =
+    2; c: a→d, b→d = 2), endpoints carry 0 and are absent; identical
+    across partitionings."""
+    from bigdata_foundation_spark.graph.paths import betweenness_centrality
+
+    rows = [("a", "b", 1.0, "r1"), ("b", "c", 1.0, "r2"), ("c", "d", 1.0, "r3")]
+    roads = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    got = {
+        r["NodeId"]: r["betweenness"]
+        for r in betweenness_centrality(spark, roads, n_sources=4, k=10).collect()
+    }
+    assert got == {"b": 2.0, "c": 2.0}
+    got2 = {
+        r["NodeId"]: r["betweenness"]
+        for r in betweenness_centrality(spark, roads.repartition(3), n_sources=4, k=10).collect()
+    }
+    assert got == got2

@@ -674,6 +674,7 @@ def main() -> None:
         "graph_pagerank": pagerank_golden(),
         "graph_harmonic": harmonic_golden(),
         "graph_label_propagation": lpa_golden(),
+        "graph_betweenness": betweenness_golden(),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -838,6 +839,66 @@ def lpa_golden(iters=10):
         hist[lab] = hist.get(lab, 0) + 1
     rows = sorted(hist.items())
     return values_sql([("community", "VARCHAR"), ("n_nodes", "BIGINT")], rows)
+
+
+
+
+# --- graph_betweenness -----------------------------------------------------
+
+def betweenness_golden(n_sources=16, k=50):
+    """Replay of paths.betweenness_centrality: same hash-spread source
+    sample, Brandes dependency accumulation with the SAME explicit
+    (-dist, NodeId) processing order (per-source deltas bit-identical
+    to the kernel), cross-source sum rounded to 6 dp, top-k by
+    (betweenness DESC, NodeId)."""
+    import heapq
+
+    edges = load_csv1_weighted_edges()
+    nodes = sorted({x for s, d, _c in edges for x in (s, d)})
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for s, d, c in edges:
+        adj.setdefault(s, []).append((d, c))
+    srcs = sorted(nodes, key=lambda v: (spark_xxhash64(v), v))[:n_sources]
+
+    bc: dict[str, float] = {}
+    for s in srcs:
+        dist: dict[str, float] = {s: 0.0}
+        sigma: dict[str, int] = {s: 1}
+        preds: dict[str, list[str]] = {}
+        done = set()
+        pq = [(0.0, s)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            for v, w in adj.get(u, ()):
+                if v in done:
+                    continue
+                nd = dist[u] + w
+                cur = dist.get(v)
+                if cur is None or nd < cur:
+                    dist[v] = nd
+                    sigma[v] = sigma[u]
+                    preds[v] = [u]
+                    heapq.heappush(pq, (nd, v))
+                elif nd == cur:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        order = sorted(
+            (v for v in dist if v != s), key=lambda v: (-dist[v], v)
+        )
+        delta: dict[str, float] = {}
+        for v in order:
+            coef = (1.0 + delta.get(v, 0.0)) / sigma[v]
+            for u in preds.get(v, ()):
+                delta[u] = delta.get(u, 0.0) + sigma[u] * coef
+        for v, dv in delta.items():
+            if v != s and dv > 0.0:
+                bc[v] = bc.get(v, 0.0) + dv
+    ranked = sorted(((r6(x), v) for v, x in bc.items()), key=lambda t: (-t[0], t[1]))
+    rows = [(v, x) for x, v in ranked[:k]]
+    return values_sql([("NodeId", "VARCHAR"), ("betweenness", "DOUBLE")], rows)
 
 
 if __name__ == "__main__":
