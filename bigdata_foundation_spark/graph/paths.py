@@ -258,8 +258,15 @@ def dijkstra(
     identical up to equal-cost tie-breaks, measured ~1.2× faster than
     single-sided p2p at 1M edges (the gap grows with graph radius and
     on asymmetric digraphs; prefer :func:`astar` when planar
-    coordinates exist — its goal-direction beats both)."""
-    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
+    coordinates exist — its goal-direction beats both). The two-ended
+    heap search is a broadcast-kernel algorithm, so the flag FORCES
+    the broadcast strategy — it is consulted before the BSP dispatch
+    rather than silently ignored past the edge limit."""
+    if (
+        projection is None
+        and not bidirectional
+        and _resolve_strategy(roads, strategy) == "bsp"
+    ):
         res = _bsp.bsp_sssp(spark, roads, source, target=target)
         return _bsp_path_stream(spark, res, target)
     proj = projection or build_projection(roads)
@@ -739,6 +746,26 @@ def _apsp_topk_bsp(
     return best.orderBy(F.desc("distance"), F.asc("source"), F.asc("target"))
 
 
+def _reject_zero_weight_edges(proj: _k.Projection, op: str) -> None:
+    """The Brandes kernel settles strictly by increasing distance and
+    skips settled nodes during relaxation — a zero-cost edge lets a
+    successor settle at the SAME distance as its predecessor, silently
+    dropping that edge's sigma/pred contribution (and a zero-cost cycle
+    makes path counts infinite, so Brandes is ill-defined outright).
+    Harmonic's ``d > 0`` reachability filter has the mirror problem: a
+    0-distance reachable node would count as unreachable. Both
+    centralities therefore reject zero-weight edges up front instead of
+    returning subtly wrong statistics; the plain path algorithms
+    (Dijkstra/SSSP/A*/Yen) remain exact with zero weights and keep
+    accepting them."""
+    if len(proj.adj_w) and float(proj.adj_w.min()) == 0.0:
+        raise ValueError(
+            f"{op}: zero-cost edge present — Brandes sigma counting and "
+            "the harmonic d>0 reachability filter both assume strictly "
+            "positive weights (see _reject_zero_weight_edges)"
+        )
+
+
 _HARMONIC_SCHEMA = T.StructType(
     [
         T.StructField("NodeId", T.StringType(), False),
@@ -773,8 +800,17 @@ def harmonic_centrality(
     exactly (path sums are left-to-right in both the kernel and the
     pure-Python oracle); the harmonic SUM's float order differs, so
     the result is rounded to 6 dp — wobble ~1e-16, quantum 1e-6 (same
-    contract as IVF Lloyd / PageRank)."""
+    contract as IVF Lloyd / PageRank). Rounding happens DataFrame-side
+    via ``F.round`` (HALF_UP on the double's shortest decimal repr) so
+    a sum landing exactly on a 6-dp halfway point rounds the same way
+    the golden generator's ``r6`` does — Python's ``round`` half-evens
+    the binary double and diverges on those boundaries.
+
+    Zero-weight edges are rejected (``d > 0`` is the reachability
+    filter here, so a 0-distance reachable node would silently count
+    as unreachable)."""
     proj = projection or build_projection(roads)
+    _reject_zero_weight_edges(proj, "harmonic_centrality")
     ids_df = (
         roads.select(F.col("src").alias("id"))
         .union(roads.select(F.col("dst").alias("id")))
@@ -797,10 +833,18 @@ def harmonic_centrality(
             # sink-only source reaches nothing)
             h = sum((1.0 / d for d in dist.values() if d > 0.0), 0.0)
             n = sum(1 for d in dist.values() if d > 0.0)
-            yield (s, round(h, 6), n)
+            yield (s, h, n)
 
     rows = sc.parallelize(srcs, max(len(srcs), 1)).mapPartitions(_task)
-    return spark.createDataFrame(rows, _HARMONIC_SCHEMA).orderBy("NodeId")
+    return (
+        spark.createDataFrame(rows, _HARMONIC_SCHEMA)
+        .select(
+            "NodeId",
+            F.round("harmonic", 6).alias("harmonic"),
+            "n_reachable",
+        )
+        .orderBy("NodeId")
+    )
 
 
 _BETWEENNESS_SCHEMA = T.StructType(
@@ -888,8 +932,11 @@ def betweenness_centrality(
     is pinned to (-dist, NodeId), making per-source deltas
     bit-identical to the pure-Python replay; only the cross-source
     sum's float order varies (~1e-15), absorbed by the 6-dp rounding
-    (the IVF-Lloyd/PageRank contract)."""
+    (the IVF-Lloyd/PageRank contract). Zero-weight edges are rejected
+    (they break the Brandes settled-skip sigma accounting — see
+    ``_reject_zero_weight_edges``)."""
     proj = projection or build_projection(roads)
+    _reject_zero_weight_edges(proj, "betweenness_centrality")
     ids_df = (
         roads.select(F.col("src").alias("id"))
         .union(roads.select(F.col("dst").alias("id")))

@@ -130,3 +130,27 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
         n += 1
     assert n >= 8
     assert span_u / n < 0.5 and span_v / n < 0.5, (span_u / n, span_v / n)
+
+
+def test_zorder_key_rejects_bit_overflow(spark, tmp_path):
+    """ADVICE r5: JVM shiftleft wraps its shift amount mod 64, so an
+    interleave past 63 bits silently folds high bits onto low positions
+    and corrupts the Morton ordering. zorder_key must raise;
+    write_zordered must auto-reduce bits and still produce a correct
+    clustered write."""
+    from pyspark.sql import functions as F
+
+    import bigdata_foundation_spark.io as eio
+
+    cols = [(F.col(f"c{i}"), F.lit(0.0), F.lit(1.0)) for i in range(6)]
+    with pytest.raises(ValueError, match="63 value bits"):
+        eio.zorder_key(cols, bits=12)  # 72 bits > 63
+
+    df = spark.range(512).select(
+        "id", *[(F.col("id") * (i + 1) % 97).cast("double").alias(f"c{i}") for i in range(6)]
+    )
+    out = str(tmp_path / "zo6")
+    eio.write_zordered(df, out, [f"c{i}" for i in range(6)], n_files=4, bits=12)
+    back = spark.read.parquet(out)
+    assert back.count() == 512
+    assert sorted(back.columns) == sorted(df.columns)

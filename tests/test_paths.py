@@ -592,3 +592,61 @@ def test_bidirectional_dijkstra_equivalence(spark, graph1):
             ]
             assert any(abs(c - w) < 1e-9 for c in cand), (u, v, w)
         checked += 1
+
+
+def test_bidirectional_flag_forces_broadcast_strategy(spark, graph1, monkeypatch):
+    """ADVICE r5: dijkstra(..., bidirectional=True) used to fall into
+    the BSP dispatch before the flag was consulted when the strategy
+    resolved to 'bsp', silently no-opping the requested algorithm.
+    The flag must force the broadcast path: with bsp_sssp poisoned,
+    the call still succeeds and returns the golden cost."""
+    from bigdata_foundation_spark.graph import paths as P
+
+    nodes, roads = graph1
+
+    def _boom(*a, **k):  # pragma: no cover - failure branch
+        raise AssertionError("BSP dispatched despite bidirectional=True")
+
+    monkeypatch.setattr(P._bsp, "bsp_sssp", _boom)
+    got = dijkstra(
+        spark, roads, "2022", "2802", strategy="bsp", bidirectional=True
+    ).collect()
+    assert got[-1]["cost"] == pytest.approx(FARTHEST_DIST_1, abs=1e-4)
+
+
+def test_harmonic_rounds_half_up_like_oracle(spark):
+    """ADVICE r5 (medium): the harmonic sum must round the way the
+    golden generator's r6 does (HALF_UP on the shortest decimal repr,
+    i.e. Spark F.round), NOT Python round() (half-even on the binary
+    double). Cost 8.100019035044733 makes H = 1/cost == 0.1234565
+    exactly: round() gives 0.123456, r6/F.round give 0.123457."""
+    from bigdata_foundation_spark.graph.paths import harmonic_centrality
+
+    roads = spark.createDataFrame(
+        [("a", "b", 8.100019035044733, "r1")],
+        "src string, dst string, cost double, road_id string",
+    )
+    rows = {r["NodeId"]: r for r in harmonic_centrality(spark, roads, n_sources=16).collect()}
+    assert rows["a"]["harmonic"] == 0.123457
+    assert rows["a"]["n_reachable"] == 1
+    assert rows["b"]["harmonic"] == 0.0
+
+
+def test_centralities_reject_zero_weight_edges(spark):
+    """ADVICE r5: a zero-cost edge lets a successor settle at the same
+    distance as its predecessor, dropping sigma/pred contributions in
+    Brandes, and harmonic's d>0 filter would treat 0-distance reachable
+    nodes as unreachable — both must refuse loudly instead."""
+    from bigdata_foundation_spark.graph.paths import (
+        betweenness_centrality,
+        harmonic_centrality,
+    )
+
+    roads = spark.createDataFrame(
+        [("a", "b", 0.0, "r1"), ("b", "c", 1.0, "r2")],
+        "src string, dst string, cost double, road_id string",
+    )
+    with pytest.raises(ValueError, match="zero-cost edge"):
+        harmonic_centrality(spark, roads, n_sources=4)
+    with pytest.raises(ValueError, match="zero-cost edge"):
+        betweenness_centrality(spark, roads, n_sources=4)
