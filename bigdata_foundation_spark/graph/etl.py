@@ -190,17 +190,53 @@ def k_hop_nodes(
     return visited.select("NodeId", F.col("hops").cast("bigint").alias("hops"))
 
 
-def connected_components(roads: DataFrame) -> DataFrame:
+def connected_components(
+    roads: DataFrame,
+    strategy: str = "auto",
+    projection=None,
+) -> DataFrame:
     """Weakly connected components of the road multigraph: every node
     labelled with the lexicographically smallest NodeId in its
-    component (edges taken as undirected). Thin graph-flavored wrapper
-    over the generic distributed min-label propagation + pointer
-    jumping in ``operators.dedup.duplicate_clusters`` (O(log diameter)
-    supersteps, two keyed shuffles each, no driver-side graph state) —
-    the same machinery that clusters near-duplicate pairs clusters a
-    road network. Returns (NodeId, component_id); every edge endpoint
-    is labelled (isolated nodes cannot exist in the edge table by
-    construction)."""
+    component (edges taken as undirected). Returns
+    (NodeId, component_id); every edge endpoint is labelled (isolated
+    nodes cannot exist in the edge table by construction).
+
+    Strategy dispatch — the same two-tier shape as ``paths.py``:
+
+    * ``broadcast`` (auto below ``paths.BROADCAST_EDGE_LIMIT``): one
+      executor task runs the vectorized min-hook + pointer-jumping
+      kernel (``kernel.wcc_kernel``) over the broadcast CSR. A 70k-edge
+      graph is milliseconds of numpy; the superstep loop spent ~30s of
+      pure per-superstep scheduling floor on it (KERNEL_BENCH.md).
+    * ``bsp`` (auto above the limit): the generic distributed min-label
+      propagation + pointer jumping in
+      ``operators.dedup.duplicate_clusters`` (O(log diameter)
+      supersteps, two keyed shuffles each, no driver-side graph state)
+      — the same machinery that clusters near-duplicate pairs.
+
+    Both tiers produce the identical min-STRING-label contract
+    (equivalence pinned by tests + the kernel-bench assert)."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if projection is None and _p._resolve_strategy(roads, strategy) == "bsp":
+        return _connected_components_superstep(roads)
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+
+    spark = roads.sparkSession
+    proj = projection or _p.build_projection(roads)
+    schema = T.StructType(
+        [
+            T.StructField("NodeId", T.StringType(), False),
+            T.StructField("component_id", T.StringType(), False),
+        ]
+    )
+    return _p._run_on_executor_df(spark, proj, _k.wcc_kernel, schema)
+
+
+def _connected_components_superstep(roads: DataFrame) -> DataFrame:
+    """Past-broadcast WCC tier (see :func:`connected_components`)."""
     from bigdata_foundation_spark.operators.dedup import duplicate_clusters
 
     return duplicate_clusters(
@@ -244,13 +280,24 @@ def pagerank(
     roads: DataFrame,
     damping: float = 0.85,
     iters: int = 20,
+    strategy: str = "auto",
+    projection=None,
 ) -> DataFrame:
     """PageRank over the directed road MULTIGRAPH (parallel edges each
     carry mass — GDS relationship-multiplicity semantics), fixed
     ``iters`` power iterations, dangling mass redistributed uniformly
     (the classic formulation).
 
-    Scale shape: out-degrees are one count aggregate computed once;
+    Strategy dispatch (the ``paths.py`` two-tier shape): ``broadcast``
+    (auto below ``paths.BROADCAST_EDGE_LIMIT``) runs
+    ``kernel.pagerank_kernel`` — the identical power-iteration math,
+    one gather + one bincount scatter-add per iteration — as a single
+    executor task over the broadcast CSR; ``bsp`` (auto above) runs
+    the superstep loop below. Rank values agree within the 6-dp
+    rounding contract (float summation order is the only difference,
+    wobble ~1e-13 vs the 1e-6 quantum).
+
+    Superstep-tier scale shape: out-degrees are one count aggregate;
     each iteration is ONE keyed join (edges ⋈ ranks on src) + ONE
     groupBy(dst) sum — partial aggregation map-side — plus a
     two-scalar driver agg for the dangling/total mass (bounded state;
@@ -261,6 +308,24 @@ def pagerank(
     wobbles ~1e-13 per iteration, far below the rounding quantum, so
     results are reproducible and replayable in pure Python
     (tools/gen_pipeline_goldens.py pagerank replay)."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if projection is not None or _p._resolve_strategy(roads, strategy) != "bsp":
+        from pyspark.sql import types as T
+
+        from bigdata_foundation_spark.graph import kernel as _k
+
+        proj = projection or _p.build_projection(roads)
+        schema = T.StructType(
+            [
+                T.StructField("NodeId", T.StringType(), False),
+                T.StructField("rank", T.DoubleType(), False),
+            ]
+        )
+        raw = _p._run_on_executor_df(
+            spark, proj, lambda p: _k.pagerank_kernel(p, damping, iters), schema
+        )
+        return raw.select("NodeId", F.round(F.col("rank"), 6).alias("rank"))
     nodes = roads.select(F.col("src").alias("id")).union(
         roads.select(F.col("dst").alias("id"))
     ).distinct().localCheckpoint()
@@ -304,6 +369,8 @@ def label_propagation(
     spark: SparkSession,
     roads: DataFrame,
     iters: int = 10,
+    strategy: str = "auto",
+    projection=None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (the GDS
     LPA family) over the undirected multigraph, made fully
@@ -316,10 +383,33 @@ def label_propagation(
     PageRank there is no float contract at all, so results are exactly
     reproducible and exactly replayable.
 
-    Scale shape per round: one keyed join (edges ⋈ labels) + one
-    count aggregate + one per-node window argmax — all shuffles keyed
-    on node id; ``localCheckpoint`` truncates the iterated lineage.
-    Returns (NodeId, community)."""
+    Strategy dispatch (the ``paths.py`` two-tier shape): ``broadcast``
+    (auto below ``paths.BROADCAST_EDGE_LIMIT``) runs
+    ``kernel.lpa_kernel`` — the identical vote/tie-break contract,
+    vectorized as one np.unique count + lexsort argmax per round — as
+    a single executor task over the broadcast CSR; ``bsp`` (auto
+    above) runs the superstep loop: per round one keyed join
+    (edges ⋈ labels) + one count aggregate + one per-node window
+    argmax — all shuffles keyed on node id; ``localCheckpoint``
+    truncates the iterated lineage. All-integer votes, so the tiers
+    are bit-identical. Returns (NodeId, community)."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if projection is not None or _p._resolve_strategy(roads, strategy) != "bsp":
+        from pyspark.sql import types as T
+
+        from bigdata_foundation_spark.graph import kernel as _k
+
+        proj = projection or _p.build_projection(roads)
+        schema = T.StructType(
+            [
+                T.StructField("NodeId", T.StringType(), False),
+                T.StructField("community", T.StringType(), False),
+            ]
+        )
+        return _p._run_on_executor_df(
+            spark, proj, lambda p: _k.lpa_kernel(p, iters), schema
+        )
     und = roads.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     nodes = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
