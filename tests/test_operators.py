@@ -1136,3 +1136,35 @@ def test_minhash_lsh_block_cols(spark):
     assert unblocked == {(1, 2), (1, 3), (2, 3)}
     blocked = _pairs(D.minhash_lsh_pairs(df, threshold=0.5, block_cols=["lang"]))
     assert blocked == {(1, 3)}
+
+
+def test_duplicate_clusters_high_diameter_converges_or_raises(spark):
+    """Round-6 regression (real bug): per-node min-label relabeling
+    without root hooking crawled a few hops per superstep — 79 rounds
+    on the CSV7 road graph — and max_iters=50 SILENTLY returned a
+    split component. The star-merge (hooking) rewrite must converge a
+    300-node path (diameter 300) well inside the default budget with
+    shuffled labels (min id in the middle), and exhausting max_iters
+    must raise, never return a partial labelling."""
+    import pytest as _pytest
+
+    from bigdata_foundation_spark.operators.dedup import duplicate_clusters
+
+    # path over a shuffled id alphabet: zero-padded so string order is
+    # value order; place the minimum mid-path to stress propagation
+    # both directions.
+    import random
+
+    rng = random.Random(5)
+    ids = [f"d{i:04d}" for i in range(301)]
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(300)], "id_a string, id_b string"
+    )
+    got = duplicate_clusters(pairs, max_iters=12)
+    rows = got.collect()
+    assert len(rows) == 301
+    assert {r.cluster_id for r in rows} == {"d0000"}
+
+    with _pytest.raises(RuntimeError, match="still changing"):
+        duplicate_clusters(pairs, max_iters=1)
