@@ -25,9 +25,21 @@ Scale design decisions (SURVEY.md §4.3 hard-parts list):
   early exit. h is a column expression (Euclidean on planar coords),
   evaluated JVM-side.
 
-On a real cluster the edge table would be pre-partitioned by ``src``
-(bucketed) so every superstep's join is shuffle-free on the edge side;
-locally AQE handles it.
+Feed these kernels a ``src``-bucketed edge table
+(``etl.load_graph(..., bucketed=True)`` / ``io.write_bucketed``) and
+every superstep's frontier ⋈ edges join — plus the min-cost kernel
+pre-aggregation — runs with ZERO Exchange on the edge side: the
+bucketed scan already reports hash-partitioning on ``src``, so only
+the small frontier shuffles each superstep. Plan pinned by
+``tests/test_io.py::test_bsp_superstep_bucketed_edges_no_shuffle``;
+measured delta in KERNEL_BENCH.md §BSP. An unbucketed table works too
+(AQE plans the joins normally) — bucketing is the paid-once-shuffle
+option, not a requirement.
+
+Every public kernel takes ``stats: dict | None``: when passed, the
+kernel records ``stats["supersteps"]`` — the superstep count IS the
+latency floor past broadcast scale (one scheduled join round per
+frontier hop), so benches report it next to wall time.
 """
 
 from __future__ import annotations
@@ -35,6 +47,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _checkpoint_union_state(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` for the anti-join ∪ union state
+    frames, with constraint propagation disabled for the call: Spark
+    4.1's ``UnionBase.rewriteConstraints`` can lose an attribute of
+    exactly this plan shape (``NoSuchElementException: key not found:
+    node#N`` inside ``LogicalRDD.fromDataset`` → constraint rewrite) —
+    the same optimizer-fragility family as the nullable=True notes on
+    the state schemas below, first hit at 1M-edge scale by
+    tools/bsp_bench.py's Yen run. Constraints only feed optional
+    filter inference, and the frame is being materialized to an RDD
+    scan here anyway, so skipping their computation is free."""
+    spark = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001
+        old = "true"
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, old)
+
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -54,6 +91,7 @@ def bsp_sssp(
     use_heuristic: bool = False,
     max_supersteps: int = 10_000,
     checkpoint_state_every: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Single-source shortest distances (and paths) by BSP relaxation.
 
@@ -94,6 +132,8 @@ def bsp_sssp(
     frontier = state
     best_target = float("inf")
 
+    _dirty = False
+    step = 0
     for step in range(1, max_supersteps + 1):
         cand = (
             frontier.alias("f")
@@ -127,8 +167,10 @@ def bsp_sssp(
             break
 
         state = state.alias("s").join(improved.alias("i"), "node", "left_anti").unionByName(improved)
+        _dirty = True
         if step % checkpoint_state_every == 0:
-            state = state.localCheckpoint(eager=True)
+            state = _checkpoint_union_state(state)
+            _dirty = False
         frontier = improved
 
         if target is not None:
@@ -137,6 +179,10 @@ def bsp_sssp(
                 best_target = min(best_target, float(trow[0]))
 
     edges.unpersist()
+    if _dirty:
+        state = _checkpoint_union_state(state)
+    if stats is not None:
+        stats["supersteps"] = step
     return state
 
 
@@ -161,6 +207,7 @@ def bsp_multi_sssp(
     max_supersteps: int = 10_000,
     checkpoint_state_every: int = 8,
     edges_pre_aggregated: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distance-only SSSP from MANY sources in one BSP run: state is
     ``(source, node, dist)`` keyed by source, so every superstep
@@ -191,6 +238,8 @@ def bsp_multi_sssp(
     ).localCheckpoint(eager=True)
     frontier = state
 
+    _dirty = False
+    step = 0
     for step in range(1, max_supersteps + 1):
         cand = (
             frontier.alias("f")
@@ -222,12 +271,18 @@ def bsp_multi_sssp(
             .join(improved.alias("i"), anti, "left_anti")
             .unionByName(improved)
         )
+        _dirty = True
         if step % checkpoint_state_every == 0:
-            state = state.localCheckpoint(eager=True)
+            state = _checkpoint_union_state(state)
+            _dirty = False
         frontier = improved
 
     if edges_pre_aggregated is None:
         edges.unpersist()
+    if _dirty:
+        state = _checkpoint_union_state(state)
+    if stats is not None:
+        stats["supersteps"] = step
     return state
 
 
@@ -320,6 +375,7 @@ def _bsp_probe_wave(
     ).localCheckpoint(eager=True)
     frontier = state
     best: dict[int, float] = {}
+    _dirty = False
 
     for step in range(1, max_supersteps + 1):
         cand = (
@@ -404,10 +460,14 @@ def _bsp_probe_wave(
         state = (
             state.alias("s").join(improved.alias("i"), anti, "left_anti").unionByName(improved)
         )
+        _dirty = True
         if step % checkpoint_state_every == 0:
-            state = state.localCheckpoint(eager=True)
+            state = _checkpoint_union_state(state)
+            _dirty = False
         frontier = improved
 
+    if _dirty:
+        state = _checkpoint_union_state(state)
     out: dict[int, tuple[list[str], list[float], list[int], float]] = {}
     for r in state.filter(F.col("node") == target).collect():
         out[int(r["pid"])] = (

@@ -93,7 +93,14 @@ def build_edges(edgelist: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def load_graph(spark: SparkSession, path: str, cache: bool = True) -> tuple[DataFrame, DataFrame]:
+def load_graph(
+    spark: SparkSession,
+    path: str,
+    cache: bool = True,
+    bucketed: bool = False,
+    bucket_table: str = "graph_roads_bucketed",
+    n_buckets: int = 32,
+) -> tuple[DataFrame, DataFrame]:
     """End-to-end ingest: CSV path → (nodes, roads).
 
     ``cache=True`` mirrors the reference's in-memory graph projection
@@ -103,9 +110,20 @@ def load_graph(spark: SparkSession, path: str, cache: bool = True) -> tuple[Data
     edgelist is cached for the duration of the build so the CSV is
     scanned once instead of once per derived table, both tables are
     materialized, and the edgelist scratch cache is released.
+
+    ``bucketed=True`` additionally writes the roads table BUCKETED BY
+    ``src`` (``io.write_bucketed``) and returns the bucketed catalog
+    read in its place — the pre-shuffle for the past-broadcast BSP
+    tier: a bucketed scan reports hash-partitioning on ``src``, so
+    every BSP superstep's frontier ⋈ edges join (and the kernel's
+    min-cost pre-aggregation) runs with ZERO Exchange on the edge
+    side; only the small frontier shuffles, every superstep, forever.
+    The bucket shuffle is paid once at write time — exactly the trade
+    a 100 TB deployment wants for an edge table queried repeatedly
+    (plan pinned by tests/test_io.py::test_bsp_superstep_bucketed_edges_no_shuffle).
     """
     edgelist = read_edgelist(spark, path)
-    if not cache:
+    if not cache and not bucketed:
         nodes = build_nodes(edgelist)
         roads = build_edges(edgelist, nodes)
         return nodes, roads
@@ -117,6 +135,12 @@ def load_graph(spark: SparkSession, path: str, cache: bool = True) -> tuple[Data
         roads.count()
     finally:
         edgelist.unpersist()
+    if bucketed:
+        from bigdata_foundation_spark.io import write_bucketed
+
+        write_bucketed(roads, bucket_table, ["src"], n_buckets=n_buckets)
+        roads.unpersist()
+        roads = spark.table(bucket_table)
     return nodes, roads
 
 

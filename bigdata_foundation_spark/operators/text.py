@@ -370,6 +370,7 @@ def corpus_profile(
     documents: DataFrame,
     group_cols: list[str] | None = None,
     text_col: str = "text",
+    exact: bool = True,
 ) -> DataFrame:
     """Per-slice corpus data card — the aggregate a 100 TB curation
     pipeline runs after every ingest/filter step: document and token
@@ -378,14 +379,19 @@ def corpus_profile(
     (default: lang × source).
 
     One codegen'd scan pass into one hash aggregate: token counts and
-    lengths are scan-side expressions, the duplicate rate rides an
-    exact count-distinct over the 64-bit normalized-text fingerprint —
-    at corpus scale swap ``F.countDistinct`` for
-    ``approx_count_distinct`` if a ±2% card is acceptable; the exact
-    form is kept here because the gate oracle pins exact values."""
+    lengths are scan-side expressions; the duplicate rate rides a
+    count-distinct over the 64-bit normalized-text fingerprint.
+    ``exact=True`` (default, the gate-oracle contract) uses
+    ``F.countDistinct`` — a second aggregation pass keyed by
+    (group, fingerprint). ``exact=False`` swaps in HyperLogLog++
+    (``approx_count_distinct``, rsd 2%) — single-pass, constant
+    per-group sketch memory, the corpus-scale switch; its card is
+    rows-only-verifiable like the sketch operators, with the HLL error
+    bound pinned by ``test_corpus_profile_approx_within_hll_bounds``."""
     cols = group_cols if group_cols is not None else ["lang", "source"]
     c = F.col(text_col)
     fp = F.xxhash64(F.regexp_replace(F.lower(c), r"\s+", " "))
+    n_distinct = F.countDistinct(fp) if exact else F.approx_count_distinct(fp, 0.02)
     return (
         documents.groupBy(*cols)
         .agg(
@@ -394,7 +400,7 @@ def corpus_profile(
             F.round(F.avg(F.length(c)), 2).alias("avg_chars"),
             F.min(F.length(c)).cast("bigint").alias("min_chars"),
             F.max(F.length(c)).cast("bigint").alias("max_chars"),
-            (F.count("*") - F.countDistinct(fp)).cast("bigint").alias("n_exact_dups"),
+            (F.count("*") - n_distinct).cast("bigint").alias("n_exact_dups"),
         )
     )
 

@@ -39,9 +39,26 @@ from bigdata_foundation_spark.operators.dedup import (
     exact_dedup,
     minhash_index_append,
     minhash_index_build,
+    minhash_index_compact,
     minhash_index_query,
     minhash_lsh_pairs,
 )
+
+_INDEX_TABLES = ("shingles", "signatures", "bands", "bucket_sizes")
+
+
+def _index_file_count(index_path: str) -> int:
+    """Data-file count across the index's append-only tables — the
+    fragmentation signal the compaction cadence watches. Local-fs
+    walk, same portability note as the ``meta`` existence probe."""
+    n = 0
+    for sub in _INDEX_TABLES:
+        d = os.path.join(index_path, sub)
+        if not os.path.isdir(d):
+            continue
+        for _dp, _dn, fns in os.walk(d):
+            n += sum(1 for f in fns if not f.startswith(("_", ".")))
+    return n
 
 
 def dedup_batch_within(
@@ -152,6 +169,9 @@ def streaming_corpus_dedup(
     index_path: str,
     corpus_path: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
+    compact_target_file_mb: int = 512,
     **kwargs,
 ):
     """Run a streaming documents source through the greedy dedup loop
@@ -160,6 +180,17 @@ def streaming_corpus_dedup(
     Returns after the stream drains; the accepted corpus is the
     parquet dataset at ``corpus_path``.
 
+    **Compaction cadence** (the steady-state lifecycle): every index
+    append adds one file set per table per batch, so a long-lived
+    ingest fragments into thousands of small files — the 100 TB
+    listing-storm failure mode. ``compact_every=N`` runs
+    ``minhash_index_compact`` after every N applied batches;
+    ``compact_max_files=M`` instead (or additionally) triggers when
+    the index's data-file count exceeds M. Compaction is
+    query-row-identical (the tables are unordered relations; pinned by
+    tests), so it can fire mid-stream between any two batches. Left
+    ``None``/``None`` the behavior is the r5 no-compaction one.
+
     At-least-once delivery × the checkpointed availableNow trigger
     gives effectively-once corpus growth for a well-formed source
     (batch replay after a crash re-runs the SAME batch contents; the
@@ -167,11 +198,22 @@ def streaming_corpus_dedup(
     production deployment should stage per-batch appends under the
     batch id — documented limitation, same trade as every
     non-transactional foreachBatch sink)."""
+    applied = {"n": 0}
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         process_corpus_batch(
             spark, batch_df, index_path, corpus_path, **kwargs
         )
+        applied["n"] += 1
+        if not os.path.exists(index_path + "/meta"):
+            return
+        due = compact_every is not None and applied["n"] % compact_every == 0
+        if not due and compact_max_files is not None:
+            due = _index_file_count(index_path) > compact_max_files
+        if due:
+            minhash_index_compact(
+                spark, index_path, target_file_mb=compact_target_file_mb
+            )
 
     q = (
         docs_stream.writeStream.foreachBatch(_apply)

@@ -154,3 +154,48 @@ def test_zorder_key_rejects_bit_overflow(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 512
     assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_bsp_superstep_bucketed_edges_no_shuffle(spark, csv1):
+    """r5 verdict task 3: the bucketed-edge claim in graph/bsp.py must
+    be code + a plan pin, not a docstring. With
+    load_graph(..., bucketed=True), one BSP superstep's plan — the
+    min-cost kernel pre-aggregation feeding frontier ⋈ edges — must
+    contain EXACTLY ONE Exchange, and it must be on the frontier side:
+    the bucketed scan's hash-partitioning on src satisfies both the
+    (src, dst) aggregate and the join, so the edge side never
+    shuffles, every superstep, forever."""
+    from bigdata_foundation_spark.graph import load_graph
+
+    nodes, roads = load_graph(
+        spark, csv1, bucketed=True, bucket_table="bk_roads_test", n_buckets=8
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges = roads.groupBy("src", "dst").agg(F.min("cost").alias("cost"))
+        frontier = spark.createDataFrame(
+            [("2022", 0.0, ["2022"])], "node string, dist double, path array<string>"
+        )
+        cand = frontier.alias("f").join(
+            edges.alias("e"), F.col("f.node") == F.col("e.src")
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan, plan
+        # the single Exchange partitions the frontier's `node`, not the
+        # edge table's `src`
+        exch_line = next(l for l in plan.splitlines() if "Exchange" in l)
+        assert "node#" in exch_line, exch_line
+
+        # and the bucketed read is semantically identical to the plain
+        # roads table
+        _n2, plain = load_graph(spark, csv1)
+        assert roads.count() == plain.count()
+        assert (
+            roads.selectExpr("sum(hash(src, dst, road_id, cost))").first()[0]
+            == plain.selectExpr("sum(hash(src, dst, road_id, cost))").first()[0]
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_roads_test")
+        nodes.unpersist()

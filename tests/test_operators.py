@@ -1168,3 +1168,25 @@ def test_duplicate_clusters_high_diameter_converges_or_raises(spark):
 
     with _pytest.raises(RuntimeError, match="still changing"):
         duplicate_clusters(pairs, max_iters=1)
+
+
+def test_corpus_profile_approx_within_hll_bounds(spark):
+    """r5 verdict task 6: the corpus_profile scale switch is a
+    parameter, not a comment. exact=False must (a) keep every
+    non-distinct column bit-identical to the exact card, and (b) keep
+    n_exact_dups within HLL++ bounds of exact (rsd 2%; allow 5 sigma
+    on the distinct estimate) for every slice at sf0.01."""
+    from bigdata_foundation_spark.operators.text import corpus_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    key = lambda r: tuple(r[c] for c in ("lang", "source"))
+    exact = {key(r): r.asDict() for r in corpus_profile(docs, exact=True).collect()}
+    approx = {key(r): r.asDict() for r in corpus_profile(docs, exact=False).collect()}
+    assert set(exact) == set(approx) and len(exact) > 10
+    for k, e in exact.items():
+        a = approx[k]
+        for c in ("n_docs", "n_tokens_ws", "avg_chars", "min_chars", "max_chars"):
+            assert a[c] == e[c], (k, c)
+        d_exact = e["n_docs"] - e["n_exact_dups"]
+        d_approx = a["n_docs"] - a["n_exact_dups"]
+        assert abs(d_approx - d_exact) <= max(5, 5 * 0.02 * d_exact), (k, d_exact, d_approx)

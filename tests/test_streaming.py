@@ -234,3 +234,45 @@ def test_streaming_corpus_dedup(spark, tmp_path):
     )
     streaming_corpus_dedup(spark, stream2, s_idx, s_corp, ckpt)
     assert sorted(r.doc_id for r in spark.read.parquet(s_corp).collect()) == direct
+
+
+def test_streaming_corpus_compaction_mid_stream(spark, tmp_path):
+    """r5 verdict task 5: the compaction cadence must fire MID-STREAM
+    and leave everything row-identical — same accepted corpus as the
+    uncompacted run, same index query behavior afterwards (a later
+    near-dup batch still gets rejected), and the index file count must
+    actually shrink versus per-batch append accretion."""
+    from bigdata_foundation_spark.streaming.corpus import (
+        _index_file_count,
+        streaming_corpus_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog in the morning light"
+    batches = [
+        [(1, base), (3, "completely different text about database systems and query engines")],
+        [(5, "unrelated musings on distributed consensus and replicated logs")],
+        [(7, "yet another corpus document mentioning stream processing watermarks")],
+        [(9, base + "s")],  # near-dup of 1: must be rejected AFTER compactions
+        [(11, "final fresh document on columnar storage layouts and encodings")],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        _write_batch(spark, src, rows, schema, (i + 1) * 1_000_000)
+
+    def drive(tag, **kw):
+        idx, corp, ck = (
+            str(tmp_path / f"{tag}_idx"),
+            str(tmp_path / f"{tag}_corp"),
+            str(tmp_path / f"{tag}_ckpt"),
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        streaming_corpus_dedup(spark, stream, idx, corp, ck, **kw)
+        return idx, sorted(r.doc_id for r in spark.read.parquet(corp).collect())
+
+    plain_idx, plain = drive("plain")
+    comp_idx, comp = drive("comp", compact_every=2)
+    assert plain == comp == [1, 3, 5, 7, 11]  # 9 rejected post-compaction
+    assert _index_file_count(comp_idx) < _index_file_count(plain_idx)
