@@ -746,6 +746,15 @@ def _apsp_topk_bsp(
     return best.orderBy(F.desc("distance"), F.asc("source"), F.asc("target"))
 
 
+def _source_slices(sc, n_sources: int) -> int:
+    """Task count for per-source centrality fan-out: one task per
+    source is right for the default 16-sample estimate, but an exact
+    run (n_samples ≥ |V|) would schedule |V| tiny tasks — pure
+    scheduling floor. Cap at 4 tasks per core (enough slices for
+    stragglers, bounded overhead)."""
+    return max(1, min(n_sources, sc.defaultParallelism * 4))
+
+
 def _reject_zero_weight_edges(proj: _k.Projection, op: str) -> None:
     """The Brandes kernel settles strictly by increasing distance and
     skips settled nodes during relaxation — a zero-cost edge lets a
@@ -808,7 +817,13 @@ def harmonic_centrality(
 
     Zero-weight edges are rejected (``d > 0`` is the reachability
     filter here, so a 0-distance reachable node would silently count
-    as unreachable)."""
+    as unreachable).
+
+    SAMPLING contract: unlike sampled betweenness there is NO
+    estimation error in the values — H(s) is computed exactly for each
+    sampled node; ``n_sources`` only selects WHICH nodes are reported
+    (pinned by ``test_harmonic_sampled_values_are_exact``). Pass
+    ``n_sources >= |V|`` for the full report."""
     proj = projection or build_projection(roads)
     _reject_zero_weight_edges(proj, "harmonic_centrality")
     ids_df = (
@@ -835,7 +850,7 @@ def harmonic_centrality(
             n = sum(1 for d in dist.values() if d > 0.0)
             yield (s, h, n)
 
-    rows = sc.parallelize(srcs, max(len(srcs), 1)).mapPartitions(_task)
+    rows = sc.parallelize(srcs, _source_slices(sc, len(srcs))).mapPartitions(_task)
     return (
         spark.createDataFrame(rows, _HARMONIC_SCHEMA)
         .select(
@@ -934,7 +949,17 @@ def betweenness_centrality(
     sum's float order varies (~1e-15), absorbed by the 6-dp rounding
     (the IVF-Lloyd/PageRank contract). Zero-weight edges are rejected
     (they break the Brandes settled-skip sigma accounting — see
-    ``_reject_zero_weight_edges``)."""
+    ``_reject_zero_weight_edges``).
+
+    ESTIMATOR contract: the reported value is the raw dependency sum
+    over the ``n_sources`` sample; multiply by |V|/n_sources for an
+    unbiased estimate of the all-sources betweenness (uniform source
+    sampling, Brandes & Pich 2007). Estimate quality versus the exact
+    statistic is pinned on CSV1 by
+    ``test_betweenness_sampled_error_bound_vs_exact`` (top-10 rank
+    recall and scaled-value relative error); exact = call with
+    ``n_sources >= |V|`` (every node becomes a source — the sample is
+    a deterministic hash order over all ids)."""
     proj = projection or build_projection(roads)
     _reject_zero_weight_edges(proj, "betweenness_centrality")
     ids_df = (
@@ -956,7 +981,7 @@ def betweenness_centrality(
         for s in it:
             yield from _brandes_from(p, s)
 
-    rows = sc.parallelize(srcs, max(len(srcs), 1)).mapPartitions(_task)
+    rows = sc.parallelize(srcs, _source_slices(sc, len(srcs))).mapPartitions(_task)
     contrib = spark.createDataFrame(rows, _BETWEENNESS_SCHEMA)
     return (
         contrib.groupBy("NodeId")

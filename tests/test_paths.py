@@ -650,3 +650,66 @@ def test_centralities_reject_zero_weight_edges(spark):
         harmonic_centrality(spark, roads, n_sources=4)
     with pytest.raises(ValueError, match="zero-cost edge"):
         betweenness_centrality(spark, roads, n_sources=4)
+
+
+def test_betweenness_sampled_error_bound_vs_exact(spark, graph1, proj):
+    """r5 verdict task 4: the sampled centralities verified replay
+    equality but nothing bounded sampling error vs the exact statistic.
+    On CSV1 exact is cheap (every node a source), so pin the 16-source
+    estimator against it: rank recall (>= 8 of the exact top-10 inside
+    the sampled top-50) and scaled-value error (x |V|/16, Brandes &
+    Pich 2007 unbiased estimator: median relative error over the exact
+    top-50 <= 0.25, max <= 0.75 — measured 0.125 / 0.459; the sample
+    is hash-deterministic so this is a regression pin, not a flaky
+    probabilistic bound)."""
+    import statistics
+
+    from bigdata_foundation_spark.graph.paths import betweenness_centrality
+
+    _nodes, roads = graph1
+    n = len(proj.ids)
+    exact = {
+        r["NodeId"]: r["betweenness"]
+        for r in betweenness_centrality(
+            spark, roads, n_sources=n + 1, k=4000, projection=proj
+        ).collect()
+    }
+    sampled = {
+        r["NodeId"]: r["betweenness"]
+        for r in betweenness_centrality(
+            spark, roads, n_sources=16, k=4000, projection=proj
+        ).collect()
+    }
+    top_exact = sorted(exact, key=lambda k: (-exact[k], k))
+    top_samp = set(sorted(sampled, key=lambda k: (-sampled[k], k))[:50])
+    assert len(set(top_exact[:10]) & top_samp) >= 8
+
+    scale = n / 16
+    errs = [
+        abs(sampled.get(k, 0.0) * scale - exact[k]) / exact[k] for k in top_exact[:50]
+    ]
+    assert statistics.median(errs) <= 0.25, statistics.median(errs)
+    assert max(errs) <= 0.75, max(errs)
+
+
+def test_harmonic_sampled_values_are_exact(spark, graph1, proj):
+    """Harmonic has NO estimation error: n_sources selects which nodes
+    are reported, each value is the exact H(s). Cross-check each of
+    the 16 sampled rows against an independent driver-side kernel SSSP
+    + Decimal HALF_UP rounding (the golden generator's r6)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdata_foundation_spark.graph import kernel as K
+    from bigdata_foundation_spark.graph.paths import harmonic_centrality
+
+    _nodes, roads = graph1
+    rows = harmonic_centrality(spark, roads, n_sources=16, projection=proj).collect()
+    assert len(rows) == 16
+    for r in rows:
+        dist = K.sssp(proj, r["NodeId"])
+        h = sum((1.0 / d for d in dist.values() if d > 0.0), 0.0)
+        expect = float(
+            Decimal(repr(h)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        assert r["harmonic"] == expect, r["NodeId"]
+        assert r["n_reachable"] == sum(1 for d in dist.values() if d > 0.0)
