@@ -76,79 +76,71 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The driver's correctness gate runs the FIRST 50 registry entries
-# (empirically: CORRECTNESS_r01.json == the first 50 registrations).
-# Rotation discipline (r4 verdict item 8), recomputed each round from
-# CORRECTNESS_r{N}.json records: (a) queries whose code or pinned
-# golden CHANGED this round gate first, then (b) the stalest entries —
-# for r5 that is the 29 entries absent from BOTH the r3 and r4 gates
-# (last gated r2 or earlier), then (c) as many of the r3-last-gated
-# entries as fit, kernel-riding graph queries and load-bearing
-# families first. The ~26 r3-gated entries that don't fit are next
-# round's (b); the whole registry is additionally value-checked
-# locally each round via tools/check_oracles.py — see ORACLES_r05.md.
+# Gate-slot rotation (r6): (a) entries whose code or golden changed
+# this round — the analytics kernel tier (WCC/PageRank/LPA dispatch),
+# the duplicate_clusters star-merge convergence fix (clusters +
+# streaming ingest ride it), the harmonic F.round HALF_UP fix, the
+# centrality fan-out slicing, the bidirectional-vs-BSP dispatch fix,
+# corpus_profile's exact switch, and the BSP state-checkpoint
+# hardening — then (b) every entry absent from the r4 AND r5 gates
+# (the r3-last-gated remainder promised rotation in r6, plus the
+# text/multimodal/streaming families). 12 + 38 = exactly 50 slots;
+# the whole registry is additionally value-checked locally each round
+# via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) code/golden changed in round 5: the _bucket_pairs window
-    # rework + fused band keys + equality blocking (minhash/simhash/
-    # embedding-LSH), the zero-token ngram guard, the total-cosine /
-    # l2_normalize ANSI fix (every ann_* and embedding query), IVF
-    # Lloyd refinement, the q9 decimal-rounding fix, de-vacuated
-    # gates, APSP wave ramp + numpy kernel adaptive delta, and the
-    # five queries NEW this round
-    "dedup_minhash_lsh",
-    "dedup_minhash_blocked",  # NEW (equality blocking)
-    "dedup_simhash",
-    "dedup_ngram_jaccard",  # zero-token guard
-    "dedup_embedding_lsh",
-    "dedup_embedding_cosine",  # clone-seeded non-vacuous gate
-    "embedding_normalize",  # l2_normalize zero-vector fix
-    "ann_brute_topk",  # total cosine
-    "ann_lsh_topk",  # multi-probe refactor (same default keys)
-    "ann_lsh_multiprobe",  # NEW (Lv 2007 multi-probe)
-    "ann_ivf_topk",  # Lloyd-refined centroids (new golden)
-    "anti_join_quiet_customers",  # pushed inner predicate (new oracle)
-    "q9_product_profit",  # decimal-first cent rounding (both sides)
-    "graph_apsp_top10",  # wave-size ramp + three-stride hub pool
-    "graph_sssp",  # kernel adaptive-delta dispatch
-    "graph_dijkstra",  # kernel dispatch + bidirectional option
-    "graph_astar",  # kernel adaptive-delta dispatch
-    "graph_degree_distribution",  # NEW (degree histogram, SQL oracle)
-    "graph_k_hop",  # NEW (layered BFS vs recursive-CTE oracle)
-    "graph_components",  # NEW (WCC vs recursive label closure)
-    "graph_triangles",  # NEW (wedge-join triangle count)
-    "graph_pagerank",  # NEW (pinned-replay power iteration)
-    "graph_harmonic",  # NEW (sampled harmonic centrality, Dijkstra replay)
-    "graph_label_propagation",  # NEW (all-integer LPA, exact replay)
-    "graph_betweenness",  # NEW (sampled Brandes, pinned-order replay)
-    "streaming_corpus_dedup",  # NEW (greedy cross-batch ingest)
-    "corpus_profile",  # NEW (per-slice data card)
-    # (b) last gated in round 2 or earlier (absent from r3+r4 gates);
-    # the r3-gated remainder rotates in r6 and is covered by the
-    # whole-registry ORACLES_r05 check meanwhile
-    "point_lookup_customer",
-    "orders_topk",
-    "distinct_agg_priority",
-    "events_hourly",
-    "events_kv_extract",
-    "events_json_parse",
-    "array_ops_customer",
-    "setop_repeat_customers",
-    "rollup_order_stats",
-    "case_bucket_orders",
-    "orders_by_year",
-    "value_percentiles",
-    "string_funcs_customer",
-    "union_all_keys",
-    "cross_lookup_pair",
-    "hash_sample_orders",
-    "pivot_priority_by_year",
-    "date_functions_orders",
-    "cube_revenue",
-    "top_docs_per_group",
-    "curation_funnel",
-    "balanced_sample_docs",
-    "stats_agg_lineitem",
+    # (a) round-6 changed code paths
+    "graph_components",  # broadcast numpy WCC kernel tier (new dispatch)
+    "graph_pagerank",  # broadcast numpy power-iteration tier
+    "graph_label_propagation",  # broadcast numpy LPA tier
+    "graph_harmonic",  # F.round HALF_UP fix + capped fan-out slicing
+    "graph_betweenness",  # capped fan-out slicing
+    "graph_dijkstra",  # bidirectional consulted before BSP dispatch
+    "graph_sssp",  # BSP union-state checkpoint hardening
+    "graph_astar",  # same BSP hardening on the heuristic path
+    "dedup_cluster_canonical",  # duplicate_clusters star-merge rewrite
+    "dedup_cluster_keep_best",  # rides the same clustering
+    "streaming_corpus_dedup",  # compaction-cadence plumbing in the loop
+    "corpus_profile",  # exact=True/False parameter (gate runs exact)
+    "dedup_minhash_lsh",  # rides duplicate_clusters via the index path
+    # (b) absent from both the r4 and r5 gates — oldest first
+    "graph_nodes",
+    "graph_edges",
+    "graph_ingest_limit",
+    "graph_writeback",
+    "graph_dijkstra_agg",
+    "graph_sssp_slice",
+    "dedup_exact",
+    "line_dedup_gate",
+    "chunk_documents",
+    "normalize_documents",
+    "ngram_counts_top",
+    "tfidf_top_terms",
+    "text_quality",
+    "text_stats",
+    "text_redact_pii",
+    "text_repetition",
+    "gopher_quality",
+    "contamination_check",
+    "fuzzy_name_match",
+    "multimodal_ingest",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "split_train_val_test",
+    "mixture_sample_sources",
+    "streaming_dedup",
+    "streaming_hourly",
+    "streaming_sessionize",
+    "streaming_sliding",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "argmin_supplier_per_nation",
+    "grouping_sets_orders",
+    "having_large_orders",
+    "order_count_histogram",
+    "posexplode_leading_tokens",
+    "sql_q6_revenue",
+    "token_totals_by_source",
 ]
 
 
