@@ -456,3 +456,250 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select(F.col("id").alias("NodeId"), F.col("label").alias("community"))
+
+
+def strongly_connected_components(
+    roads: DataFrame,
+    strategy: str = "auto",
+    projection=None,
+) -> DataFrame:
+    """Strongly connected components of the directed road multigraph:
+    every node labelled with the lexicographically smallest NodeId in
+    its SCC — the directed counterpart of
+    :func:`connected_components`'s min-label contract. Returns
+    (NodeId, scc_id).
+
+    Strategy dispatch (the two-tier shape): ``broadcast`` (auto below
+    ``paths.BROADCAST_EDGE_LIMIT``) runs iterative Tarjan
+    (``kernel.scc_kernel``) as one executor task over the broadcast
+    CSR — SCC is a depth-first property, so the sequential kernel IS
+    the fast path wherever the projection fits. ``bsp`` (auto above)
+    runs the Forward-Backward coloring superstep loop
+    (:func:`_scc_superstep`, Fleischer et al. 2000 / Orzan 2004):
+    rounds of (forward max-color propagation to fixpoint → backward
+    reachability from each color's root inside its color class →
+    remove found SCCs). Unlike WCC there is NO hooking shortcut for
+    DIRECTED reachability, so each forward fixpoint is
+    O(longest simple path) supersteps — distributed SCC is
+    diameter-bound, the same honest floor as BSP SSSP
+    (KERNEL_BENCH.md §BSP); the coloring rounds remove every root SCC
+    per round, typically O(log) rounds on real graphs."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if projection is None and _p._resolve_strategy(roads, strategy) == "bsp":
+        return _scc_superstep(roads)
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+
+    spark = roads.sparkSession
+    proj = projection or _p.build_projection(roads)
+    schema = T.StructType(
+        [
+            T.StructField("NodeId", T.StringType(), False),
+            T.StructField("scc_id", T.StringType(), False),
+        ]
+    )
+    return _p._run_on_executor_df(spark, proj, _k.scc_kernel, schema)
+
+
+def _scc_superstep(roads: DataFrame, max_rounds: int = 1000) -> DataFrame:
+    """Past-broadcast SCC tier (see
+    :func:`strongly_connected_components`). All state is (node, color)
+    DataFrames; ``localCheckpoint`` truncates every iterated lineage;
+    raises on non-convergence rather than returning a partial
+    labelling (the duplicate_clusters discipline)."""
+    spark = roads.sparkSession
+    edges0 = roads.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct().cache()
+    remaining = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for _round in range(max_rounds):
+        if remaining.isEmpty():
+            edges0.unpersist()
+            if out is None:
+                from pyspark.sql import types as T
+
+                return spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("NodeId", T.StringType(), False),
+                            T.StructField("scc_id", T.StringType(), False),
+                        ]
+                    ),
+                )
+            return out.select("NodeId", "scc_id")
+        e = (
+            edges0.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # forward MAX-color propagation to fixpoint: color(v) = the
+        # largest node id that reaches v within the remaining subgraph.
+        colors = remaining.withColumn("color", F.col("id")).localCheckpoint(eager=True)
+        for _fix in range(max_rounds):
+            prop = (
+                e.join(colors.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "color")
+            )
+            new = (
+                colors.unionByName(prop)
+                .groupBy("id")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("n")
+                .join(colors.alias("o"), "id")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            colors = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("_scc_superstep: forward coloring did not converge")
+        # backward reachability from each color's root inside its color
+        # class; edges whose endpoints share a color stay in-class.
+        csrc = colors.select(F.col("id").alias("src"), F.col("color").alias("_cs"))
+        cdst = colors.select(F.col("id").alias("dst"), F.col("color").alias("_cd"))
+        ce = (
+            e.join(csrc, "src")
+            .join(cdst, "dst")
+            .filter(F.col("_cs") == F.col("_cd"))
+            .select("src", "dst", F.col("_cs").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        member = colors.filter(F.col("color") == F.col("id")).localCheckpoint(eager=True)
+        frontier = member
+        for _bfs in range(max_rounds):
+            nxt = (
+                ce.join(
+                    frontier.select(F.col("id").alias("dst"), "color"), ["dst", "color"]
+                )
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+                .join(member, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            member = member.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        else:
+            raise RuntimeError("_scc_superstep: backward reachability did not converge")
+        lab = member.groupBy("color").agg(F.min("id").alias("scc_id"))
+        found = member.join(lab, "color").select(F.col("id").alias("NodeId"), "scc_id")
+        out = found if out is None else out.unionByName(found)
+        out = out.localCheckpoint(eager=True)
+        remaining = remaining.join(
+            member.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+    raise RuntimeError("_scc_superstep: did not converge within max_rounds")
+
+
+def core_decomposition(
+    spark: SparkSession,
+    roads: DataFrame,
+    strategy: str = "auto",
+    projection=None,
+) -> DataFrame:
+    """k-core decomposition of the UNDIRECTED SIMPLE graph underlying
+    the road multigraph (direction + parallel edges collapsed,
+    self-loops dropped — the standard convention): (NodeId, core) for
+    every node, where core is the largest k such that the node belongs
+    to a subgraph of minimum degree k. The curation analog: coreness
+    is the robust "how embedded is this node" signal degree alone
+    fakes.
+
+    Strategy dispatch (two tiers): ``broadcast`` (auto below
+    ``paths.BROADCAST_EDGE_LIMIT``) runs Batagelj–Zaveršnik bucket
+    peeling (``kernel.kcore_kernel``) as one executor task; ``bsp``
+    (auto above) runs the distributed h-index iteration
+    (:func:`_kcore_superstep`, Montresor et al. 2011): every node
+    starts at its degree and repeatedly becomes the h-index of its
+    neighbors' current estimates — monotone non-increasing, fixpoint =
+    exact core numbers; per round one keyed join + one windowed
+    h-index aggregate. Tiers are integer-exact identical."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if projection is None and _p._resolve_strategy(roads, strategy) == "bsp":
+        return _kcore_superstep(spark, roads)
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+
+    proj = projection or _p.build_projection(roads)
+    schema = T.StructType(
+        [
+            T.StructField("NodeId", T.StringType(), False),
+            T.StructField("core", T.LongType(), False),
+        ]
+    )
+    return _p._run_on_executor_df(spark, proj, _k.kcore_kernel, schema)
+
+
+def _kcore_superstep(
+    spark: SparkSession, roads: DataFrame, max_iters: int = 1000
+) -> DataFrame:
+    """Past-broadcast k-core tier (see :func:`core_decomposition`):
+    synchronous h-index iteration. Raises on non-convergence rather
+    than returning partial estimates (they would be upper bounds, not
+    core numbers)."""
+    und = (
+        roads.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    est = (
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.count("*").cast("long").alias("core"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("nc"), F.asc("b"))
+    for _ in range(max_iters):
+        nb = (
+            sym.join(est.select(F.col("id").alias("b"), F.col("core").alias("nc")), "b")
+            .select(F.col("a").alias("id"), "b", "nc")
+        )
+        # h-index of the neighbor estimates: rank them descending;
+        # h = max over positions of min(value_at_position, position).
+        new = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("nc"), F.col("_rn"))).cast("long").alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(est.alias("o"), "id")
+            .filter(F.col("n.core") != F.col("o.core"))
+            .limit(1)
+            .count()
+        )
+        est = new
+        if changed == 0:
+            # nodes whose only edges were self-loops vanish from the
+            # simplified graph but are still edge-table endpoints —
+            # they carry core 0 (the kernel tier's contract).
+            all_nodes = (
+                roads.select(F.col("src").alias("id"))
+                .union(roads.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            zero = all_nodes.join(est, "id", "left_anti").withColumn(
+                "core", F.lit(0).cast("long")
+            )
+            return est.unionByName(zero).select(F.col("id").alias("NodeId"), "core")
+    raise RuntimeError("_kcore_superstep: h-index iteration did not converge")

@@ -905,3 +905,128 @@ def lpa_kernel(proj: Projection, iters: int = 10):
         labels = new_labels
     ids = proj.ids
     return [(ids[i], ids[labels[i]]) for i in range(n)]
+
+
+def scc_kernel(proj: Projection):
+    """Strongly connected components: (node id, min STRING id in its
+    SCC) for every node — the directed counterpart of
+    :func:`wcc_kernel`'s min-label contract. Iterative Tarjan (Tarjan
+    1972) with an explicit work stack (no recursion — CPython's
+    recursion limit dies on road-network path depths), one pass over
+    the CSR. Self-loops and parallel edges are harmless (they never
+    change SCC membership)."""
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    indptr, adj_v, _adj_w, _adj_e = proj.hot()
+    UNVISITED = -1
+    idx = [UNVISITED] * n
+    low = [0] * n
+    on = bytearray(n)
+    stack: list[int] = []
+    comp = [-1] * n
+    counter = 0
+    ncomp = 0
+    for root in range(n):
+        if idx[root] != UNVISITED:
+            continue
+        idx[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on[root] = 1
+        work = [(root, indptr[root])]
+        while work:
+            v, ptr = work[-1]
+            if ptr < indptr[v + 1]:
+                work[-1] = (v, ptr + 1)
+                w = adj_v[ptr]
+                if idx[w] == UNVISITED:
+                    idx[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on[w] = 1
+                    work.append((w, indptr[w]))
+                elif on[w] and idx[w] < low[v]:
+                    low[v] = idx[w]
+            else:
+                work.pop()
+                if work and low[v] < low[work[-1][0]]:
+                    low[work[-1][0]] = low[v]
+                if low[v] == idx[v]:
+                    while True:
+                        w = stack.pop()
+                        on[w] = 0
+                        comp[w] = ncomp
+                        if w == v:
+                            break
+                    ncomp += 1
+    ids = proj.ids
+    best: list[str | None] = [None] * ncomp
+    for i in range(n):
+        c = comp[i]
+        if best[c] is None or ids[i] < best[c]:
+            best[c] = ids[i]
+    return [(ids[i], best[comp[i]]) for i in range(n)]
+
+
+def kcore_kernel(proj: Projection):
+    """k-core decomposition of the UNDIRECTED SIMPLE graph underlying
+    the multigraph (direction and parallel edges collapsed, self-loops
+    dropped — the standard convention): (node id, core number) for
+    every node. Batagelj–Zaveršnik 2003 bucket peeling — O(E) after
+    the numpy simple-graph build; the per-edge peel loop is pure
+    Python over list-indexed arrays (same trade as the heap kernels:
+    lists beat numpy scalars on pointer-chasing loops)."""
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    u = proj.esrc()
+    v = proj.adj_v.astype(np.int64)
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    keep = a != b
+    uniq = np.unique(a[keep] * n + b[keep])
+    ua, ub = uniq // n, uniq % n
+    s = np.concatenate([ua, ub])
+    t = np.concatenate([ub, ua])
+    order = np.argsort(s, kind="stable")
+    tt = t[order].tolist()
+    counts = np.bincount(s, minlength=n)
+    ptr_np = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr_np[1:])
+    ptr = ptr_np.tolist()
+
+    core = counts.tolist()
+    md = max(core) if n else 0
+    bin_start = [0] * (md + 2)
+    for d in core:
+        bin_start[d + 1] += 1
+    for d in range(1, md + 2):
+        bin_start[d] += bin_start[d - 1]
+    start = bin_start[:-1]
+    pos = [0] * n
+    vert = [0] * n
+    cnt = start[:]
+    for vv in range(n):
+        pos[vv] = cnt[core[vv]]
+        vert[pos[vv]] = vv
+        cnt[core[vv]] += 1
+    for i in range(n):
+        vv = vert[i]
+        cv = core[vv]
+        for j in range(ptr[vv], ptr[vv + 1]):
+            uu = tt[j]
+            cu = core[uu]
+            if cu > cv:
+                pu = pos[uu]
+                pw = start[cu]
+                w = vert[pw]
+                if uu != w:
+                    pos[uu] = pw
+                    vert[pu] = w
+                    pos[w] = pu
+                    vert[pw] = uu
+                start[cu] += 1
+                core[uu] = cu - 1
+    ids = proj.ids
+    return [(ids[i], core[i]) for i in range(n)]

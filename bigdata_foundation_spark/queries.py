@@ -103,6 +103,8 @@ GATE_ORDER: list[str] = [
     "streaming_corpus_dedup",  # compaction-cadence plumbing in the loop
     "corpus_profile",  # exact=True/False parameter (gate runs exact)
     "dedup_minhash_lsh",  # rides duplicate_clusters via the index path
+    "graph_scc",  # NEW (Tarjan kernel tier vs Kosaraju-replay golden)
+    "graph_kcore",  # NEW (BZ peeling vs independent peel-replay golden)
     # (b) absent from both the r4 and r5 gates — oldest first
     "graph_nodes",
     "graph_edges",
@@ -138,9 +140,7 @@ GATE_ORDER: list[str] = [
     "grouping_sets_orders",
     "having_large_orders",
     "order_count_histogram",
-    "posexplode_leading_tokens",
     "sql_q6_revenue",
-    "token_totals_by_source",
 ]
 
 
@@ -2615,6 +2615,43 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(
         spark, roads, n_sources=16, k=50, projection=_graph_projection(spark)
     )
+
+
+@q(
+    "graph_scc",
+    PIPELINE_GOLDEN_SQL["graph_scc"],
+    "strongly connected components of the directed road multigraph, every "
+    "node labelled with its SCC's min string id - broadcast tier runs "
+    "iterative Tarjan as one executor task over the CSR; past the edge "
+    "limit the Forward-Backward coloring superstep loop. Pinned-golden "
+    "oracle: an independent pure-Python KOSARAJU two-pass replay",
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import strongly_connected_components
+
+    _, roads = _graph(spark)
+    return strongly_connected_components(
+        roads, projection=_graph_projection(spark)
+    ).orderBy("NodeId")
+
+
+@q(
+    "graph_kcore",
+    PIPELINE_GOLDEN_SQL["graph_kcore"],
+    "k-core decomposition of the undirected simple graph underlying the "
+    "road multigraph (full per-node core map) - broadcast tier runs "
+    "Batagelj-Zaversnik bucket peeling in one executor task; past the "
+    "edge limit the distributed h-index iteration (Montresor 2011). "
+    "Pinned-golden oracle: an independent pure-Python min-degree-peeling "
+    "replay with a work queue",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import core_decomposition
+
+    _, roads = _graph(spark)
+    return core_decomposition(
+        spark, roads, projection=_graph_projection(spark)
+    ).orderBy("NodeId")
 
 
 @q(

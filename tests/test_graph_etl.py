@@ -239,3 +239,51 @@ def test_analytics_auto_dispatch_uses_kernel_below_limit(spark, graph1, monkeypa
     monkeypatch.setattr(E, "_connected_components_superstep", _boom)
     comp = E.connected_components(roads)  # strategy="auto"
     assert comp.count() == 3705
+
+
+def test_scc_and_kcore_tiers_equal(spark, graph1):
+    """Round-6 additions: strongly connected components (Tarjan kernel
+    tier vs Forward-Backward coloring superstep tier) and k-core
+    decomposition (Batagelj-Zaversnik kernel vs distributed h-index
+    iteration) must agree row-for-row. Toys cover self-loops, 2-cycles,
+    pendant nodes and string-vs-numeric id order; a 400-node random
+    digraph (low diameter — the superstep tier's fast regime) covers
+    non-trivial SCC structure; CSV1 covers the real road graph for
+    k-core (its mostly-bidirectional edges make the h-index loop
+    converge quickly; SCC's forward coloring there is diameter-bound,
+    so its real-graph check is the Kosaraju-replay gate oracle)."""
+    import random
+
+    from bigdata_foundation_spark.graph.etl import (
+        _kcore_superstep,
+        _scc_superstep,
+        core_decomposition,
+        strongly_connected_components,
+    )
+
+    rows = [
+        ("a", "b", 1.0, "r1"), ("b", "c", 1.0, "r2"), ("c", "a", 1.0, "r3"),
+        ("c", "d", 1.0, "r4"), ("e", "f", 1.0, "r5"), ("f", "e", 1.0, "r6"),
+        ("g", "g", 1.0, "r7"), ("10", "2", 1.0, "r8"), ("2", "10", 2.0, "r9"),
+    ]
+    toy = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    assert sorted(map(tuple, strongly_connected_components(toy, strategy="broadcast").collect())) == \
+        sorted(map(tuple, _scc_superstep(toy).collect()))
+    assert sorted(map(tuple, core_decomposition(spark, toy, strategy="broadcast").collect())) == \
+        sorted(map(tuple, _kcore_superstep(spark, toy).collect()))
+
+    rng = random.Random(17)
+    n = 400
+    rnd = [
+        (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}", 1.0, f"r{i}")
+        for i in range(1200)
+    ]
+    rdf = spark.createDataFrame(rnd, "src string, dst string, cost double, road_id string")
+    assert sorted(map(tuple, strongly_connected_components(rdf, strategy="broadcast").collect())) == \
+        sorted(map(tuple, _scc_superstep(rdf).collect()))
+    assert sorted(map(tuple, core_decomposition(spark, rdf, strategy="broadcast").collect())) == \
+        sorted(map(tuple, _kcore_superstep(spark, rdf).collect()))
+
+    _nodes, roads = graph1
+    assert sorted(map(tuple, core_decomposition(spark, roads, strategy="broadcast").collect())) == \
+        sorted(map(tuple, _kcore_superstep(spark, roads).collect()))

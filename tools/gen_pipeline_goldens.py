@@ -675,6 +675,8 @@ def main() -> None:
         "graph_harmonic": harmonic_golden(),
         "graph_label_propagation": lpa_golden(),
         "graph_betweenness": betweenness_golden(),
+        "graph_scc": scc_golden(),
+        "graph_kcore": kcore_golden(),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -900,6 +902,107 @@ def betweenness_golden(n_sources=16, k=50):
     rows = [(v, x) for x, v in ranked[:k]]
     return values_sql([("NodeId", "VARCHAR"), ("betweenness", "DOUBLE")], rows)
 
+
+
+
+# --- graph_scc --------------------------------------------------------------
+
+def scc_golden():
+    """Replay of etl.strongly_connected_components: KOSARAJU's
+    two-pass algorithm (deliberately a different algorithm from the
+    engine kernel's Tarjan) over the CSV1 directed multigraph, every
+    node labelled with the min string id of its SCC."""
+    from collections import defaultdict
+
+    edges = [(s, d) for s, d, _c in load_csv1_weighted_edges()]
+    nodes = sorted({x for e in edges for x in e})
+    adj = defaultdict(list)
+    radj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        radj[d].append(s)
+
+    visited: set[str] = set()
+    order: list[str] = []
+    for v0 in nodes:
+        if v0 in visited:
+            continue
+        visited.add(v0)
+        stack = [(v0, iter(adj[v0]))]
+        while stack:
+            u, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in visited:
+                    visited.add(w)
+                    stack.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(u)
+                stack.pop()
+
+    assigned: dict[str, str] = {}
+    for v0 in reversed(order):
+        if v0 in assigned:
+            continue
+        members = []
+        stack2 = [v0]
+        assigned[v0] = ""
+        while stack2:
+            u = stack2.pop()
+            members.append(u)
+            for w in radj[u]:
+                if w not in assigned:
+                    assigned[w] = ""
+                    stack2.append(w)
+        m = min(members)
+        for u in members:
+            assigned[u] = m
+    rows = sorted(assigned.items())
+    return values_sql([("NodeId", "VARCHAR"), ("scc_id", "VARCHAR")], rows)
+
+
+# --- graph_kcore ------------------------------------------------------------
+
+def kcore_golden():
+    """Replay of etl.core_decomposition: iterative minimum-degree
+    peeling with a work queue (deliberately different from the engine
+    kernel's Batagelj–Zaveršnik bucket structure) on the undirected
+    simple graph underlying CSV1 (direction/parallel collapsed,
+    self-loops dropped)."""
+    from collections import defaultdict
+
+    und = {
+        (min(s, d), max(s, d))
+        for s, d, _c in load_csv1_weighted_edges()
+        if s != d
+    }
+    nodes = sorted({x for s, d, _c in load_csv1_weighted_edges() for x in (s, d)})
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    left = set(nodes)
+    deg = {v: len(adj[v]) for v in nodes}
+    core: dict[str, int] = {}
+    k = 0
+    while left:
+        k = max(k, min(deg[v] for v in left))
+        queue = [v for v in left if deg[v] <= k]
+        while queue:
+            v = queue.pop()
+            if v not in left:
+                continue
+            core[v] = k
+            left.remove(v)
+            for w in adj[v]:
+                if w in left:
+                    deg[w] -= 1
+                    if deg[w] <= k:
+                        queue.append(w)
+    rows = sorted(core.items())
+    return values_sql([("NodeId", "VARCHAR"), ("core", "BIGINT")], rows)
 
 if __name__ == "__main__":
     main()
