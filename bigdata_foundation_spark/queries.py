@@ -105,6 +105,7 @@ GATE_ORDER: list[str] = [
     "dedup_minhash_lsh",  # rides duplicate_clusters via the index path
     "graph_scc",  # NEW (Tarjan kernel tier vs Kosaraju-replay golden)
     "graph_kcore",  # NEW (BZ peeling vs independent peel-replay golden)
+    "ann_pq_topk",  # NEW (PQ-ADC vs independent replay golden)
     # (b) absent from both the r4 and r5 gates — oldest first
     "graph_nodes",
     "graph_edges",
@@ -140,7 +141,6 @@ GATE_ORDER: list[str] = [
     "grouping_sets_orders",
     "having_large_orders",
     "order_count_histogram",
-    "sql_q6_revenue",
 ]
 
 
@@ -2044,6 +2044,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8)
     res = S.ivf_topk(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "ann_pq_topk",
+    PIPELINE_GOLDEN_SQL["ann_pq_topk"],
+    "product-quantized approximate top-k by asymmetric distance "
+    "computation (Jegou et al. 2011): corpus stored as m=8 subspace "
+    "codes (32x less scan IO than raw floats), queries rank the whole "
+    "corpus by m table lookups; deterministic sample-trained codebooks "
+    "(pinned-golden oracle: independent pure-Python PQ replay)",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.pq_topk(e, qs, k=5)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -1190,3 +1190,46 @@ def test_corpus_profile_approx_within_hll_bounds(spark):
         d_exact = e["n_docs"] - e["n_exact_dups"]
         d_approx = a["n_docs"] - a["n_exact_dups"]
         assert abs(d_approx - d_exact) <= max(5, 5 * 0.02 * d_exact), (k, d_exact, d_approx)
+
+
+def test_pq_topk_quality_and_determinism(spark):
+    """PQ-ADC (round 6): (a) determinism — identical output across
+    corpus partitionings (the sample/codebook/encode chain is
+    hash-deterministic); (b) quality — recall@5 vs exact L2 well above
+    the ~0.01 chance baseline, and the returned neighbors' TRUE mean
+    squared distance far below the corpus mean (the ranking is
+    genuinely distance-guided even where iid-random vectors cap recall
+    via distance concentration); (c) adc is a plausible squared-L2
+    surrogate: non-negative everywhere."""
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    from bigdata_foundation_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 20)
+    res = S.pq_topk(e, qs, k=5).collect()
+    res2 = S.pq_topk(e.repartition(7), qs, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+    assert len(res) == 20 * 5
+    assert all(r["adc"] >= 0.0 for r in res)
+    assert all(r["query_id"] != r["neighbor_id"] for r in res)
+
+    t = pqt.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    X = np.asarray([list(v) for v in t.column("embedding").to_pylist()], dtype=np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+    recalls, true_d, base_d = [], [], []
+    for qid in range(20):
+        qv = X[idx[qid]]
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        d2[idx[qid]] = np.inf
+        exact = set(np.asarray(ids)[np.argsort(d2, kind="stable")[:5]].tolist())
+        got = [r["neighbor_id"] for r in res if r["query_id"] == qid]
+        recalls.append(len(exact & set(got)) / 5)
+        true_d.extend(d2[idx[g]] for g in got)
+        base_d.append(float(np.median(d2[np.isfinite(d2)])))
+    assert float(np.mean(recalls)) >= 0.15, np.mean(recalls)  # ~20x chance
+    # measured 0.78x on this corpus; chance would be ~1.0x
+    assert float(np.mean(true_d)) < 0.85 * float(np.mean(base_d))

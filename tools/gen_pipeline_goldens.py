@@ -677,6 +677,7 @@ def main() -> None:
         "graph_betweenness": betweenness_golden(),
         "graph_scc": scc_golden(),
         "graph_kcore": kcore_golden(),
+        "ann_pq_topk": pq_golden(vecs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -1003,6 +1004,77 @@ def kcore_golden():
                         queue.append(w)
     rows = sorted(core.items())
     return values_sql([("NodeId", "VARCHAR"), ("core", "BIGINT")], rows)
+
+
+
+# --- ann_pq_topk ------------------------------------------------------------
+
+def pq_golden(vecs, k=5, m=8, n_codes=16, sample_size=4096, train_iters=5, max_query_id=8):
+    """Replay of similarity.pq_topk (Jégou et al. 2011 PQ-ADC):
+    hash-spread training sample, per-subspace L2 k-means with the
+    first-n_codes-by-(hash,id)-resorted-by-id seeds, argmin-L2
+    assignment with ties to the lowest code id, mean updates rounded
+    to 6 dp per iteration; corpus encoded to m codes; queries ranked
+    by the summed table lookups (squared L2 ADC, 6-dp rounded,
+    ascending, ties to lowest neighbor id, self excluded)."""
+    byid = dict(vecs)
+    hash_order = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:sample_size]
+    seed_ids = sorted(hash_order[:n_codes])
+    sample_ids = sorted(hash_order)
+    dim = len(vecs[0][1])
+    assert dim % m == 0
+    d = dim // m
+
+    books = []
+    for j in range(m):
+        C = [list(byid[vid][j * d : (j + 1) * d]) for vid in seed_ids]
+        Xj = [list(byid[vid][j * d : (j + 1) * d]) for vid in sample_ids]
+        for _ in range(train_iters):
+            sums = [[0.0] * d for _ in C]
+            counts = [0] * len(C)
+            for x in Xj:
+                dists = [sum((xi - ci) ** 2 for xi, ci in zip(x, c)) for c in C]
+                a = dists.index(min(dists))
+                counts[a] += 1
+                for i_, xi in enumerate(x):
+                    sums[a][i_] += xi
+            for ci in range(len(C)):
+                if counts[ci]:
+                    C[ci] = [round(sums[ci][i_] / counts[ci], 6) for i_ in range(d)]
+        books.append(C)
+
+    def encode(v):
+        codes = []
+        for j, book in enumerate(books):
+            x = v[j * d : (j + 1) * d]
+            dists = [sum((xi - ci) ** 2 for xi, ci in zip(x, c)) for c in book]
+            codes.append(dists.index(min(dists)))
+        return codes
+
+    corpus_codes = {vid: encode(v) for vid, v in vecs}
+    rows = []
+    for qid in sorted(vid for vid in byid if vid < max_query_id):
+        qv = byid[qid]
+        tables = [
+            [sum((xi - ci) ** 2 for xi, ci in zip(qv[j * d : (j + 1) * d], c)) for c in book]
+            for j, book in enumerate(books)
+        ]
+        scored = []
+        for vid, codes in corpus_codes.items():
+            if vid == qid:
+                continue
+            adc = 0.0
+            for j in range(m):
+                adc = adc + tables[j][codes[j]]
+            scored.append((r6(adc), vid))
+        scored.sort()
+        for rank, (adc, vid) in enumerate(scored[:k], 1):
+            rows.append((qid, vid, adc, rank))
+    return values_sql(
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("adc", "DOUBLE"), ("rank", "BIGINT")],
+        rows,
+    )
+
 
 if __name__ == "__main__":
     main()
