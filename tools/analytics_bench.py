@@ -67,6 +67,42 @@ def main() -> int:
             f"{name:32s} kernel={t_k:6.2f}s superstep={t_s:6.2f}s "
             f"speedup={t_s / t_k:6.1f}x rows={len(k_rows):,} EQUAL"
         )
+
+    # round-6 additions: k-core both tiers (h-index loop converges in
+    # ~degeneracy-ish rounds — measurable); SCC kernel tier only (the
+    # superstep tier's forward coloring is diameter-bound on CSV7 —
+    # hundreds of supersteps; its equivalence evidence is the toy +
+    # random-digraph pytest and the Kosaraju-replay gate golden).
+    from bigdata_foundation_spark.graph.etl import (
+        _kcore_superstep,
+        core_decomposition,
+        strongly_connected_components,
+    )
+
+    t0 = time.perf_counter()
+    kc = sorted(map(tuple, core_decomposition(spark, roads, strategy="broadcast", projection=proj).collect()))
+    t_k = time.perf_counter() - t0
+    if not skip_superstep:
+        t0 = time.perf_counter()
+        ks = sorted(map(tuple, _kcore_superstep(spark, roads).collect()))
+        t_s = time.perf_counter() - t0
+        assert kc == ks, "kcore tier mismatch"
+        print(
+            f"{'core_decomposition':32s} kernel={t_k:6.2f}s superstep={t_s:6.2f}s "
+            f"speedup={t_s / t_k:6.1f}x rows={len(kc):,} EQUAL"
+        )
+    else:
+        print(f"{'core_decomposition':32s} kernel={t_k:6.2f}s (superstep skipped)")
+
+    t0 = time.perf_counter()
+    sc = strongly_connected_components(roads, strategy="broadcast", projection=proj).collect()
+    t_k = time.perf_counter() - t0
+    n_scc = len({r[1] for r in sc})
+    print(
+        f"{'strongly_connected_components':32s} kernel={t_k:6.2f}s "
+        f"rows={len(sc):,} sccs={n_scc:,} (superstep tier diameter-bound; "
+        "equivalence via pytest + Kosaraju golden)"
+    )
     return 0
 
 
