@@ -45,7 +45,14 @@ def test_topk_never_global_sorts(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["text_stats", "dedup_exact", "dedup_simhash", "ann_brute_topk", "events_hourly"],
+    [
+        "text_stats",
+        "dedup_exact",
+        "dedup_simhash",
+        "ann_brute_topk",
+        "ann_pq_topk",
+        "events_hourly",
+    ],
 )
 def test_no_python_in_hot_path(spark, name):
     """Every text/dedup/similarity operator must stay JVM-side; Python
@@ -184,3 +191,14 @@ def test_bucket_pairs_single_shuffle_guard(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_pq_scan_is_broadcast_codes_no_python(spark):
+    """PQ-ADC (r6): the only join must be a broadcast nested loop with
+    the QUERY side built (the corpus streams once as codes); the plan
+    carries no CartesianProduct, no Python eval, and no extra
+    Exchange beyond the top-k window's."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
