@@ -719,3 +719,60 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedding corpus — cluster the embeddings, then mark as duplicates
+    only pairs INSIDE a cluster whose cosine exceeds ``threshold``,
+    keeping the lowest id of each transitive duplicate group. The
+    web-scale recipe: clustering bounds the candidate set so the
+    within-cell self-join replaces the corpus×corpus product (at 100 TB
+    pick ``n_cells`` so cells fit the join budget — cells are keyed
+    shuffles, and the Lloyd-refined centroids keep cell sizes ≤~1.6×
+    mean on clustered corpora; the LSH-banded
+    ``dedup.embedding_neardup_pairs`` is the alternative when no
+    cluster structure exists).
+
+    Returns one row per corpus vector: (id, cell, duplicate_of,
+    is_kept) — ``duplicate_of`` is the min id of the vector's duplicate
+    group (its own id when unique or group representative). Fully
+    deterministic (IVF centroid contract + exact cosine + min-label
+    closure), replayed by the golden generator."""
+    from bigdata_foundation_spark.operators.dedup import duplicate_clusters
+
+    centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("cell", F.array_max(_cell_scores(F.col("_v"), centroids))["cid"])
+    left = c.select(
+        F.col(id_col).alias("id_a"), F.col("cell"), F.col("_v").alias("_va")
+    )
+    right = c.select(
+        F.col(id_col).alias("id_b"), F.col("cell"), F.col("_v").alias("_vb")
+    )
+    pairs = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    clusters = duplicate_clusters(pairs).select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("duplicate_of")
+    )
+    return (
+        c.join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce("duplicate_of", F.col(id_col)).alias("duplicate_of"),
+            (F.coalesce("duplicate_of", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
+        )
+    )

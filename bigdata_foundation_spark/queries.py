@@ -106,6 +106,7 @@ GATE_ORDER: list[str] = [
     "graph_scc",  # NEW (Tarjan kernel tier vs Kosaraju-replay golden)
     "graph_kcore",  # NEW (BZ peeling vs independent peel-replay golden)
     "ann_pq_topk",  # NEW (PQ-ADC vs independent replay golden)
+    "semantic_dedup",  # NEW (SemDeDup vs independent replay golden)
     # (b) absent from both the r4 and r5 gates — oldest first
     "graph_nodes",
     "graph_edges",
@@ -139,7 +140,6 @@ GATE_ORDER: list[str] = [
     "sketch_value_quantiles",
     "argmin_supplier_per_nation",
     "grouping_sets_orders",
-    "having_large_orders",
     "order_count_histogram",
 ]
 
@@ -2045,6 +2045,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 8)
     res = S.ivf_topk(e, qs, k=5)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "semantic_dedup",
+    PIPELINE_GOLDEN_SQL["semantic_dedup"],
+    "SemDeDup (Abbas et al. 2023): semantic dedup of the embedding corpus "
+    "- deterministic IVF clustering bounds the candidate set, within-cell "
+    "exact cosine >= 0.95 pairs close transitively, lowest id kept. "
+    "Pinned-golden oracle: independent pure-Python replay (centroids + "
+    "pairs + union-find closure)",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(e, threshold=0.95).orderBy("vec_id")
 
 
 @q(

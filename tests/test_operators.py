@@ -1233,3 +1233,34 @@ def test_pq_topk_quality_and_determinism(spark):
     assert float(np.mean(recalls)) >= 0.15, np.mean(recalls)  # ~20x chance
     # measured 0.78x on this corpus; chance would be ~1.0x
     assert float(np.mean(true_d)) < 0.85 * float(np.mean(base_d))
+
+
+def test_semantic_dedup_semantics_and_determinism(spark):
+    """SemDeDup (round 6): a planted exact-duplicate embedding is
+    caught (same cell, cosine 1.0 >= 0.95) and the lower id survives;
+    every kept/duplicate_of assignment is internally consistent
+    (duplicate_of <= vec_id for losers, kept rows point at
+    themselves); output is deterministic across partitionings; the
+    candidate join is cell-keyed, never a cartesian, never Python."""
+    from bigdata_foundation_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # plant an exact duplicate of vec 3 under a fresh max id
+    clone = e.filter(F.col("vec_id") == 3).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(clone)
+    res = {r["vec_id"]: r for r in S.semantic_dedup(corpus).collect()}
+    assert len(res) == 501
+    assert res[100000]["duplicate_of"] == 3 and not res[100000]["is_kept"]
+    assert res[3]["is_kept"] and res[3]["duplicate_of"] == 3
+    for r in res.values():
+        assert r["is_kept"] == (r["duplicate_of"] == r["vec_id"])
+        assert r["duplicate_of"] <= r["vec_id"]
+
+    res2 = {r["vec_id"]: tuple(r) for r in S.semantic_dedup(corpus.repartition(7)).collect()}
+    assert {k: tuple(v) for k, v in res.items()} == res2
+
+    plan = S.semantic_dedup(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -678,6 +678,7 @@ def main() -> None:
         "graph_scc": scc_golden(),
         "graph_kcore": kcore_golden(),
         "ann_pq_topk": pq_golden(vecs),
+        "semantic_dedup": semdedup_golden(vecs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -1072,6 +1073,89 @@ def pq_golden(vecs, k=5, m=8, n_codes=16, sample_size=4096, train_iters=5, max_q
             rows.append((qid, vid, adc, rank))
     return values_sql(
         [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("adc", "DOUBLE"), ("rank", "BIGINT")],
+        rows,
+    )
+
+
+
+
+# --- semantic_dedup ---------------------------------------------------------
+
+def semdedup_golden(vecs, threshold=0.95, n_cells=16, lloyd_iters=2):
+    """Replay of similarity.semantic_dedup (SemDeDup, Abbas et al.
+    2023): the IVF centroid contract (hash-spread seeds + 6-dp-rounded
+    Lloyd steps, exactly as in ivf_golden), max-(cosine, cid) cell
+    assignment, within-cell exact-cosine pairs above ``threshold``,
+    union-find transitive closure with min-id labels."""
+    byid = dict(vecs)
+    chosen = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:n_cells]
+    centroids = [(cid, byid[vid]) for cid, vid in enumerate(sorted(chosen))]
+
+    def cell_scores(v):
+        return [(_cos(v, cvec), cid) for cid, cvec in centroids]
+
+    dim = len(vecs[0][1]) if vecs else 0
+    for _ in range(lloyd_iters):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for _vid, v in vecs:
+            cell = max(cell_scores(v))[1]
+            acc = sums.setdefault(cell, [0.0] * dim)
+            for i, x in enumerate(v):
+                acc[i] = acc[i] + x
+            counts[cell] = counts.get(cell, 0) + 1
+        centroids = [
+            (
+                cid,
+                [round(sums[cid][i] / counts[cid], 6) for i in range(dim)]
+                if cid in counts
+                else cvec,
+            )
+            for cid, cvec in centroids
+        ]
+
+    cell_of = {vid: max(cell_scores(v))[1] for vid, v in vecs}
+    cells: dict[int, list[int]] = {}
+    for vid, cell in cell_of.items():
+        cells.setdefault(cell, []).append(vid)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for cell, members in cells.items():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            va = byid[ms[i]]
+            na = _norm(va)
+            if na == 0.0:
+                continue
+            for j in range(i + 1, len(ms)):
+                vb = byid[ms[j]]
+                if _norm(vb) == 0.0:
+                    continue
+                if _cos(va, vb) >= threshold:
+                    ra, rb = find(ms[i]), find(ms[j])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    groups: dict[int, list[int]] = {}
+    for vid in byid:
+        groups.setdefault(find(vid), []).append(vid)
+    rows = []
+    for root, members in groups.items():
+        label = min(members)
+        for vid in members:
+            rows.append((vid, cell_of[vid], label, vid == label))
+    rows.sort()
+    return values_sql(
+        [("vec_id", "BIGINT"), ("cell", "INTEGER"), ("duplicate_of", "BIGINT"), ("is_kept", "BOOLEAN")],
         rows,
     )
 
