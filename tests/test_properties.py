@@ -214,3 +214,182 @@ def test_winnow_guarantee_property(a, b, shared):
     fa = set(winnow(a + shared + a, k, w))
     fb = set(winnow(b + shared + b, k, w))
     assert fa & fb
+
+
+# --- round-6 analytics kernels: pure-Python fuzz (no Spark) -----------------
+
+_graph_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _proj_of(edges):
+    from bigdata_foundation_spark.graph.kernel import Projection
+
+    return Projection([(f"n{a:02d}", f"n{b:02d}", 1.0) for a, b in edges])
+
+
+@given(edges=_graph_edges)
+@settings(max_examples=60, deadline=None)
+def test_wcc_kernel_matches_union_find(edges):
+    """wcc_kernel (min-hook + pointer jumping) vs a naive union-find
+    with explicit min-string labelling, on arbitrary small digraphs
+    (self-loops, parallel edges, multiple components)."""
+    from bigdata_foundation_spark.graph.kernel import wcc_kernel
+
+    proj = _proj_of(edges)
+    got = dict(wcc_kernel(proj))
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(f"n{a:02d}"), find(f"n{b:02d}")
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for i in proj.ids:
+        comps.setdefault(find(i), []).append(i)
+    expect = {}
+    for members in comps.values():
+        m = min(members)
+        for x in members:
+            expect[x] = m
+    assert got == expect
+
+
+@given(edges=_graph_edges)
+@settings(max_examples=60, deadline=None)
+def test_scc_kernel_matches_naive_reachability(edges):
+    """scc_kernel (iterative Tarjan) vs the definition: u,v share an
+    SCC iff u reaches v AND v reaches u (brute transitive closure)."""
+    from bigdata_foundation_spark.graph.kernel import scc_kernel
+
+    proj = _proj_of(edges)
+    got = dict(scc_kernel(proj))
+
+    nodes = list(proj.ids)
+    reach = {v: {v} for v in nodes}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(f"n{a:02d}", set()).add(f"n{b:02d}")
+    changed = True
+    while changed:
+        changed = False
+        for v in nodes:
+            new = set()
+            for w in reach[v]:
+                new |= adj.get(w, set())
+            if not new <= reach[v]:
+                reach[v] |= new
+                changed = True
+    expect = {}
+    for v in nodes:
+        members = [w for w in nodes if w in reach[v] and v in reach[w]]
+        expect[v] = min(members)
+    assert got == expect
+
+
+@given(edges=_graph_edges)
+@settings(max_examples=60, deadline=None)
+def test_kcore_kernel_matches_naive_peeling(edges):
+    """kcore_kernel (Batagelj–Zaveršnik buckets) vs definition-level
+    peeling: repeatedly delete all nodes of degree < k; core(v) =
+    largest k whose k-core contains v."""
+    from bigdata_foundation_spark.graph.kernel import kcore_kernel
+
+    proj = _proj_of(edges)
+    got = dict(kcore_kernel(proj))
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in und for x in e} | {a for a, b in edges} | {b for a, b in edges})
+    expect = {}
+    for v in nodes:
+        k = 0
+        while True:
+            kk = k + 1
+            alive = set(nodes)
+            while True:
+                deg = {u: 0 for u in alive}
+                for a, b in und:
+                    if a in alive and b in alive:
+                        deg[a] += 1
+                        deg[b] += 1
+                drop = [u for u in alive if deg.get(u, 0) < kk]
+                if not drop:
+                    break
+                alive -= set(drop)
+            if v in alive:
+                k = kk
+            else:
+                break
+        expect[f"n{v:02d}"] = k
+    assert got == expect
+
+
+@given(edges=_graph_edges)
+@settings(max_examples=40, deadline=None)
+def test_pagerank_kernel_mass_and_replay(edges):
+    """pagerank_kernel: total mass == 1 (uniform dangling
+    redistribution), every rank >= (1-d)/n, and the values match a
+    definition-level python power iteration to float tolerance."""
+    from bigdata_foundation_spark.graph.kernel import pagerank_kernel
+
+    proj = _proj_of(edges)
+    got = dict(pagerank_kernel(proj, 0.85, 8))
+    n = len(proj.ids)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(v >= (1 - 0.85) / n - 1e-12 for v in got.values())
+
+    outdeg = {}
+    for a, _b in edges:
+        outdeg[f"n{a:02d}"] = outdeg.get(f"n{a:02d}", 0) + 1
+    r = {v: 1.0 / n for v in proj.ids}
+    for _ in range(8):
+        dangling = sum(rv for v, rv in r.items() if v not in outdeg)
+        base = 0.15 / n + 0.85 * dangling / n
+        contrib = {}
+        for a, b in edges:
+            sa, sb = f"n{a:02d}", f"n{b:02d}"
+            contrib[sb] = contrib.get(sb, 0.0) + r[sa] / outdeg[sa]
+        r = {v: base + 0.85 * contrib.get(v, 0.0) for v in proj.ids}
+    for v in proj.ids:
+        assert abs(got[v] - r[v]) < 1e-9, v
+
+
+@given(edges=_graph_edges, iters=st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_lpa_kernel_matches_naive_rounds(edges, iters):
+    """lpa_kernel vs a definition-level synchronous vote loop
+    (undirected both-ways votes, parallel edges each count, ties to
+    the smallest STRING label, no-vote nodes keep theirs)."""
+    from bigdata_foundation_spark.graph.kernel import lpa_kernel
+
+    proj = _proj_of(edges)
+    got = dict(lpa_kernel(proj, iters))
+
+    und = []
+    for a, b in edges:
+        und.append((f"n{a:02d}", f"n{b:02d}"))
+        und.append((f"n{b:02d}", f"n{a:02d}"))
+    labels = {v: v for v in proj.ids}
+    for _ in range(iters):
+        votes = {}
+        for a, b in und:
+            votes.setdefault(a, {}).setdefault(labels[b], 0)
+            votes[a][labels[b]] += 1
+        new = {}
+        for v in proj.ids:
+            if v in votes:
+                best = sorted(votes[v].items(), key=lambda t: (-t[1], t[0]))[0][0]
+                new[v] = best
+            else:
+                new[v] = labels[v]
+        labels = new
+    assert got == labels
