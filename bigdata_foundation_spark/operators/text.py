@@ -616,3 +616,59 @@ def tfidf_top_terms(
             F.round("_score", 6).alias("tfidf"),
         )
     )
+
+
+def unigram_logprob_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smoothing: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020), reduced
+    to an exactly-SQL-replayable unigram LM: train token counts over
+    the corpus itself in ONE aggregate, then score every document by
+    the mean negative log2 probability of its tokens under the add-k
+    smoothed unigram distribution. A high score means the document is
+    far from the corpus distribution — the standard curation signal
+    for boilerplate/garbled/outlier text (CCNet uses a 5-gram KenLM;
+    the unigram form keeps the operator model-free and the oracle a
+    plain SQL re-derivation).
+
+    Tokens: lowercase, whitespace-split, empties dropped (the
+    ``whitespace_token_count`` convention). Documents with zero tokens
+    are ABSENT from the output (no distribution to score them under).
+
+    Scale shape: one explode → one (token) count aggregate (the LM —
+    map-side partial), two broadcast scalars (total tokens N, vocab
+    V), then score = tokens ⋈ counts keyed on token + one per-doc avg.
+    Every join is keyed or broadcast; text never shuffles twice.
+    Returns (id, n_tokens, nll_per_token); nll is the RAW double —
+    deliberately unrounded, so the engine and the SQL oracle round
+    IDENTICALLY at compare time (engine-side F.round HALF_UPs the
+    decimal repr while DuckDB rounds the binary double — the exact
+    .xx5-boundary divergence class the r5 q9 fix closed; per-doc avg
+    wobble is ~1e-14, far below any sane consumer threshold)."""
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    scalars = counts.agg(
+        F.sum("c").alias("_N"), F.count("*").alias("_V")
+    )
+    k = float(k_smoothing)
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "_nll",
+            -F.log2(
+                (F.col("c") + F.lit(k))
+                / (F.col("_N") + F.lit(k) * F.col("_V"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.avg("_nll").alias("nll_per_token"),
+    )

@@ -107,6 +107,7 @@ GATE_ORDER: list[str] = [
     "graph_kcore",  # NEW (BZ peeling vs independent peel-replay golden)
     "ann_pq_topk",  # NEW (PQ-ADC vs independent replay golden)
     "semantic_dedup",  # NEW (SemDeDup vs independent replay golden)
+    "unigram_perplexity",  # NEW (unigram-LM scoring, full SQL oracle)
     # (b) absent from both the r4 and r5 gates — oldest first
     "graph_nodes",
     "graph_edges",
@@ -140,7 +141,6 @@ GATE_ORDER: list[str] = [
     "sketch_value_quantiles",
     "argmin_supplier_per_nation",
     "grouping_sets_orders",
-    "order_count_histogram",
 ]
 
 
@@ -2045,6 +2045,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 8)
     res = S.ivf_topk(e, qs, k=5)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "unigram_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), counts AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), scal AS (
+      SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           AVG(-log2((counts.c + 0.5) / (scal.n_total + 0.5 * scal.v))) AS nll_per_token
+    FROM toks JOIN counts USING (tok) CROSS JOIN scal
+    GROUP BY toks.doc_id
+    """,
+    "CCNet-style perplexity filtering reduced to an exactly-SQL-replayable "
+    "unigram LM: one token-count aggregate trains the LM, every document "
+    "scored by mean negative log2 probability (add-0.5 smoothing) - high "
+    "score = far from the corpus distribution. Full SQL oracle",
+)
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs).orderBy("doc_id")
 
 
 @q(

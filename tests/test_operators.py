@@ -1264,3 +1264,31 @@ def test_semantic_dedup_semantics_and_determinism(spark):
     plan = S.semantic_dedup(e)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_perplexity_semantics(spark):
+    """Unigram-LM scoring (round 6): an out-of-distribution document
+    (tokens appearing nowhere else) must score strictly higher than a
+    document of corpus-common tokens; scores are positive; empty/
+    whitespace-only documents are absent; deterministic across
+    partitionings."""
+    from bigdata_foundation_spark.operators.text import unigram_logprob_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "the cat and the dog sat"),
+        (4, "zxqv wvuts qqqqe zzyyx plmko"),  # OOD: all-rare tokens
+        (5, "   "),  # whitespace-only: absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob_score(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(r["nll_per_token"] > 0 for r in got.values())
+    common_max = max(got[i]["nll_per_token"] for i in (1, 2, 3))
+    assert got[4]["nll_per_token"] > common_max
+    assert got[1]["n_tokens"] == 6
+
+    got2 = {r["doc_id"]: r["nll_per_token"] for r in unigram_logprob_score(docs.repartition(5)).collect()}
+    for i in (1, 2, 3, 4):
+        assert abs(got2[i] - got[i]["nll_per_token"]) < 1e-9
