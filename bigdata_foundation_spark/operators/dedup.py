@@ -954,3 +954,127 @@ def cluster_keep_best(
             (F.col("_rk") == 1).alias("is_canonical"),
         )
     )
+
+
+def exact_substring_spans(
+    documents: DataFrame,
+    min_tokens: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: bool = True,
+) -> DataFrame:
+    """Exact substring duplication detection (ExactSubstr, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better"):
+    find every maximal token span of length >= ``min_tokens`` that
+    occurs more than once ANYWHERE in the corpus (across documents or
+    repeated within one), reported as merged per-document intervals.
+
+    Lee et al. build a corpus-wide suffix array; the distributed
+    reduction used here (and by every Spark-scale reproduction) is
+    L-gram fingerprinting, which finds the identical span set for
+    spans >= L without any global structure: a token position is
+    duplicated iff the L-gram starting there occurs >= 2 times, and a
+    maximal duplicate span is exactly a maximal run of duplicated
+    L-gram starts (merged when starts are <= L apart, i.e. windows
+    overlap or abut).
+
+    Scale shape: tokens never leave their document row — the L-gram
+    table is built per-row with JVM higher-order functions
+    (transform/slice/array_join/xxhash64, whole-stage codegen), then
+    posexploded to (id, pos, gram). Duplication is ONE keyed shuffle
+    (window count over the 8-byte fingerprint); island-merge is one
+    keyed shuffle on the document id. With ``fingerprint=True``
+    (default) the shuffle key is xxhash64(gram) — 8 bytes instead of
+    ~100+ — at the cost of treating a 64-bit collision as a duplicate
+    (odds ~n^2/2^65; the standard production trade, same as MinHash).
+    ``fingerprint=False`` shuffles the gram text itself: exact, for
+    oracle-grade runs.
+
+    Returns (id_col, span_start, span_end, span_len): token-index
+    half-open intervals [span_start, span_end) of duplicated text,
+    non-overlapping, sorted within each document. Documents with no
+    duplicated span are absent. Reference scope: curation north-star
+    (SURVEY.md §2.4) — no reference-file counterpart."""
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    L = int(min_tokens)
+    toks = documents.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("_toks"),
+    ).filter(F.size("_toks") >= L)
+    gram = lambda i: F.array_join(F.slice(F.col("_toks"), i + F.lit(1), F.lit(L)), " ")
+    gram_expr = (lambda i: F.xxhash64(gram(i))) if fingerprint else gram
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.size("_toks") - F.lit(L)), gram_expr)
+        ).alias("pos", "_g"),
+    )
+    # ONE shuffle: window count on the fingerprint (vs agg+join = two)
+    dup_hits = (
+        grams.withColumn("_n", F.count("*").over(Window.partitionBy("_g")))
+        .filter(F.col("_n") > 1)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup_hits.withColumn(
+            "_new",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + L).cast("bigint").alias("span_end"),
+            (F.max("pos") + L - F.min("pos")).cast("bigint").alias("span_len"),
+        )
+        .drop("_isl")
+    )
+
+
+def remove_duplicate_spans(
+    documents: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut ``exact_substring_spans`` intervals out of the documents —
+    the conservative drop-ALL-occurrences variant (Lee et al. 2021
+    remove all but one occurrence; without a global occurrence order
+    the distributed-safe policy is to drop every duplicated region,
+    which several production curation stacks use for boilerplate).
+
+    Spans are collected per document (a handful of rows each — the
+    merged intervals), joined back on the id (keyed; AQE broadcasts
+    when small), and the cut happens inside ONE
+    row via JVM higher-order functions: keep token i iff no span
+    covers it. No Python, no second pass over text. Returns
+    (id_col, clean_text, n_tokens_removed); documents without spans
+    pass through unchanged (left join)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    keep = F.filter(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(1)),
+        lambda i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return (
+        documents.join(per_doc, id_col, "left")
+        .withColumn("_spans", F.coalesce("_spans", F.array()))
+        .withColumn("_t", toks)
+        .withColumn("_keep", keep)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("_keep"), lambda i: F.get(F.col("_t"), i)), " "
+            ).alias("clean_text"),
+            (F.size("_t") - F.size("_keep")).cast("bigint").alias("n_tokens_removed"),
+        )
+    )

@@ -672,3 +672,62 @@ def unigram_logprob_score(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.avg("_nll").alias("nll_per_token"),
     )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance scoring of every document against a term
+    query (Robertson & Zaragoza 2009; the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)), which never goes negative).
+    The retrieval primitive for contamination auditing and RAG-corpus
+    ranking over a curation corpus.
+
+    Tokens follow the corpus convention (lowercase, whitespace-split,
+    empties dropped — ``unigram_logprob_score``). N and avgdl are
+    computed over documents with >= 1 token; zero-token documents are
+    absent. Only documents matching >= 1 query term are returned.
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle (the explode's immediate filter — scan-side, so the big
+    shuffle carries only matching tokens); df is |query_terms| rows
+    (broadcast); dl is one count aggregate keyed on the id; scalars
+    (N, avgdl) broadcast. Returns (id_col, n_matched_terms, bm25) —
+    bm25 is the RAW double (the compare layer rounds both engines
+    identically; see unigram_logprob_score). Reference scope:
+    curation north-star (SURVEY.md §2.4)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    scalars = dl.agg(F.count("*").alias("_N"), F.avg("dl").alias("_avgdl"))
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("_s", idf * norm)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched_terms"),
+            F.sum("_s").alias("bm25"),
+        )
+    )

@@ -84,8 +84,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # corpus_profile's exact switch, and the BSP state-checkpoint
 # hardening — then (b) every entry absent from the r4 AND r5 gates
 # (the r3-last-gated remainder promised rotation in r6, plus the
-# text/multimodal/streaming families). 12 + 38 = exactly 50 slots;
-# the whole registry is additionally value-checked locally each round
+# text/multimodal/streaming families). 20 + 32 listed = 52; the driver
+# takes the first 50, so the last two (b) rows fall off (noted below).
+# The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
 GATE_ORDER: list[str] = [
@@ -108,7 +109,12 @@ GATE_ORDER: list[str] = [
     "ann_pq_topk",  # NEW (PQ-ADC vs independent replay golden)
     "semantic_dedup",  # NEW (SemDeDup vs independent replay golden)
     "unigram_perplexity",  # NEW (unigram-LM scoring, full SQL oracle)
-    # (b) absent from both the r4 and r5 gates — oldest first
+    "exact_substring_spans",  # NEW (ExactSubstr L-gram spans, full SQL oracle)
+    "bm25_rank",  # NEW (Okapi BM25 scoring, full SQL oracle)
+    # (b) absent from both the r4 and r5 gates — oldest first; the two
+    # NEW entries above displace the last two (b) rows from the 50-slot
+    # gate (argmin/grouping-sets — both whole-registry-checked locally,
+    # ORACLES_r06.md; debut value-gating outranks the rotation tail)
     "graph_nodes",
     "graph_edges",
     "graph_ingest_limit",
@@ -2075,6 +2081,89 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_logprob_score(docs).orderBy("doc_id")
+
+
+@q(
+    "exact_substring_spans",
+    """
+    WITH docs AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(r.pos AS BIGINT) AS pos,
+             array_to_string(toks[r.pos+1 : r.pos+15], ' ') AS gram
+      FROM docs, unnest(range(len(toks) - 15 + 1)) AS r(pos)
+      WHERE len(toks) >= 15
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+                  THEN 0 ELSE 1 END AS is_new
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT)          AS span_start,
+           CAST(MAX(pos) + 15 AS BIGINT)     AS span_end,
+           CAST(MAX(pos) + 15 - MIN(pos) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+    "ExactSubstr duplication (Lee et al. 2021) via the distributed L-gram "
+    "reduction: a token position is duplicated iff its 15-gram occurs >= 2 "
+    "times corpus-wide; maximal duplicate spans = merged runs of duplicated "
+    "starts. Engine shuffles 8-byte xxhash64 fingerprints; the oracle "
+    "re-derives the same spans from raw gram text in SQL (gaps-and-islands). "
+    "Full SQL oracle",
+)
+def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.exact_substring_spans(docs, min_tokens=15).orderBy("doc_id", "span_start")
+
+
+@q(
+    "bm25_rank",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), scal AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'window', 'hash', 'stream', 'vector')
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    )
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+           SUM( ln(1 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * (1.2 + 1)
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / scal.avgdl)) ) AS bm25
+    FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN scal
+    GROUP BY tf.doc_id
+    """,
+    "Okapi BM25 scoring (Robertson & Zaragoza 2009, Lucene idf variant) of "
+    "every document against a 5-term query — the retrieval primitive for "
+    "contamination audit / RAG ranking. Tokens filtered to query terms "
+    "scan-side; df broadcast; raw-double score (compare layer rounds both "
+    "engines). Full SQL oracle",
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, ["spark", "window", "hash", "stream", "vector"]
+    ).orderBy("doc_id")
 
 
 @q(

@@ -1292,3 +1292,89 @@ def test_unigram_perplexity_semantics(spark):
     got2 = {r["doc_id"]: r["nll_per_token"] for r in unigram_logprob_score(docs.repartition(5)).collect()}
     for i in (1, 2, 3, 4):
         assert abs(got2[i] - got[i]["nll_per_token"]) < 1e-9
+
+
+def test_exact_substring_spans_semantics(spark):
+    """ExactSubstr (round 6): a >=L-token run shared by two documents
+    is reported in BOTH as one merged span with exact boundaries; a
+    within-document repeat also triggers; unique text and docs shorter
+    than L are absent; fingerprint and exact-gram paths agree."""
+    from bigdata_foundation_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))  # 6 shared tokens
+    rows = [
+        (1, f"a1 a2 a3 {shared} b1 b2 b3"),   # shared run at pos 3..8
+        (2, f"{shared} c1 c2 c3 c4 c5 c6"),   # shared run at pos 0..5
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),  # all unique
+        (4, f"d1 {shared} d2 {shared} d3"),   # self-repeat
+        (5, "t1 t2"),                          # shorter than L
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = exact_substring_spans(docs, min_tokens=4)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in spans.collect()
+    }
+    # doc 3 and doc 5 clean; docs 1, 2, 4 flagged
+    assert set(got) == {1, 2, 4}
+    # doc 1: duplicated 4-gram starts at positions 3..5 → span [3, 9)
+    assert got[1] == (3, 9, 6)
+    assert got[2] == (0, 6, 6)
+    # doc 4: duplicated starts {1,2,3} and {8,9,10}; the gap 8-3=5 > L
+    # so the two occurrences stay separate spans (d2 at pos 7 between)
+    all4 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in spans.filter("doc_id = 4").collect()
+    )
+    assert all4 == [(1, 7), (8, 14)]
+
+    exact = exact_substring_spans(docs, min_tokens=4, fingerprint=False)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, spans.collect()))
+
+    cleaned = {r["doc_id"]: r for r in remove_duplicate_spans(docs, spans).collect()}
+    assert cleaned[3]["clean_text"] == rows[2][1]  # untouched
+    assert cleaned[3]["n_tokens_removed"] == 0
+    assert cleaned[1]["clean_text"] == "a1 a2 a3 b1 b2 b3"
+    assert cleaned[1]["n_tokens_removed"] == 6
+    assert cleaned[4]["clean_text"] == "d1 d2 d3"  # d2 sits between spans
+    assert cleaned[4]["n_tokens_removed"] == 12
+    # whitespace-only / short docs survive removal untouched
+    assert cleaned[5]["clean_text"] == "t1 t2"
+
+
+def test_bm25_semantics(spark):
+    """BM25 (round 6): higher tf wins at equal length; longer document
+    loses at equal tf (length normalization); non-matching documents
+    absent; idf never negative (Lucene variant); deterministic across
+    partitionings."""
+    import math
+
+    from bigdata_foundation_spark.operators.text import bm25_scores
+
+    rows = [
+        (1, "apple banana apple cherry"),          # tf(apple)=2, dl=4
+        (2, "apple banana grape cherry"),          # tf(apple)=1, dl=4
+        (3, "apple banana grape cherry date elderberry fig grape "
+            "honeydew kiwi lemon mango"),          # tf(apple)=1, dl=12
+        (4, "banana cherry grape"),                # no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_scores(docs, ["apple"]).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["bm25"] > got[2]["bm25"] > got[3]["bm25"]
+    assert all(r["bm25"] > 0 for r in got.values())
+    assert got[1]["n_matched_terms"] == 1
+
+    # hand-check doc 2 against the closed form: N=4, df=3, avgdl=23/4
+    n_docs, df, k1, b = 4, 3, 1.2, 0.75
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    tf, dl, avgdl = 1, 4, 23 / 4
+    expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(got[2]["bm25"] - expect) < 1e-12
+
+    got2 = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs.repartition(5), ["apple"]).collect()}
+    for i in (1, 2, 3):
+        assert abs(got2[i] - got[i]["bm25"]) < 1e-12

@@ -52,6 +52,8 @@ def test_topk_never_global_sorts(spark):
         "ann_brute_topk",
         "ann_pq_topk",
         "events_hourly",
+        "exact_substring_spans",
+        "bm25_rank",
     ],
 )
 def test_no_python_in_hot_path(spark, name):
@@ -202,3 +204,16 @@ def test_pq_scan_is_broadcast_codes_no_python(spark):
     assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substring_no_cartesian_one_fingerprint_shuffle(spark):
+    """ExactSubstr must never cross-join documents: duplication is a
+    window count over the 8-byte gram fingerprint (one keyed shuffle),
+    islands one more on the doc id — no CartesianProduct, no Python,
+    and the duplicated-gram decision must NOT be an agg+join (that
+    would shuffle the gram table twice)."""
+    plan = plan_of(spark, "exact_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # window-count formulation: no join back onto the gram table
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
