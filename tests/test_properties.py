@@ -393,3 +393,55 @@ def test_lpa_kernel_matches_naive_rounds(edges, iters):
                 new[v] = labels[v]
         labels = new
     assert got == labels
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    L=st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_exact_substring_spans_matches_python_replay(spark, docs, L):
+    """ExactSubstr against an independent pure-Python replay on
+    arbitrary tiny-alphabet corpora (alphabet of 4 forces heavy gram
+    collisions — the merge/split logic gets exercised hard, including
+    self-repeats and cross-doc duplication)."""
+    from collections import Counter
+
+    from bigdata_foundation_spark.operators.dedup import exact_substring_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # Independent replay: count L-grams, find duplicated starts, merge
+    # runs whose starts are <= L apart.
+    grams = Counter()
+    starts: dict[int, list[int]] = {}
+    for i, toks in enumerate(docs):
+        starts[i] = []
+        for p in range(len(toks) - L + 1):
+            grams[tuple(toks[p : p + L])] += 1
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - L + 1):
+            if grams[tuple(toks[p : p + L])] > 1:
+                starts[i].append(p)
+    expect = []
+    for i, ps in starts.items():
+        run: list[int] = []
+        for p in ps:
+            if run and p - run[-1] <= L:
+                run.append(p)
+            else:
+                if run:
+                    expect.append((i, run[0], run[-1] + L, run[-1] + L - run[0]))
+                run = [p]
+        if run:
+            expect.append((i, run[0], run[-1] + L, run[-1] + L - run[0]))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in exact_substring_spans(df, min_tokens=L).collect()
+    )
+    assert got == sorted(expect)
