@@ -862,6 +862,81 @@ def harmonic_centrality(
     )
 
 
+_CLOSENESS_SCHEMA = T.StructType(
+    [
+        T.StructField("NodeId", T.StringType(), False),
+        T.StructField("closeness", T.DoubleType(), False),
+        T.StructField("n_reachable", T.LongType(), False),
+    ]
+)
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    roads: DataFrame,
+    n_sources: int = 16,
+    wf_correction: bool = False,
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """Outbound closeness centrality C(s) = r / Σ_{t reachable} d(s,t)
+    (r = #reachable targets) for the same deterministic hash-spread
+    sample of ``n_sources`` nodes as ``harmonic_centrality`` — the
+    remaining member of the GDS closeness family. With
+    ``wf_correction=True`` applies the Wasserman–Faust component
+    scaling C·(r / (|V|−1)), the standard disconnected-graph
+    correction (GDS ``useWassermanFaust``); sources reaching nothing
+    report 0.0.
+
+    Same execution and determinism contract as harmonic: one executor
+    task per sampled source over the broadcast projection (exact
+    kernel SSSP), values computed EXACTLY for each sampled node
+    (``n_sources`` only selects which nodes are reported), distance
+    sum rounded to 6 dp DataFrame-side via ``F.round`` (HALF_UP —
+    see harmonic's rounding note), zero-weight edges rejected (the
+    ``d > 0`` reachability filter). Returns (NodeId, closeness,
+    n_reachable) sorted by NodeId."""
+    proj = projection or build_projection(roads)
+    _reject_zero_weight_edges(proj, "closeness_centrality")
+    ids_df = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_nodes = ids_df.count()
+    srcs = [
+        r["id"]
+        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(n_sources)
+        .collect()
+    ]
+    sc = spark.sparkContext
+    proj_b = _get_broadcast(spark, proj)
+    wf = bool(wf_correction)
+    denom = max(n_nodes - 1, 1)
+
+    def _task(it: Iterator[str]) -> Iterator[tuple[str, float, int]]:
+        p = proj_b.value
+        for s in it:
+            dist = _k.sssp(p, s)
+            tot = sum((d for d in dist.values() if d > 0.0), 0.0)
+            r = sum(1 for d in dist.values() if d > 0.0)
+            c = (r / tot) if tot > 0.0 else 0.0
+            if wf:
+                c *= r / denom
+            yield (s, c, r)
+
+    rows = sc.parallelize(srcs, _source_slices(sc, len(srcs))).mapPartitions(_task)
+    return (
+        spark.createDataFrame(rows, _CLOSENESS_SCHEMA)
+        .select(
+            "NodeId",
+            F.round("closeness", 6).alias("closeness"),
+            "n_reachable",
+        )
+        .orderBy("NodeId")
+    )
+
+
 _BETWEENNESS_SCHEMA = T.StructType(
     [
         T.StructField("NodeId", T.StringType(), False),

@@ -450,3 +450,38 @@ def mixture_sample(
     )
     thr = F.element_at(thresholds, F.col(group_col))
     return df.filter(thr.isNotNull() & (bucket < thr))
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner (sparse BM25 + dense ANN, or any mix of
+    rankers): RRF(d) = Σ_r 1/(k + rank_r(d)) over every ranking that
+    contains d; items missing from a ranking contribute 0 (the
+    union-of-candidates contract). k=60 is the paper's constant.
+
+    ``rankings`` maps ranker name → DataFrame with (id_col, rank),
+    rank 1-based. Fusion works on RANKS, never raw scores — which is
+    what makes it cross-engine exact (integer ranks → identical
+    rational sums) and scale-robust (no score normalization step).
+
+    Scale shape: rankings are typically top-k bounded (small), so the
+    N−1 full-outer joins are broadcastable; at worst they are keyed
+    joins on the id. Returns (id_col, {name}_rank ... nullable,
+    rrf_score)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    out = None
+    for name, df in rankings.items():
+        cur = df.select(F.col(id_col), F.col("rank").alias(f"{name}_rank"))
+        out = cur if out is None else out.join(cur, id_col, "full_outer")
+    score = None
+    for name in rankings:
+        term = F.coalesce(
+            1.0 / (F.lit(int(k)) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return out.withColumn("rrf_score", score)

@@ -731,3 +731,115 @@ def bm25_scores(
             F.sum("_s").alias("bm25"),
         )
     )
+
+
+def dsir_logratio_scores(
+    documents: DataFrame,
+    target: DataFrame,
+    k_smoothing: float = 0.5,
+    hash_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the mean per-token log2 importance ratio between a
+    TARGET corpus distribution (the data you want more of — wiki,
+    curated, in-domain) and the SOURCE distribution (the raw corpus
+    itself). High score = looks like the target. The selection
+    primitive for domain-targeted pretraining mixes; pair with
+    ``dsir_gumbel_topk`` for the paper's resampling step.
+
+    Both unigram LMs share one smoothed feature space (the union
+    vocabulary, or ``hash_buckets`` buckets): p(f) = (c(f) + k) /
+    (N + k·V). ``hash_buckets=None`` keeps raw tokens as features —
+    exactly SQL-replayable. At 100 TB set ``hash_buckets`` (the
+    paper uses 10k hashed bigram buckets): features collapse to <= B
+    rows, so the per-token join side becomes a broadcast table and
+    the vocabulary never shuffles.
+
+    Scale shape: two count aggregates (source / target LMs, map-side
+    partial), one full-outer merge of the two count tables (keyed on
+    the feature; <= B rows when hashed), broadcast scalars, then
+    score = tokens ⋈ features + one per-doc avg — the same
+    single-pass shape as ``unigram_logprob_score``. Tokens follow the
+    corpus convention (lowercase, whitespace, empties dropped);
+    zero-token documents are absent. Returns (id_col, n_tokens,
+    dsir_logratio) with the RAW double (compare layer rounds)."""
+    k = float(k_smoothing)
+
+    def _feats(df: DataFrame, keep_id: bool = False):
+        cols = [F.col(id_col)] if keep_id else []
+        out = df.select(
+            *cols,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        ).filter(F.col("tok") != "")
+        if hash_buckets is not None:
+            out = out.withColumn("tok", F.pmod(F.xxhash64("tok"), F.lit(int(hash_buckets))))
+        return out
+
+    toks = _feats(documents, keep_id=True)
+    src = toks.groupBy("tok").agg(F.count("*").alias("c_src"))
+    tgt = _feats(target).groupBy("tok").agg(F.count("*").alias("c_tgt"))
+    feat = (
+        src.join(tgt, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("c_src", F.lit(0)).alias("c_src"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+    )
+    scalars = feat.agg(
+        F.sum("c_src").alias("_Ns"),
+        F.sum("c_tgt").alias("_Nt"),
+        F.count("*").alias("_V"),
+    )
+    ratio = F.log2(
+        (F.col("c_tgt") + k) / (F.col("_Nt") + k * F.col("_V"))
+    ) - F.log2((F.col("c_src") + k) / (F.col("_Ns") + k * F.col("_V")))
+    return (
+        toks.join(feat, "tok")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("_lr", ratio)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.avg("_lr").alias("dsir_logratio"),
+        )
+    )
+
+
+def dsir_gumbel_topk(
+    scores: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    seed: int = 0,
+    score_col: str = "dsir_logratio",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR's resampling step: sample k documents ∝ exp(score/T)
+    without replacement via the Gumbel top-k trick (Kirsch et al.; the
+    exact equivalence of softmax sampling and arg-top-k of
+    score/T + Gumbel noise). Noise is DETERMINISTIC — u derived from
+    xxhash64(id, seed) — so the selection is reproducible across runs
+    and cluster layouts, which production data pipelines require
+    (re-running the mix must yield byte-identical training sets).
+
+    Plan: one scan-side expression per row + TakeOrderedAndProject
+    (bounded heap, no global sort). Returns the k selected rows with
+    their gumbel key appended. T→0 degenerates to plain top-k by
+    score; large T approaches uniform."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    t = float(temperature)
+    if t <= 0:
+        raise ValueError("temperature must be > 0")
+    # u in (0,1): (xxhash64 mod M) + 1) / (M + 2) keeps both endpoints open
+    m = F.lit(2**40)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), m) + 1) / (m + 2)
+    gumbel = -F.log(-F.log(u))
+    return (
+        scores.withColumn("_gumbel_key", F.col(score_col) / t + gumbel)
+        .orderBy(F.desc("_gumbel_key"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -84,8 +84,8 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # corpus_profile's exact switch, and the BSP state-checkpoint
 # hardening — then (b) every entry absent from the r4 AND r5 gates
 # (the r3-last-gated remainder promised rotation in r6, plus the
-# text/multimodal/streaming families). 20 + 32 listed = 52; the driver
-# takes the first 50, so the last two (b) rows fall off (noted below).
+# text/multimodal/streaming families). 23 + 32 listed = 55; the driver
+# takes the first 50, so the last five (b) rows fall off (noted below).
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
@@ -111,9 +111,13 @@ GATE_ORDER: list[str] = [
     "unigram_perplexity",  # NEW (unigram-LM scoring, full SQL oracle)
     "exact_substring_spans",  # NEW (ExactSubstr L-gram spans, full SQL oracle)
     "bm25_rank",  # NEW (Okapi BM25 scoring, full SQL oracle)
-    # (b) absent from both the r4 and r5 gates — oldest first; the two
-    # NEW entries above displace the last two (b) rows from the 50-slot
-    # gate (argmin/grouping-sets — both whole-registry-checked locally,
+    "dsir_scores",  # NEW (DSIR importance scoring, full SQL oracle)
+    "graph_closeness",  # NEW (closeness centrality, pinned-golden oracle)
+    "hybrid_rank_rrf",  # NEW (reciprocal rank fusion, full SQL oracle)
+    # (b) absent from both the r4 and r5 gates — oldest first; the
+    # five NEW entries above displace the last five (b) rows from the
+    # 50-slot gate (streaming_sliding, the two rows-only sketches,
+    # argmin, grouping-sets — all whole-registry-checked locally,
     # ORACLES_r06.md; debut value-gating outranks the rotation tail)
     "graph_nodes",
     "graph_edges",
@@ -2167,6 +2171,139 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hybrid_rank_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), scal AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'window', 'hash', 'stream', 'vector')
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), bm AS (
+      SELECT tf.doc_id,
+             SUM( ln(1 + (scal.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / scal.avgdl)) ) AS bm25
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN scal
+      GROUP BY tf.doc_id
+    ), bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(bm25, 9) DESC, doc_id) AS bm25_rank
+      FROM bm
+    ), counts AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), scal2 AS (
+      SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts
+    ), ppl AS (
+      SELECT toks.doc_id,
+             AVG(-log2((counts.c + 0.5) / (scal2.n_total + 0.5 * scal2.v))) AS nll
+      FROM toks JOIN counts USING (tok) CROSS JOIN scal2
+      GROUP BY toks.doc_id
+    ), qr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(nll, 9) ASC, doc_id) AS quality_rank
+      FROM ppl
+    )
+    SELECT CAST(COALESCE(b.doc_id, q.doc_id) AS BIGINT) AS doc_id,
+           CAST(COALESCE(b.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+           CAST(COALESCE(q.quality_rank, 0) AS BIGINT) AS quality_rank,
+           COALESCE(1.0 / (60 + b.bm25_rank), 0) + COALESCE(1.0 / (60 + q.quality_rank), 0) AS rrf_score
+    FROM (SELECT * FROM bmr WHERE bm25_rank <= 100) b
+    FULL JOIN (SELECT * FROM qr WHERE quality_rank <= 100) q ON b.doc_id = q.doc_id
+    """,
+    "Reciprocal Rank Fusion (Cormack et al. 2009) of two top-100 rankers — "
+    "BM25 relevance (desc) and unigram-LM quality (nll asc) — the standard "
+    "hybrid-retrieval combiner. Fusion works on RANKS (9-dp-rounded scores, "
+    "doc_id tie-break), so the RRF sum is an exact rational both engines "
+    "reproduce bit-identically; absent-from-ranker reported as rank 0 "
+    "(keeps the compare integer-typed). Full SQL oracle",
+)
+def hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.relational import rrf_fuse
+    from bigdata_foundation_spark.operators.text import bm25_scores, unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = (
+        bm25_scores(docs, ["spark", "window", "hash", "stream", "vector"])
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.round(F.col("bm25"), 9).desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 100)
+    )
+    ql = (
+        unigram_logprob_score(docs)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.round(F.col("nll_per_token"), 9).asc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 100)
+    )
+    fused = rrf_fuse({"bm25": bm, "quality": ql})
+    return fused.select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("bigint").alias("bm25_rank"),
+        F.coalesce("quality_rank", F.lit(0)).cast("bigint").alias("quality_rank"),
+        "rrf_score",
+    ).orderBy("doc_id")
+
+
+@q(
+    "dsir_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), ttoks AS (
+      SELECT * FROM toks WHERE doc_id % 7 = 0
+    ), src AS (
+      SELECT tok, COUNT(*) AS c_src FROM toks GROUP BY tok
+    ), tgt AS (
+      SELECT tok, COUNT(*) AS c_tgt FROM ttoks GROUP BY tok
+    ), feat AS (
+      SELECT COALESCE(src.tok, tgt.tok) AS tok,
+             COALESCE(c_src, 0) AS c_src, COALESCE(c_tgt, 0) AS c_tgt
+      FROM src FULL JOIN tgt ON src.tok = tgt.tok
+    ), scal AS (
+      SELECT SUM(c_src) AS n_src, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM feat
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           AVG( log2((feat.c_tgt + 0.5) / (scal.n_tgt + 0.5 * scal.v))
+              - log2((feat.c_src + 0.5) / (scal.n_src + 0.5 * scal.v)) ) AS dsir_logratio
+    FROM toks JOIN feat ON toks.tok = feat.tok CROSS JOIN scal
+    GROUP BY toks.doc_id
+    """,
+    "DSIR importance scoring (Xie et al. 2023): every raw document scored "
+    "by mean per-token log2 importance ratio between a target-slice unigram "
+    "LM (doc_id % 7 = 0 here; wiki/curated in production) and the raw-corpus "
+    "LM, shared smoothed feature space. The data-selection primitive for "
+    "domain-targeted pretraining mixes; dsir_gumbel_topk resamples (pytest). "
+    "Full SQL oracle",
+)
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import dsir_logratio_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logratio_scores(
+        docs, docs.filter(F.col("doc_id") % 7 == 0)
+    ).orderBy("doc_id")
+
+
+@q(
     "semantic_dedup",
     PIPELINE_GOLDEN_SQL["semantic_dedup"],
     "SemDeDup (Abbas et al. 2023): semantic dedup of the embedding corpus "
@@ -2727,6 +2864,22 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, roads = _graph(spark)
     return harmonic_centrality(spark, roads, n_sources=16, projection=_graph_projection(spark))
+
+
+@q(
+    "graph_closeness",
+    PIPELINE_GOLDEN_SQL["graph_closeness"],
+    "outbound closeness centrality C(s) = n_reachable / sum(d) of the same "
+    "16-node hash-spread sample (exact per-source SSSP over the broadcast "
+    "projection; wf_correction=True applies the Wasserman-Faust "
+    "disconnected-graph scaling). Pinned-golden oracle: independent "
+    "pure-Python Dijkstra replay; distance sum rounds to 6 dp",
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.paths import closeness_centrality
+
+    _, roads = _graph(spark)
+    return closeness_centrality(spark, roads, n_sources=16, projection=_graph_projection(spark))
 
 
 @q(

@@ -1378,3 +1378,83 @@ def test_bm25_semantics(spark):
     got2 = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs.repartition(5), ["apple"]).collect()}
     for i in (1, 2, 3):
         assert abs(got2[i] - got[i]["bm25"]) < 1e-12
+
+
+def test_dsir_scores_semantics(spark):
+    """DSIR (round 6): documents resembling the target corpus must
+    outscore documents resembling only the raw-source bulk; scores are
+    deterministic across partitionings; hashed-feature mode is
+    deterministic and preserves the target>source ordering on a
+    collision-free vocabulary."""
+    from bigdata_foundation_spark.operators.text import dsir_logratio_scores
+
+    rows = [
+        (1, "law court judge ruling appeal"),      # target-like
+        (2, "law court judge verdict statute"),    # target-like
+        (3, "pizza burger fries soda shake"),      # source-bulk
+        (4, "pizza burger fries cola taco"),       # source-bulk
+        (5, "law court pizza burger judge fries"), # mixed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id <= 2")
+    got = {r["doc_id"]: r["dsir_logratio"] for r in dsir_logratio_scores(docs, target).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert min(got[1], got[2]) > got[5] > max(got[3], got[4])
+
+    got2 = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio_scores(docs.repartition(7), target).collect()
+    }
+    for i in got:
+        assert abs(got2[i] - got[i]) < 1e-12
+
+    hashed = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio_scores(docs, target, hash_buckets=1 << 20).collect()
+    }
+    assert min(hashed[1], hashed[2]) > hashed[5] > max(hashed[3], hashed[4])
+
+
+def test_dsir_gumbel_topk(spark):
+    """Gumbel top-k resampling: exactly k rows, deterministic for a
+    fixed seed, near-argmax at T→0, and a changed seed actually
+    changes the draw at high temperature (the noise is live)."""
+    from bigdata_foundation_spark.operators.text import dsir_gumbel_topk
+
+    rows = [(i, float(-i) * 0.5) for i in range(40)]  # score falls with id
+    scores = spark.createDataFrame(rows, "doc_id long, dsir_logratio double")
+
+    a = [r["doc_id"] for r in dsir_gumbel_topk(scores, k=8, seed=1).collect()]
+    b = [r["doc_id"] for r in dsir_gumbel_topk(scores, k=8, seed=1).collect()]
+    assert a == b and len(a) == 8
+
+    cold = {r["doc_id"] for r in dsir_gumbel_topk(scores, k=8, temperature=1e-6).collect()}
+    assert cold == set(range(8))  # T→0 ⇒ plain top-k by score
+
+    hot1 = {r["doc_id"] for r in dsir_gumbel_topk(scores, k=8, temperature=50.0, seed=1).collect()}
+    hot2 = {r["doc_id"] for r in dsir_gumbel_topk(scores, k=8, temperature=50.0, seed=2).collect()}
+    assert hot1 != cold or hot2 != cold  # noise participates
+    assert hot1 != hot2  # seed matters (overwhelmingly likely by construction)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF (round 6): item in both rankers' heads beats single-ranker
+    items; missing-from-one contributes 0 (union contract); score is
+    the exact rational 1/(k+r1) + 1/(k+r2); empty rankings rejected."""
+    import pytest as _pytest
+
+    from bigdata_foundation_spark.operators.relational import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 2), (4, 1), (3, 9)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse({"a": a, "b": b}, k=60).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["rrf_score"] == 1 / 61 + 1 / 62
+    assert got[2]["rrf_score"] == 1 / 62          # only ranker a
+    assert got[4]["rrf_score"] == 1 / 61          # only ranker b
+    assert got[3]["rrf_score"] == 1 / 63 + 1 / 69
+    assert got[1]["rrf_score"] > max(got[2]["rrf_score"], got[4]["rrf_score"])
+    assert got[2]["a_rank"] == 2 and got[2]["b_rank"] is None
+
+    with _pytest.raises(ValueError):
+        rrf_fuse({})

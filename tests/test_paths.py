@@ -713,3 +713,56 @@ def test_harmonic_sampled_values_are_exact(spark, graph1, proj):
         )
         assert r["harmonic"] == expect, r["NodeId"]
         assert r["n_reachable"] == sum(1 for d in dist.values() if d > 0.0)
+
+
+def test_closeness_sampled_values_are_exact(spark, graph1, proj):
+    """Closeness mirrors harmonic's contract: no estimation error —
+    each sampled row is the exact C(s) = r/Σd, cross-checked against
+    an independent driver-side kernel SSSP + Decimal HALF_UP rounding.
+    The sampled node set must be identical to harmonic's (same
+    hash-spread selection)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdata_foundation_spark.graph import kernel as K
+    from bigdata_foundation_spark.graph.paths import (
+        closeness_centrality,
+        harmonic_centrality,
+    )
+
+    _nodes, roads = graph1
+    rows = closeness_centrality(spark, roads, n_sources=16, projection=proj).collect()
+    assert len(rows) == 16
+    for r in rows:
+        dist = K.sssp(proj, r["NodeId"])
+        tot = sum((d for d in dist.values() if d > 0.0), 0.0)
+        n = sum(1 for d in dist.values() if d > 0.0)
+        c = (n / tot) if tot > 0.0 else 0.0
+        expect = float(
+            Decimal(repr(c)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        assert r["closeness"] == expect, r["NodeId"]
+        assert r["n_reachable"] == n
+    h_nodes = {
+        r["NodeId"]
+        for r in harmonic_centrality(spark, roads, n_sources=16, projection=proj).collect()
+    }
+    assert {r["NodeId"] for r in rows} == h_nodes
+
+
+def test_closeness_wasserman_faust(spark, graph1, proj):
+    """wf_correction=True scales by r/(|V|-1): every value lands in
+    [0, 1], equals the uncorrected value times the reachability
+    fraction, and preserves 0.0 for sources reaching nothing."""
+    from bigdata_foundation_spark.graph.paths import closeness_centrality
+
+    _nodes, roads = graph1
+    n_nodes = roads.selectExpr("src AS id").union(roads.selectExpr("dst AS id")).distinct().count()
+    plain = {r["NodeId"]: r for r in closeness_centrality(spark, roads, n_sources=16, projection=proj).collect()}
+    wf = {r["NodeId"]: r for r in closeness_centrality(
+        spark, roads, n_sources=16, wf_correction=True, projection=proj
+    ).collect()}
+    assert set(wf) == set(plain)
+    for nid, r in wf.items():
+        assert 0.0 <= r["closeness"] <= 1.0
+        expect = plain[nid]["closeness"] * r["n_reachable"] / (n_nodes - 1)
+        assert abs(r["closeness"] - expect) < 2e-6  # both sides 6-dp rounded

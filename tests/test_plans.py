@@ -54,6 +54,7 @@ def test_topk_never_global_sorts(spark):
         "events_hourly",
         "exact_substring_spans",
         "bm25_rank",
+        "dsir_scores",
     ],
 )
 def test_no_python_in_hot_path(spark, name):
@@ -217,3 +218,18 @@ def test_exact_substring_no_cartesian_one_fingerprint_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # window-count formulation: no join back onto the gram table
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_dsir_gumbel_topk_bounded_heap(spark):
+    """The resampling draw must plan as TakeOrderedAndProject (bounded
+    heap) — a global sort of the scored corpus would single-partition
+    100 TB of scores."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark.operators.text import dsir_gumbel_topk
+
+    scores = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.1).alias("dsir_logratio")
+    )
+    plan = dsir_gumbel_topk(scores, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

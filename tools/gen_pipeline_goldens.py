@@ -673,6 +673,7 @@ def main() -> None:
         "streaming_corpus_dedup": corpus_stream_golden(docs),
         "graph_pagerank": pagerank_golden(),
         "graph_harmonic": harmonic_golden(),
+        "graph_closeness": closeness_golden(),
         "graph_label_propagation": lpa_golden(),
         "graph_betweenness": betweenness_golden(),
         "graph_scc": scc_golden(),
@@ -809,6 +810,49 @@ def harmonic_golden(n_sources=16):
         rows,
     )
 
+
+
+
+# --- graph_closeness -------------------------------------------------------
+
+def closeness_golden(n_sources=16):
+    """Replay of paths.closeness_centrality (wf_correction=False):
+    same hash-spread source sample and exact heap Dijkstra as
+    harmonic_golden; C(s) = n_reachable / sum of distances (0.0 when
+    nothing is reachable), rounded to 6 dp (same float-sum-order
+    determinism contract as harmonic)."""
+    import heapq
+
+    edges = load_csv1_weighted_edges()
+    nodes = sorted({x for s, d, _c in edges for x in (s, d)})
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for s, d, c in edges:
+        adj.setdefault(s, []).append((d, c))
+    srcs = sorted(nodes, key=lambda v: (spark_xxhash64(v), v))[:n_sources]
+
+    rows = []
+    for s in sorted(srcs):
+        dist: dict[str, float] = {s: 0.0}
+        pq = [(0.0, s)]
+        done = set()
+        while pq:
+            du, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        tot = sum(d for d in dist.values() if d > 0.0)
+        r = sum(1 for d in dist.values() if d > 0.0)
+        c = (r / tot) if tot > 0.0 else 0.0
+        rows.append((s, r6(c), r))
+    return values_sql(
+        [("NodeId", "VARCHAR"), ("closeness", "DOUBLE"), ("n_reachable", "BIGINT")],
+        rows,
+    )
 
 
 
