@@ -703,3 +703,85 @@ def _kcore_superstep(
             )
             return est.unionByName(zero).select(F.col("id").alias("NodeId"), "core")
     raise RuntimeError("_kcore_superstep: h-index iteration did not converge")
+
+
+def _parallel_pairs(roads: DataFrame) -> set:
+    """(min_id, max_id) node pairs joined by >= 2 DISTINCT physical
+    road ids — the parallel-road set the bridge rule needs. Computed
+    DataFrame-side (distinct + count, keyed shuffles) because the CSR
+    projection does not carry road ids, and because the result is tiny
+    (60 pairs on CSV1) while the input is the full edge table. A
+    two-way road (both directed rows share one road_id — 4,825 of
+    5,046 CSV1 ids) is ONE physical edge and does not count."""
+    rows = (
+        roads.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "road_id",
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("a", "b")
+        .collect()
+    )
+    return {(r["a"], r["b"]) for r in rows}
+
+
+def bridge_edges(roads: DataFrame, projection=None) -> DataFrame:
+    """Bridges of the undirected graph underlying the road multigraph
+    (Tarjan 1974): the physical roads whose removal disconnects their
+    endpoints — the road-network fragility primitive. Returns
+    (src, dst) string-canonical pairs (src < dst), sorted.
+
+    Pairs joined by >= 2 distinct physical roads are never bridges
+    (``_parallel_pairs``); a two-way road is one physical edge.
+
+    Tier: broadcast kernel only (one executor task over the CSR, like
+    the sampled centralities). Biconnectivity past the broadcast limit
+    needs Tarjan–Vishkin Euler-tour machinery — a documented
+    non-goal; the projection fits for any graph the reference's
+    workload shape produces (SURVEY.md §4.2)."""
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+    from bigdata_foundation_spark.graph import paths as _p
+
+    spark = roads.sparkSession
+    proj = projection or _p.build_projection(roads)
+    pairs = _parallel_pairs(roads)
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType(), False),
+            T.StructField("dst", T.StringType(), False),
+        ]
+    )
+
+    def _bridges(p):
+        return _k.biconnectivity_kernel(p, pairs)[0]
+
+    return _p._run_on_executor_df(spark, proj, _bridges, schema)
+
+
+def articulation_points(roads: DataFrame, projection=None) -> DataFrame:
+    """Articulation points (cut vertices) of the undirected graph
+    underlying the road multigraph (Tarjan 1974): the junctions whose
+    removal disconnects the network. Returns (NodeId), sorted.
+    Parallel roads are irrelevant here — removing a NODE severs every
+    incident edge at once. Same broadcast-kernel tier and
+    Tarjan–Vishkin non-goal note as :func:`bridge_edges`."""
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+    from bigdata_foundation_spark.graph import paths as _p
+
+    spark = roads.sparkSession
+    proj = projection or _p.build_projection(roads)
+    schema = T.StructType([T.StructField("NodeId", T.StringType(), False)])
+
+    def _artic(p):
+        return [(x,) for x in _k.biconnectivity_kernel(p)[1]]
+
+    return _p._run_on_executor_df(spark, proj, _artic, schema)

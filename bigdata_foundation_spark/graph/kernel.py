@@ -1030,3 +1030,105 @@ def kcore_kernel(proj: Projection):
                 core[uu] = cu - 1
     ids = proj.ids
     return [(ids[i], core[i]) for i in range(n)]
+
+
+def biconnectivity_kernel(proj: Projection, parallel_pairs: set | None = None):
+    """Bridges and articulation points of the UNDIRECTED graph
+    underlying the multigraph (Tarjan 1974 low-link, iterative DFS —
+    same no-recursion discipline as :func:`scc_kernel`). Direction is
+    collapsed; self-loops are dropped; parallel physical edges change
+    bridge-ness (a pair joined by >= 2 physical roads can never be a
+    bridge: cutting one leaves the other) but not articulation-ness
+    (removing a NODE severs every parallel edge at once).
+
+    ``parallel_pairs`` is the set of (min_id, max_id) node pairs
+    joined by >= 2 DISTINCT physical edge ids. It cannot be derived
+    from the projection: the reference data stores a two-way road as
+    two directed rows sharing one EDGE id (CSV1: 4,825 of 5,046 edge
+    ids appear in both directions), so row-counting would brand every
+    two-way road "parallel" and empty the bridge set. The caller
+    (``etl.bridge_edges``) computes it DataFrame-side from the road
+    ids — only 60 pairs in CSV1 — and hands the small set in.
+
+    Returns (bridges, articulation): bridges as (min_id, max_id)
+    string-canonical pairs — tree edges with low[child] > disc[parent]
+    not in ``parallel_pairs`` — and articulation node ids — DFS roots
+    with >= 2 tree children, or non-roots with a child where
+    low[child] >= disc[parent]."""
+    n = len(proj.ids)
+    if n == 0:
+        return [], []
+    parallel_pairs = parallel_pairs or set()
+    u = proj.esrc()
+    v = proj.adj_v.astype(np.int64)
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    keep = a != b
+    uniq = np.unique(a[keep] * n + b[keep])
+    ua, ub = uniq // n, uniq % n
+    m = len(uniq)
+    # symmetrized CSR over the simple graph; each undirected edge gets
+    # one id so the DFS can skip exactly the parent EDGE (not every
+    # edge to the parent); physical parallelism is filtered at the end
+    # via parallel_pairs instead of inflating the structure
+    s = np.concatenate([ua, ub])
+    t = np.concatenate([ub, ua])
+    eid = np.concatenate([np.arange(m), np.arange(m)])
+    order = np.argsort(s, kind="stable")
+    tt = t[order].tolist()
+    ee = eid[order].tolist()
+    counts = np.bincount(s, minlength=n)
+    ptr_np = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr_np[1:])
+    ptr = ptr_np.tolist()
+    ea, eb = ua.tolist(), ub.tolist()
+
+    UNVISITED = -1
+    disc = [UNVISITED] * n
+    low = [0] * n
+    counter = 0
+    bridges_idx: list[int] = []
+    artic = bytearray(n)
+    for root in range(n):
+        if disc[root] != UNVISITED:
+            continue
+        disc[root] = low[root] = counter
+        counter += 1
+        root_children = 0
+        # work frames: (node, next CSR ptr, parent edge id, parent node)
+        work = [(root, ptr[root], -1, -1)]
+        while work:
+            x, p, pe, parent = work[-1]
+            if p < ptr[x + 1]:
+                work[-1] = (x, p + 1, pe, parent)
+                y = tt[p]
+                e = ee[p]
+                if disc[y] == UNVISITED:
+                    disc[y] = low[y] = counter
+                    counter += 1
+                    if x == root:
+                        root_children += 1
+                    work.append((y, ptr[y], e, x))
+                elif e != pe and disc[y] < low[x]:
+                    low[x] = disc[y]
+            else:
+                work.pop()
+                if work:
+                    px = work[-1][0]
+                    if low[x] < low[px]:
+                        low[px] = low[x]
+                    if low[x] > disc[px]:
+                        bridges_idx.append(pe)
+                    if px != root and low[x] >= disc[px]:
+                        artic[px] = 1
+        if root_children >= 2:
+            artic[root] = 1
+    ids = proj.ids
+    bridges = sorted(
+        pair
+        for e in bridges_idx
+        for pair in ((min(ids[ea[e]], ids[eb[e]]), max(ids[ea[e]], ids[eb[e]])),)
+        if pair not in parallel_pairs
+    )
+    articulation = sorted(ids[i] for i in range(n) if artic[i])
+    return bridges, articulation

@@ -84,8 +84,8 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # corpus_profile's exact switch, and the BSP state-checkpoint
 # hardening — then (b) every entry absent from the r4 AND r5 gates
 # (the r3-last-gated remainder promised rotation in r6, plus the
-# text/multimodal/streaming families). 23 + 32 listed = 55; the driver
-# takes the first 50, so the last five (b) rows fall off (noted below).
+# text/multimodal/streaming families). 25 + 32 listed = 57; the driver
+# takes the first 50, so the last seven (b) rows fall off (noted below).
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
@@ -114,11 +114,14 @@ GATE_ORDER: list[str] = [
     "dsir_scores",  # NEW (DSIR importance scoring, full SQL oracle)
     "graph_closeness",  # NEW (closeness centrality, pinned-golden oracle)
     "hybrid_rank_rrf",  # NEW (reciprocal rank fusion, full SQL oracle)
+    "graph_bridges",  # NEW (Tarjan bridges vs brute-force-BFS golden)
+    "graph_articulation",  # NEW (articulation points vs brute-force golden)
     # (b) absent from both the r4 and r5 gates — oldest first; the
-    # five NEW entries above displace the last five (b) rows from the
-    # 50-slot gate (streaming_sliding, the two rows-only sketches,
-    # argmin, grouping-sets — all whole-registry-checked locally,
-    # ORACLES_r06.md; debut value-gating outranks the rotation tail)
+    # seven NEW entries above displace the last seven (b) rows from the
+    # 50-slot gate (streaming hourly/sessionize/sliding, the two
+    # rows-only sketches, argmin, grouping-sets — all
+    # whole-registry-checked locally, ORACLES_r06.md; debut
+    # value-gating outranks the rotation tail)
     "graph_nodes",
     "graph_edges",
     "graph_ingest_limit",
@@ -2935,6 +2938,39 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(
         roads, projection=_graph_projection(spark)
     ).orderBy("NodeId")
+
+
+@q(
+    "graph_bridges",
+    PIPELINE_GOLDEN_SQL["graph_bridges"],
+    "bridges of the undirected road graph (Tarjan 1974 low-link, iterative "
+    "kernel over the broadcast CSR): the physical roads whose removal "
+    "disconnects their endpoints. A pair joined by >= 2 distinct road ids "
+    "is never a bridge; a two-way road (both directed rows share one road "
+    "id) is ONE physical edge. Pinned-golden oracle: independent "
+    "BRUTE-FORCE replay (delete edge, BFS reachability — no low-link "
+    "logic anywhere in the oracle)",
+)
+def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import bridge_edges
+
+    _, roads = _graph(spark)
+    return bridge_edges(roads, projection=_graph_projection(spark)).orderBy("src", "dst")
+
+
+@q(
+    "graph_articulation",
+    PIPELINE_GOLDEN_SQL["graph_articulation"],
+    "articulation points of the undirected road graph (Tarjan 1974): the "
+    "junctions whose removal disconnects the network. Pinned-golden "
+    "oracle: independent BRUTE-FORCE replay (delete node, BFS between its "
+    "neighbors)",
+)
+def graph_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import articulation_points
+
+    _, roads = _graph(spark)
+    return articulation_points(roads, projection=_graph_projection(spark)).orderBy("NodeId")
 
 
 @q(

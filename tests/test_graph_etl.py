@@ -287,3 +287,58 @@ def test_scc_and_kcore_tiers_equal(spark, graph1):
     _nodes, roads = graph1
     assert sorted(map(tuple, core_decomposition(spark, roads, strategy="broadcast").collect())) == \
         sorted(map(tuple, _kcore_superstep(spark, roads).collect()))
+
+
+def test_biconnectivity_toy_graphs(spark):
+    """Bridges/articulation (round 6): path, cycle, butterfly, parallel
+    physical roads, and the two-way-road convention (both directed rows
+    share one road_id → ONE physical edge → still a bridge)."""
+    from bigdata_foundation_spark.graph.etl import articulation_points, bridge_edges
+
+    def run(rows):
+        roads = spark.createDataFrame(
+            rows, "src string, dst string, road_id string, cost double"
+        )
+        b = [(r["src"], r["dst"]) for r in bridge_edges(roads).collect()]
+        a = [r["NodeId"] for r in articulation_points(roads).collect()]
+        return sorted(b), sorted(a)
+
+    # path a-b-c (each hop a two-way road): both bridges, b articulation
+    b, a = run([("a", "b", "r1", 1.0), ("b", "a", "r1", 1.0),
+                ("b", "c", "r2", 1.0), ("c", "b", "r2", 1.0)])
+    assert b == [("a", "b"), ("b", "c")] and a == ["b"]
+
+    # cycle: no bridges, no articulation
+    b, a = run([("a", "b", "r1", 1.0), ("b", "c", "r2", 1.0), ("c", "a", "r3", 1.0)])
+    assert b == [] and a == []
+
+    # parallel PHYSICAL roads a=b (two distinct road ids) + b-c
+    b, a = run([("a", "b", "r1", 1.0), ("a", "b", "r2", 2.0), ("b", "c", "r3", 1.0)])
+    assert b == [("b", "c")] and a == ["b"]
+
+    # butterfly (two triangles sharing c): c articulation, no bridges
+    b, a = run([("a", "b", "r1", 1.0), ("b", "c", "r2", 1.0), ("c", "a", "r3", 1.0),
+                ("c", "d", "r4", 1.0), ("d", "e", "r5", 1.0), ("e", "c", "r6", 1.0)])
+    assert b == [] and a == ["c"]
+
+
+def test_biconnectivity_csv1_structure(spark, graph1):
+    """CSV1 pins (counts match the brute-force goldens) plus the
+    structural theorem: every endpoint of a bridge with degree >= 2 in
+    the simple graph is an articulation point."""
+    from bigdata_foundation_spark.graph.etl import articulation_points, bridge_edges
+
+    _nodes, roads = graph1
+    bridges = [(r["src"], r["dst"]) for r in bridge_edges(roads).collect()]
+    artic = {r["NodeId"] for r in articulation_points(roads).collect()}
+    assert len(bridges) == 1067
+    assert len(artic) == 833
+
+    deg: dict[str, set] = {}
+    for r in roads.select("src", "dst").filter("src != dst").distinct().collect():
+        deg.setdefault(r["src"], set()).add(r["dst"])
+        deg.setdefault(r["dst"], set()).add(r["src"])
+    for u, v in bridges:
+        for x in (u, v):
+            if len(deg[x]) >= 2:
+                assert x in artic, x

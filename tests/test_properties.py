@@ -445,3 +445,68 @@ def test_exact_substring_spans_matches_python_replay(spark, docs, L):
         for r in exact_substring_spans(df, min_tokens=L).collect()
     )
     assert got == sorted(expect)
+
+
+@given(
+    edges=_graph_edges,
+    parallel=st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=4
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_biconnectivity_kernel_matches_bruteforce(edges, parallel):
+    """biconnectivity_kernel (iterative Tarjan low-link) vs the
+    definitions, on arbitrary small multigraphs: an edge is a bridge
+    iff deleting it disconnects its endpoints (and it is not a
+    parallel physical pair); a node is an articulation point iff
+    deleting it disconnects two of its neighbors."""
+    from collections import deque
+
+    from bigdata_foundation_spark.graph.kernel import biconnectivity_kernel
+
+    proj = _proj_of(edges)
+    ppairs = {
+        (f"n{min(a,b):02d}", f"n{max(a,b):02d}") for a, b in parallel if a != b
+    }
+    got_b, got_a = biconnectivity_kernel(proj, ppairs)
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        u, v = f"n{a:02d}", f"n{b:02d}"
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def reaches(start, goal, banned_edge=None, banned_node=None):
+        seen, dq = {start}, deque([start])
+        while dq:
+            x = dq.popleft()
+            if x == goal:
+                return True
+            for y in adj.get(x, ()):
+                if y in seen or y == banned_node:
+                    continue
+                if banned_edge and {x, y} == banned_edge:
+                    continue
+                seen.add(y)
+                dq.append(y)
+        return False
+
+    want_b = sorted(
+        (u, v)
+        for u in adj
+        for v in adj[u]
+        if u < v and (u, v) not in ppairs and not reaches(u, v, banned_edge={u, v})
+    )
+    want_a = sorted(
+        u
+        for u in adj
+        if len(adj[u]) >= 2
+        and any(
+            not reaches(sorted(adj[u])[0], x, banned_node=u)
+            for x in sorted(adj[u])[1:]
+        )
+    )
+    assert got_b == want_b
+    assert got_a == want_a

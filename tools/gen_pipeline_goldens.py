@@ -674,6 +674,8 @@ def main() -> None:
         "graph_pagerank": pagerank_golden(),
         "graph_harmonic": harmonic_golden(),
         "graph_closeness": closeness_golden(),
+        "graph_bridges": bridges_golden(),
+        "graph_articulation": articulation_golden(),
         "graph_label_propagation": lpa_golden(),
         "graph_betweenness": betweenness_golden(),
         "graph_scc": scc_golden(),
@@ -853,6 +855,92 @@ def closeness_golden(n_sources=16):
         [("NodeId", "VARCHAR"), ("closeness", "DOUBLE"), ("n_reachable", "BIGINT")],
         rows,
     )
+
+
+
+# --- graph_bridges / graph_articulation ------------------------------------
+
+def _csv1_undirected_simple():
+    """Undirected simple graph from CSV1 with PHYSICAL edge
+    multiplicity: (adj dict, set of pairs joined by >= 2 distinct EDGE
+    ids). A two-way road (both directed rows share one EDGE id) is one
+    physical edge."""
+    import csv
+
+    with open("/root/reference/Shenzhen_Edgelist_1.csv", newline="") as f:
+        rows = [r for r in csv.DictReader(f) if r.get("START_NODE")]
+    nodes = {r["START_NODE"] for r in rows}
+    quads = list(
+        dict.fromkeys(
+            (r["START_NODE"], r["END_NODE"], r["EDGE"], r["LENGTH"])
+            for r in rows
+            if r["END_NODE"] in nodes
+        )
+    )
+    eids: dict[tuple[str, str], set] = {}
+    for s_, d, e, _l in quads:
+        if s_ == d:
+            continue
+        a, b = (s_, d) if s_ < d else (d, s_)
+        eids.setdefault((a, b), set()).add(e)
+    adj: dict[str, set] = {}
+    for a, b in eids:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    parallel = {k for k, v in eids.items() if len(v) > 1}
+    return adj, parallel
+
+
+def _bfs_reaches(adj, start, goal, banned_edge=None, banned_node=None):
+    from collections import deque
+
+    seen = {start}
+    dq = deque([start])
+    while dq:
+        x = dq.popleft()
+        if x == goal:
+            return True
+        for y in adj.get(x, ()):
+            if y in seen or y == banned_node:
+                continue
+            if banned_edge and {x, y} == banned_edge:
+                continue
+            seen.add(y)
+            dq.append(y)
+    return goal in seen
+
+
+def bridges_golden():
+    """BRUTE-FORCE bridge oracle — deliberately no low-link logic: an
+    edge {u,v} with physical multiplicity 1 is a bridge iff deleting
+    it leaves v unreachable from u."""
+    adj, parallel = _csv1_undirected_simple()
+    rows = []
+    for a in sorted(adj):
+        for b in sorted(adj[a]):
+            if a >= b or (a, b) in parallel:
+                continue
+            if not _bfs_reaches(adj, a, b, banned_edge={a, b}):
+                rows.append((a, b))
+    return values_sql([("src", "VARCHAR"), ("dst", "VARCHAR")], sorted(rows))
+
+
+def articulation_golden():
+    """BRUTE-FORCE articulation oracle: node u is an articulation
+    point iff deleting it leaves some neighbor unreachable from
+    another neighbor."""
+    adj, _parallel = _csv1_undirected_simple()
+    rows = []
+    for u in sorted(adj):
+        nbrs = sorted(adj[u])
+        if len(nbrs) < 2:
+            continue
+        first = nbrs[0]
+        if any(
+            not _bfs_reaches(adj, first, x, banned_node=u) for x in nbrs[1:]
+        ):
+            rows.append((u,))
+    return values_sql([("NodeId", "VARCHAR")], rows)
 
 
 
