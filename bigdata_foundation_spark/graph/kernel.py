@@ -1132,3 +1132,41 @@ def biconnectivity_kernel(proj: Projection, parallel_pairs: set | None = None):
     )
     articulation = sorted(ids[i] for i in range(n) if artic[i])
     return bridges, articulation
+
+
+def ppr_kernel(
+    proj: Projection,
+    sources: Sequence[str],
+    damping: float = 0.85,
+    iters: int = 20,
+):
+    """Personalized PageRank / random walk with restart (Haveliwala
+    2002; GDS personalized pageRank): :func:`pagerank_kernel` with the
+    teleport vector restricted to ``sources`` — restart mass
+    (1 - damping) AND dangling mass both return to the source set
+    uniformly, never to the whole graph, so rank concentrates around
+    the seeds (the recommendation / local-relevance primitive).
+    r0 is uniform over the sources; unreachable nodes stay exactly
+    0.0. Same fixed-iteration, raw-float-out contract as
+    ``pagerank_kernel`` (caller rounds to 6 dp)."""
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    idx = [proj.index[s] for s in sources if s in proj.index]
+    if not idx:
+        raise ValueError("ppr_kernel: no source is present in the graph")
+    k = len(idx)
+    deg = np.diff(proj.indptr).astype(np.float64)
+    srcs = proj.esrc()
+    dangling_mask = deg == 0.0
+    has_out = ~dangling_mask
+    safe_deg = np.where(has_out, deg, 1.0)
+    restart = np.zeros(n)
+    restart[idx] = 1.0 / k
+    r = restart.copy()
+    for _ in range(iters):
+        dangling = float(r[dangling_mask].sum())
+        share = (r / safe_deg)[srcs]
+        contrib = np.bincount(proj.adj_v, weights=share, minlength=n)
+        r = (1.0 - damping + damping * dangling) * restart + damping * contrib
+    return list(zip(proj.ids, r.tolist()))

@@ -84,8 +84,8 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # corpus_profile's exact switch, and the BSP state-checkpoint
 # hardening — then (b) every entry absent from the r4 AND r5 gates
 # (the r3-last-gated remainder promised rotation in r6, plus the
-# text/multimodal/streaming families). 25 + 32 listed = 57; the driver
-# takes the first 50, so the last seven (b) rows fall off (noted below).
+# text/multimodal/streaming families). 26 + 32 listed = 58; the driver
+# takes the first 50, so the last eight (b) rows fall off (noted below).
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
@@ -116,9 +116,10 @@ GATE_ORDER: list[str] = [
     "hybrid_rank_rrf",  # NEW (reciprocal rank fusion, full SQL oracle)
     "graph_bridges",  # NEW (Tarjan bridges vs brute-force-BFS golden)
     "graph_articulation",  # NEW (articulation points vs brute-force golden)
+    "graph_ppr",  # NEW (personalized PageRank vs replay golden)
     # (b) absent from both the r4 and r5 gates — oldest first; the
-    # seven NEW entries above displace the last seven (b) rows from the
-    # 50-slot gate (streaming hourly/sessionize/sliding, the two
+    # eight NEW entries above displace the last eight (b) rows from the
+    # 50-slot gate (streaming dedup/hourly/sessionize/sliding, the two
     # rows-only sketches, argmin, grouping-sets — all
     # whole-registry-checked locally, ORACLES_r06.md; debut
     # value-gating outranks the rotation tail)
@@ -2848,6 +2849,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, roads = _graph(spark)
     return (
         pagerank(spark, roads)
+        .orderBy(F.desc("rank"), F.asc("NodeId"))
+        .limit(100)
+    )
+
+
+@q(
+    "graph_ppr",
+    PIPELINE_GOLDEN_SQL["graph_ppr"],
+    "personalized PageRank / random walk with restart (Haveliwala 2002; "
+    "GDS sourceNodes): teleport restricted to a hash-spread 4-seed set — "
+    "restart and dangling mass return to the seeds, rank concentrates "
+    "around them, unreachable nodes are exactly 0. Top-100 by (rank DESC, "
+    "NodeId); pinned-golden oracle from the independent pure-Python "
+    "power-iteration replay (6-dp rounding contract)",
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import personalized_pagerank
+
+    _, roads = _graph(spark)
+    seeds = [
+        r["id"]
+        for r in roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(4)
+        .collect()
+    ]
+    return (
+        personalized_pagerank(spark, roads, seeds, projection=_graph_projection(spark))
         .orderBy(F.desc("rank"), F.asc("NodeId"))
         .limit(100)
     )

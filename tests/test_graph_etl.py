@@ -342,3 +342,30 @@ def test_biconnectivity_csv1_structure(spark, graph1):
         for x in (u, v):
             if len(deg[x]) >= 2:
                 assert x in artic, x
+
+
+def test_personalized_pagerank_semantics_and_tiers(spark):
+    """PPR (round 6): kernel tier == superstep tier row-for-row; mass
+    sums to ~1 over the reachable set; nodes unreachable from the
+    seeds are exactly 0; the seed outranks distant nodes; empty and
+    absent seed sets raise."""
+    import pytest as _pytest
+
+    from bigdata_foundation_spark.graph.etl import personalized_pagerank
+
+    rows = [("a", "b", "r1", 1.0), ("b", "c", "r2", 1.0), ("c", "a", "r3", 1.0),
+            ("c", "d", "r4", 1.0), ("e", "a", "r5", 1.0)]
+    roads = spark.createDataFrame(rows, "src string, dst string, road_id string, cost double")
+    k = {r["NodeId"]: r["rank"] for r in
+         personalized_pagerank(spark, roads, ["a"], strategy="broadcast").collect()}
+    s = {r["NodeId"]: r["rank"] for r in
+         personalized_pagerank(spark, roads, ["a"], strategy="bsp").collect()}
+    assert k == s
+    assert k["e"] == 0.0                      # e only points INTO the seed set
+    assert abs(sum(k.values()) - 1.0) < 1e-4  # 6-dp rounding wobble only
+    assert k["a"] > k["d"]                    # concentration near the seed
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(spark, roads, [])
+    with _pytest.raises(ValueError):
+        personalized_pagerank(spark, roads, ["zz"], strategy="bsp").collect()

@@ -672,6 +672,7 @@ def main() -> None:
         ),
         "streaming_corpus_dedup": corpus_stream_golden(docs),
         "graph_pagerank": pagerank_golden(),
+        "graph_ppr": ppr_golden(),
         "graph_harmonic": harmonic_golden(),
         "graph_closeness": closeness_golden(),
         "graph_bridges": bridges_golden(),
@@ -751,6 +752,37 @@ def pagerank_golden(damping=0.85, iters=20, topk=100):
     rows = [(v, rv) for rv, v in ranked[:topk]]
     return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
 
+
+
+
+# --- graph_ppr -------------------------------------------------------------
+
+def ppr_golden(damping=0.85, iters=20, n_sources=4, topk=100):
+    """Replay of graph.etl.personalized_pagerank: pagerank_golden's
+    loop with the teleport vector restricted to the hash-spread
+    ``n_sources`` seed set (smallest (spark_xxhash64(id), id) — the
+    harmonic/closeness selection); restart AND dangling mass return
+    to the seeds uniformly. Pins the top-``topk`` rows by
+    (rank DESC, NodeId), 6-dp rounding."""
+    edges = load_csv1_edges()
+    nodes = sorted({x for e in edges for x in e})
+    seeds = sorted(nodes, key=lambda v: (spark_xxhash64(v), v))[:n_sources]
+    k = len(seeds)
+    outdeg: dict[str, int] = {}
+    for s_, _d in edges:
+        outdeg[s_] = outdeg.get(s_, 0) + 1
+    restart = {v: (1.0 / k if v in set(seeds) else 0.0) for v in nodes}
+    r = dict(restart)
+    for _ in range(iters):
+        dangling = sum(rv for v, rv in r.items() if v not in outdeg)
+        contrib: dict[str, float] = {}
+        for s_, d in edges:
+            contrib[d] = contrib.get(d, 0.0) + r[s_] / outdeg[s_]
+        tp = 1.0 - damping + damping * dangling
+        r = {v: tp * restart[v] + damping * contrib.get(v, 0.0) for v in nodes}
+    ranked = sorted(((r6(rv), v) for v, rv in r.items()), key=lambda t: (-t[0], t[1]))
+    rows = [(v, rv) for rv, v in ranked[:topk]]
+    return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
 
 
 
