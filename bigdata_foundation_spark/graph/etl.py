@@ -878,3 +878,68 @@ def personalized_pagerank(
     return ranks.select(
         F.col("id").alias("NodeId"), F.round(F.col("r"), 6).alias("rank")
     )
+
+
+def eigenvector_centrality(
+    spark,
+    roads: DataFrame,
+    iters: int = 20,
+    strategy: str = "auto",
+    projection=None,
+) -> DataFrame:
+    """Eigenvector centrality (Bonacich 1987; GDS eigenvector): power
+    iteration x ← normalize2(Aᵀ x), fixed ``iters`` iterations from a
+    uniform start — the undamped, unteleported sibling of
+    :func:`pagerank`; a node is central when its in-neighbors are.
+    Parallel edges each carry mass. Returns (NodeId, rank) rounded to
+    6 dp, the family's replayable determinism contract; if the
+    in-mass dies the zero vector returns (no divide-by-zero).
+
+    Tier dispatch mirrors :func:`pagerank`: broadcast numpy kernel
+    below ``paths.BROADCAST_EDGE_LIMIT``; above it, per iteration ONE
+    keyed join (edges ⋈ x on src) + ONE groupBy(dst) sum + a
+    one-scalar norm agg, ``localCheckpoint`` every few iterations."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if projection is not None or _p._resolve_strategy(roads, strategy) != "bsp":
+        from pyspark.sql import types as T
+
+        from bigdata_foundation_spark.graph import kernel as _k
+
+        proj = projection or _p.build_projection(roads)
+        schema = T.StructType(
+            [
+                T.StructField("NodeId", T.StringType(), False),
+                T.StructField("rank", T.DoubleType(), False),
+            ]
+        )
+        raw = _p._run_on_executor_df(
+            spark, proj, lambda p: _k.eigenvector_kernel(p, iters), schema
+        )
+        return raw.select("NodeId", F.round(F.col("rank"), 6).alias("rank"))
+    nodes = roads.select(F.col("src").alias("id")).union(
+        roads.select(F.col("dst").alias("id"))
+    ).distinct().localCheckpoint()
+    n = nodes.count()
+    edges = roads.select(F.col("src").alias("id"), F.col("dst")).localCheckpoint()
+    x = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+    for i in range(iters):
+        contrib = (
+            edges.join(x, "id")
+            .select(F.col("dst").alias("id"), F.col("r").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        norm = contrib.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("c") * F.col("c"))), F.lit(0.0))
+        ).first()[0]
+        if norm == 0.0:
+            x = nodes.withColumn("r", F.lit(0.0))
+            break
+        x = (
+            nodes.join(contrib, "id", "left")
+            .select("id", (F.coalesce(F.col("c"), F.lit(0.0)) / F.lit(norm)).alias("r"))
+        )
+        if i % 4 == 3 or i == iters - 1:
+            x = x.localCheckpoint()
+    return x.select(F.col("id").alias("NodeId"), F.round(F.col("r"), 6).alias("rank"))

@@ -1170,3 +1170,28 @@ def ppr_kernel(
         contrib = np.bincount(proj.adj_v, weights=share, minlength=n)
         r = (1.0 - damping + damping * dangling) * restart + damping * contrib
     return list(zip(proj.ids, r.tolist()))
+
+
+def eigenvector_kernel(proj: Projection, iters: int = 20):
+    """Eigenvector centrality by power iteration (Bonacich 1987; the
+    GDS eigenvector contract): x ← normalize2(Aᵀ x) from a uniform
+    start, fixed ``iters`` iterations — centrality flows along edge
+    direction onto targets, parallel edges each carry mass (multigraph
+    convention, same as :func:`pagerank_kernel`). If the in-mass dies
+    (no edges, or a DAG where everything drains), the zero vector is
+    returned rather than dividing by zero. Raw floats out — caller
+    applies the 6-dp F.round contract (summation-order wobble through
+    the normalization ~1e-13 vs the 1e-6 quantum)."""
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    srcs = proj.esrc()
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.bincount(proj.adj_v, weights=x[srcs], minlength=n)
+        norm = float(np.sqrt((contrib * contrib).sum()))
+        if norm == 0.0:
+            x = np.zeros(n)
+            break
+        x = contrib / norm
+    return list(zip(proj.ids, x.tolist()))

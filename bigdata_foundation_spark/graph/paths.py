@@ -862,6 +862,70 @@ def harmonic_centrality(
     )
 
 
+_ECCENTRICITY_SCHEMA = T.StructType(
+    [
+        T.StructField("NodeId", T.StringType(), False),
+        T.StructField("eccentricity", T.DoubleType(), False),
+        T.StructField("n_reachable", T.LongType(), False),
+    ]
+)
+
+
+def eccentricity(
+    spark: SparkSession,
+    roads: DataFrame,
+    n_sources: int = 16,
+    projection: _k.Projection | None = None,
+) -> DataFrame:
+    """Outbound eccentricity ecc(s) = max_{t reachable} d(s,t) (Hage &
+    Harary 1995) for the same deterministic hash-spread sample of
+    ``n_sources`` nodes as the closeness/harmonic family — max over
+    the sampled rows lower-bounds the directed diameter, the standard
+    sampled-diameter estimate. Sources reaching nothing report 0.0.
+
+    Same execution and determinism contract as closeness: one executor
+    task per sampled source over the broadcast projection (exact
+    kernel SSSP), values EXACT per sampled node. The max of exactly
+    replayed distances needs NO rounding contract (no float-sum order
+    dependence), but the 6-dp F.round is applied anyway so the column
+    matches the family's golden convention. Zero-weight edges are
+    accepted here (max is monotone; no d>0 reachability filter —
+    reachability counts d > 0 like the siblings for consistency).
+    Returns (NodeId, eccentricity, n_reachable) sorted by NodeId."""
+    proj = projection or build_projection(roads)
+    ids_df = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [
+        r["id"]
+        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(n_sources)
+        .collect()
+    ]
+    sc = spark.sparkContext
+    proj_b = _get_broadcast(spark, proj)
+
+    def _task(it: Iterator[str]) -> Iterator[tuple[str, float, int]]:
+        p = proj_b.value
+        for s in it:
+            dist = _k.sssp(p, s)
+            pos = [d for d in dist.values() if d > 0.0]
+            yield (s, max(pos, default=0.0), len(pos))
+
+    rows = sc.parallelize(srcs, _source_slices(sc, len(srcs))).mapPartitions(_task)
+    return (
+        spark.createDataFrame(rows, _ECCENTRICITY_SCHEMA)
+        .select(
+            "NodeId",
+            F.round("eccentricity", 6).alias("eccentricity"),
+            "n_reachable",
+        )
+        .orderBy("NodeId")
+    )
+
+
 _CLOSENESS_SCHEMA = T.StructType(
     [
         T.StructField("NodeId", T.StringType(), False),

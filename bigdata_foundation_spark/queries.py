@@ -84,8 +84,8 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # corpus_profile's exact switch, and the BSP state-checkpoint
 # hardening — then (b) every entry absent from the r4 AND r5 gates
 # (the r3-last-gated remainder promised rotation in r6, plus the
-# text/multimodal/streaming families). 26 + 32 listed = 58; the driver
-# takes the first 50, so the last eight (b) rows fall off (noted below).
+# text/multimodal/streaming families). 28 + 32 listed = 60; the driver
+# takes the first 50, so the last ten (b) rows fall off (noted below).
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
@@ -117,10 +117,13 @@ GATE_ORDER: list[str] = [
     "graph_bridges",  # NEW (Tarjan bridges vs brute-force-BFS golden)
     "graph_articulation",  # NEW (articulation points vs brute-force golden)
     "graph_ppr",  # NEW (personalized PageRank vs replay golden)
+    "graph_eccentricity",  # NEW (sampled eccentricity vs Dijkstra replay)
+    "graph_eigenvector",  # NEW (eigenvector centrality vs replay golden)
     # (b) absent from both the r4 and r5 gates — oldest first; the
-    # eight NEW entries above displace the last eight (b) rows from the
-    # 50-slot gate (streaming dedup/hourly/sessionize/sliding, the two
-    # rows-only sketches, argmin, grouping-sets — all
+    # ten NEW entries above displace the last ten (b) rows from the
+    # 50-slot gate (split/mixture samplers, streaming dedup/hourly/
+    # sessionize/sliding, the two rows-only sketches, argmin,
+    # grouping-sets — all
     # whole-registry-checked locally, ORACLES_r06.md; debut
     # value-gating outranks the rotation tail)
     "graph_nodes",
@@ -2879,6 +2882,42 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         personalized_pagerank(spark, roads, seeds, projection=_graph_projection(spark))
+        .orderBy(F.desc("rank"), F.asc("NodeId"))
+        .limit(100)
+    )
+
+
+@q(
+    "graph_eccentricity",
+    PIPELINE_GOLDEN_SQL["graph_eccentricity"],
+    "outbound eccentricity ecc(s) = max d(s,t) of the same 16-node "
+    "hash-spread sample (exact per-source SSSP; the max over samples "
+    "lower-bounds the directed diameter — the standard sampled-diameter "
+    "estimate). Pinned-golden oracle: independent pure-Python Dijkstra "
+    "replay",
+)
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.paths import eccentricity
+
+    _, roads = _graph(spark)
+    return eccentricity(spark, roads, n_sources=16, projection=_graph_projection(spark))
+
+
+@q(
+    "graph_eigenvector",
+    PIPELINE_GOLDEN_SQL["graph_eigenvector"],
+    "eigenvector centrality (Bonacich 1987; GDS eigenvector): power "
+    "iteration x <- normalize2(A^T x), 20 fixed iterations, multigraph "
+    "mass — the undamped sibling of pagerank. Top-100 by (rank DESC, "
+    "NodeId); pinned-golden oracle from the independent pure-Python "
+    "replay (6-dp rounding contract)",
+)
+def graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import eigenvector_centrality
+
+    _, roads = _graph(spark)
+    return (
+        eigenvector_centrality(spark, roads, projection=_graph_projection(spark))
         .orderBy(F.desc("rank"), F.asc("NodeId"))
         .limit(100)
     )

@@ -369,3 +369,32 @@ def test_personalized_pagerank_semantics_and_tiers(spark):
         personalized_pagerank(spark, roads, [])
     with _pytest.raises(ValueError):
         personalized_pagerank(spark, roads, ["zz"], strategy="bsp").collect()
+
+
+def test_eigenvector_centrality_semantics_and_tiers(spark):
+    """Eigenvector centrality (round 6): kernel tier == superstep tier
+    row-for-row; a hub with two in-edges outranks single-in-edge
+    nodes; ranks are L2-normalized; DAG in-mass death returns the zero
+    vector in BOTH tiers (no divide-by-zero)."""
+    from bigdata_foundation_spark.graph.etl import eigenvector_centrality
+
+    rows = [("a", "h", "r1", 1.0), ("b", "h", "r2", 1.0), ("h", "a", "r3", 1.0),
+            ("a", "b", "r4", 1.0)]
+    roads = spark.createDataFrame(rows, "src string, dst string, road_id string, cost double")
+    k = {r["NodeId"]: r["rank"] for r in
+         eigenvector_centrality(spark, roads, strategy="broadcast").collect()}
+    s = {r["NodeId"]: r["rank"] for r in
+         eigenvector_centrality(spark, roads, strategy="bsp").collect()}
+    assert k == s
+    assert k["h"] == max(k.values())          # the two-in-edge hub wins
+    assert abs(sum(v * v for v in k.values()) - 1.0) < 1e-4
+
+    dag = spark.createDataFrame(
+        [("a", "b", "r1", 1.0), ("b", "c", "r2", 1.0)],
+        "src string, dst string, road_id string, cost double",
+    )
+    zk = {r["NodeId"]: r["rank"] for r in
+          eigenvector_centrality(spark, dag, strategy="broadcast").collect()}
+    zs = {r["NodeId"]: r["rank"] for r in
+          eigenvector_centrality(spark, dag, strategy="bsp").collect()}
+    assert zk == zs and set(zk.values()) == {0.0}

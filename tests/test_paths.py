@@ -766,3 +766,34 @@ def test_closeness_wasserman_faust(spark, graph1, proj):
         assert 0.0 <= r["closeness"] <= 1.0
         expect = plain[nid]["closeness"] * r["n_reachable"] / (n_nodes - 1)
         assert abs(r["closeness"] - expect) < 2e-6  # both sides 6-dp rounded
+
+
+def test_eccentricity_sampled_values_are_exact(spark, graph1, proj):
+    """Eccentricity mirrors the closeness/harmonic contract: each
+    sampled row is the exact max distance, cross-checked against a
+    driver-side kernel SSSP; the sampled node set is identical to the
+    family's; max(ecc) over closeness-family samples lower-bounds the
+    directed diameter by construction."""
+    from bigdata_foundation_spark.graph import kernel as K
+    from bigdata_foundation_spark.graph.paths import eccentricity, harmonic_centrality
+
+    _nodes, roads = graph1
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = eccentricity(spark, roads, n_sources=16, projection=proj).collect()
+    assert len(rows) == 16
+    for r in rows:
+        dist = K.sssp(proj, r["NodeId"])
+        pos = [d for d in dist.values() if d > 0.0]
+        expect = float(
+            Decimal(repr(max(pos, default=0.0))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r["eccentricity"] == expect, r["NodeId"]
+        assert r["n_reachable"] == len(pos)
+    h_nodes = {
+        r["NodeId"]
+        for r in harmonic_centrality(spark, roads, n_sources=16, projection=proj).collect()
+    }
+    assert {r["NodeId"] for r in rows} == h_nodes

@@ -673,6 +673,8 @@ def main() -> None:
         "streaming_corpus_dedup": corpus_stream_golden(docs),
         "graph_pagerank": pagerank_golden(),
         "graph_ppr": ppr_golden(),
+        "graph_eccentricity": eccentricity_golden(),
+        "graph_eigenvector": eigenvector_golden(),
         "graph_harmonic": harmonic_golden(),
         "graph_closeness": closeness_golden(),
         "graph_bridges": bridges_golden(),
@@ -781,6 +783,70 @@ def ppr_golden(damping=0.85, iters=20, n_sources=4, topk=100):
         tp = 1.0 - damping + damping * dangling
         r = {v: tp * restart[v] + damping * contrib.get(v, 0.0) for v in nodes}
     ranked = sorted(((r6(rv), v) for v, rv in r.items()), key=lambda t: (-t[0], t[1]))
+    rows = [(v, rv) for rv, v in ranked[:topk]]
+    return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
+
+
+
+# --- graph_eccentricity / graph_eigenvector --------------------------------
+
+def eccentricity_golden(n_sources=16):
+    """Replay of paths.eccentricity: same hash-spread sample and heap
+    Dijkstra as closeness_golden; ecc(s) = max distance over reachable
+    targets (0.0 when nothing is reachable), 6-dp rounded (the max of
+    exactly-replayed distances — rounding is convention, not need)."""
+    import heapq
+
+    edges = load_csv1_weighted_edges()
+    nodes = sorted({x for s, d, _c in edges for x in (s, d)})
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for s, d, c in edges:
+        adj.setdefault(s, []).append((d, c))
+    srcs = sorted(nodes, key=lambda v: (spark_xxhash64(v), v))[:n_sources]
+    rows = []
+    for s in sorted(srcs):
+        dist: dict[str, float] = {s: 0.0}
+        pq = [(0.0, s)]
+        done = set()
+        while pq:
+            du, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        pos = [d for d in dist.values() if d > 0.0]
+        rows.append((s, r6(max(pos, default=0.0)), len(pos)))
+    return values_sql(
+        [("NodeId", "VARCHAR"), ("eccentricity", "DOUBLE"), ("n_reachable", "BIGINT")],
+        rows,
+    )
+
+
+def eigenvector_golden(iters=20, topk=100):
+    """Replay of graph.etl.eigenvector_centrality: power iteration
+    x <- normalize2(A^T x) from a uniform start, multigraph mass,
+    fixed iterations, 6-dp rounding; zero vector if the in-mass dies.
+    Pins the top-``topk`` rows by (rank DESC, NodeId)."""
+    import math
+
+    edges = load_csv1_edges()
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    x = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib: dict[str, float] = {}
+        for s_, d in edges:
+            contrib[d] = contrib.get(d, 0.0) + x[s_]
+        norm = math.sqrt(sum(c * c for c in contrib.values()))
+        if norm == 0.0:
+            x = {v: 0.0 for v in nodes}
+            break
+        x = {v: contrib.get(v, 0.0) / norm for v in nodes}
+    ranked = sorted(((r6(rv), v) for v, rv in x.items()), key=lambda t: (-t[0], t[1]))
     rows = [(v, rv) for rv, v in ranked[:topk]]
     return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
 
