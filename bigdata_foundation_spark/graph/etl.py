@@ -943,3 +943,93 @@ def eigenvector_centrality(
         if i % 4 == 3 or i == iters - 1:
             x = x.localCheckpoint()
     return x.select(F.col("id").alias("NodeId"), F.round(F.col("r"), 6).alias("rank"))
+
+
+def random_walks(
+    roads: DataFrame,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic uniform random-walk corpus over the simple
+    directed graph (DeepWalk, Perozzi et al. 2014): the data-prep
+    primitive for graph-embedding training — the walk table IS the
+    training corpus (each walk a "sentence" of node ids). Every
+    choice is a HASH, not an RNG: step t of walk w from seed s at
+    node u takes neighbor pmod(xxhash64('s|w|t|u'), outdeg(u)) over
+    the out-neighbors sorted by id — byte-identical across runs,
+    cluster layouts, AND engines (all-integer; the golden replays the
+    same xxhash64). Production contract: re-running the corpus build
+    yields the identical training set.
+
+    Walks stop early at sinks (no out-neighbors); partial paths
+    return. Walks traverse the SIMPLE graph (parallel roads collapse
+    — a documented deviation from degree-weighted node2vec-style
+    transition bias, which needs weighted sampling; first-order
+    uniform is the DeepWalk contract).
+
+    Scale shape: the adjacency-with-index table (row_number per src
+    over sorted dst) is built ONCE and reused; each of the
+    ``walk_length`` steps is ONE keyed join of the walk frontier
+    against it (frontier rows = |seeds| × walks_per_node, constant
+    across steps — no frontier explosion, unlike BFS). No kernel tier
+    needed: walk length is fixed and small, so the join count never
+    depends on graph diameter. Returns (seed, walk_id, step, NodeId)
+    with step 0 = the seed itself."""
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    from pyspark.sql import Window
+
+    adj = (
+        roads.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    adj_idx = (
+        adj.withColumn("idx", F.row_number().over(w) - 1)
+        .select(F.col("src").alias("_asrc"), F.col("dst").alias("_adst"), "idx")
+        .localCheckpoint()
+    )
+    deg = (
+        adj_idx.groupBy(F.col("_asrc").alias("_dsrc"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
+    )
+    if seeds is None:
+        seeds = roads.select(F.col("src").alias("id")).union(
+            roads.select(F.col("dst").alias("id"))
+        ).distinct()
+    state = seeds.select(
+        F.col("id").alias("seed"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk_id"),
+    ).select("seed", "walk_id", F.col("seed").alias("cur"), F.array(F.col("seed")).alias("path"))
+    for t in range(1, walk_length + 1):
+        key = F.concat_ws(
+            "|", F.col("seed"), F.col("walk_id").cast("string"), F.lit(str(t)), F.col("cur")
+        )
+        stepped = (
+            state.join(deg, state["cur"] == deg["_dsrc"])
+            .withColumn("_pick", F.pmod(F.xxhash64(key), F.col("deg")))
+            .join(
+                adj_idx,
+                (F.col("cur") == F.col("_asrc")) & (F.col("_pick") == F.col("idx")),
+            )
+            .select(
+                "seed", "walk_id",
+                F.col("_adst").alias("cur"),
+                F.array_append("path", F.col("_adst")).alias("path"),
+            )
+        )
+        # sinks drop out of `stepped`; keep their finished partial walks
+        finished = state.join(deg, state["cur"] == deg["_dsrc"], "left_anti")
+        state = stepped.unionByName(finished.select("seed", "walk_id", "cur", "path"))
+        if t % 4 == 0 or t == walk_length:
+            state = state.localCheckpoint()
+    return state.select(
+        "seed", "walk_id", F.posexplode("path").alias("step", "NodeId")
+    ).withColumn("walk_id", F.col("walk_id").cast("bigint")).withColumn(
+        "step", F.col("step").cast("bigint")
+    )

@@ -84,8 +84,8 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # corpus_profile's exact switch, and the BSP state-checkpoint
 # hardening — then (b) every entry absent from the r4 AND r5 gates
 # (the r3-last-gated remainder promised rotation in r6, plus the
-# text/multimodal/streaming families). 28 + 32 listed = 60; the driver
-# takes the first 50, so the last ten (b) rows fall off (noted below).
+# text/multimodal/streaming families). 29 + 32 listed = 61; the driver
+# takes the first 50, so the last eleven (b) rows fall off (noted below).
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
@@ -119,11 +119,12 @@ GATE_ORDER: list[str] = [
     "graph_ppr",  # NEW (personalized PageRank vs replay golden)
     "graph_eccentricity",  # NEW (sampled eccentricity vs Dijkstra replay)
     "graph_eigenvector",  # NEW (eigenvector centrality vs replay golden)
+    "graph_random_walks",  # NEW (DeepWalk corpus vs xxhash64 replay golden)
     # (b) absent from both the r4 and r5 gates — oldest first; the
-    # ten NEW entries above displace the last ten (b) rows from the
-    # 50-slot gate (split/mixture samplers, streaming dedup/hourly/
-    # sessionize/sliding, the two rows-only sketches, argmin,
-    # grouping-sets — all
+    # eleven NEW entries above displace the last eleven (b) rows from
+    # the 50-slot gate (multimodal frame-sample, split/mixture samplers,
+    # streaming dedup/hourly/sessionize/sliding, the two rows-only
+    # sketches, argmin, grouping-sets — all
     # whole-registry-checked locally, ORACLES_r06.md; debut
     # value-gating outranks the rotation tail)
     "graph_nodes",
@@ -2920,6 +2921,32 @@ def graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         eigenvector_centrality(spark, roads, projection=_graph_projection(spark))
         .orderBy(F.desc("rank"), F.asc("NodeId"))
         .limit(100)
+    )
+
+
+@q(
+    "graph_random_walks",
+    PIPELINE_GOLDEN_SQL["graph_random_walks"],
+    "deterministic uniform random-walk corpus (DeepWalk, Perozzi et al. "
+    "2014) from a hash-spread 8-seed set, 2 walks x 8 steps: every "
+    "transition is pmod(xxhash64('s|w|t|u'), outdeg) over id-sorted "
+    "neighbors — all-integer, byte-identical across runs/layouts/engines; "
+    "the graph-embedding training-corpus primitive. Pinned-golden oracle: "
+    "independent pure-Python replay with the ported xxhash64",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import random_walks
+
+    _, roads = _graph(spark)
+    seeds = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(8)
+    )
+    return random_walks(roads, walk_length=8, walks_per_node=2, seeds=seeds).orderBy(
+        "seed", "walk_id", "step"
     )
 
 

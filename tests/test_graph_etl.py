@@ -398,3 +398,52 @@ def test_eigenvector_centrality_semantics_and_tiers(spark):
     zs = {r["NodeId"]: r["rank"] for r in
           eigenvector_centrality(spark, dag, strategy="bsp").collect()}
     assert zk == zs and set(zk.values()) == {0.0}
+
+
+def test_random_walks_replay_and_semantics(spark):
+    """Deterministic walks (round 6): bit-exact vs an independent
+    pure-Python replay using the ported xxhash64 (all-integer — no
+    rounding contract at all); deterministic across partitionings;
+    sinks end walks early with partial paths; guards reject bad
+    params."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from spark_hashes import spark_xxhash64
+
+    from bigdata_foundation_spark.graph.etl import random_walks
+
+    rows = [("a", "b", "r1", 1.0), ("b", "c", "r2", 1.0), ("b", "d", "r3", 1.0),
+            ("c", "a", "r4", 1.0)]  # d is a sink
+    roads = spark.createDataFrame(rows, "src string, dst string, road_id string, cost double")
+    got = sorted(tuple(r) for r in random_walks(roads, walk_length=5, walks_per_node=2).collect())
+
+    adj = {"a": ["b"], "b": ["c", "d"], "c": ["a"]}
+    expect = []
+    for s in ["a", "b", "c", "d"]:
+        for wlk in range(2):
+            cur, path = s, [s]
+            for t in range(1, 6):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = sorted(nbrs)[spark_xxhash64(f"{s}|{wlk}|{t}|{cur}") % len(nbrs)]
+                path.append(cur)
+            expect += [(s, wlk, i, n) for i, n in enumerate(path)]
+    assert got == sorted(expect)
+
+    # seed d: only the step-0 row (immediate sink)
+    d_rows = [t for t in got if t[0] == "d"]
+    assert d_rows == [("d", 0, 0, "d"), ("d", 1, 0, "d")]
+
+    got2 = sorted(tuple(r) for r in
+                  random_walks(roads.repartition(7), walk_length=5, walks_per_node=2).collect())
+    assert got2 == got
+
+    with _pytest.raises(ValueError):
+        random_walks(roads, walk_length=0)
+    with _pytest.raises(ValueError):
+        random_walks(roads, walks_per_node=0)

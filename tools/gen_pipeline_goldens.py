@@ -675,6 +675,7 @@ def main() -> None:
         "graph_ppr": ppr_golden(),
         "graph_eccentricity": eccentricity_golden(),
         "graph_eigenvector": eigenvector_golden(),
+        "graph_random_walks": walks_golden(),
         "graph_harmonic": harmonic_golden(),
         "graph_closeness": closeness_golden(),
         "graph_bridges": bridges_golden(),
@@ -849,6 +850,43 @@ def eigenvector_golden(iters=20, topk=100):
     ranked = sorted(((r6(rv), v) for v, rv in x.items()), key=lambda t: (-t[0], t[1]))
     rows = [(v, rv) for rv, v in ranked[:topk]]
     return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
+
+
+
+# --- graph_random_walks ----------------------------------------------------
+
+def walks_golden(walk_length=8, walks_per_node=2, n_seeds=8):
+    """Replay of graph.etl.random_walks: simple directed graph
+    (distinct src->dst, self-loops dropped), out-neighbors sorted by
+    id, step t of walk w from seed s at node u picks neighbor
+    spark_xxhash64('s|w|t|u') mod outdeg(u) — all-integer, so the
+    replay is bit-exact with zero rounding contract. Seeds are the
+    hash-spread ``n_seeds`` smallest (spark_xxhash64(id), id)."""
+    edges = load_csv1_edges()
+    adj: dict[str, set] = {}
+    for s_, d in edges:
+        if s_ != d:
+            adj.setdefault(s_, set()).add(d)
+    adj_sorted = {k: sorted(v) for k, v in adj.items()}
+    nodes = sorted({x for e in edges for x in e})
+    seeds = sorted(nodes, key=lambda v: (spark_xxhash64(v), v))[:n_seeds]
+    rows = []
+    for s_ in seeds:
+        for wlk in range(walks_per_node):
+            cur = s_
+            path = [s_]
+            for t in range(1, walk_length + 1):
+                nbrs = adj_sorted.get(cur)
+                if not nbrs:
+                    break
+                pick = spark_xxhash64(f"{s_}|{wlk}|{t}|{cur}") % len(nbrs)
+                cur = nbrs[pick]
+                path.append(cur)
+            rows += [(s_, wlk, i, n) for i, n in enumerate(path)]
+    return values_sql(
+        [("seed", "VARCHAR"), ("walk_id", "BIGINT"), ("step", "BIGINT"), ("NodeId", "VARCHAR")],
+        sorted(rows),
+    )
 
 
 
