@@ -25,7 +25,11 @@ GRAPH_CSV = "/root/reference/Shenzhen_Edgelist_7.csv"
 GRAPH_SOURCE, GRAPH_TARGET = "2022", "1319"  # farthest pair golden (FIXTURES.md §3.2)
 
 # Headline subset of the registry — the queries a 100 TB deployment
-# would actually run hot.
+# would actually run hot. The r6-operator block (r6 verdict item 2):
+# a perf regression in any round-6 operator was previously invisible
+# to the round gate — ExactSubstr, BM25, DSIR, SemDeDup, PQ and the
+# new IVF×PQ composition now have headline lines (as do kernel-tier
+# SCC/k-core in the graph suite below).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_segment_topk",
@@ -41,6 +45,12 @@ HEADLINE = [
     "multimodal_decode",
     "asof_join_attribution",
     "pack_sequences_summary",
+    "exact_substring_spans",
+    "bm25_rank",
+    "dsir_scores",
+    "semantic_dedup",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
 ]
 
 
@@ -164,12 +174,20 @@ def main() -> None:
     # second pass measures the amortized-projection steady state (the
     # reference's own regime — GDS loads the projection once per call
     # series) without letting back-to-back repeats ride their own JIT.
+    from bigdata_foundation_spark.graph.etl import (
+        core_decomposition,
+        strongly_connected_components,
+    )
+
     graph_queries = [
         ("graph_dijkstra_70k", lambda: dijkstra(spark, roads, GRAPH_SOURCE, GRAPH_TARGET, projection=proj)),
         ("graph_astar_70k", lambda: astar(spark, roads, nodes, GRAPH_SOURCE, GRAPH_TARGET, projection=proj)),
         ("graph_yens_k3_70k", lambda: yens_k(spark, roads, GRAPH_SOURCE, GRAPH_TARGET, k=3, projection=proj)),
         ("graph_sssp_70k", lambda: sssp(spark, roads, GRAPH_SOURCE, projection=proj)),
         ("graph_apsp_top10_70k", lambda: apsp_topk(spark, roads, k=10, projection=proj)),
+        # r6-new kernel-tier analytics (r6 verdict item 2)
+        ("graph_scc_70k", lambda: strongly_connected_components(roads, projection=proj)),
+        ("graph_kcore_70k", lambda: core_decomposition(spark, roads, projection=proj)),
     ]
     for pass_i in range(2):
         for name, fn in graph_queries:

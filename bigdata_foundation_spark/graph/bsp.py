@@ -59,7 +59,18 @@ def _checkpoint_union_state(df: DataFrame) -> DataFrame:
     the state schemas below, first hit at 1M-edge scale by
     tools/bsp_bench.py's Yen run. Constraints only feed optional
     filter inference, and the frame is being materialized to an RDD
-    scan here anyway, so skipping their computation is free."""
+    scan here anyway, so skipping their computation is free.
+
+    CONCURRENCY CONTRACT: the toggle is session-global for the few ms
+    the checkpoint takes — a query planned CONCURRENTLY on the same
+    SparkSession (another driver thread, a streaming foreachBatch)
+    would be optimized without constraint propagation in that window
+    (losing optional inferred filters, never correctness), and nested
+    calls on one thread could restore the inner override. The BSP
+    kernels are driver-side loops on one thread and never nest this
+    call, so the assumption holds here; run BSP queries on their own
+    session (``SparkSession.newSession()`` shares the JVM but isolates
+    conf) if you need concurrent planning guarantees."""
     spark = df.sparkSession
     key = "spark.sql.constraintPropagation.enabled"
     try:
@@ -125,7 +136,14 @@ def bsp_sssp(
         ).select("src", "dst", "cost", "h")
     else:
         edges = edges.withColumn("h", F.lit(0.0))
-    edges = edges.cache()
+    # r7: cache the projection HASH-PARTITIONED ON src — every
+    # superstep's frontier ⋈ edges join then reuses the in-memory
+    # partitioning (zero Exchange on the edge side, only the small
+    # frontier shuffles), the same property the src-bucketed table
+    # gives (+17% measured, KERNEL_BENCH §BSP) but paid once here for
+    # ANY input. The groupBy above leaves (src, dst) partitioning,
+    # which a join on src alone cannot reuse.
+    edges = edges.repartition("src").cache()
     edges.count()  # materialize the projection once
 
     state = spark.createDataFrame([(source, 0.0, [source])], _STATE_SCHEMA).localCheckpoint(eager=True)
@@ -225,8 +243,13 @@ def bsp_multi_sssp(
     if edges_pre_aggregated is not None:
         edges = edges_pre_aggregated
     else:
+        # repartition("src"): zero Exchange on the edge side per
+        # superstep (see bsp_sssp — the r7 projection contract)
         edges = (
-            roads.groupBy("src", "dst").agg(F.min("cost").alias("cost")).cache()
+            roads.groupBy("src", "dst")
+            .agg(F.min("cost").alias("cost"))
+            .repartition("src")
+            .cache()
         )
         edges.count()
     e = edges.select(
@@ -342,6 +365,7 @@ def _bsp_probe_wave(
     target: str,
     max_supersteps: int,
     checkpoint_state_every: int = 8,
+    stats: dict | None = None,
 ) -> dict[int, tuple[list[str], list[float], list[int], float]]:
     """Run one wave of masked point-to-point probes as a SINGLE
     probe-keyed BSP relaxation. ``probes`` is (pid, spur_node,
@@ -468,6 +492,10 @@ def _bsp_probe_wave(
 
     if _dirty:
         state = _checkpoint_union_state(state)
+    if stats is not None:
+        stats["supersteps"] = stats.get("supersteps", 0) + step
+        stats["waves"] = stats.get("waves", 0) + 1
+        stats["probes"] = stats.get("probes", 0) + len(probes)
     out: dict[int, tuple[list[str], list[float], list[int], float]] = {}
     for r in state.filter(F.col("node") == target).collect():
         out[int(r["pid"])] = (
@@ -487,6 +515,7 @@ def bsp_yens_k(
     k: int = 3,
     max_supersteps: int = 10_000,
     probes_per_wave: int = 64,
+    stats: dict | None = None,
 ) -> list[tuple[list[str], list[float], float]]:
     """Yen's K loopless shortest paths for graphs past the broadcast
     limit (G5 at BSP scale). Same semantics as the broadcast
@@ -507,7 +536,9 @@ def bsp_yens_k(
 
     Returns [(node path, hop costs, total cost)] — driver-sized.
     """
-    e = _edges_with_identity(roads).cache()
+    # src-partitioned cache: every probe superstep's frontier ⋈ e join
+    # reuses the in-memory partitioning — zero edge-side Exchange (r7)
+    e = _edges_with_identity(roads).repartition("src").cache()
     e.count()
     try:
         # Reverse-distance table (node, _h): one BSP SSSP from target
@@ -516,12 +547,19 @@ def bsp_yens_k(
         h = (
             bsp_multi_sssp(spark, rev, [target], max_supersteps=max_supersteps)
             .select("node", F.col("dist").alias("_h"))
+            .repartition("node")  # candidate ⋈ h joins reuse this
             .cache()
         )
         h.count()
         try:
             first = _bsp_probe_wave(
-                spark, e, h, [(0, source, frozenset(), frozenset())], target, max_supersteps
+                spark,
+                e,
+                h,
+                [(0, source, frozenset(), frozenset())],
+                target,
+                max_supersteps,
+                stats=stats,
             )
             if 0 not in first:
                 return []
@@ -532,11 +570,19 @@ def bsp_yens_k(
             seen: set[tuple[int, ...]] = {tuple(p0_eids)}
             import heapq as _hq
 
-            candidates: list[tuple[float, list[str], list[float], list[int]]] = []
+            candidates: list[tuple[float, list[str], list[float], list[int], int]] = []
+            # Lawler's rule (r7): when the just-accepted path deviated
+            # from its parent at spur index d, positions i < d carry
+            # masks IDENTICAL to the parent iteration's (the new path's
+            # prefix edges were already masked there), so their spur
+            # results are already in `seen`/the heap — probe only
+            # i >= d. Exact-equivalent output (the skipped probes could
+            # only regenerate seen keys), fewer probe rows per wave.
+            dev_prev = 0
             while len(a_paths) < k:
                 prev_nodes, prev_costs, prev_eids = a_paths[-1]
                 probes = []
-                for i in range(len(prev_nodes) - 1):
+                for i in range(dev_prev, len(prev_nodes) - 1):
                     root_nodes = prev_nodes[: i + 1]
                     masked_e = frozenset(
                         p_eids[i]
@@ -556,6 +602,7 @@ def bsp_yens_k(
                             probes[lo : lo + probes_per_wave],
                             target,
                             max_supersteps,
+                            stats=stats,
                         )
                     )
                 for i, (sp_nodes, sp_costs, sp_eids, _sd) in results.items():
@@ -567,11 +614,11 @@ def bsp_yens_k(
                         continue
                     seen.add(key)
                     _hq.heappush(
-                        candidates, (float(sum(costs_i)), nodes_i, costs_i, eids_i)
+                        candidates, (float(sum(costs_i)), nodes_i, costs_i, eids_i, i)
                     )
                 if not candidates:
                     break
-                _total, nodes_i, costs_i, eids_i = _hq.heappop(candidates)
+                _total, nodes_i, costs_i, eids_i, dev_prev = _hq.heappop(candidates)
                 a_paths.append((nodes_i, costs_i, eids_i))
             return [
                 (nodes_i, costs_i, float(sum(costs_i)))

@@ -181,6 +181,34 @@ def degree_distribution(roads: DataFrame) -> DataFrame:
     )
 
 
+def _kernel_tier(roads: DataFrame, strategy: str, projection) -> bool:
+    """Tier dispatch shared by the analytics dispatchers (pagerank,
+    LPA, WCC/SCC, k-core, PPR, eigenvector): True → broadcast numpy
+    kernel over the CSR projection; False → distributed superstep
+    (BSP) tier.
+
+    An EXPLICIT ``strategy="bsp"`` always wins (r6 advice): a cached
+    projection is a kernel-tier fast path, and letting it silently
+    override a caller's superstep request meant a benchmark could
+    believe it measured the BSP tier while the kernel ran. We warn
+    that the projection goes unused and honor the request. Otherwise
+    a non-None projection short-circuits auto dispatch to the kernel
+    tier — the caller already paid the CSR build."""
+    if strategy == "bsp":
+        if projection is not None:
+            import warnings
+
+            warnings.warn(
+                "strategy='bsp' runs the distributed superstep tier; the "
+                "passed projection is unused there",
+                stacklevel=3,
+            )
+        return False
+    from bigdata_foundation_spark.graph import paths as _p
+
+    return projection is not None or _p._resolve_strategy(roads, strategy) != "bsp"
+
+
 def k_hop_nodes(
     spark: SparkSession, roads: DataFrame, source: str, k: int
 ) -> DataFrame:
@@ -242,7 +270,7 @@ def connected_components(
     (equivalence pinned by tests + the kernel-bench assert)."""
     from bigdata_foundation_spark.graph import paths as _p
 
-    if projection is None and _p._resolve_strategy(roads, strategy) == "bsp":
+    if not _kernel_tier(roads, strategy, projection):
         return _connected_components_superstep(roads)
     from pyspark.sql import types as T
 
@@ -334,7 +362,7 @@ def pagerank(
     (tools/gen_pipeline_goldens.py pagerank replay)."""
     from bigdata_foundation_spark.graph import paths as _p
 
-    if projection is not None or _p._resolve_strategy(roads, strategy) != "bsp":
+    if _kernel_tier(roads, strategy, projection):
         from pyspark.sql import types as T
 
         from bigdata_foundation_spark.graph import kernel as _k
@@ -419,7 +447,7 @@ def label_propagation(
     are bit-identical. Returns (NodeId, community)."""
     from bigdata_foundation_spark.graph import paths as _p
 
-    if projection is not None or _p._resolve_strategy(roads, strategy) != "bsp":
+    if _kernel_tier(roads, strategy, projection):
         from pyspark.sql import types as T
 
         from bigdata_foundation_spark.graph import kernel as _k
@@ -462,6 +490,7 @@ def strongly_connected_components(
     roads: DataFrame,
     strategy: str = "auto",
     projection=None,
+    max_rounds: int = 1000,
 ) -> DataFrame:
     """Strongly connected components of the directed road multigraph:
     every node labelled with the lexicographically smallest NodeId in
@@ -486,8 +515,8 @@ def strongly_connected_components(
     per round, typically O(log) rounds on real graphs."""
     from bigdata_foundation_spark.graph import paths as _p
 
-    if projection is None and _p._resolve_strategy(roads, strategy) == "bsp":
-        return _scc_superstep(roads)
+    if not _kernel_tier(roads, strategy, projection):
+        return _scc_superstep(roads, max_rounds=max_rounds)
     from pyspark.sql import types as T
 
     from bigdata_foundation_spark.graph import kernel as _k
@@ -609,6 +638,7 @@ def core_decomposition(
     roads: DataFrame,
     strategy: str = "auto",
     projection=None,
+    max_iters: int = 1000,
 ) -> DataFrame:
     """k-core decomposition of the UNDIRECTED SIMPLE graph underlying
     the road multigraph (direction + parallel edges collapsed,
@@ -629,8 +659,8 @@ def core_decomposition(
     h-index aggregate. Tiers are integer-exact identical."""
     from bigdata_foundation_spark.graph import paths as _p
 
-    if projection is None and _p._resolve_strategy(roads, strategy) == "bsp":
-        return _kcore_superstep(spark, roads)
+    if not _kernel_tier(roads, strategy, projection):
+        return _kcore_superstep(spark, roads, max_iters=max_iters)
     from pyspark.sql import types as T
 
     from bigdata_foundation_spark.graph import kernel as _k
@@ -816,7 +846,7 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: sources must be non-empty")
     from bigdata_foundation_spark.graph import paths as _p
 
-    if projection is not None or _p._resolve_strategy(roads, strategy) != "bsp":
+    if _kernel_tier(roads, strategy, projection):
         from pyspark.sql import types as T
 
         from bigdata_foundation_spark.graph import kernel as _k
@@ -901,7 +931,7 @@ def eigenvector_centrality(
     one-scalar norm agg, ``localCheckpoint`` every few iterations."""
     from bigdata_foundation_spark.graph import paths as _p
 
-    if projection is not None or _p._resolve_strategy(roads, strategy) != "bsp":
+    if _kernel_tier(roads, strategy, projection):
         from pyspark.sql import types as T
 
         from bigdata_foundation_spark.graph import kernel as _k

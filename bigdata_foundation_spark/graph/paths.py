@@ -775,6 +775,28 @@ def _reject_zero_weight_edges(proj: _k.Projection, op: str) -> None:
         )
 
 
+def _sampled_sources(roads: DataFrame, n_sources: int | None) -> list[str]:
+    """Deterministic hash-spread source sample for the centrality
+    family: the ``n_sources`` node ids with smallest
+    ``(xxhash64(id), id)`` — replayable by the golden generator.
+    ``n_sources=None`` selects EVERY node (r6 verdict item 6): the
+    exact all-source tier — on the kernel tier the CSR is already
+    broadcast, so exact centrality is |V| parallel per-source executor
+    tasks (CSV1-scale graphs finish in seconds), and the id-list
+    collect is bounded by the same driver footprint the broadcast
+    projection already paid. The hash ordering is kept either way so
+    task batches are deterministic."""
+    ids_df = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    q = ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+    if n_sources is not None:
+        q = q.limit(n_sources)
+    return [r["id"] for r in q.collect()]
+
+
 _HARMONIC_SCHEMA = T.StructType(
     [
         T.StructField("NodeId", T.StringType(), False),
@@ -787,7 +809,7 @@ _HARMONIC_SCHEMA = T.StructType(
 def harmonic_centrality(
     spark: SparkSession,
     roads: DataFrame,
-    n_sources: int = 16,
+    n_sources: int | None = 16,
     projection: _k.Projection | None = None,
 ) -> DataFrame:
     """Outbound harmonic centrality H(s) = Σ_{t reachable, t≠s} 1/d(s,t)
@@ -823,20 +845,10 @@ def harmonic_centrality(
     estimation error in the values — H(s) is computed exactly for each
     sampled node; ``n_sources`` only selects WHICH nodes are reported
     (pinned by ``test_harmonic_sampled_values_are_exact``). Pass
-    ``n_sources >= |V|`` for the full report."""
+    ``n_sources=None`` for the exact all-source report (r7)."""
     proj = projection or build_projection(roads)
     _reject_zero_weight_edges(proj, "harmonic_centrality")
-    ids_df = (
-        roads.select(F.col("src").alias("id"))
-        .union(roads.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    srcs = [
-        r["id"]
-        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
-        .limit(n_sources)
-        .collect()
-    ]
+    srcs = _sampled_sources(roads, n_sources)
     sc = spark.sparkContext
     proj_b = _get_broadcast(spark, proj)
 
@@ -874,7 +886,7 @@ _ECCENTRICITY_SCHEMA = T.StructType(
 def eccentricity(
     spark: SparkSession,
     roads: DataFrame,
-    n_sources: int = 16,
+    n_sources: int | None = 16,
     projection: _k.Projection | None = None,
 ) -> DataFrame:
     """Outbound eccentricity ecc(s) = max_{t reachable} d(s,t) (Hage &
@@ -889,21 +901,15 @@ def eccentricity(
     replayed distances needs NO rounding contract (no float-sum order
     dependence), but the 6-dp F.round is applied anyway so the column
     matches the family's golden convention. Zero-weight edges are
-    accepted here (max is monotone; no d>0 reachability filter —
-    reachability counts d > 0 like the siblings for consistency).
-    Returns (NodeId, eccentricity, n_reachable) sorted by NodeId."""
+    accepted here (max is monotone): reachability counts every node
+    the kernel reached EXCEPT the source itself — a node at exactly
+    distance 0 via a zero-cost path is reachable (r6 advice; the old
+    ``d > 0`` filter silently understated n_reachable on zero-weight
+    graphs — on positive-weight graphs like the reference's the two
+    definitions coincide). Returns (NodeId, eccentricity, n_reachable)
+    sorted by NodeId."""
     proj = projection or build_projection(roads)
-    ids_df = (
-        roads.select(F.col("src").alias("id"))
-        .union(roads.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    srcs = [
-        r["id"]
-        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
-        .limit(n_sources)
-        .collect()
-    ]
+    srcs = _sampled_sources(roads, n_sources)
     sc = spark.sparkContext
     proj_b = _get_broadcast(spark, proj)
 
@@ -911,7 +917,7 @@ def eccentricity(
         p = proj_b.value
         for s in it:
             dist = _k.sssp(p, s)
-            pos = [d for d in dist.values() if d > 0.0]
+            pos = [d for node, d in dist.items() if node != s]
             yield (s, max(pos, default=0.0), len(pos))
 
     rows = sc.parallelize(srcs, _source_slices(sc, len(srcs))).mapPartitions(_task)
@@ -938,7 +944,7 @@ _CLOSENESS_SCHEMA = T.StructType(
 def closeness_centrality(
     spark: SparkSession,
     roads: DataFrame,
-    n_sources: int = 16,
+    n_sources: int | None = 16,
     wf_correction: bool = False,
     projection: _k.Projection | None = None,
 ) -> DataFrame:
@@ -967,12 +973,7 @@ def closeness_centrality(
         .distinct()
     )
     n_nodes = ids_df.count()
-    srcs = [
-        r["id"]
-        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
-        .limit(n_sources)
-        .collect()
-    ]
+    srcs = _sampled_sources(roads, n_sources)
     sc = spark.sparkContext
     proj_b = _get_broadcast(spark, proj)
     wf = bool(wf_correction)
@@ -1068,7 +1069,7 @@ def _brandes_from(proj: _k.Projection, source: str) -> list[tuple[str, float]]:
 def betweenness_centrality(
     spark: SparkSession,
     roads: DataFrame,
-    n_sources: int = 16,
+    n_sources: int | None = 16,
     k: int = 50,
     projection: _k.Projection | None = None,
 ) -> DataFrame:
@@ -1097,21 +1098,11 @@ def betweenness_centrality(
     statistic is pinned on CSV1 by
     ``test_betweenness_sampled_error_bound_vs_exact`` (top-10 rank
     recall and scaled-value relative error); exact = call with
-    ``n_sources >= |V|`` (every node becomes a source — the sample is
-    a deterministic hash order over all ids)."""
+    ``n_sources=None`` (every node becomes a source, as parallel
+    per-source executor tasks over the broadcast CSR — r7)."""
     proj = projection or build_projection(roads)
     _reject_zero_weight_edges(proj, "betweenness_centrality")
-    ids_df = (
-        roads.select(F.col("src").alias("id"))
-        .union(roads.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    srcs = [
-        r["id"]
-        for r in ids_df.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
-        .limit(n_sources)
-        .collect()
-    ]
+    srcs = _sampled_sources(roads, n_sources)
     sc = spark.sparkContext
     proj_b = _get_broadcast(spark, proj)
 

@@ -1010,12 +1010,31 @@ def exact_substring_spans(
             F.transform(F.sequence(F.lit(0), F.size("_toks") - F.lit(L)), gram_expr)
         ).alias("pos", "_g"),
     )
-    # ONE shuffle: window count on the fingerprint (vs agg+join = two)
-    dup_hits = (
-        grams.withColumn("_n", F.count("*").over(Window.partitionBy("_g")))
+    # Duplicated-gram detection, SKEW-SAFE (r6 verdict item 3). The
+    # r6 shape was one window count over partitionBy(_g) — a single
+    # shuffle, but a corpus-wide boilerplate gram (a site header
+    # repeated 10^8 times) lands EVERY occurrence in one window
+    # partition whose external sorter buffers them all in a single
+    # task. Two-phase instead, semantics identical (same full SQL
+    # oracle, gate hash unchanged):
+    #   1. count per gram via groupBy — partial aggregation combines
+    #      map-side, so the shuffle carries at most one row per
+    #      (input partition, distinct gram): the hot gram's reduce
+    #      input is n_partitions rows, not n_occurrences;
+    #   2. keep positions whose gram count >= 2 via a LEFT SEMI join
+    #      against the duplicated keys — Catalyst broadcasts the key
+    #      set when it is small, and past broadcast the semi join is
+    #      exactly the operator AQE's skew-join machinery can SPLIT
+    #      (replicate the build side over the hot key's sub-splits) —
+    #      the unbounded window permits neither.
+    # Plan pinned by test_plans.py::test_exact_substring_no_gram_window.
+    dup_keys = (
+        grams.groupBy("_g")
+        .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > 1)
-        .select(id_col, "pos")
+        .select("_g")
     )
+    dup_hits = grams.join(dup_keys, "_g", "left_semi").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup_hits.withColumn(

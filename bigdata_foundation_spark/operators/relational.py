@@ -468,6 +468,15 @@ def rrf_fuse(
     what makes it cross-engine exact (integer ranks → identical
     rational sums) and scale-robust (no score normalization step).
 
+    Each ranking must have AT MOST ONE row per id — RRF is defined on
+    rank functions, not multisets. A duplicated id would fan out
+    through the chained full-outer joins (rows multiply, score terms
+    double-count), so each ranking is min-collapsed per id first: if a
+    caller does feed duplicates, the id's BEST (smallest) rank counts
+    once, deterministically, instead of corrupting the fusion (r6
+    advice). The aggregate is a no-op shuffle-wise on the normal
+    already-unique top-k inputs.
+
     Scale shape: rankings are typically top-k bounded (small), so the
     N−1 full-outer joins are broadcastable; at worst they are keyed
     joins on the id. Returns (id_col, {name}_rank ... nullable,
@@ -476,7 +485,11 @@ def rrf_fuse(
         raise ValueError("rankings must be non-empty")
     out = None
     for name, df in rankings.items():
-        cur = df.select(F.col(id_col), F.col("rank").alias(f"{name}_rank"))
+        cur = (
+            df.select(F.col(id_col), F.col("rank"))
+            .groupBy(id_col)
+            .agg(F.min("rank").alias(f"{name}_rank"))
+        )
         out = cur if out is None else out.join(cur, id_col, "full_outer")
     score = None
     for name in rankings:

@@ -350,15 +350,34 @@ def _centroids_from(
     return cents
 
 
-def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _cell_matrix(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Centroids as ONE literal array-of-arrays column (position i =
+    cell id i) — constant-folded to a single Literal, so however many
+    expressions reference it, the plan carries the coordinates once.
+    Requires the contiguous 0..n-1 cell ids every producer emits
+    (``_centroids_from`` enumerates; index loaders re-sort)."""
+    cents = sorted(centroids)
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        raise ValueError(f"cell ids must be contiguous 0..n-1, got {[c for c, _ in cents]}")
     return F.array(
-        *[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("sim"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in centroids
-        ]
+        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in cents]
+    )
+
+
+def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<sim,cid>> of the vector against every centroid.
+
+    HOF transform over the single folded centroid literal instead of
+    n_cells unrolled cosine expressions (r7): the unrolled form made
+    Catalyst inline the WHOLE per-centroid tree into every downstream
+    use of the derived `cell` column — in IVF×PQ's encode stage that
+    multiplied the 16-cosine argmax into each of the 128 code-distance
+    terms (measured 107s→ the HOF form's seconds at sf0.01).
+    Identical values: same left-to-right summation per element, same
+    (sim, cid) ordering."""
+    return F.transform(
+        _cell_matrix(centroids),
+        lambda cv, i: F.struct(cosine(vec, cv).alias("sim"), i.alias("cid")),
     )
 
 
@@ -576,8 +595,6 @@ def _pq_codebooks(
     float-order-independence contract as the IVF centroids, so the
     golden generator's pure-Python replay reproduces every codebook
     bit-for-bit. Returns books[j][c] = centroid vector (len dim/m)."""
-    import numpy as np
-
     rows = (
         corpus.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(sample_size)
@@ -588,8 +605,32 @@ def _pq_codebooks(
         raise ValueError("pq: empty corpus")
     seed_rows = sorted(rows[:n_codes], key=lambda r: r[id_col])
     rows = sorted(rows, key=lambda r: r[id_col])
-    X = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
-    S = np.asarray([list(r["_v"]) for r in seed_rows], dtype=np.float64)
+    return _pq_train(
+        [list(r["_v"]) for r in rows],
+        [list(r["_v"]) for r in seed_rows],
+        m,
+        n_codes,
+        train_iters,
+    )
+
+
+def _pq_train(
+    sample: list[list[float]],
+    seeds: list[list[float]],
+    m: int,
+    n_codes: int,
+    train_iters: int,
+) -> list[list[list[float]]]:
+    """The per-subspace L2 k-means shared by :func:`_pq_codebooks`
+    (raw vectors) and :func:`_ivf_pq_codebooks` (cell residuals):
+    argmin-L2 assignment (ties → lowest code id, numpy argmin order),
+    mean updates ROUNDED TO 6 DP per iteration — the
+    float-order-independence contract that lets the golden generator's
+    pure-Python replay reproduce every codebook bit-for-bit."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    S = np.asarray(seeds, dtype=np.float64)
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m={m}")
@@ -609,46 +650,68 @@ def _pq_codebooks(
     return books
 
 
-def _pq_sub(vec: Column, j: int, d: int) -> Column:
-    return F.slice(vec, j * d + 1, d)
+def _pq_sub(vec: Column, j, d: int) -> Column:
+    """j-th length-d subvector (j may be an int or an index Column)."""
+    start = (j * d + 1) if isinstance(j, int) else j * F.lit(d) + F.lit(1)
+    return F.slice(vec, start, d if isinstance(start, int) else F.lit(d))
 
 
-def _pq_dist(sub: Column, code_vec: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(x)) for x in code_vec])
+def _pq_dist(sub: Column, code_vec) -> Column:
+    """Squared L2 between a subvector and a code vector (literal list
+    or a runtime array Column from the folded codebook literal)."""
+    cv = code_vec if isinstance(code_vec, Column) else F.array(*[F.lit(float(x)) for x in code_vec])
     return F.aggregate(
-        F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
+def _books_matrix(books: list[list[list[float]]]) -> Column:
+    """Codebooks as ONE literal array<array<array<double>>> column —
+    constant-folded to a single Literal (same rationale as
+    ``_cell_matrix``: the plan carries the m×n_codes×d coordinates
+    once, however many expressions walk them)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in book])
+            for book in books
+        ]
+    )
+
+
 def _pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
-    """m PQ codes for one vector — a literal-expression argmin per
-    subspace, entirely JVM-side (array_min over (dist, code) structs:
-    min distance, ties to the lowest code id)."""
+    """m PQ codes for one vector, entirely JVM-side: a nested HOF
+    transform over the folded codebook literal — per subspace an
+    array_min over (dist, code) structs (min distance, ties to the
+    lowest code id). The HOF form replaces m×n_codes UNROLLED distance
+    expressions (r7): unrolling made Catalyst duplicate whatever tree
+    produced ``vec`` (IVF×PQ's cell-residual) into every one of the
+    128 terms — the measured 107s→seconds fix at sf0.01. Values are
+    identical: same per-element arithmetic, same summation order,
+    same tie-break."""
     d = len(books[0][0])
-    codes = []
-    for j, book in enumerate(books):
-        sub = _pq_sub(vec, j, d)
-        scored = F.array(
-            *[
-                F.struct(_pq_dist(sub, cv).alias("d"), F.lit(c).alias("code"))
-                for c, cv in enumerate(book)
-            ]
-        )
-        codes.append(F.array_min(scored)["code"])
-    return F.array(*codes)
+    return F.transform(
+        _books_matrix(books),
+        lambda book, j: F.array_min(
+            F.transform(
+                book,
+                lambda cv, ci: F.struct(
+                    _pq_dist(_pq_sub(vec, j, d), cv).alias("d"), ci.alias("code")
+                ),
+            )
+        )["code"],
+    )
 
 
 def _pq_tables(vec: Column, books: list[list[list[float]]]) -> Column:
     """Per-query ADC lookup tables: tables[j][c] = squared L2 distance
-    from the query's j-th subvector to code c."""
+    from the query's j-th subvector to code c. Same folded-literal HOF
+    shape as ``_pq_encode``."""
     d = len(books[0][0])
-    return F.array(
-        *[
-            F.array(*[_pq_dist(_pq_sub(vec, j, d), cv) for cv in book])
-            for j, book in enumerate(books)
-        ]
+    return F.transform(
+        _books_matrix(books),
+        lambda book, j: F.transform(book, lambda cv: _pq_dist(_pq_sub(vec, j, d), cv)),
     )
 
 
@@ -719,6 +782,333 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF × PQ — the composed 100 TB ANN path (r6 verdict item 1): IVF's
+# partition-pruned probe + PQ's compressed scan in ONE operator.
+# PQ alone still scans every code row; IVF alone still reads full
+# floats per probed cell; FAISS's IVFPQ (Jégou et al. 2011 §IV) is
+# the composition: coarse-quantize into cells, PQ-encode each
+# vector's RESIDUAL against its cell centroid (residuals concentrate
+# around 0, so the same 8-byte budget quantizes far finer than raw
+# vectors), probe a few cells, ADC-scan only their codes.
+# ---------------------------------------------------------------------------
+
+
+def _py_cos(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the engine's exact summation contract
+    (left-to-right, like F.aggregate and the golden replays) — used
+    only for assigning TRAINING sample rows to cells, where bit-parity
+    with the pure-Python golden replay matters."""
+    dot_ = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot_ = dot_ + x * y
+        na = na + x * x
+        nb = nb + y * y
+    import math as _m
+
+    return dot_ / (_m.sqrt(na) * _m.sqrt(nb))
+
+
+def _ivf_pq_codebooks(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    sample_size: int = 4096,
+    train_iters: int = 5,
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on CELL RESIDUALS (v − centroid of v's
+    max-cosine cell) — the IVFPQ training step. Same deterministic
+    selection as :func:`_pq_codebooks` (hash-spread sample, first-n
+    seeds re-sorted by id, 6-dp-rounded Lloyd); the only difference is
+    the input space: residuals, whose variance is what remains AFTER
+    coarse quantization, so the same m×n_codes budget yields smaller
+    quantization error than raw-vector PQ (measured in
+    tests/test_operators.py::test_ivf_pq_beats_pq_alone_recall)."""
+    rows = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivf_pq: empty corpus")
+    seed_rows = sorted(rows[:n_codes], key=lambda r: r[id_col])
+    rows = sorted(rows, key=lambda r: r[id_col])
+
+    def resid(v: list[float]) -> list[float]:
+        best_cid = max((_py_cos(v, cvec), cid) for cid, cvec in centroids)[1]
+        cvec = dict(centroids)[best_cid]
+        return [x - y for x, y in zip(v, cvec)]
+
+    return _pq_train(
+        [resid(list(r["_v"])) for r in rows],
+        [resid(list(r["_v"])) for r in seed_rows],
+        m,
+        n_codes,
+        train_iters,
+    )
+
+
+def _ivf_pq_corpus_codes(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, cell, _codes): each corpus vector's max-cosine
+    cell and the PQ codes of its residual — all literal-expression
+    codegen, no Python on data."""
+    cmat = _cell_matrix(centroids)
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+        )
+        .withColumn("cell", F.array_max(_cell_scores(F.col("_cv"), centroids))["cid"])
+        .withColumn(
+            "_rv",
+            F.zip_with(F.col("_cv"), F.element_at(cmat, F.col("cell") + 1), lambda x, y: x - y),
+        )
+        .withColumn("_codes", _pq_encode(F.col("_rv"), books))
+        .select("neighbor_id", "cell", "_codes")
+    )
+
+
+def _ivf_pq_probe_tables(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, cell, _tbl): one row per (query, probed cell) with
+    the ADC lookup tables of the query's residual AGAINST THAT CELL'S
+    centroid — IVFPQ's per-cell asymmetric tables (the residual a
+    stored vector was encoded against depends on its cell, so the
+    query must re-table per probed cell)."""
+    cmat = _cell_matrix(centroids)
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .withColumn(
+            "_rq",
+            F.zip_with(F.col("_qv"), F.element_at(cmat, F.col("cell") + 1), lambda x, y: x - y),
+        )
+        .withColumn("_tbl", _pq_tables(F.col("_rq"), books))
+        .select("query_id", "cell", "_tbl")
+    )
+
+
+def _adc_rank(joined: DataFrame, m: int, k: int) -> DataFrame:
+    """Shared ADC tail: sum the m table lookups, rank ascending per
+    query (ties → lowest neighbor id), 6-dp rounded."""
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col("_tbl").getItem(j), F.col("_codes").getItem(j) + 1)
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("adc", F.round(adc, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    train_iters: int = 5,
+) -> DataFrame:
+    """IVF×PQ approximate top-k (FAISS IVFADC, Jégou et al. 2011 §IV):
+    coarse-quantize the corpus into ``n_cells`` IVF cells (the
+    deterministic ``_centroids_from`` contract), PQ-encode each
+    vector's residual against its cell centroid, then answer each
+    query by ADC-scanning ONLY its ``n_probe`` nearest cells' codes.
+
+    Returns (query_id, neighbor_id, adc, rank) — adc approximates the
+    SQUARED L2 distance (ascending, ties → lowest neighbor id, self
+    excluded, 6-dp rounded), directly comparable to ``pq_topk``'s
+    column.
+
+    This composes the two halves of the 100 TB ANN story that the
+    standalone operators each carry alone: relative to ``pq_topk`` the
+    scan touches |corpus|·n_probe/n_cells code rows instead of all of
+    them; relative to ``ivf_topk`` the probed cells are read as
+    m-byte codes instead of full float vectors (32× less IO at m=8,
+    dim=64); and residual encoding means the SAME code budget
+    quantizes finer (recall ≥ raw-vector PQ at equal scan width —
+    measured, tests/test_operators.py::test_ivf_pq_beats_pq_alone_recall).
+
+    Plan shape: centroids and codebooks are broadcast literals;
+    encoding, probing and the tables are codegen'd expressions; the
+    scan is ONE broadcast hash join on the cell id. Fully
+    deterministic; independent pure-Python replay in
+    tools/gen_pipeline_goldens.py (``ivf_pq_golden``). Use
+    ``ivf_pq_build``/``ivf_pq_query`` to pay training + encoding once
+    and turn probing into parquet partition pruning."""
+    centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
+    books = _ivf_pq_codebooks(
+        corpus, centroids, id_col, vec_col, m, n_codes, sample_size, train_iters
+    )
+    c = _ivf_pq_corpus_codes(corpus, centroids, books, id_col, vec_col)
+    q = _ivf_pq_probe_tables(queries, centroids, books, n_probe, id_col, vec_col)
+    joined = F.broadcast(q).join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    return _adc_rank(joined, m, k)
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    train_iters: int = 5,
+) -> None:
+    """Materialize the IVF×PQ index: the codes table (id, m PQ codes)
+    written CELL-PARTITIONED to parquet — training and encoding are
+    paid once, and a probe becomes partition pruning over 8-byte-code
+    rows (the full 100 TB layout: sublinear probe × 32× scan
+    compression). Centroids and codebooks persist next to the index
+    (``<path>__centroids``, ``<path>__codebooks``) so the query path
+    needs no corpus pass. The raw vectors are NOT stored — the index
+    is self-contained for ADC ranking (re-rank against the source
+    table by joining the returned ids when exact distances matter)."""
+    centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
+    books = _ivf_pq_codebooks(
+        corpus, centroids, id_col, vec_col, m, n_codes, sample_size, train_iters
+    )
+    spark = corpus.sparkSession
+    c = _ivf_pq_corpus_codes(corpus, centroids, books, id_col, vec_col)
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "__centroids")
+    spark.createDataFrame(
+        [
+            (j, ci, cvec)
+            for j, book in enumerate(books)
+            for ci, cvec in enumerate(book)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "__codebooks")
+
+
+def ivf_pq_query(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against an ``ivf_pq_build`` index. The queries' probed
+    cells become a static ``cell IN (...)`` filter → parquet PARTITION
+    PRUNING on the codes table (plan pinned:
+    tests/test_plans.py::test_ivf_pq_query_partition_pruned_no_python);
+    the scan then reads only the probed cells' m-byte codes. Results
+    are identical to ``ivf_pq_topk`` with the same parameters (pinned
+    by ``test_ivf_pq_build_query_matches_inline``)."""
+    centroids = [
+        (int(r["cell"]), list(r["centroid"]))
+        for r in spark.read.parquet(path + "__centroids").collect()
+    ]
+    brows = spark.read.parquet(path + "__codebooks").collect()
+    m = 1 + max(int(r["subspace"]) for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(brows, key=lambda r: (int(r["subspace"]), int(r["code"]))):
+        books[int(r["subspace"])].append(list(r["centroid"]))
+    q = _ivf_pq_probe_tables(queries, centroids, books, n_probe, id_col, vec_col)
+    q = tracked_cache(q)  # probed-cell collect + the join both read it
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = spark.read.parquet(path).filter(F.col("cell").isin(probed)).select(
+        "cell", "neighbor_id", "_codes"
+    )
+    joined = F.broadcast(q).join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    return _adc_rank(joined, m, k)
+
+
+def ivf_compact(spark: SparkSession, path: str, target_file_mb: int = 512) -> dict[int, int]:
+    """Compact an ``ivf_build``/``ivf_pq_build`` index after many
+    ``ivf_append`` batches — the index-lifecycle step MinHash already
+    has (``minhash_index_compact``; r6 verdict item 5): every append
+    adds one file set inside each touched cell directory, so a
+    long-lived ingest index fragments into thousands of small files
+    per cell (the listing-storm failure mode), and drifting appends
+    skew cell file counts. The rewrite preserves the CELL PARTITION
+    LAYOUT (partition pruning must keep working) while coalescing each
+    cell's files toward ``target_file_mb``; centroids/codebooks are
+    untouched (compaction never retrains — rebuild when drift calls
+    for new centroids). Queries before and after are row-identical
+    (``test_ivf_compact_preserves_queries``). Returns
+    {cell: new_file_count}. Rewrite goes through a temp dir so a crash
+    never leaves the index half-compacted."""
+    import math
+    import os
+    import shutil
+
+    cells = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("cell=")
+    )
+    sizes: dict[int, int] = {}
+    for cell in cells:
+        cdir = os.path.join(path, f"cell={cell}")
+        sizes[cell] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fn in os.walk(cdir)
+            for f in fn
+            if not f.startswith(("_", "."))
+        )
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out_counts: dict[int, int] = {}
+    writer = None
+    for cell in cells:
+        n_files = max(1, math.ceil(sizes[cell] / (target_file_mb * 1024 * 1024)))
+        out_counts[cell] = n_files
+        part = df.filter(F.col("cell") == cell).repartition(n_files)
+        mode = "overwrite" if writer is None else "append"
+        part.write.mode(mode).partitionBy("cell").parquet(tmp)
+        writer = True
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return out_counts
 
 
 def semantic_dedup(

@@ -90,7 +90,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # via tools/check_oracles.py — see ORACLES_r06.md.
 # Entries not listed keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) round-6 changed code paths
+    # (a) round-7 new + changed code paths (debut value-gating first)
+    "ann_ivf_pq_topk",  # NEW r7 (IVFADC vs independent replay golden)
+    # (b) round-6 changed code paths
     "graph_components",  # broadcast numpy WCC kernel tier (new dispatch)
     "graph_pagerank",  # broadcast numpy power-iteration tier
     "graph_label_propagation",  # broadcast numpy LPA tier
@@ -2338,6 +2340,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8)
     res = S.pq_topk(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "ann_ivf_pq_topk",
+    PIPELINE_GOLDEN_SQL["ann_ivf_pq_topk"],
+    "IVF x PQ composed ANN (FAISS IVFADC, Jegou et al. 2011 SIV): "
+    "corpus coarse-quantized into IVF cells, residuals PQ-encoded to "
+    "m=8 codes, each query ADC-scans only its n_probe nearest cells — "
+    "the partition-pruned probe AND the 32x-compressed scan in one "
+    "operator (pinned-golden oracle: independent pure-Python IVFADC "
+    "replay)",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.ivf_pq_topk(e, qs, k=5)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
 
 

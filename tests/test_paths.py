@@ -661,7 +661,9 @@ def test_betweenness_sampled_error_bound_vs_exact(spark, graph1, proj):
     Pich 2007 unbiased estimator: median relative error over the exact
     top-50 <= 0.25, max <= 0.75 — measured 0.125 / 0.459; the sample
     is hash-deterministic so this is a regression pin, not a flaky
-    probabilistic bound)."""
+    probabilistic bound). The exact side runs IN-ENGINE via
+    ``n_sources=None`` (r7: the exact all-source tier — every node a
+    source as parallel executor tasks), not a driver-side replay."""
     import statistics
 
     from bigdata_foundation_spark.graph.paths import betweenness_centrality
@@ -671,7 +673,7 @@ def test_betweenness_sampled_error_bound_vs_exact(spark, graph1, proj):
     exact = {
         r["NodeId"]: r["betweenness"]
         for r in betweenness_centrality(
-            spark, roads, n_sources=n + 1, k=4000, projection=proj
+            spark, roads, n_sources=None, k=4000, projection=proj
         ).collect()
     }
     sampled = {
@@ -784,7 +786,7 @@ def test_eccentricity_sampled_values_are_exact(spark, graph1, proj):
     assert len(rows) == 16
     for r in rows:
         dist = K.sssp(proj, r["NodeId"])
-        pos = [d for d in dist.values() if d > 0.0]
+        pos = [d for node, d in dist.items() if node != r["NodeId"]]
         expect = float(
             Decimal(repr(max(pos, default=0.0))).quantize(
                 Decimal("0.000001"), rounding=ROUND_HALF_UP

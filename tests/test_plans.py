@@ -208,16 +208,65 @@ def test_pq_scan_is_broadcast_codes_no_python(spark):
 
 
 def test_exact_substring_no_cartesian_one_fingerprint_shuffle(spark):
-    """ExactSubstr must never cross-join documents: duplication is a
-    window count over the 8-byte gram fingerprint (one keyed shuffle),
-    islands one more on the doc id — no CartesianProduct, no Python,
-    and the duplicated-gram decision must NOT be an agg+join (that
-    would shuffle the gram table twice)."""
+    """ExactSubstr must never cross-join documents, and (r7, verdict
+    item 3) the duplicated-gram decision must NOT be a window over
+    partitionBy(gram): a corpus-wide boilerplate gram would land every
+    occurrence in ONE window partition's external sorter. Pinned shape:
+    a two-phase count — partial-combined HashAggregate on the gram key
+    (hot gram's reduce input = n_partitions rows) + a LEFT SEMI join of
+    the gram table against the duplicated keys (broadcast when small;
+    AQE-skew-splittable otherwise). The only Window allowed is the
+    island-merge over the DOC id."""
     plan = plan_of(spark, "exact_substring_spans")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # window-count formulation: no join back onto the gram table
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no window partitioned by the gram fingerprint `_g`
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_g#" not in line, line
+    # two-phase count: partial + final HashAggregate on the gram key
+    assert "partial_count" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_ivf_pq_scan_broadcast_literals_no_python(spark):
+    """IVF×PQ (r7): centroids and codebooks must ride the plan as
+    FOLDED LITERALS (no Python on data, no side table join for the
+    model), the probe join must broadcast the small query side, and
+    there must be no cartesian — the registry entry's whole pipeline
+    is scan → codegen encode → one broadcast hash join → window."""
+    plan = plan_of(spark, "ann_ivf_pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_pq_query_partition_pruned_no_python(spark, tmp_path):
+    """The materialized IVF×PQ index's probe must become parquet
+    PARTITION PRUNING on the cell directories (PartitionFilters in the
+    scan), with no Python and the codes scan reading only
+    (cell, neighbor_id, _codes) — the sublinear-probe ×
+    compressed-scan layout the composition exists for."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark.operators import similarity as S
+
+    e = registry()["ann_ivf_pq_topk"].fn  # noqa: F841 — ensures registration
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_plan_idx")
+    S.ivf_pq_build(emb, path, n_cells=8)
+    qs = emb.filter(F.col("vec_id") < 4)
+    df = S.ivf_pq_query(spark, path, qs, k=3, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the queries-side parquet scan reports an empty PartitionFilters;
+    # the CODES scan must report the pruning cell filter
+    assert any(
+        "cell" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema" in plan and any(
+        "_codes" in seg[:300] for seg in plan.split("ReadSchema")[1:]
+    ), plan
 
 
 def test_dsir_gumbel_topk_bounded_heap(spark):

@@ -685,6 +685,7 @@ def main() -> None:
         "graph_scc": scc_golden(),
         "graph_kcore": kcore_golden(),
         "ann_pq_topk": pq_golden(vecs),
+        "ann_ivf_pq_topk": ivf_pq_golden(vecs),
         "semantic_dedup": semdedup_golden(vecs),
     }
 
@@ -794,8 +795,10 @@ def ppr_golden(damping=0.85, iters=20, n_sources=4, topk=100):
 def eccentricity_golden(n_sources=16):
     """Replay of paths.eccentricity: same hash-spread sample and heap
     Dijkstra as closeness_golden; ecc(s) = max distance over reachable
-    targets (0.0 when nothing is reachable), 6-dp rounded (the max of
-    exactly-replayed distances — rounding is convention, not need)."""
+    targets (0.0 when nothing is reachable; reachability = every
+    settled node except the source itself, so zero-cost edges count —
+    r7 contract), 6-dp rounded (the max of exactly-replayed distances
+    — rounding is convention, not need)."""
     import heapq
 
     edges = load_csv1_weighted_edges()
@@ -819,7 +822,7 @@ def eccentricity_golden(n_sources=16):
                 if nd < dist.get(v, float("inf")):
                     dist[v] = nd
                     heapq.heappush(pq, (nd, v))
-        pos = [d for d in dist.values() if d > 0.0]
+        pos = [d for node, d in dist.items() if node != s]
         rows.append((s, r6(max(pos, default=0.0)), len(pos)))
     return values_sql(
         [("NodeId", "VARCHAR"), ("eccentricity", "DOUBLE"), ("n_reachable", "BIGINT")],
@@ -1345,6 +1348,135 @@ def pq_golden(vecs, k=5, m=8, n_codes=16, sample_size=4096, train_iters=5, max_q
     )
 
 
+
+
+# --- ann_ivf_pq_topk --------------------------------------------------------
+
+def ivf_pq_golden(
+    vecs,
+    k=5,
+    n_cells=16,
+    n_probe=4,
+    m=8,
+    n_codes=16,
+    sample_size=4096,
+    train_iters=5,
+    max_query_id=8,
+    lloyd_iters=2,
+):
+    """Replay of similarity.ivf_pq_topk (FAISS IVFADC, Jégou et al.
+    2011 §IV): IVF centroids under the ivf_golden contract
+    (hash-spread seeds + 6-dp-rounded Lloyd), every vector assigned to
+    its max-(cosine, cid) cell, PQ codebooks trained on CELL RESIDUALS
+    (v − centroid[cell]) with the pq_golden contract (hash-spread
+    sample, first-n_codes-by-hash-resorted-by-id seeds, argmin-L2 with
+    ties to the lowest code, 6-dp-rounded means), corpus encoded from
+    residuals, each query ADC-scanning only its n_probe top cells with
+    PER-CELL tables built from the query's residual against that
+    cell's centroid (ascending adc, 6-dp, ties to lowest neighbor id,
+    self excluded)."""
+    byid = dict(vecs)
+    # --- IVF centroids: identical replay to ivf_golden -----------------
+    chosen = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:n_cells]
+    centroids = [(cid, byid[vid]) for cid, vid in enumerate(sorted(chosen))]
+
+    def cell_scores(v):
+        return [(_cos(v, cvec), cid) for cid, cvec in centroids]
+
+    dim = len(vecs[0][1]) if vecs else 0
+    for _ in range(lloyd_iters):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for _vid, v in vecs:
+            cell = max(cell_scores(v))[1]
+            acc = sums.setdefault(cell, [0.0] * dim)
+            for i, x in enumerate(v):
+                acc[i] = acc[i] + x
+            counts[cell] = counts.get(cell, 0) + 1
+        centroids = [
+            (
+                cid,
+                [round(sums[cid][i] / counts[cid], 6) for i in range(dim)]
+                if cid in counts
+                else cvec,
+            )
+            for cid, cvec in centroids
+        ]
+    cent = dict(centroids)
+
+    def resid(v):
+        cell = max(cell_scores(v))[1]
+        cvec = cent[cell]
+        return cell, [x - y for x, y in zip(v, cvec)]
+
+    # --- PQ codebooks on residuals: identical replay to pq_golden ------
+    hash_order = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:sample_size]
+    seed_ids = sorted(hash_order[:n_codes])
+    sample_ids = sorted(hash_order)
+    assert dim % m == 0
+    d = dim // m
+    resid_of = {vid: resid(v)[1] for vid, v in vecs}
+    cell_of = {vid: resid(v)[0] for vid, v in vecs}
+    books = []
+    for j in range(m):
+        C = [list(resid_of[vid][j * d : (j + 1) * d]) for vid in seed_ids]
+        Xj = [list(resid_of[vid][j * d : (j + 1) * d]) for vid in sample_ids]
+        for _ in range(train_iters):
+            sums_ = [[0.0] * d for _ in C]
+            counts_ = [0] * len(C)
+            for x in Xj:
+                dists = [sum((xi - ci) ** 2 for xi, ci in zip(x, c)) for c in C]
+                a = dists.index(min(dists))
+                counts_[a] += 1
+                for i_, xi in enumerate(x):
+                    sums_[a][i_] += xi
+            for ci in range(len(C)):
+                if counts_[ci]:
+                    C[ci] = [round(sums_[ci][i_] / counts_[ci], 6) for i_ in range(d)]
+        books.append(C)
+
+    def encode(rv):
+        codes = []
+        for j, book in enumerate(books):
+            x = rv[j * d : (j + 1) * d]
+            dists = [sum((xi - ci) ** 2 for xi, ci in zip(x, c)) for c in book]
+            codes.append(dists.index(min(dists)))
+        return codes
+
+    corpus_codes = {vid: encode(rv) for vid, rv in resid_of.items()}
+    cells: dict[int, list[int]] = {}
+    for vid, cell in cell_of.items():
+        cells.setdefault(cell, []).append(vid)
+
+    rows = []
+    for qid in sorted(vid for vid in byid if vid < max_query_id):
+        qv = byid[qid]
+        probed = [cid for _s, cid in sorted(cell_scores(qv), reverse=True)[:n_probe]]
+        scored = []
+        for cid in probed:
+            qr = [x - y for x, y in zip(qv, cent[cid])]
+            tables = [
+                [
+                    sum((xi - ci) ** 2 for xi, ci in zip(qr[j * d : (j + 1) * d], c))
+                    for c in book
+                ]
+                for j, book in enumerate(books)
+            ]
+            for nid in cells.get(cid, ()):
+                if nid == qid:
+                    continue
+                codes = corpus_codes[nid]
+                adc = 0.0
+                for j in range(m):
+                    adc = adc + tables[j][codes[j]]
+                scored.append((r6(adc), nid))
+        scored.sort()
+        for rank, (adc, nid) in enumerate(scored[:k], 1):
+            rows.append((qid, nid, adc, rank))
+    return values_sql(
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("adc", "DOUBLE"), ("rank", "BIGINT")],
+        rows,
+    )
 
 
 # --- semantic_dedup ---------------------------------------------------------
