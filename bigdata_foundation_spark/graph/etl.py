@@ -1063,3 +1063,402 @@ def random_walks(
     ).withColumn("walk_id", F.col("walk_id").cast("bigint")).withColumn(
         "step", F.col("step").cast("bigint")
     )
+
+
+def minimum_spanning_forest(
+    roads: DataFrame,
+    strategy: str = "auto",
+    projection=None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Minimum spanning forest (Borůvka 1926) of the undirected simple
+    weighted graph underlying the road multigraph — the cheapest set
+    of physical links keeping every connected component connected
+    (GDS ships this as ``gds.spanningTree``/``kspanningtree``).
+    Parallel edges and direction collapse to one undirected pair
+    carrying the MIN cost; self-loops never span. Returns one row per
+    forest edge: (src, dst, cost) with ``src < dst`` string-wise,
+    |V| − |components| rows in total.
+
+    UNIQUENESS: edges are compared under the strict total order
+    ``(cost, src, dst)``, which makes the forest unique (the classic
+    distinct-weights argument) — so both tiers and the independent
+    Kruskal replay oracle provably agree edge-for-edge.
+
+    Strategy dispatch — the same two-tier shape as ``paths.py``:
+
+    * ``broadcast`` (auto below ``paths.BROADCAST_EDGE_LIMIT``): one
+      executor task runs vectorized Borůvka (``kernel.msf_kernel``)
+      over the broadcast CSR — lexsort + first-occurrence pick +
+      scatter-min hooking, O(log n) whole-array rounds.
+    * ``bsp`` (auto above the limit): distributed Borůvka. Each round
+      is (1) one join of the collapsed pair table against the
+      component map, (2) one ``min_by``-shaped groupBy picking every
+      component's cheapest outgoing edge under the total order, and
+      (3) one FastSV merge of the picked root pairs — reusing
+      ``operators.dedup.duplicate_clusters``, the same hardened
+      star-merge machinery WCC rides, on a root graph that shrinks
+      geometrically (≥ halves) every round. O(log V) rounds, every
+      shuffle keyed, no driver-side graph state; raises on
+      non-convergence rather than returning a partial forest.
+    """
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if not _kernel_tier(roads, strategy, projection):
+        return _msf_superstep(roads, max_rounds=max_rounds)
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+
+    spark = roads.sparkSession
+    proj = projection or _p.build_projection(roads)
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType(), False),
+            T.StructField("dst", T.StringType(), False),
+            T.StructField("cost", T.DoubleType(), False),
+        ]
+    )
+    return _p._run_on_executor_df(spark, proj, _k.msf_kernel, schema)
+
+
+def _msf_superstep(roads: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Past-broadcast distributed Borůvka tier (see
+    :func:`minimum_spanning_forest`)."""
+    from bigdata_foundation_spark.operators.dedup import duplicate_clusters
+
+    spark = roads.sparkSession
+    pairs = (
+        roads.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("cost").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("root", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    chosen: DataFrame | None = None
+    for _round in range(max_rounds):
+        e = (
+            pairs.join(
+                comp.select(F.col("id").alias("a"), F.col("root").alias("_ra")), "a"
+            )
+            .join(comp.select(F.col("id").alias("b"), F.col("root").alias("_rb")), "b")
+            .filter(F.col("_ra") != F.col("_rb"))
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            if chosen is None:
+                from pyspark.sql import types as T
+
+                return spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("src", T.StringType(), False),
+                            T.StructField("dst", T.StringType(), False),
+                            T.StructField("cost", T.DoubleType(), False),
+                        ]
+                    ),
+                )
+            return chosen.select(
+                F.col("a").alias("src"), F.col("b").alias("dst"), "cost"
+            )
+        # every component's cheapest outgoing edge under the total
+        # order (cost, a, b) — struct-min gives min_by semantics with
+        # the tie-break baked into the comparison
+        edge = F.struct(
+            F.col("cost"),
+            F.col("a"),
+            F.col("b"),
+            F.least("_ra", "_rb").alias("_rlo"),
+            F.greatest("_ra", "_rb").alias("_rhi"),
+        ).alias("edge")
+        cand = e.select(F.col("_ra").alias("_root"), edge).unionByName(
+            e.select(F.col("_rb").alias("_root"), edge)
+        )
+        sel = (
+            cand.groupBy("_root")
+            .agg(F.min("edge").alias("edge"))
+            .select("edge.*")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        picked = sel.select("a", "b", "cost")
+        chosen = picked if chosen is None else chosen.unionByName(picked).distinct()
+        chosen = chosen.localCheckpoint(eager=True)
+        # merge the picked root pairs (FastSV star-merge — O(log d)
+        # supersteps on the shrinking root graph), then relabel comp
+        rootmap = duplicate_clusters(
+            sel.select(F.col("_rlo").alias("id_a"), F.col("_rhi").alias("id_b"))
+        ).select(F.col("node").alias("root"), F.col("cluster_id").alias("_new"))
+        comp = (
+            comp.join(rootmap, "root", "left")
+            .select("id", F.coalesce("_new", "root").alias("root"))
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError("_msf_superstep: did not converge within max_rounds")
+
+
+def node_similarity(
+    roads: DataFrame,
+    k: int = 100,
+    degree_cutoff: int = 1,
+    similarity_cutoff: float = 0.0,
+) -> DataFrame:
+    """GDS-style nodeSimilarity: Jaccard similarity of OUT-neighbour
+    sets over the directed simple graph underlying the road multigraph
+    (parallel edges collapsed, self-loops dropped) — "junctions that
+    fan out onto the same roads". Only pairs sharing ≥1 neighbour can
+    score > 0, so the computation is a keyed self-join on the shared
+    neighbour, never an all-pairs product. Returns the top-``k`` pairs
+    by (jaccard DESC, node1, node2) with node1 < node2:
+    (node1, node2, n_common, jaccard).
+
+    ``degree_cutoff`` mirrors GDS's degreeCutoff: only nodes with
+    out-degree ≥ the cutoff are compared. ``jaccard`` is the exact
+    IEEE quotient n_common / (d1 + d2 − n_common) — no rounding, so
+    the SQL oracle reproduces it bit-for-bit.
+
+    100 TB shape: the join fans out Σ indeg(m)² wedge rows over the
+    shared-neighbour key — the same bound as :func:`triangle_count` —
+    and AQE skew-split handles hot middle nodes; raise
+    ``degree_cutoff`` to prune low-signal sources before the join.
+    The final top-k is a TakeOrderedAndProject (never a global sort).
+    """
+    from bigdata_foundation_spark.operators.relational import topk
+
+    nbrs = (
+        roads.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = nbrs.groupBy("src").agg(F.count("*").alias("_d")).filter(
+        F.col("_d") >= F.lit(int(degree_cutoff))
+    )
+    nb = nbrs.join(deg.select("src"), "src", "left_semi")
+    inter = (
+        nb.select(F.col("src").alias("node1"), "dst")
+        .join(nb.select(F.col("src").alias("node2"), "dst"), "dst")
+        .filter(F.col("node1") < F.col("node2"))
+        .groupBy("node1", "node2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        inter.join(deg.select(F.col("src").alias("node1"), F.col("_d").alias("_d1")), "node1")
+        .join(deg.select(F.col("src").alias("node2"), F.col("_d").alias("_d2")), "node2")
+        .select(
+            "node1",
+            "node2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("_d1") + F.col("_d2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(similarity_cutoff)))
+    )
+    return topk(
+        scored,
+        [F.col("jaccard").desc(), F.col("node1").asc(), F.col("node2").asc()],
+        k,
+    )
+
+
+def clustering_coefficient(roads: DataFrame) -> DataFrame:
+    """Clustering structure of the undirected simple graph underlying
+    the road multigraph, as ONE summary row:
+
+    * ``n_triangles`` — global triangle count (same contract as
+      :func:`triangle_count`);
+    * ``n_wedges`` — Σ_v d(v)·(d(v)−1)/2, the open+closed wedge count;
+    * ``transitivity`` — 3·triangles / wedges (global clustering
+      coefficient, Newman 2003), 0.0 when the graph has no wedges;
+    * ``avg_local_cc`` — the Watts–Strogatz 1998 mean over nodes with
+      d ≥ 2 of 2·t(v) / (d(v)·(d(v)−1)), where t(v) counts triangles
+      through v.
+
+    Shape: the oriented wedge join + closure semi-join of
+    :func:`triangle_count` (keyed shuffles, fan-out bounded by
+    degree orientation), then per-node triangle counts by exploding
+    each closed triangle to its three corners — three keyed unions,
+    one groupBy. Ratios are exact IEEE quotients; the two means ride
+    the 6-dp comparator quantum (summation wobble ~1e-13)."""
+    und = (
+        roads.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("_d"))
+    )
+    wedges = (
+        und.select("a", "b")
+        .join(und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+        .select("a", "b", "c")
+    )
+    tri = wedges.join(
+        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    tri_per_node = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("_t"))
+    )
+    local = (
+        deg.filter(F.col("_d") >= 2)
+        .join(tri_per_node, "v", "left")
+        .select(
+            (
+                2.0
+                * F.coalesce(F.col("_t"), F.lit(0)).cast("double")
+                / (F.col("_d").cast("double") * (F.col("_d") - 1).cast("double"))
+            ).alias("_cc")
+        )
+    )
+    n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    n_wed = deg.agg(
+        (F.sum(F.col("_d").cast("bigint") * (F.col("_d") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    avg_cc = local.agg(F.avg("_cc").alias("avg_local_cc"))
+    return (
+        n_tri.crossJoin(n_wed)
+        .crossJoin(avg_cc)
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+            "avg_local_cc",
+        )
+    )
+
+
+def modularity(roads: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman–Girvan modularity Q of a community assignment over the
+    undirected simple graph underlying the road multigraph:
+
+        Q = Σ_c ( m_c / m  −  (d_c / 2m)² )
+
+    with m the undirected edge count, m_c the edges internal to
+    community c, and d_c the summed degree of c's members — the
+    quality functional Louvain maximizes and GDS exposes as
+    ``gds.modularity``. ``communities`` is any (NodeId, community)
+    assignment covering the edge endpoints (e.g. the
+    :func:`label_propagation` or :func:`connected_components` output).
+
+    Returns ONE row: (n_communities, modularity). Pure keyed
+    aggregates — two broadcast-or-shuffle joins tagging each edge's
+    endpoint communities, one groupBy; Q's float sum rides the 6-dp
+    comparator quantum. Communities with no internal edges still
+    contribute their −(d_c/2m)² term (counted via the degree side)."""
+    comm = communities.select(
+        F.col(communities.columns[0]).alias("_n"),
+        F.col(communities.columns[1]).alias("_c"),
+    )
+    und = (
+        roads.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    tagged = und.join(
+        comm.select(F.col("_n").alias("a"), F.col("_c").alias("_ca")), "a"
+    ).join(comm.select(F.col("_n").alias("b"), F.col("_c").alias("_cb")), "b")
+    m_total = und.count()
+    if m_total == 0:
+        spark = roads.sparkSession
+        return spark.createDataFrame([(0, 0.0)], "n_communities bigint, modularity double")
+    internal = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count("*").alias("_mc"))
+    )
+    degsum = (
+        und.select(F.col("a").alias("_n"))
+        .unionByName(und.select(F.col("b").alias("_n")))
+        .join(comm, "_n")
+        .groupBy("_c")
+        .agg(F.count("*").alias("_dc"))
+    )
+    per_comm = degsum.join(internal, "_c", "left").select(
+        "_c",
+        (
+            F.coalesce(F.col("_mc"), F.lit(0)).cast("double") / F.lit(float(m_total))
+            - F.pow(F.col("_dc").cast("double") / F.lit(2.0 * m_total), F.lit(2.0))
+        ).alias("_q"),
+    )
+    return per_comm.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.sum("_q").alias("modularity"),
+    )
+
+
+def louvain(
+    roads: DataFrame,
+    strategy: str = "auto",
+    projection=None,
+    max_sweeps: int = 100,
+    max_levels: int = 32,
+) -> DataFrame:
+    """Louvain community detection (Blondel et al. 2008) over the
+    unweighted undirected simple graph underlying the road multigraph —
+    the GDS flagship community algorithm (``gds.louvain``). Returns
+    (NodeId, community), community = the min original member id, for
+    every edge endpoint.
+
+    KERNEL TIER ONLY, like the biconnectivity family: the
+    modularity-greedy local-moving sweep is order-dependent by
+    definition, so it has no faithful superstep twin — one executor
+    task runs ``kernel.louvain_kernel`` over the broadcast CSR
+    (deterministic sweep order + tie-breaks; see the kernel docstring
+    for the pinned contract). Past ``paths.BROADCAST_EDGE_LIMIT``
+    use :func:`label_propagation` (the distributed community path) and
+    :func:`modularity` to score it; an explicit ``strategy='bsp'``
+    request raises rather than silently running something else."""
+    if strategy == "bsp":
+        raise ValueError(
+            "louvain is kernel-tier only (order-dependent sweeps have no "
+            "faithful superstep twin); use label_propagation + modularity "
+            "for distributed community detection past the broadcast limit"
+        )
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+    from bigdata_foundation_spark.graph import paths as _p
+
+    spark = roads.sparkSession
+    proj = projection or _p.build_projection(roads)
+    schema = T.StructType(
+        [
+            T.StructField("NodeId", T.StringType(), False),
+            T.StructField("community", T.StringType(), False),
+        ]
+    )
+    return _p._run_on_executor_df(
+        spark,
+        proj,
+        lambda p: _k.louvain_kernel(p, max_sweeps=max_sweeps, max_levels=max_levels),
+        schema,
+    )

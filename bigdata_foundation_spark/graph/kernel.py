@@ -1195,3 +1195,221 @@ def eigenvector_kernel(proj: Projection, iters: int = 20):
             break
         x = contrib / norm
     return list(zip(proj.ids, x.tolist()))
+
+
+def msf_kernel(proj: Projection):
+    """Minimum spanning forest (Borůvka 1926) of the undirected simple
+    weighted graph underlying the road multigraph — parallel edges and
+    direction collapse to one undirected pair carrying the MIN cost
+    (a road network's cheapest physical link between two junctions).
+
+    Uniqueness contract: edges are compared under the strict total
+    order ``(cost, a, b)`` with ``a < b`` the STRING-lexicographic
+    endpoint naming — distinct keys make the spanning forest unique,
+    so Borůvka here, the DataFrame superstep twin, and the
+    independent KRUSKAL replay oracle all provably return the same
+    edge set (the classic distinct-weights MST uniqueness argument).
+
+    Vectorized rounds, no per-edge Python loop: each round (1) fully
+    pointer-jumps components, (2) picks every component's first
+    cross-component edge in the global total order via one lexsort +
+    first-occurrence ``np.unique``, (3) min-hooks the chosen roots
+    (scatter-min, same shape as :func:`wcc_kernel`) — O(log n) rounds,
+    so a 25M-edge broadcast projection stays in whole-array numpy.
+
+    Returns sorted (a, b, cost) rows, |V| - |components| of them.
+    """
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    u = proj.esrc()
+    v = proj.adj_v.astype(np.int64)
+    w = proj.adj_w
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    keep = lo != hi
+    lo, hi, w = lo[keep], hi[keep], w[keep]
+    if len(lo) == 0:
+        return []
+    # collapse parallel edges: min cost per unordered index pair
+    key = lo * n + hi
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    # min w within each key group (w order inside group is arbitrary —
+    # reduceat over the stably-sorted groups)
+    starts = np.flatnonzero(first)
+    w_min = np.minimum.reduceat(w[order], starts)
+    lo_p = lo[order][first]
+    hi_p = hi[order][first]
+    # endpoint naming by STRING id, a < b lexicographically
+    ids = np.asarray(proj.ids, dtype=object)
+    a = ids[lo_p]
+    b = ids[hi_p]
+    swap = a > b
+    a, b = np.where(swap, b, a), np.where(swap, a, b)
+    # global strict total order (cost, a, b): rank 0 = cheapest edge
+    rank = np.lexsort((b, a, w_min))
+    lo_p, hi_p, a, b, w_min = lo_p[rank], hi_p[rank], a[rank], b[rank], w_min[rank]
+    m = len(lo_p)
+    pos = np.arange(m, dtype=np.int64)
+
+    parent = np.arange(n, dtype=np.int64)
+    chosen = np.zeros(m, dtype=bool)
+    while True:
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        rl = parent[lo_p]
+        rh = parent[hi_p]
+        cross = rl != rh
+        if not cross.any():
+            break
+        cpos = pos[cross]
+        # each endpoint root is a candidate owner of the edge; first
+        # occurrence per root in (root, total-order-position) order is
+        # that component's Borůvka pick
+        roots = np.concatenate([rl[cross], rh[cross]])
+        epos = np.concatenate([cpos, cpos])
+        sel = np.lexsort((epos, roots))
+        roots_s = roots[sel]
+        keep_first = np.ones(len(roots_s), dtype=bool)
+        keep_first[1:] = roots_s[1:] != roots_s[:-1]
+        picked = np.unique(epos[sel][keep_first])
+        chosen[picked] = True
+        # min-hook the picked edges' roots, then the outer loop re-jumps
+        prl = parent[lo_p[picked]]
+        prh = parent[hi_p[picked]]
+        rhi = np.maximum(prl, prh)
+        rlo = np.minimum(prl, prh)
+        np.minimum.at(parent, rhi, rlo)
+    out = sorted(zip(a[chosen], b[chosen], w_min[chosen]))
+    return [(str(x), str(y), float(c)) for x, y, c in out]
+
+
+def louvain_kernel(proj: Projection, max_sweeps: int = 100, max_levels: int = 32):
+    """Louvain community detection (Blondel et al. 2008) over the
+    UNWEIGHTED undirected simple graph underlying the road multigraph
+    (parallel edges and direction collapsed to one unit-weight pair,
+    self-loops dropped — community structure of the physical network,
+    not of its cost annotations).
+
+    DETERMINISM CONTRACT (what the replay oracle pins):
+
+    * local-moving sweeps visit nodes in ascending community-label
+      order of their CURRENT graph's node naming (level 0: the string
+      node ids; coarser levels: the min original-member id), repeating
+      until a full sweep moves nothing;
+    * a node is first removed from its community, then joins the
+      candidate community maximizing ΔQ = k_in/m − Σtot·k_v/(2m²)
+      over its neighbour communities plus its own; ties break to the
+      SMALLEST community label (a node never opens a fresh singleton —
+      the python-louvain convention);
+    * coarsening relabels each community to its min original-member
+      string id and sums pair weights (intra-community weight becomes
+      the supernode's self-loop); levels repeat until a level moves
+      nothing.
+
+    Sequential-sweep algorithm → kernel tier only, like
+    ``biconnectivity_kernel``: one executor task over the broadcast
+    CSR (Python dict sweeps, O(E) per sweep). Past the broadcast limit
+    the order-dependent sweep has no faithful superstep twin —
+    ``etl.label_propagation`` is the documented distributed
+    community-detection path (a dispatch `louvain` refuses).
+
+    Returns sorted (NodeId, community) rows, community = min member id.
+    """
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    # unit-weight undirected simple pairs on original string ids
+    u = proj.esrc()
+    v = proj.adj_v.astype(np.int64)
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    keep = lo != hi
+    pair_keys = np.unique(lo[keep] * n + hi[keep])
+    ids = proj.ids
+    # adjacency as {node: {nbr: weight}}; node naming = original ids
+    adj: dict = {s: {} for s in ids}
+    loops: dict = {s: 0.0 for s in ids}
+    for kk in pair_keys.tolist():
+        a, b = ids[kk // n], ids[kk % n]
+        adj[a][b] = adj[a].get(b, 0.0) + 1.0
+        adj[b][a] = adj[b].get(a, 0.0) + 1.0
+
+    membership = {s: s for s in ids}  # original node -> community label
+
+    for _level in range(max_levels):
+        nodes = sorted(adj)
+        m = sum(w for nb in adj.values() for w in nb.values()) / 2.0 + sum(
+            loops.values()
+        )
+        if m == 0.0:
+            break
+        k = {
+            vv: sum(adj[vv].values()) + 2.0 * loops[vv] for vv in nodes
+        }  # weighted degree
+        comm = {vv: vv for vv in nodes}
+        tot = dict(k)  # Σtot per community (label == some node id)
+        moved_any_level = False
+        for _sweep in range(max_sweeps):
+            moved = False
+            for vv in nodes:
+                cur = comm[vv]
+                # weights to neighbouring communities (loop excluded)
+                w_to: dict = {}
+                for nb, w in adj[vv].items():
+                    c = comm[nb]
+                    w_to[c] = w_to.get(c, 0.0) + w
+                tot[cur] -= k[vv]
+                best_c, best_gain = cur, None
+                for c in sorted(w_to.keys() | {cur}):
+                    gain = w_to.get(c, 0.0) / m - tot.get(c, 0.0) * k[vv] / (
+                        2.0 * m * m
+                    )
+                    if best_gain is None or gain > best_gain:
+                        best_c, best_gain = c, gain
+                tot[best_c] = tot.get(best_c, 0.0) + k[vv]
+                if best_c != cur:
+                    comm[vv] = best_c
+                    moved = True
+            if not moved:
+                break
+            moved_any_level = True
+        else:
+            raise RuntimeError("louvain_kernel: local moving did not converge")
+        if not moved_any_level:
+            break
+        # relabel communities to min member id (members are current-
+        # level node names == min original members from prior levels)
+        members: dict = {}
+        for vv, c in comm.items():
+            members.setdefault(c, []).append(vv)
+        relabel = {c: min(ms) for c, ms in members.items()}
+        comm = {vv: relabel[c] for vv, c in comm.items()}
+        for orig, cc in membership.items():
+            membership[orig] = comm[cc]
+        # coarsen
+        nadj: dict = {}
+        nloops: dict = {}
+        for vv in nodes:
+            cv = comm[vv]
+            nadj.setdefault(cv, {})
+            nloops[cv] = nloops.get(cv, 0.0) + loops[vv]
+        for vv in nodes:
+            cv = comm[vv]
+            for nb, w in adj[vv].items():
+                cn = comm[nb]
+                if cv == cn:
+                    if vv < nb:  # count each intra pair once
+                        nloops[cv] += w
+                elif True:
+                    nadj[cv][cn] = nadj[cv].get(cn, 0.0) + w
+        if len(nadj) == len(adj):
+            break
+        adj, loops = nadj, nloops
+    return sorted(membership.items())

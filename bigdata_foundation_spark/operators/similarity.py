@@ -1166,3 +1166,41 @@ def semantic_dedup(
             (F.coalesce("duplicate_of", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
         )
     )
+
+
+def kmeans_cluster(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 4,
+) -> DataFrame:
+    """First-class spherical k-means over an embedding column — the
+    curation workhorse behind SemDeDup / cluster-balanced sampling /
+    topic bucketing, exposed directly instead of buried inside them.
+
+    Exactly the deterministic centroid contract every ANN/SemDeDup
+    operator here shares (``_centroids_from``): hash-spread seeds
+    (smallest ``(xxhash64(id), id)``), ``lloyd_iters`` Lloyd steps of
+    max-cosine assignment + per-dimension cell MEAN with each refined
+    coordinate rounded to 6 dp (the determinism quantum), then one
+    final max-cosine assignment pass. Returns one row per corpus
+    vector: (id, cluster, score) with cluster ∈ 0..k−1 the centroid
+    index (ties → highest cell id, the shared ``array_max`` struct
+    contract) and score = 6-dp cosine to the winning centroid.
+
+    100 TB shape: centroids live in ONE folded literal (broadcast by
+    value); assignment is a codegen'd scan-side expression — no
+    shuffle at all until a caller aggregates; Lloyd's stats step is
+    one partial-agg avg per dimension. Replayed end-to-end by the
+    golden generator (same seeds, same rounding, same tie-breaks)."""
+    cents = _centroids_from(corpus, k, id_col, vec_col, lloyd_iters=lloyd_iters)
+    v = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    best = F.array_max(_cell_scores(F.col("_v"), cents))
+    return v.select(
+        "id",
+        best["cid"].alias("cluster"),
+        F.round(best["sim"], 6).alias("score"),
+    )

@@ -76,91 +76,76 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# Gate-slot rotation (r6): (a) entries whose code or golden changed
-# this round — the analytics kernel tier (WCC/PageRank/LPA dispatch),
-# the duplicate_clusters star-merge convergence fix (clusters +
-# streaming ingest ride it), the harmonic F.round HALF_UP fix, the
-# centrality fan-out slicing, the bidirectional-vs-BSP dispatch fix,
-# corpus_profile's exact switch, and the BSP state-checkpoint
-# hardening — then (b) every entry absent from the r4 AND r5 gates
-# (the r3-last-gated remainder promised rotation in r6, plus the
-# text/multimodal/streaming families). 29 + 32 listed = 61; the driver
-# takes the first 50, so the last eleven (b) rows fall off (noted below).
-# The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r06.md.
-# Entries not listed keep registration order after these.
+# Gate-slot rotation (r7): (a) the six round-7 debuts plus
+# ann_ivf_pq_topk (landed after the r6 snapshot — debuts value-gate
+# first), then (b) every entry whose code path changed since the r6
+# judged tree: the IVF/PQ/SemDeDup HOF expression rewrite, the
+# ExactSubstr skew guard, rrf duplicate-id collapse, the centrality
+# family's exact all-source tier + eccentricity zero-distance fix,
+# the BSP bucketed-projection caching + Lawler probe waves (path
+# family), SCC/k-core round-cap plumbing, and the
+# strategy-wins-over-projection dispatch fix (analytics family);
+# then (c) the oldest-gated rotation: all 16 entries last gated r3 or
+# earlier, plus the first 6 of the r4-last cohort. 50 exactly; the
+# whole registry is additionally value-checked locally each round via
+# tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
+# keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) round-7 new + changed code paths (debut value-gating first)
-    "ann_ivf_pq_topk",  # NEW r7 (IVFADC vs independent replay golden)
-    # (b) round-6 changed code paths
-    "graph_components",  # broadcast numpy WCC kernel tier (new dispatch)
-    "graph_pagerank",  # broadcast numpy power-iteration tier
-    "graph_label_propagation",  # broadcast numpy LPA tier
-    "graph_harmonic",  # F.round HALF_UP fix + capped fan-out slicing
-    "graph_betweenness",  # capped fan-out slicing
-    "graph_dijkstra",  # bidirectional consulted before BSP dispatch
-    "graph_sssp",  # BSP union-state checkpoint hardening
-    "graph_astar",  # same BSP hardening on the heuristic path
-    "dedup_cluster_canonical",  # duplicate_clusters star-merge rewrite
-    "dedup_cluster_keep_best",  # rides the same clustering
-    "streaming_corpus_dedup",  # compaction-cadence plumbing in the loop
-    "corpus_profile",  # exact=True/False parameter (gate runs exact)
-    "dedup_minhash_lsh",  # rides duplicate_clusters via the index path
-    "graph_scc",  # NEW (Tarjan kernel tier vs Kosaraju-replay golden)
-    "graph_kcore",  # NEW (BZ peeling vs independent peel-replay golden)
-    "ann_pq_topk",  # NEW (PQ-ADC vs independent replay golden)
-    "semantic_dedup",  # NEW (SemDeDup vs independent replay golden)
-    "unigram_perplexity",  # NEW (unigram-LM scoring, full SQL oracle)
-    "exact_substring_spans",  # NEW (ExactSubstr L-gram spans, full SQL oracle)
-    "bm25_rank",  # NEW (Okapi BM25 scoring, full SQL oracle)
-    "dsir_scores",  # NEW (DSIR importance scoring, full SQL oracle)
-    "graph_closeness",  # NEW (closeness centrality, pinned-golden oracle)
-    "hybrid_rank_rrf",  # NEW (reciprocal rank fusion, full SQL oracle)
-    "graph_bridges",  # NEW (Tarjan bridges vs brute-force-BFS golden)
-    "graph_articulation",  # NEW (articulation points vs brute-force golden)
-    "graph_ppr",  # NEW (personalized PageRank vs replay golden)
-    "graph_eccentricity",  # NEW (sampled eccentricity vs Dijkstra replay)
-    "graph_eigenvector",  # NEW (eigenvector centrality vs replay golden)
-    "graph_random_walks",  # NEW (DeepWalk corpus vs xxhash64 replay golden)
-    # (b) absent from both the r4 and r5 gates — oldest first; the
-    # eleven NEW entries above displace the last eleven (b) rows from
-    # the 50-slot gate (multimodal frame-sample, split/mixture samplers,
-    # streaming dedup/hourly/sessionize/sliding, the two rows-only
-    # sketches, argmin, grouping-sets — all
-    # whole-registry-checked locally, ORACLES_r06.md; debut
-    # value-gating outranks the rotation tail)
-    "graph_nodes",
-    "graph_edges",
-    "graph_ingest_limit",
-    "graph_writeback",
-    "graph_dijkstra_agg",
-    "graph_sssp_slice",
-    "dedup_exact",
-    "line_dedup_gate",
-    "chunk_documents",
-    "normalize_documents",
-    "ngram_counts_top",
-    "tfidf_top_terms",
-    "text_quality",
-    "text_stats",
-    "text_redact_pii",
-    "text_repetition",
-    "gopher_quality",
-    "contamination_check",
-    "fuzzy_name_match",
-    "multimodal_ingest",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "split_train_val_test",
+    # (a) round-7 debuts
+    "graph_msf",  # NEW r7 (Boruvka two-tier vs independent Kruskal golden)
+    "graph_louvain",  # NEW r7 (deterministic Louvain vs independent replay)
+    "graph_modularity",  # NEW r7 (LPA replay + modularity arithmetic golden)
+    "graph_node_similarity",  # NEW r7 (GDS nodeSimilarity, full SQL oracle)
+    "graph_clustering_coeff",  # NEW r7 (transitivity + mean local cc, full SQL)
+    "embedding_kmeans",  # NEW r7 (first-class k-means vs Lloyd replay golden)
+    "ann_ivf_pq_topk",  # NEW post-r6-snapshot (IVFADC vs independent replay)
+    # (b) changed since the r6 judged tree
+    "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
+    "ann_ivf_topk",  # same _cell_scores HOF rewrite
+    "semantic_dedup",  # rides _cell_scores
+    "exact_substring_spans",  # skew guard: two-phase capped gram count
+    "hybrid_rank_rrf",  # duplicate-id min-collapse per ranking
+    "graph_eccentricity",  # zero-distance reachable fix + exact all-source tier
+    "graph_closeness",  # n_sources=None exact tier plumbing
+    "graph_harmonic",  # same
+    "graph_betweenness",  # same
+    "graph_sssp",  # BSP src-hash-partitioned projection caching
+    "graph_yens_k3",  # Lawler rule + shared probe waves
+    "graph_yens_postprocess",  # rides yens
+    "graph_astar",  # BSP dispatch path touched
+    "graph_dijkstra",  # BSP dispatch path touched
+    "graph_scc",  # round-cap plumbing
+    "graph_kcore",  # round-cap plumbing
+    "graph_pagerank",  # strategy-wins dispatch fix
+    "graph_label_propagation",  # same (also feeds graph_modularity)
+    "graph_ppr",  # same
+    "graph_eigenvector",  # same
+    "graph_components",  # same
+    # (c) rotation — last gated r3 or earlier (all 16)
+    "argmin_supplier_per_nation",
+    "grouping_sets_orders",
+    "having_large_orders",
     "mixture_sample_sources",
+    "multimodal_frame_sample",
+    "order_count_histogram",
+    "posexplode_leading_tokens",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "split_train_val_test",
+    "sql_q6_revenue",
     "streaming_dedup",
     "streaming_hourly",
     "streaming_sessionize",
     "streaming_sliding",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "argmin_supplier_per_nation",
-    "grouping_sets_orders",
+    "token_totals_by_source",
+    # (c) rotation — head of the r4-last cohort (the rest are
+    # whole-registry-checked locally, ORACLES_r07.md)
+    "asof_join_attribution",
+    "range_join_attribution",
+    "pack_sequences_summary",
+    "winnow_overlap_pairs",
+    "streaming_interval_join",
+    "upsert_orders",
 ]
 
 
@@ -4092,3 +4077,182 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.snapshot_diff(
         old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_orderpriority"]
     )
+
+
+# ===========================================================================
+# Round 7: MSF / communities / similarity-structure graph analytics +
+# first-class k-means
+# ===========================================================================
+
+
+@q(
+    "graph_msf",
+    PIPELINE_GOLDEN_SQL["graph_msf"],
+    "minimum spanning forest (Boruvka 1926) of the undirected simple "
+    "weighted road graph (GDS spanningTree family) - unique under the "
+    "strict total order (cost, src, dst); broadcast tier runs vectorized "
+    "Boruvka over the CSR, past the edge limit distributed Boruvka "
+    "(min_by pick + FastSV root merge per round). Pinned-golden oracle: "
+    "an independent KRUSKAL union-find replay",
+)
+def graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import minimum_spanning_forest
+
+    _, roads = _graph(spark)
+    return minimum_spanning_forest(
+        roads, projection=_graph_projection(spark)
+    ).orderBy("src", "dst")
+
+
+@q(
+    "graph_louvain",
+    PIPELINE_GOLDEN_SQL["graph_louvain"],
+    "Louvain community detection (Blondel et al. 2008, the GDS flagship "
+    "community algorithm) on the unit-weight undirected simple road "
+    "graph - deterministic sweep order and tie-breaks, min-member "
+    "community labels; kernel tier only (order-dependent sweeps have no "
+    "faithful superstep twin - label_propagation is the distributed "
+    "path). Pinned-golden oracle: independent replay of the pinned "
+    "contract with edge-list bookkeeping",
+)
+def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import louvain
+
+    _, roads = _graph(spark)
+    return louvain(roads, projection=_graph_projection(spark)).orderBy("NodeId")
+
+
+@q(
+    "graph_modularity",
+    PIPELINE_GOLDEN_SQL["graph_modularity"],
+    "Newman-Girvan modularity Q of the label-propagation communities "
+    "over the undirected simple road graph (gds.modularity): Q = "
+    "sum_c(m_c/m - (d_c/2m)^2), one (n_communities, modularity) row - "
+    "the quality functional scoring any distributed community "
+    "assignment. Pinned-golden oracle: integer LPA replay + pure-Python "
+    "modularity arithmetic",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import label_propagation, modularity
+
+    _, roads = _graph(spark)
+    comms = label_propagation(
+        spark, roads, projection=_graph_projection(spark)
+    )
+    return modularity(roads, comms)
+
+
+@q(
+    "graph_node_similarity",
+    """
+    WITH el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el),
+    e AS (
+      SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst
+      FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+      WHERE el.START_NODE <> el.END_NODE
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    inter AS (
+      SELECT a.src AS node1, b.src AS node2, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT node1, node2, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / CAST(d1.d + d2.d - n_common AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN deg d1 ON d1.src = node1
+    JOIN deg d2 ON d2.src = node2
+    ORDER BY jaccard DESC, node1, node2
+    LIMIT 100
+    """,
+    "GDS nodeSimilarity: top-100 junction pairs by Jaccard similarity of "
+    "out-neighbour sets over the directed simple road graph - keyed "
+    "shared-neighbour self-join, never an all-pairs product; jaccard is "
+    "the exact IEEE quotient (full SQL oracle, same joins in DuckDB)",
+)
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import node_similarity
+
+    _, roads = _graph(spark)
+    return node_similarity(roads, k=100).withColumn(
+        "n_common", F.col("n_common").cast("bigint")
+    )
+
+
+@q(
+    "graph_clustering_coeff",
+    """
+    WITH el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el),
+    e AS (
+      SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst
+      FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tpn AS (
+      SELECT v, COUNT(*) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri
+      ) GROUP BY v
+    ),
+    loc AS (
+      SELECT 2.0 * COALESCE(t, 0) / (CAST(d AS DOUBLE) * (d - 1)) AS cc
+      FROM deg LEFT JOIN tpn ON deg.v = tpn.v WHERE d >= 2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CAST(SUM(CAST(d AS BIGINT) * (d - 1)) / 2 AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT CASE WHEN SUM(CAST(d AS BIGINT) * (d - 1)) / 2 > 0
+                   THEN 3.0 * (SELECT COUNT(*) FROM tri)
+                        / CAST(SUM(CAST(d AS BIGINT) * (d - 1)) / 2 AS DOUBLE)
+                   ELSE 0.0 END FROM deg) AS transitivity,
+           (SELECT AVG(cc) FROM loc) AS avg_local_cc
+    """,
+    "clustering structure of the undirected simple road graph in one "
+    "row: triangle count, wedge count, global transitivity (Newman "
+    "2003) and the Watts-Strogatz 1998 mean local clustering "
+    "coefficient over deg>=2 nodes (full SQL oracle - same oriented "
+    "wedge join in DuckDB)",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import clustering_coefficient
+
+    _, roads = _graph(spark)
+    return clustering_coefficient(roads)
+
+
+@q(
+    "embedding_kmeans",
+    PIPELINE_GOLDEN_SQL["embedding_kmeans"],
+    "first-class spherical k-means over the embeddings table (the "
+    "curation primitive behind SemDeDup / cluster-balanced sampling), "
+    "k=16: hash-spread seeds + 6dp-rounded Lloyd refinement + final "
+    "max-cosine assignment, centroids as one folded broadcast literal, "
+    "assignment a codegen'd scan expression (pinned-golden oracle: "
+    "independent pure-Python Lloyd replay)",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_cluster(e, k=16, id_col="vec_id", vec_col="embedding", lloyd_iters=4)

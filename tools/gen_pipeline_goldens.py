@@ -687,6 +687,10 @@ def main() -> None:
         "ann_pq_topk": pq_golden(vecs),
         "ann_ivf_pq_topk": ivf_pq_golden(vecs),
         "semantic_dedup": semdedup_golden(vecs),
+        "graph_msf": msf_golden(),
+        "graph_louvain": louvain_golden(),
+        "graph_modularity": modularity_golden(),
+        "embedding_kmeans": kmeans_golden(vecs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -1557,6 +1561,215 @@ def semdedup_golden(vecs, threshold=0.95, n_cells=16, lloyd_iters=2):
     return values_sql(
         [("vec_id", "BIGINT"), ("cell", "INTEGER"), ("duplicate_of", "BIGINT"), ("is_kept", "BOOLEAN")],
         rows,
+    )
+
+
+
+
+# --- graph_msf (round 7) ----------------------------------------------------
+
+def msf_golden():
+    """Replay of etl.minimum_spanning_forest by KRUSKAL's algorithm —
+    deliberately a different algorithm from the engine's Borůvka
+    tiers. Parallel edges and direction collapse to one undirected
+    pair with the MIN cost; edges sorted under the strict total order
+    (cost, a, b); union-find acceptance. Distinct total-order keys
+    make the forest unique, so Kruskal here and Borůvka there must
+    agree edge-for-edge (the classic distinct-weights argument)."""
+    best: dict[tuple[str, str], float] = {}
+    for s, d, c in load_csv1_weighted_edges():
+        if s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        if (a, b) not in best or c < best[(a, b)]:
+            best[(a, b)] = c
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    rows = []
+    for c, a, b in sorted((c, a, b) for (a, b), c in best.items()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            rows.append((a, b, c))
+    rows.sort()
+    return values_sql(
+        [("src", "VARCHAR"), ("dst", "VARCHAR"), ("cost", "DOUBLE")], rows
+    )
+
+
+# --- graph_louvain (round 7) ------------------------------------------------
+
+def louvain_golden(max_sweeps=100, max_levels=32):
+    """Replay of etl.louvain's pinned deterministic contract (Blondel
+    et al. 2008 with the python-louvain conventions): unit-weight
+    undirected simple graph, ascending-label sweep order, ΔQ =
+    k_in/m − Σtot·k_v/(2m²) with ties to the smallest community
+    label, coarsen with min-member relabelling, repeat until a level
+    moves nothing. Independent bookkeeping (edge-list accumulators
+    rather than the kernel's dict-of-dicts CSR walk)."""
+    pairs = sorted(
+        {
+            (min(s, d), max(s, d))
+            for s, d, _c in load_csv1_weighted_edges()
+            if s != d
+        }
+    )
+    # current-level graph: edge list with weights + per-node loops
+    edges: dict[tuple[str, str], float] = {p: 1.0 for p in pairs}
+    loops: dict[str, float] = {}
+    nodes = sorted({x for p in pairs for x in p})
+    membership = {v: v for v in nodes}
+
+    for _level in range(max_levels):
+        level_nodes = sorted(
+            set(loops) | {x for p in edges for x in p}
+        )
+        m = sum(edges.values()) + sum(loops.values())
+        if m == 0.0:
+            break
+        nbr: dict[str, list[tuple[str, float]]] = {v: [] for v in level_nodes}
+        for (a, b), w in edges.items():
+            nbr[a].append((b, w))
+            nbr[b].append((a, w))
+        k = {
+            v: sum(w for _u, w in nbr[v]) + 2.0 * loops.get(v, 0.0)
+            for v in level_nodes
+        }
+        comm = {v: v for v in level_nodes}
+        tot = dict(k)
+        moved_any = False
+        for _sweep in range(max_sweeps):
+            moved = False
+            for v in level_nodes:
+                cur = comm[v]
+                w_to: dict[str, float] = {}
+                for u, w in nbr[v]:
+                    w_to[comm[u]] = w_to.get(comm[u], 0.0) + w
+                tot[cur] -= k[v]
+                best_c, best_g = cur, None
+                for c in sorted(set(w_to) | {cur}):
+                    g = w_to.get(c, 0.0) / m - tot.get(c, 0.0) * k[v] / (2.0 * m * m)
+                    if best_g is None or g > best_g:
+                        best_c, best_g = c, g
+                tot[best_c] = tot.get(best_c, 0.0) + k[v]
+                if best_c != cur:
+                    comm[v] = best_c
+                    moved = True
+            if not moved:
+                break
+            moved_any = True
+        else:
+            raise RuntimeError("louvain_golden: local moving did not converge")
+        if not moved_any:
+            break
+        members: dict[str, list[str]] = {}
+        for v, c in comm.items():
+            members.setdefault(c, []).append(v)
+        relabel = {c: min(ms) for c, ms in members.items()}
+        comm = {v: relabel[c] for v, c in comm.items()}
+        membership = {orig: comm[cc] for orig, cc in membership.items()}
+        nedges: dict[tuple[str, str], float] = {}
+        nloops: dict[str, float] = {v: 0.0 for v in set(comm.values())}
+        for v, lw in loops.items():
+            nloops[comm[v]] += lw
+        for (a, b), w in edges.items():
+            ca, cb = comm[a], comm[b]
+            if ca == cb:
+                nloops[ca] += w
+            else:
+                key = (min(ca, cb), max(ca, cb))
+                nedges[key] = nedges.get(key, 0.0) + w
+        if len(nloops) == len(level_nodes):
+            break
+        edges, loops = nedges, nloops
+    rows = sorted(membership.items())
+    return values_sql([("NodeId", "VARCHAR"), ("community", "VARCHAR")], rows)
+
+
+# --- graph_modularity (round 7) ---------------------------------------------
+
+def modularity_golden(iters=10):
+    """Replay of etl.modularity over etl.label_propagation's CSV1
+    communities: LPA label replay (identical to lpa_golden's integer
+    contract), then Q = Σ_c (m_c/m − (d_c/2m)²) on the undirected
+    simple graph — one (n_communities, modularity) row."""
+    edges = load_csv1_edges()
+    und: dict[str, list[str]] = {}
+    for s, d in edges:
+        und.setdefault(s, []).append(d)
+        und.setdefault(d, []).append(s)
+    labels = {v: v for v in und}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in und.items():
+            counts: dict[str, int] = {}
+            for u in nbrs:
+                lu = labels[u]
+                counts[lu] = counts.get(lu, 0) + 1
+            new[v] = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0][0]
+        labels = new
+    simple = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    m = len(simple)
+    internal: dict[str, int] = {}
+    degsum: dict[str, int] = {}
+    for a, b in simple:
+        la, lb = labels[a], labels[b]
+        degsum[la] = degsum.get(la, 0) + 1
+        degsum[lb] = degsum.get(lb, 0) + 1
+        if la == lb:
+            internal[la] = internal.get(la, 0) + 1
+    q = sum(
+        internal.get(c, 0) / m - (dc / (2.0 * m)) ** 2 for c, dc in degsum.items()
+    )
+    rows = [(len(degsum), q)]
+    return values_sql([("n_communities", "BIGINT"), ("modularity", "DOUBLE")], rows)
+
+
+# --- embedding_kmeans (round 7) ---------------------------------------------
+
+def kmeans_golden(vecs, k=16, lloyd_iters=4):
+    """Replay of similarity.kmeans_cluster: the shared deterministic
+    centroid contract (hash-spread seeds, 6-dp-rounded Lloyd means —
+    exactly ivf_golden's replay), one final max-(cosine, cid)
+    assignment, score = 6-dp cosine to the winning centroid."""
+    byid = dict(vecs)
+    chosen = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:k]
+    centroids = [(cid, byid[vid]) for cid, vid in enumerate(sorted(chosen))]
+    dim = len(vecs[0][1]) if vecs else 0
+
+    def cell_scores(v):
+        return [(_cos(v, cvec), cid) for cid, cvec in centroids]
+
+    for _ in range(lloyd_iters):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for _vid, v in vecs:
+            cell = max(cell_scores(v))[1]
+            acc = sums.setdefault(cell, [0.0] * dim)
+            for i, x in enumerate(v):
+                acc[i] = acc[i] + x
+            counts[cell] = counts.get(cell, 0) + 1
+        centroids = [
+            (
+                cid,
+                [round(sums[cid][i] / counts[cid], 6) for i in range(dim)]
+                if cid in counts
+                else cvec,
+            )
+            for cid, cvec in centroids
+        ]
+    rows = []
+    for vid, v in sorted(vecs):
+        sim, cid = max(cell_scores(v))
+        rows.append((vid, cid, round(sim, 6)))
+    return values_sql(
+        [("id", "BIGINT"), ("cluster", "INTEGER"), ("score", "DOUBLE")], rows
     )
 
 
