@@ -30,6 +30,9 @@ GRAPH_SOURCE, GRAPH_TARGET = "2022", "1319"  # farthest pair golden (FIXTURES.md
 # to the round gate — ExactSubstr, BM25, DSIR, SemDeDup, PQ and the
 # new IVF×PQ composition now have headline lines (as do kernel-tier
 # SCC/k-core in the graph suite below).
+# Round-7 additions: embedding_kmeans (the new first-class curation
+# primitive) joins the headline list; MSF/Louvain/node-similarity join
+# the 70k graph suite below.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_segment_topk",
@@ -51,6 +54,8 @@ HEADLINE = [
     "semantic_dedup",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "embedding_kmeans",
+    "bpe_tokenize",
 ]
 
 
@@ -176,6 +181,9 @@ def main() -> None:
     # series) without letting back-to-back repeats ride their own JIT.
     from bigdata_foundation_spark.graph.etl import (
         core_decomposition,
+        louvain,
+        minimum_spanning_forest,
+        node_similarity,
         strongly_connected_components,
     )
 
@@ -188,6 +196,10 @@ def main() -> None:
         # r6-new kernel-tier analytics (r6 verdict item 2)
         ("graph_scc_70k", lambda: strongly_connected_components(roads, projection=proj)),
         ("graph_kcore_70k", lambda: core_decomposition(spark, roads, projection=proj)),
+        # r7-new: Boruvka MSF + Louvain (kernel tier), GDS nodeSimilarity
+        ("graph_msf_70k", lambda: minimum_spanning_forest(roads, projection=proj)),
+        ("graph_louvain_70k", lambda: louvain(roads, projection=proj)),
+        ("graph_node_similarity_70k", lambda: node_similarity(roads, k=100)),
     ]
     for pass_i in range(2):
         for name, fn in graph_queries:

@@ -1462,3 +1462,54 @@ def louvain(
         lambda p: _k.louvain_kernel(p, max_sweeps=max_sweeps, max_levels=max_levels),
         schema,
     )
+
+
+def degree_assortativity(roads: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected simple graph underlying the road multigraph: the
+    Pearson correlation of endpoint degrees over the edge list, each
+    undirected edge contributing both orientations (the standard
+    symmetric convention). Positive → hubs link to hubs (social
+    shape); road networks are typically slightly disassortative.
+
+    Returns ONE row (n_edges, assortativity); NULL assortativity when
+    the degree sequence is constant (zero variance — e.g. a pure
+    cycle), matching SQL ``CORR`` semantics in both engines. Pure
+    keyed aggregates: degree groupBy, two joins tagging endpoint
+    degrees, one ``corr`` aggregate — the correlation's float sums
+    ride the 6-dp comparator quantum."""
+    und = (
+        roads.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("_d"))
+    )
+    both = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    tagged = both.join(
+        deg.select(F.col("v").alias("a"), F.col("_d").alias("_da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("_d").alias("_db")), "b")
+    # corr spelled out as covar/(sd*sd) with a zero-variance guard:
+    # ANSI-mode F.corr raises DIVIDE_BY_ZERO on a constant degree
+    # sequence (e.g. a pure cycle) where SQL CORR must yield NULL.
+    x = F.col("_da").cast("double")
+    y = F.col("_db").cast("double")
+    agg = tagged.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_edges"),
+        F.covar_pop(x, y).alias("_cov"),
+        F.stddev_pop(x).alias("_sx"),
+        F.stddev_pop(y).alias("_sy"),
+    )
+    return agg.select(
+        "n_edges",
+        F.when(
+            (F.col("_sx") > 0) & (F.col("_sy") > 0),
+            F.col("_cov") / (F.col("_sx") * F.col("_sy")),
+        ).alias("assortativity"),
+    )

@@ -843,3 +843,177 @@ def dsir_gumbel_topk(
         .orderBy(F.desc("_gumbel_key"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: train + encode (Sennrich et al. 2016) — the real
+# subword tokenizer a training-data pipeline carries, beyond the
+# TOKEN_PATTERN counting heuristic above.
+# ---------------------------------------------------------------------------
+
+# Explicit whitespace class used on BOTH sides (Spark's Java regex and
+# the Python replay/encoder): Java's \s is ASCII-only while Python's
+# is unicode-aware, so a literal class is the only way the two ever
+# agree on e.g. U+00A0.
+_WS_CLASS = r"[ \t\r\n\f\x0b]+"
+_END_WORD = "</w>"
+
+
+def bpe_word_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Distributed word-frequency histogram — the ONLY corpus-scale
+    pass BPE training needs (the HF-tokenizers design: merges are
+    learned from the word histogram, never by re-scanning the corpus).
+    Whitespace-split on the explicit ASCII class, empty tokens
+    dropped, top-``max_words`` by (count DESC, word) via a bounded
+    TakeOrderedAndProject — deterministic truncation that keeps the
+    overwhelming mass of any Zipfian corpus."""
+    from bigdata_foundation_spark.operators.relational import topk
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), _WS_CLASS)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    return topk(words, [F.col("n").desc(), F.col("word").asc()], max_words)
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table (Sennrich et al. 2016) from a corpus:
+    one distributed word-histogram aggregation (see
+    :func:`bpe_word_histogram`), then the classic driver-side merge
+    loop over the BOUNDED histogram — each round merges the most
+    frequent adjacent symbol pair, ties to the lexicographically
+    smallest (left, right) pair, stopping early when no pair repeats.
+    Words carry the ``</w>`` end-of-word marker so merges never cross
+    word boundaries.
+
+    The driver loop is O(num_merges × Σ|word|) over DISTINCT words
+    only — corpus size never enters after the histogram shuffle, which
+    is exactly why production tokenizer trainers (HF tokenizers,
+    SentencePiece) use the same histogram reduction at 100 TB.
+
+    Returns the ordered merge list [(left, right), ...] — feed it to
+    :func:`bpe_encode`. Fully deterministic."""
+    hist = [(r["word"], int(r["n"])) for r in bpe_word_histogram(docs, text_col, max_words).collect()]
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [_END_WORD], n) for w, n in hist
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        bn = max(counts.values())
+        if bn < 2:
+            break
+        bp = min(p for p, n in counts.items() if n == bn)
+        merged = bp[0] + bp[1]
+        nxt: list[tuple[list[str], int]] = []
+        for syms, n in words:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == bp[0] and syms[i + 1] == bp[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, n))
+        words = nxt
+        merges.append(bp)
+    return merges
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with a trained rank table — the GPT-2-style
+    greedy loop: repeatedly merge the lowest-rank adjacent pair."""
+    syms = list(word) + [_END_WORD]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_tokens: int = 12,
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE merge table: per document,
+    whitespace-split (same explicit class as training), encode each
+    word by greedy lowest-rank merging, and return
+    (id, n_tokens, first_tokens) — the token count every packing /
+    budget operator downstream consumes plus a bounded sample for
+    inspection.
+
+    Plan shape: the merge table is a broadcast Python dict inside ONE
+    Arrow ``mapInPandas`` (tokenization is the documented
+    Python-on-data exception, like the multimodal codecs — there is no
+    JVM expression for data-dependent merges); a per-batch word→tokens
+    memo cache exploits Zipf so each distinct word is encoded once per
+    batch, and rows never leave their partition — zero shuffle."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    ws = _re.compile(_WS_CLASS)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("first_tokens", T.ArrayType(T.StringType()), False),
+        ]
+    )
+    k_sample = int(sample_tokens)
+
+    def _encode_batches(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            rows_id, rows_n, rows_t = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                n = 0
+                for w in ws.split(text or ""):
+                    if not w:
+                        continue
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = memo[w] = _bpe_apply(w, ranks)
+                    n += len(enc)
+                    if len(toks) < k_sample:
+                        toks.extend(enc[: k_sample - len(toks)])
+                rows_id.append(int(did))
+                rows_n.append(n)
+                rows_t.append(toks)
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"id": rows_id, "n_tokens": rows_n, "first_tokens": rows_t}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_encode_batches, out_schema)

@@ -86,7 +86,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
 # then (c) the oldest-gated rotation: all 16 entries last gated r3 or
-# earlier, plus the first 6 of the r4-last cohort. 50 exactly; the
+# earlier, plus the first 4 of the r4-last cohort. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
 # keep registration order after these.
@@ -98,6 +98,8 @@ GATE_ORDER: list[str] = [
     "graph_node_similarity",  # NEW r7 (GDS nodeSimilarity, full SQL oracle)
     "graph_clustering_coeff",  # NEW r7 (transitivity + mean local cc, full SQL)
     "embedding_kmeans",  # NEW r7 (first-class k-means vs Lloyd replay golden)
+    "graph_assortativity",  # NEW r7 (Newman 2002 degree correlation, full SQL)
+    "bpe_tokenize",  # NEW r7 (BPE train+encode vs independent replay golden)
     "ann_ivf_pq_topk",  # NEW post-r6-snapshot (IVFADC vs independent replay)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
@@ -144,8 +146,6 @@ GATE_ORDER: list[str] = [
     "range_join_attribution",
     "pack_sequences_summary",
     "winnow_overlap_pairs",
-    "streaming_interval_join",
-    "upsert_orders",
 ]
 
 
@@ -4256,3 +4256,67 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return S.kmeans_cluster(e, k=16, id_col="vec_id", vec_col="embedding", lloyd_iters=4)
+
+
+@q(
+    "graph_assortativity",
+    """
+    WITH el AS (
+      SELECT * FROM read_csv('/root/reference/Shenzhen_Edgelist_1.csv',
+                             header = true, all_varchar = true)
+      WHERE START_NODE IS NOT NULL AND START_NODE <> ''
+    ), n AS (SELECT DISTINCT START_NODE AS id FROM el),
+    e AS (
+      SELECT DISTINCT el.START_NODE AS src, el.END_NODE AS dst
+      FROM el JOIN n n1 ON el.START_NODE = n1.id JOIN n n2 ON el.END_NODE = n2.id
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    both_dir AS (
+      SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+    )
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           CORR(CAST(d1.d AS DOUBLE), CAST(d2.d AS DOUBLE)) AS assortativity
+    FROM both_dir
+    JOIN deg d1 ON d1.v = both_dir.a
+    JOIN deg d2 ON d2.v = both_dir.b
+    """,
+    "degree assortativity coefficient (Newman 2002) of the undirected "
+    "simple road graph: Pearson correlation of endpoint degrees over "
+    "both edge orientations - hubs-link-to-hubs vs disassortative "
+    "structure in one row (full SQL oracle, CORR in both engines)",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import degree_assortativity
+
+    _, roads = _graph(spark)
+    return degree_assortativity(roads)
+
+
+@q(
+    "bpe_tokenize",
+    PIPELINE_GOLDEN_SQL["bpe_tokenize"],
+    "BPE tokenizer train + encode (Sennrich et al. 2016): merges "
+    "learned from ONE distributed word-histogram aggregation (the HF "
+    "tokenizers design - corpus size never enters the driver loop), "
+    "encoding via broadcast rank table in one Arrow mapInPandas with a "
+    "per-batch word memo; per doc (id, n_tokens, head sample). "
+    "Pinned-golden oracle: independent pure-Python histogram + merge + "
+    "greedy-encode replay",
+)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import bpe_encode, bpe_train
+
+    d = _docs(spark, sf_dir)
+    merges = bpe_train(d, num_merges=100, max_words=20000)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "id", "n_tokens", F.concat_ws(" ", "first_tokens").alias("head")
+    )

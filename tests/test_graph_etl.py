@@ -447,3 +447,191 @@ def test_random_walks_replay_and_semantics(spark):
         random_walks(roads, walk_length=0)
     with _pytest.raises(ValueError):
         random_walks(roads, walks_per_node=0)
+
+
+def test_msf_tiers_equal_and_match_kruskal(spark):
+    """Round-7 MSF: the Borůvka kernel tier, the distributed Borůvka
+    superstep tier, and an inline independent Kruskal must agree
+    edge-for-edge on random multigraphs WITH COST TIES (the strict
+    total order (cost, a, b) makes the forest unique), and on a toy
+    covering parallel edges, both directions, self-loops, and a
+    disconnected component (forest, not tree)."""
+    import random
+
+    from bigdata_foundation_spark.graph.etl import (
+        _msf_superstep,
+        minimum_spanning_forest,
+    )
+
+    def kruskal(rows):
+        best = {}
+        for s, d, c, _r in rows:
+            if s == d:
+                continue
+            a, b = (s, d) if s < d else (d, s)
+            if (a, b) not in best or c < best[(a, b)]:
+                best[(a, b)] = c
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        out = []
+        for c, a, b in sorted((c, a, b) for (a, b), c in best.items()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                out.append((a, b, c))
+        return sorted(out)
+
+    toy = [
+        ("a", "b", 3.0, "r1"), ("b", "a", 1.0, "r2"),  # direction collapse, min cost
+        ("a", "b", 2.0, "r3"),                          # parallel edge
+        ("b", "c", 1.0, "r4"), ("a", "c", 1.0, "r5"),  # tie with (a,b)=1.0
+        ("c", "c", 0.5, "r6"),                          # self-loop never spans
+        ("x", "y", 9.0, "r7"),                          # second component
+    ]
+    tdf = spark.createDataFrame(toy, "src string, dst string, cost double, road_id string")
+    want = kruskal(toy)
+    assert sorted(map(tuple, minimum_spanning_forest(tdf, strategy="broadcast").collect())) == want
+    assert sorted(map(tuple, _msf_superstep(tdf).collect())) == want
+    # |V| - |components|: nodes {a,b,c,x,y}, comps {abc, xy} -> 3 edges
+    assert len(want) == 3
+
+    rng = random.Random(29)
+    for n, m in ((30, 120), (80, 200)):
+        rows = [
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}",
+             float(rng.randrange(1, 5)), f"r{i}")
+            for i in range(m)
+        ]
+        df = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+        want = kruskal(rows)
+        assert sorted(map(tuple, minimum_spanning_forest(df, strategy="broadcast").collect())) == want
+        assert sorted(map(tuple, _msf_superstep(df).collect())) == want
+
+
+def test_louvain_semantics(spark):
+    """Round-7 Louvain: recovers planted cliques, is deterministic
+    across runs and input layouts, labels by min member, refuses the
+    superstep tier, and scores at least the LPA communities on its own
+    objective (modularity is what Louvain greedily maximizes)."""
+    import pytest as _pytest
+
+    from bigdata_foundation_spark.graph.etl import (
+        label_propagation,
+        louvain,
+        modularity,
+    )
+
+    rows = []
+    for base in ("a", "b", "c"):
+        ns = [f"{base}{i}" for i in range(5)]
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append((ns[i], ns[j], 1.0, f"e{base}{i}{j}"))
+    rows += [("a0", "b0", 1.0, "x1"), ("b1", "c0", 1.0, "x2")]
+    df = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    got = {r.NodeId: r.community for r in louvain(df).collect()}
+    for base in ("a", "b", "c"):
+        labs = {got[f"{base}{i}"] for i in range(5)}
+        assert labs == {f"{base}0"}, labs  # min member labels the clique
+    # deterministic across runs and partition layouts
+    again = {r.NodeId: r.community for r in louvain(df.repartition(7)).collect()}
+    assert got == again
+    with _pytest.raises(ValueError):
+        louvain(df, strategy="bsp")
+    # Louvain's objective: Q(louvain) >= Q(LPA) on this graph
+    lv = louvain(df).selectExpr("NodeId", "community")
+    lp = label_propagation(spark, df)
+    q_lv = modularity(df, lv).collect()[0].modularity
+    q_lp = modularity(df, lp).collect()[0].modularity
+    assert q_lv >= q_lp - 1e-12
+    assert q_lv > 0.4  # three near-cliques -> strong structure
+
+
+def test_modularity_known_values(spark):
+    """Q on two triangles joined by a bridge: perfect split gives
+    2*(3/7 - 1/4); the all-in-one partition gives 0 (the degenerate
+    upper bound of the null model on a connected graph)."""
+    from bigdata_foundation_spark.graph.etl import modularity
+
+    rows = [("a", "b", 1.0, "1"), ("b", "c", 1.0, "2"), ("a", "c", 1.0, "3"),
+            ("d", "e", 1.0, "4"), ("e", "f", 1.0, "5"), ("d", "f", 1.0, "6"),
+            ("c", "d", 1.0, "7")]
+    df = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    comm = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("d", "B"), ("e", "B"), ("f", "B")],
+        "NodeId string, community string",
+    )
+    got = modularity(df, comm).collect()[0]
+    assert got.n_communities == 2
+    assert abs(got.modularity - (2 * (3 / 7 - 0.25))) < 1e-12
+    allone = comm.selectExpr("NodeId", "'Z' as community")
+    got1 = modularity(df, allone).collect()[0]
+    assert got1.n_communities == 1 and abs(got1.modularity) < 1e-12
+
+
+def test_node_similarity_semantics(spark):
+    """GDS nodeSimilarity contract: identical out-sets score 1.0,
+    jaccard is the exact quotient, pairs are (node1 < node2) with no
+    self pairs, degree_cutoff prunes sources, and parallel edges /
+    self-loops collapse before scoring."""
+    from bigdata_foundation_spark.graph.etl import node_similarity
+
+    rows = [
+        ("a", "x", 1.0, "r1"), ("a", "y", 1.0, "r2"), ("a", "a", 1.0, "rX"),
+        ("b", "x", 1.0, "r3"), ("b", "y", 2.0, "r4"), ("b", "x", 3.0, "r5"),
+        ("c", "x", 1.0, "r6"),
+        ("d", "z", 1.0, "r7"),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    got = {(r.node1, r.node2): (r.n_common, r.jaccard) for r in node_similarity(df, k=10).collect()}
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("a", "c")] == (1, 0.5)
+    assert got[("b", "c")] == (1, 0.5)
+    assert ("d", "d") not in got and ("a", "a") not in got
+    assert all(n1 < n2 for n1, n2 in got)
+    assert ("c", "d") not in got  # no shared neighbor -> no row
+    cut = {(r.node1, r.node2) for r in node_similarity(df, k=10, degree_cutoff=2).collect()}
+    assert cut == {("a", "b")}  # c (deg 1) pruned as a source
+
+
+def test_clustering_coefficient_toys(spark):
+    """Triangle+pendant: d = (a:2, b:2, c:3, d:1) -> 5 wedges, 1
+    triangle, transitivity 3/5, mean local cc (1 + 1 + 1/3)/3; a pure
+    star has wedges but zero triangles -> transitivity 0."""
+    from bigdata_foundation_spark.graph.etl import clustering_coefficient
+
+    rows = [("a", "b", 1.0, "e1"), ("b", "c", 1.0, "e2"),
+            ("a", "c", 1.0, "e3"), ("c", "d", 1.0, "e4")]
+    df = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    got = clustering_coefficient(df).collect()[0]
+    assert got.n_triangles == 1 and got.n_wedges == 5
+    assert abs(got.transitivity - 0.6) < 1e-12
+    assert abs(got.avg_local_cc - (1 + 1 + 1 / 3) / 3) < 1e-12
+
+    star = [("h", f"l{i}", 1.0, f"s{i}") for i in range(4)]
+    sdf = spark.createDataFrame(star, "src string, dst string, cost double, road_id string")
+    got = clustering_coefficient(sdf).collect()[0]
+    assert got.n_triangles == 0 and got.n_wedges == 6
+    assert got.transitivity == 0.0 and got.avg_local_cc == 0.0
+
+
+def test_degree_assortativity_known_values(spark):
+    """Star → −1 (hub degree anticorrelates with leaf degree), cycle →
+    NULL (constant degree, zero variance — SQL CORR semantics)."""
+    from bigdata_foundation_spark.graph.etl import degree_assortativity
+
+    star = [("h", f"l{i}", 1.0, f"s{i}") for i in range(4)]
+    sdf = spark.createDataFrame(star, "src string, dst string, cost double, road_id string")
+    got = degree_assortativity(sdf).collect()[0]
+    assert got.n_edges == 4 and abs(got.assortativity - (-1.0)) < 1e-12
+
+    cyc = [(f"c{i}", f"c{(i + 1) % 5}", 1.0, f"e{i}") for i in range(5)]
+    cdf = spark.createDataFrame(cyc, "src string, dst string, cost double, road_id string")
+    got = degree_assortativity(cdf).collect()[0]
+    assert got.n_edges == 5 and got.assortativity is None

@@ -1651,3 +1651,74 @@ def test_rrf_fuse_semantics(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse({})
+
+
+def test_kmeans_cluster_contract(spark, vectors):
+    """Round-7 first-class k-means: deterministic across runs and
+    partition layouts, clusters in 0..k-1, scores in [-1, 1], and the
+    (k=16, lloyd_iters=2) configuration reproduces SemDeDup's cell
+    assignment exactly — both ride the same shared centroid contract,
+    so a drift between them would mean the contract forked."""
+    got = S.kmeans_cluster(vectors, k=16, lloyd_iters=2).collect()
+    assert len(got) == vectors.count()
+    assert {r.cluster for r in got} <= set(range(16))
+    assert all(-1.0 - 1e-9 <= r.score <= 1.0 + 1e-9 for r in got)
+    again = S.kmeans_cluster(vectors.repartition(13), k=16, lloyd_iters=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    sem = S.semantic_dedup(vectors, n_cells=16)
+    cells = {r.vec_id: r.cell for r in sem.collect()}
+    mine = {r.id: r.cluster for r in got}
+    assert mine == cells
+
+
+def test_bpe_train_encode_contract(spark):
+    """Round-7 BPE: merge table matches an inline independent replay
+    on a toy corpus (count ties break to the smallest pair; </w> stops
+    merges at word boundaries), encoding is greedy lowest-rank, token
+    counts are whole-word consistent, and training is deterministic
+    across partition layouts."""
+    from bigdata_foundation_spark.operators.text import (
+        _bpe_apply,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower"), (2, "newest newest widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=50)
+    # independent replay of the published contract
+    hist = {"low": 3, "lower": 2, "newest": 2, "widest": 1}
+    words = {tuple(list(w) + ["</w>"]): n for w, n in hist.items()}
+    expect = []
+    while len(expect) < 50:
+        pc = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + n
+        if not pc or max(pc.values()) < 2:
+            break
+        bn = max(pc.values())
+        bp = min(p for p, c in pc.items() if c == bn)
+        nw = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == bp:
+                    out.append(syms[i] + syms[i + 1]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + n
+        words = nw
+        expect.append(bp)
+    assert merges == expect
+    # 'low' collapses fully; merges never cross the </w> boundary
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _bpe_apply("low", ranks) == ["low</w>"]
+    assert all("</w>" not in left for left, _ in merges)
+    enc = {r.id: r for r in bpe_encode(docs, merges).collect()}
+    assert enc[1].n_tokens == sum(len(_bpe_apply(w, ranks)) for w in
+                                  ["low", "low", "low", "lower", "lower"])
+    # determinism across layouts
+    assert bpe_train(docs.repartition(5), num_merges=50) == merges

@@ -73,6 +73,7 @@ def grid_pdf(r: int, c: int, seed: int = 7) -> pd.DataFrame:
 
 def main() -> int:
     quick = "--quick" in sys.argv
+    grid_big = "--grid-big" in sys.argv
     spark = get_spark(app_name="bsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
     from bigdata_foundation_spark.graph import bsp as B
@@ -84,6 +85,43 @@ def main() -> int:
 
     tmp = tempfile.mkdtemp(prefix="bsp_bench_")
     try:
+        if grid_big:
+            # r6 verdict task 7: the 432 ms/superstep floor was measured
+            # on a 100x100 grid (39.6k edges); pin how the constant
+            # scales with edge volume on a >=1M-edge high-diameter grid
+            # under src-bucketed edges (zero edge-side Exchange per
+            # superstep — frontier-only shuffling).
+            r = c = 520  # 2*520*519*2 = 1,079,520 directed edges
+            gpdf = grid_pdf(r, c)
+            spark.createDataFrame(gpdf).write.mode("overwrite").parquet(f"{tmp}/gbig")
+            groads = spark.read.parquet(f"{tmp}/gbig")
+            gm = groads.count()
+            write_bucketed(groads, "bsp_bench_gbig_bucketed", ["src"], n_buckets=32)
+            try:
+                broads = spark.table("bsp_bench_gbig_bucketed")
+                gproj = K.Projection.from_columns(
+                    gpdf["src"].to_numpy(dtype=object),
+                    gpdf["dst"].to_numpy(dtype=object),
+                    gpdf["cost"].to_numpy(dtype=np.float64),
+                )
+                goracle = K.sssp(gproj, "n0")
+                stats_g: dict = {}
+                t0 = time.perf_counter()
+                gstate = B.bsp_sssp(spark, broads, "n0", stats=stats_g)
+                ggot = {row["node"]: row["dist"] for row in gstate.select("node", "dist").collect()}
+                t_grid = time.perf_counter() - t0
+                gworst = max(abs(ggot[k] - goracle[k]) for k in goracle)
+                assert gworst < 1e-9, gworst
+                print(
+                    f"bsp_sssp grid {r}x{c} BUCKETED ({gm:,} edges) {t_grid:7.1f}s  "
+                    f"supersteps={stats_g['supersteps']:4d}  "
+                    f"({1000 * t_grid / stats_g['supersteps']:.0f} ms/superstep; "
+                    f"VERIFIED vs kernel, max |delta| {gworst:.1e})"
+                )
+            finally:
+                spark.sql("DROP TABLE IF EXISTS bsp_bench_gbig_bucketed")
+            return 0
+
         # ------------------------------------------------------ 1M edges
         n_nodes, deg = (50_000, 8) if quick else (125_000, 8)
         pdf = synth_pdf(n_nodes, deg, 42)

@@ -691,6 +691,7 @@ def main() -> None:
         "graph_louvain": louvain_golden(),
         "graph_modularity": modularity_golden(),
         "embedding_kmeans": kmeans_golden(vecs),
+        "bpe_tokenize": bpe_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -1770,6 +1771,91 @@ def kmeans_golden(vecs, k=16, lloyd_iters=4):
         rows.append((vid, cid, round(sim, 6)))
     return values_sql(
         [("id", "BIGINT"), ("cluster", "INTEGER"), ("score", "DOUBLE")], rows
+    )
+
+
+
+
+# --- bpe_tokenize (round 7) -------------------------------------------------
+
+def bpe_golden(docs, num_merges=100, max_words=20000, sample_tokens=12):
+    """Replay of text.bpe_train + bpe_encode (Sennrich et al. 2016):
+    whitespace split on the explicit ASCII class, top-max_words
+    histogram by (count DESC, word), merge loop with ties to the
+    lexicographically smallest pair (stop when the best pair count
+    < 2), then GPT-2-style greedy lowest-rank encoding per word with
+    the </w> marker. Independent bookkeeping (pair-count dict over a
+    symbol-tuple histogram keyed by word)."""
+    import re
+
+    ws = re.compile(r"[ \t\r\n\f\x0b]+")
+    hist: dict[str, int] = {}
+    for _did, text in docs:
+        for w in ws.split(text or ""):
+            if w:
+                hist[w] = hist.get(w, 0) + 1
+    top = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    symtab: dict[tuple[str, ...], int] = {
+        tuple(list(w) + ["</w>"]): n for w, n in top
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, n in symtab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + n
+        if not pc:
+            break
+        bn = max(pc.values())
+        if bn < 2:
+            break
+        bp = min(p for p, n in pc.items() if n == bn)
+        nsym: dict[tuple[str, ...], int] = {}
+        for syms, n in symtab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == bp:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nsym[tuple(out)] = nsym.get(tuple(out), 0) + n
+        symtab = nsym
+        merges.append(bp)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode(word: str) -> list[str]:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            br, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (br is None or r < br):
+                    br, bi = r, i
+            if br is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    memo: dict[str, list[str]] = {}
+    rows = []
+    for did, text in sorted(docs):
+        n = 0
+        toks: list[str] = []
+        for w in ws.split(text or ""):
+            if not w:
+                continue
+            enc = memo.get(w)
+            if enc is None:
+                enc = memo[w] = encode(w)
+            n += len(enc)
+            if len(toks) < sample_tokens:
+                toks.extend(enc[: sample_tokens - len(toks)])
+        rows.append((did, n, " ".join(toks)))
+    return values_sql(
+        [("id", "BIGINT"), ("n_tokens", "BIGINT"), ("head", "VARCHAR")], rows
     )
 
 
