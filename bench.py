@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "embedding_kmeans",
     "bpe_tokenize",
+    "quality_classifier",
 ]
 
 

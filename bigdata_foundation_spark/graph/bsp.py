@@ -360,7 +360,7 @@ def _edges_with_identity(roads: DataFrame) -> DataFrame:
 def _bsp_probe_wave(
     spark: SparkSession,
     e: DataFrame,
-    h: DataFrame,
+    h: DataFrame | None,
     probes: list[tuple[int, str, frozenset, frozenset]],
     target: str,
     max_supersteps: int,
@@ -381,6 +381,12 @@ def _bsp_probe_wave(
       pre-restricted to target-reaching nodes;
     * ``dist + h(node) >= best known target dist for the probe`` drops
       the candidate (admissible bound ⇒ cannot improve).
+
+    ``h=None`` runs the wave UNPRUNED (exact, every reachable node
+    relaxed) — the first Yen probe uses this so it can run
+    concurrently with the reverse BSP that computes ``h`` (r7: the two
+    are independent, and overlapping them removes one of the
+    sequential BSP latencies that floor Yen's wall time).
     """
     mask_e = F.broadcast(
         spark.createDataFrame(
@@ -415,18 +421,19 @@ def _bsp_probe_wave(
                 (F.col("f.pid") == F.col("mn.pid")) & (F.col("e.dst") == F.col("mn.node")),
                 "left_anti",
             )
+        )
+        if h is not None:
             # inner join: restrict to nodes with a finite unmasked
             # reverse distance (h also feeds the bound prune below).
-            .join(h.alias("h"), F.col("e.dst") == F.col("h.node"))
-            .select(
-                F.col("f.pid").alias("pid"),
-                F.col("e.dst").alias("node"),
-                (F.col("f.dist") + F.col("e.cost")).alias("dist"),
-                F.concat(F.col("f.path"), F.array(F.col("e.dst"))).alias("path"),
-                F.concat(F.col("f.cpath"), F.array(F.col("e.cost"))).alias("cpath"),
-                F.concat(F.col("f.epath"), F.array(F.col("e.eid"))).alias("epath"),
-                F.col("h._h").alias("_h"),
-            )
+            cand = cand.join(h.alias("h"), F.col("e.dst") == F.col("h.node"))
+        cand = cand.select(
+            F.col("f.pid").alias("pid"),
+            F.col("e.dst").alias("node"),
+            (F.col("f.dist") + F.col("e.cost")).alias("dist"),
+            F.concat(F.col("f.path"), F.array(F.col("e.dst"))).alias("path"),
+            F.concat(F.col("f.cpath"), F.array(F.col("e.cost"))).alias("cpath"),
+            F.concat(F.col("f.epath"), F.array(F.col("e.eid"))).alias("epath"),
+            (F.col("h._h") if h is not None else F.lit(0.0)).alias("_h"),
         )
         if best:
             bt = F.broadcast(
@@ -541,26 +548,58 @@ def bsp_yens_k(
     e = _edges_with_identity(roads).repartition("src").cache()
     e.count()
     try:
-        # Reverse-distance table (node, _h): one BSP SSSP from target
-        # over reversed edges, reused by every probe of every wave.
-        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
-        h = (
-            bsp_multi_sssp(spark, rev, [target], max_supersteps=max_supersteps)
-            .select("node", F.col("dist").alias("_h"))
-            .repartition("node")  # candidate ⋈ h joins reuse this
-            .cache()
-        )
-        h.count()
+        # The reverse-distance BSP (admissible heuristic for every
+        # later wave) and the FIRST forward probe are independent —
+        # run them as two concurrent driver threads on the shared
+        # session (r7: removes one full sequential BSP latency; Spark
+        # job submission is thread-safe). The first probe runs with
+        # h=None (unpruned, exact); every later wave gets the finished
+        # h. Constraint propagation is pre-disabled for the whole
+        # concurrent window so the per-checkpoint toggles inside both
+        # loops are idempotent writes of the same value (the
+        # single-threaded assumption _checkpoint_union_state documents
+        # would otherwise race).
+        from concurrent.futures import ThreadPoolExecutor
+
+        _cp_key = "spark.sql.constraintPropagation.enabled"
         try:
-            first = _bsp_probe_wave(
-                spark,
-                e,
-                h,
-                [(0, source, frozenset(), frozenset())],
-                target,
-                max_supersteps,
-                stats=stats,
+            _cp_old = spark.conf.get(_cp_key)
+        except Exception:  # noqa: BLE001
+            _cp_old = "true"
+        spark.conf.set(_cp_key, "false")
+
+        def _mk_h():
+            rev = e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cost"
             )
+            hh = (
+                bsp_multi_sssp(spark, rev, [target], max_supersteps=max_supersteps)
+                .select("node", F.col("dist").alias("_h"))
+                .repartition("node")  # candidate ⋈ h joins reuse this
+                .cache()
+            )
+            hh.count()
+            return hh
+
+        try:
+            with ThreadPoolExecutor(max_workers=2) as _ex:
+                _fut_h = _ex.submit(_mk_h)
+                _fut_first = _ex.submit(
+                    _bsp_probe_wave,
+                    spark,
+                    e,
+                    None,
+                    [(0, source, frozenset(), frozenset())],
+                    target,
+                    max_supersteps,
+                    8,
+                    stats,
+                )
+                h = _fut_h.result()
+                first = _fut_first.result()
+        finally:
+            spark.conf.set(_cp_key, _cp_old)
+        try:
             if 0 not in first:
                 return []
             p0_nodes, p0_costs, p0_eids, _d0 = first[0]

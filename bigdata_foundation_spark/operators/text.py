@@ -1017,3 +1017,140 @@ def bpe_encode(
             )
 
     return docs.select(id_col, text_col).mapInPandas(_encode_batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear text classifier (fastText-style, Joulin et al.
+# 2016) — the quality-filter pattern of CCNet / the GPT-3 data work:
+# train a cheap linear model ("looks like the reference corpus?") on a
+# labeled sample, then score the WHOLE corpus with a pure scan-side
+# expression.
+# ---------------------------------------------------------------------------
+
+
+def hashed_word_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """L1-normalized hashed bag-of-words: one row per (doc, feature
+    index) with value = occurrences/total_words, index =
+    pmod(xxhash64(word), dim) — the fastText hashing trick, engine-
+    replayable because xxhash64 is pinned. Two keyed aggregations."""
+    words = (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), _WS_CLASS)).alias("_w"))
+        .filter(F.length("_w") > 0)
+    )
+    counts = words.groupBy(
+        "id", F.pmod(F.xxhash64("_w"), F.lit(int(dim))).cast("int").alias("idx")
+    ).agg(F.count("*").alias("_c"))
+    totals = words.groupBy("id").agg(F.count("*").alias("_n"))
+    return counts.join(totals, "id").select(
+        "id", "idx", (F.col("_c").cast("double") / F.col("_n")).alias("val")
+    )
+
+
+def train_linear_classifier(
+    docs: DataFrame,
+    label_col: Column | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    iters: int = 10,
+    lr: float = 0.5,
+) -> tuple[list[float], float]:
+    """Train a binary logistic classifier over hashed word features by
+    full-batch gradient descent. Each iteration is two keyed
+    aggregations over the CACHED feature table (margin per doc,
+    gradient per feature index) collecting only ``dim`` + 1 doubles to
+    the driver — corpus size bounds nothing driver-side, the classic
+    distributed-LR shape. Every updated weight is rounded to 6 dp (the
+    repo-wide determinism quantum: Spark's partial-agg float order
+    differs from the replay's list order by ~1e-13).
+
+    Returns (weights[dim], bias) — feed to
+    :func:`linear_classifier_score`, whose scan-side fold applies them
+    with zero shuffle. ``label_col`` is any boolean expression over
+    the input (e.g. ``F.col('lang') == 'en'``)."""
+    feats = hashed_word_features(docs, text_col, id_col, dim).cache()
+    labels = docs.select(
+        F.col(id_col).alias("id"),
+        (F.col(label_col) if isinstance(label_col, str) else label_col)
+        .cast("double")
+        .alias("y"),
+    ).cache()
+    n_docs = labels.count()
+    feats.count()
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(int(iters)):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        margins = (
+            feats.withColumn(
+                "_wx", F.element_at(wlit, F.col("idx") + 1) * F.col("val")
+            )
+            .groupBy("id")
+            .agg(F.sum("_wx").alias("_m"))
+        )
+        err = (
+            labels.join(margins, "id", "left")
+            .select(
+                "id",
+                (
+                    1.0 / (1.0 + F.exp(-(F.coalesce(F.col("_m"), F.lit(0.0)) + F.lit(b))))
+                    - F.col("y")
+                ).alias("e"),
+            )
+        )
+        grad_rows = (
+            feats.join(err, "id")
+            .groupBy("idx")
+            .agg(F.sum(F.col("e") * F.col("val")).alias("g"))
+            .collect()
+        )
+        bg = err.agg(F.sum("e").alias("g")).collect()[0]["g"]
+        grad = {int(r["idx"]): float(r["g"]) for r in grad_rows}
+        w = [
+            round(w[j] - lr * grad.get(j, 0.0) / n_docs, 6) for j in range(dim)
+        ]
+        b = round(b - lr * float(bg) / n_docs, 6)
+    feats.unpersist()
+    labels.unpersist()
+    return w, b
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus with a trained linear classifier as ONE pure
+    scan-side expression — no shuffle, no Python: the weight vector is
+    a single folded literal; per row a HOF fold sums
+    w[pmod(xxhash64(word), dim)] over word occurrences (identical
+    order to the trainer's count/total features) and divides by the
+    word count. Returns (id, prob, predicted) with prob 6-dp rounded.
+    This is the 100 TB deployment shape: train on a sample, score
+    everything at scan speed."""
+    dim = len(weights)
+    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    ws = F.filter(
+        F.split(F.col(text_col), _WS_CLASS), lambda x: F.length(x) > 0
+    )
+    n = F.size(ws)
+    s = F.aggregate(
+        ws,
+        F.lit(0.0),
+        lambda acc, word: acc
+        + F.element_at(wlit, F.pmod(F.xxhash64(word), F.lit(dim)).cast("int") + 1),
+    )
+    margin = F.when(n > 0, s / n).otherwise(F.lit(0.0)) + F.lit(float(bias))
+    prob = 1.0 / (1.0 + F.exp(-margin))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= 0.5).alias("predicted"),
+    )

@@ -86,7 +86,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
 # then (c) the oldest-gated rotation: all 16 entries last gated r3 or
-# earlier, plus the first 4 of the r4-last cohort. 50 exactly; the
+# earlier, plus the first 3 of the r4-last cohort. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
 # keep registration order after these.
@@ -100,6 +100,7 @@ GATE_ORDER: list[str] = [
     "embedding_kmeans",  # NEW r7 (first-class k-means vs Lloyd replay golden)
     "graph_assortativity",  # NEW r7 (Newman 2002 degree correlation, full SQL)
     "bpe_tokenize",  # NEW r7 (BPE train+encode vs independent replay golden)
+    "quality_classifier",  # NEW r7 (fastText-style LR vs independent replay)
     "ann_ivf_pq_topk",  # NEW post-r6-snapshot (IVFADC vs independent replay)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
@@ -145,7 +146,6 @@ GATE_ORDER: list[str] = [
     "asof_join_attribution",
     "range_join_attribution",
     "pack_sequences_summary",
-    "winnow_overlap_pairs",
 ]
 
 
@@ -4320,3 +4320,28 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "id", "n_tokens", F.concat_ws(" ", "first_tokens").alias("head")
     )
+
+
+@q(
+    "quality_classifier",
+    PIPELINE_GOLDEN_SQL["quality_classifier"],
+    "fastText-style hashed linear quality classifier (Joulin et al. "
+    "2016 - the CCNet/GPT-3 quality-filter pattern): train logistic "
+    "weights over L1-normalized hashed bag-of-words (dim=256, "
+    "pmod(xxhash64(word), dim)) by full-batch GD - two keyed aggs per "
+    "iteration, dim+1 doubles to the driver, 6dp weight rounding - "
+    "then score the WHOLE corpus as one scan-side HOF fold (zero "
+    "shuffle, zero Python). Label: lang == 'en'. Pinned-golden oracle: "
+    "independent pure-Python feature/GD/scoring replay",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import (
+        linear_classifier_score,
+        train_linear_classifier,
+    )
+
+    d = _docs(spark, sf_dir)
+    w, b = train_linear_classifier(
+        d, F.col("lang") == F.lit("en"), dim=256, iters=10
+    )
+    return linear_classifier_score(d, w, b)

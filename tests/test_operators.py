@@ -1722,3 +1722,32 @@ def test_bpe_train_encode_contract(spark):
                                   ["low", "low", "low", "lower", "lower"])
     # determinism across layouts
     assert bpe_train(docs.repartition(5), num_merges=50) == merges
+
+
+def test_linear_classifier_contract(spark):
+    """Round-7 hashed linear classifier: learns a separable toy
+    problem (distinct vocabularies), scoring is deterministic across
+    partition layouts, probs are valid, and the scoring plan is pure
+    scan-side — no Exchange, no Python eval."""
+    from bigdata_foundation_spark.operators.text import (
+        linear_classifier_score,
+        train_linear_classifier,
+    )
+
+    pos = [(i, "good clean prose with helpful sentences here", "en") for i in range(20)]
+    neg = [(100 + i, "zz xx qq vv kk jj ww yy uu tt", "xx") for i in range(20)]
+    docs = spark.createDataFrame(pos + neg, "doc_id long, text string, lang string")
+    w, b = train_linear_classifier(docs, F.col("lang") == "en", dim=64, iters=10)
+    assert len(w) == 64 and all(isinstance(x, float) for x in w)
+    scored = {r.id: (r.prob, r.predicted) for r in linear_classifier_score(docs, w, b).collect()}
+    assert all(scored[i][1] for i, _t, _l in pos)
+    assert not any(scored[i][1] for i, _t, _l in neg)
+    assert all(0.0 <= p <= 1.0 for p, _ in scored.values())
+    again = {
+        r.id: (r.prob, r.predicted)
+        for r in linear_classifier_score(docs.repartition(7), w, b).collect()
+    }
+    assert scored == again
+    plan = linear_classifier_score(docs, w, b)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan

@@ -692,6 +692,7 @@ def main() -> None:
         "graph_modularity": modularity_golden(),
         "embedding_kmeans": kmeans_golden(vecs),
         "bpe_tokenize": bpe_golden(docs),
+        "quality_classifier": classifier_golden(docs, load_doc_langs()),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -1856,6 +1857,68 @@ def bpe_golden(docs, num_merges=100, max_words=20000, sample_tokens=12):
         rows.append((did, n, " ".join(toks)))
     return values_sql(
         [("id", "BIGINT"), ("n_tokens", "BIGINT"), ("head", "VARCHAR")], rows
+    )
+
+
+
+
+# --- quality_classifier (round 7) -------------------------------------------
+
+def classifier_golden(docs, langs, dim=256, iters=10, lr=0.5):
+    """Replay of text.train_linear_classifier +
+    linear_classifier_score (fastText-style hashed logistic
+    regression, Joulin et al. 2016; label = lang == 'en'): L1-
+    normalized hashed bag-of-words (idx = pmod(xxhash64(word), dim)),
+    full-batch GD with every weight rounded to 6 dp per iteration (the
+    determinism quantum vs Spark's partial-agg sum order), then the
+    scan-side scoring fold in document word order (bit-identical
+    summation), prob rounded 6 dp."""
+    import math
+    import re
+
+    ws = re.compile(r"[ \t\r\n\f\x0b]+")
+    feats = {}   # did -> {idx: val}
+    order = {}   # did -> [idx per occurrence] (scoring order)
+    for did, text in docs:
+        toks = [w for w in ws.split(text or "") if w]
+        idxs = [spark_xxhash64(w) % dim for w in toks]
+        idxs = [i if i >= 0 else i + dim for i in idxs]
+        order[did] = idxs
+        f: dict[int, float] = {}
+        for i in idxs:
+            f[i] = f.get(i, 0.0) + 1.0
+        n = len(idxs)
+        feats[did] = {i: c / n for i, c in f.items()} if n else {}
+    y = {did: 1.0 if langs[did] == "en" else 0.0 for did, _t in docs}
+    n_docs = len(docs)
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        grad = [0.0] * dim
+        bg = 0.0
+        for did, f in feats.items():
+            m = sum(w[i] * v for i, v in f.items())
+            p = 1.0 / (1.0 + math.exp(-(m + b)))
+            e = p - y[did]
+            for i, v in f.items():
+                grad[i] += e * v
+            bg += e
+        w = [round(w[j] - lr * grad[j] / n_docs, 6) for j in range(dim)]
+        b = round(b - lr * bg / n_docs, 6)
+    rows = []
+    for did, _t in sorted(docs):
+        idxs = order[did]
+        if idxs:
+            acc = 0.0
+            for i in idxs:
+                acc = acc + w[i]
+            m = acc / len(idxs)
+        else:
+            m = 0.0
+        p = 1.0 / (1.0 + math.exp(-(m + b)))
+        rows.append((did, round(p, 6), p >= 0.5))
+    return values_sql(
+        [("id", "BIGINT"), ("prob", "DOUBLE"), ("predicted", "BOOLEAN")], rows
     )
 
 
