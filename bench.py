@@ -182,10 +182,12 @@ def main() -> None:
     # series) without letting back-to-back repeats ride their own JIT.
     from bigdata_foundation_spark.graph.etl import (
         core_decomposition,
+        hyperball,
         louvain,
         minimum_spanning_forest,
         node_similarity,
         strongly_connected_components,
+        truss_decomposition,
     )
 
     graph_queries = [
@@ -201,6 +203,8 @@ def main() -> None:
         ("graph_msf_70k", lambda: minimum_spanning_forest(roads, projection=proj)),
         ("graph_louvain_70k", lambda: louvain(roads, projection=proj)),
         ("graph_node_similarity_70k", lambda: node_similarity(roads, k=100)),
+        ("graph_hyperball_70k", lambda: hyperball(roads, t_max=8, m=64, projection=proj)),
+        ("graph_ktruss_70k", lambda: truss_decomposition(roads, projection=proj)),
     ]
     for pass_i in range(2):
         for name, fn in graph_queries:

@@ -366,6 +366,7 @@ def _bsp_probe_wave(
     max_supersteps: int,
     checkpoint_state_every: int = 8,
     stats: dict | None = None,
+    hops_per_superstep: int = 1,
 ) -> dict[int, tuple[list[str], list[float], list[int], float]]:
     """Run one wave of masked point-to-point probes as a SINGLE
     probe-keyed BSP relaxation. ``probes`` is (pid, spur_node,
@@ -407,9 +408,13 @@ def _bsp_probe_wave(
     best: dict[int, float] = {}
     _dirty = False
 
-    for step in range(1, max_supersteps + 1):
+    def _relax(fr):
+        """One Bellman-Ford hop from frontier ``fr``: masked edge
+        expansion + h restriction + bound prune, pre-reduced to the
+        best candidate per (pid, node) under the (dist, path...) struct
+        order."""
         cand = (
-            frontier.alias("f")
+            fr.alias("f")
             .join(e.alias("e"), F.col("f.node") == F.col("e.src"))
             .join(
                 mask_e.alias("me"),
@@ -453,8 +458,7 @@ def _bsp_probe_wave(
                 .drop("_bt")
             )
         cand = cand.drop("_h")
-
-        best_cand = (
+        return (
             cand.groupBy("pid", "node")
             .agg(F.min(F.struct("dist", "path", "cpath", "epath")).alias("m"))
             .select(
@@ -466,6 +470,43 @@ def _bsp_probe_wave(
                 F.col("m.epath").alias("epath"),
             )
         )
+
+    for step in range(1, max_supersteps + 1):
+        # hops_per_superstep Bellman-Ford hops inside ONE scheduled
+        # materialization. MEASURED r7 at 1M edges: 2 hops halves the
+        # superstep count (73 -> 39 across the Yen waves) but raises
+        # wall time (211 -> 241s) - these waves are COMPUTE-bound (a
+        # full edge join per hop), so doubling work per materialization
+        # buys nothing; the default stays 1. The knob exists for the
+        # opposite regime - high-diameter graphs with small frontiers,
+        # where the scheduling floor dominates (the 520x520 grid pays
+        # 1039 diameter-bound supersteps). Same fixpoint either way
+        # (Bellman-Ford is indifferent to how many relaxations happen
+        # between materializations); the hop-1 layer rejoins the union
+        # so a 1-hop improvement is never lost.
+        layers = []
+        fr = frontier
+        for _hop in range(max(1, int(hops_per_superstep))):
+            fr = _relax(fr)
+            layers.append(fr)
+        if len(layers) > 1:
+            multi = layers[0]
+            for extra in layers[1:]:
+                multi = multi.unionByName(extra)
+            best_cand = (
+                multi.groupBy("pid", "node")
+                .agg(F.min(F.struct("dist", "path", "cpath", "epath")).alias("m"))
+                .select(
+                    "pid",
+                    "node",
+                    F.col("m.dist").alias("dist"),
+                    F.col("m.path").alias("path"),
+                    F.col("m.cpath").alias("cpath"),
+                    F.col("m.epath").alias("epath"),
+                )
+            )
+        else:
+            best_cand = layers[0]
         on = (F.col("c.pid") == F.col("s.pid")) & (F.col("c.node") == F.col("s.node"))
         improved = (
             best_cand.alias("c")

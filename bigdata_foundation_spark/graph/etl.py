@@ -1513,3 +1513,266 @@ def degree_assortativity(roads: DataFrame) -> DataFrame:
             F.col("_cov") / (F.col("_sx") * F.col("_sy")),
         ).alias("assortativity"),
     )
+
+
+def _hyperball_init(roads: DataFrame, m: int) -> DataFrame:
+    """(NodeId, bucket, rho) per node — the pinned HyperBall register
+    seed, computed with JVM xxhash64 (bucket = pmod(xxhash64(id), m);
+    rho = leading-zero rank of xxhash64(id, 1): negative → 1, zero →
+    65, else 65 − bit_length via length(bin(x)))."""
+    nodes = (
+        roads.select(F.col("src").alias("NodeId"))
+        .union(roads.select(F.col("dst").alias("NodeId")))
+        .distinct()
+    )
+    h2 = F.xxhash64("NodeId", F.lit(1))
+    rho = (
+        F.when(h2 < 0, F.lit(1))
+        .when(h2 == 0, F.lit(65))
+        .otherwise(F.lit(65) - F.length(F.bin(h2)))
+    )
+    return nodes.select(
+        "NodeId",
+        F.pmod(F.xxhash64("NodeId"), F.lit(int(m))).cast("int").alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+
+
+def hyperball(
+    roads: DataFrame,
+    t_max: int = 8,
+    m: int = 64,
+    strategy: str = "auto",
+    projection=None,
+) -> DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna 2013):
+    N(t) = Σ_v (estimated ball size of v at hop radius t) for
+    t = 0..t_max over the DIRECTED road graph — the sketch that turns
+    "what is the effective diameter / distance distribution of a
+    graph too big for per-source SSSP" into t_max register-merge
+    rounds. One HyperLogLog register set (m registers) per node;
+    everything about it is pinned and deterministic (see
+    ``kernel.hyperball_kernel``), so the gate value-matches an
+    independent replay even though N(t) estimates the true count.
+
+    Returns (t, nf_est) rows, nf_est 6-dp. N(t)/N(t_sat) is the
+    cumulative distance distribution; the first t with N(t) ≥ 0.9 ·
+    N(saturation) is the standard effective-diameter estimate.
+
+    Tiers: kernel (numpy scatter-max, auto below
+    ``paths.BROADCAST_EDGE_LIMIT``); past it a superstep loop in the
+    DENSE LONG register layout (node, idx, val) — per round ONE keyed
+    join of the m-wide register table against the edge list + one
+    (node, idx) max aggregate + one estimate aggregate, all
+    JVM-side. Register traffic is |E|·m rows per round — m is the
+    accuracy/IO dial (Boldi & Vigna ran the whole of Facebook at
+    m=64 on one machine; at 100 TB pick m per the same budget)."""
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import paths as _p
+
+    init = _hyperball_init(roads, m)
+    if _kernel_tier(roads, strategy, projection):
+        from bigdata_foundation_spark.graph import kernel as _k
+
+        spark = roads.sparkSession
+        proj = projection or _p.build_projection(roads)
+        rows = [(r["NodeId"], int(r["bucket"]), int(r["rho"])) for r in init.collect()]
+        schema = T.StructType(
+            [
+                T.StructField("t", T.IntegerType(), False),
+                T.StructField("nf_est", T.DoubleType(), False),
+            ]
+        )
+        return _p._run_on_executor_df(
+            spark,
+            proj,
+            lambda p, _rows=rows: _k.hyperball_kernel(p, _rows, t_max=t_max, m=m),
+            schema,
+        )
+    return _hyperball_superstep(roads, init, t_max=t_max, m=m)
+
+
+def _hyperball_superstep(
+    roads: DataFrame, init: DataFrame, t_max: int, m: int
+) -> DataFrame:
+    """Past-broadcast HyperBall tier (see :func:`hyperball`):
+    dense-long registers, one join + max-agg + estimate per round."""
+    spark = roads.sparkSession
+    alpha = _hll_alpha_py(m)
+    edges = roads.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    # dense long layout: every (node, idx) present, val 0 when unset
+    idxs = spark.range(int(m)).select(F.col("id").cast("int").alias("idx"))
+    regs = (
+        init.crossJoin(F.broadcast(idxs))
+        .select(
+            F.col("NodeId").alias("node"),
+            "idx",
+            F.when(F.col("idx") == F.col("bucket"), F.col("rho"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def estimate(r: DataFrame):
+        per_node = r.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("val").cast("double"))).alias("_s"),
+            F.sum(F.when(F.col("val") == 0, 1).otherwise(0)).alias("_z"),
+        )
+        raw = F.lit(alpha * m * m) / F.col("_s")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("_z") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_z")),
+        ).otherwise(raw)
+        row = per_node.select(est.alias("_e")).agg(F.sum("_e").alias("nf")).collect()[0]
+        return round(float(row["nf"]), 6)
+
+    out = [(0, estimate(regs))]
+    for t in range(1, t_max + 1):
+        msgs = (
+            edges.join(regs.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "idx", "val")
+        )
+        regs = (
+            regs.unionByName(msgs)
+            .groupBy("node", "idx")
+            .agg(F.max("val").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        out.append((t, estimate(regs)))
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        out,
+        T.StructType(
+            [
+                T.StructField("t", T.IntegerType(), False),
+                T.StructField("nf_est", T.DoubleType(), False),
+            ]
+        ),
+    )
+
+
+def _hll_alpha_py(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def truss_decomposition(
+    roads: DataFrame,
+    strategy: str = "auto",
+    projection=None,
+    max_rounds: int = 1000,
+) -> DataFrame:
+    """Truss decomposition (Cohen 2008): per undirected simple edge,
+    the largest k such that the edge survives in the k-truss (every
+    edge of the subgraph closing ≥ k−2 triangles inside it) — the
+    triangle-certified edge-strength ladder next to k-core's degree
+    ladder. Returns (src, dst, truss) with src < dst.
+
+    Tiers: below ``paths.BROADCAST_EDGE_LIMIT`` the incremental
+    min-support peel (``kernel.ktruss_kernel``, one executor task);
+    past it LEVEL-SYNCHRONOUS peeling — for ascending k, repeatedly
+    drop every edge whose in-subgraph support < k−2 (support = one
+    wedge join + ordered-pair semi-join over the live edge set, the
+    ``triangle_count`` machinery) until stable. The two formulations
+    provably assign identical truss numbers (peel order does not
+    affect the ladder); equality is pinned by tests. Each inner round
+    is two keyed shuffles over the shrinking live set; raises on
+    ``max_rounds`` exhaustion rather than returning a partial
+    ladder."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if not _kernel_tier(roads, strategy, projection):
+        return _ktruss_superstep(roads, max_rounds=max_rounds)
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.graph import kernel as _k
+
+    spark = roads.sparkSession
+    proj = projection or _p.build_projection(roads)
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType(), False),
+            T.StructField("dst", T.StringType(), False),
+            T.StructField("truss", T.IntegerType(), False),
+        ]
+    )
+    return _p._run_on_executor_df(spark, proj, _k.ktruss_kernel, schema)
+
+
+def _ktruss_superstep(roads: DataFrame, max_rounds: int = 1000) -> DataFrame:
+    """Past-broadcast truss tier (see :func:`truss_decomposition`)."""
+    from pyspark.sql import types as T
+
+    spark = roads.sparkSession
+    alive = (
+        roads.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType(), False),
+            T.StructField("dst", T.StringType(), False),
+            T.StructField("truss", T.IntegerType(), False),
+        ]
+    )
+    out: DataFrame | None = None
+    k = 3
+    rounds = 0
+    while not alive.isEmpty():
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    "_ktruss_superstep: did not converge within max_rounds"
+                )
+            adj = alive.select("a", "b").unionByName(
+                alive.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            support = (
+                alive.join(adj.select(F.col("a"), F.col("b").alias("c")), "a")
+                .filter(F.col("c") != F.col("b"))
+                .withColumn("_x", F.least("b", "c"))
+                .withColumn("_y", F.greatest("b", "c"))
+                .join(
+                    alive.select(
+                        F.col("a").alias("_x"), F.col("b").alias("_y")
+                    ),
+                    ["_x", "_y"],
+                    "left_semi",
+                )
+                .groupBy("a", "b")
+                .agg(F.count("*").alias("_s"))
+            )
+            scored = alive.join(support, ["a", "b"], "left").select(
+                "a", "b", F.coalesce("_s", F.lit(0)).alias("_s")
+            )
+            drop = scored.filter(F.col("_s") < k - 2).localCheckpoint(eager=True)
+            if drop.isEmpty():
+                break
+            assigned = drop.select(
+                F.col("a").alias("src"),
+                F.col("b").alias("dst"),
+                F.lit(k - 1).cast("int").alias("truss"),
+            )
+            out = assigned if out is None else out.unionByName(assigned)
+            out = out.localCheckpoint(eager=True)
+            alive = alive.join(
+                drop.select("a", "b"), ["a", "b"], "left_anti"
+            ).localCheckpoint(eager=True)
+        k += 1
+    if out is None:
+        return spark.createDataFrame([], schema)
+    return out

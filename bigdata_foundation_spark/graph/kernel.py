@@ -1413,3 +1413,168 @@ def louvain_kernel(proj: Projection, max_sweeps: int = 100, max_levels: int = 32
             break
         adj, loops = nadj, nloops
     return sorted(membership.items())
+
+
+def _hll_rho(h2: int) -> int:
+    """Leading-zero rank of a signed-64 hash under the pinned
+    HyperBall register contract: negative (top bit set) → 1, zero →
+    65, else 65 − bit_length — engine-replayable in SQL via
+    length(bin(x))."""
+    if h2 < 0:
+        return 1
+    if h2 == 0:
+        return 65
+    return 65 - h2.bit_length()
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_estimate_rows(regs: "np.ndarray", m: int) -> float:
+    """Σ over rows of the Flajolet-et-al HLL estimate (small-range
+    linear-counting correction; no large-range correction — 64-bit
+    hashes never saturate it), vectorized over the whole (n × m)
+    register matrix. Exactly the arithmetic the DataFrame tier and
+    the replay oracle pin — the per-register summation order differs
+    between numpy, Spark partial aggs, and the replay's Python loop
+    by ~1e-15 relative, far below the 6-dp output rounding."""
+    p2 = np.power(2.0, -regs.astype(np.float64))
+    s = p2.sum(axis=1)
+    z = (regs == 0).sum(axis=1)
+    raw = _hll_alpha(m) * m * m / s
+    small = (raw <= 2.5 * m) & (z > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(np.where(z > 0, m / np.maximum(z, 1), 1.0))
+    return float(np.where(small, lin, raw).sum())
+
+
+def hyperball_kernel(proj: Projection, init, t_max: int = 8, m: int = 64):
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function
+    N(t) = Σ_v |{u : dist(v→u) ≤ t}| estimated with one HyperLogLog
+    register set per node, advanced by t_max rounds of elementwise
+    register max over OUT-neighbors (ball(v) = nodes v reaches within
+    t hops; edges directed). The register contract is fully
+    DETERMINISTIC (xxhash64-derived bucket and rank, fixed round
+    count), so the output is exact-value-gateable even though the
+    estimate approximates the true ball sizes — the classic way to
+    get distance analytics (effective diameter, average distance) on
+    graphs where even one BSP SSSP per source is unaffordable.
+
+    ``init`` is [(NodeId, bucket, rho)] computed ONCE by the
+    dispatcher with JVM xxhash64 (the engine never re-implements the
+    hash; the golden generator replays it via the ported
+    tools/spark_hashes). Merge = elementwise max; estimate =
+    alpha_m·m²/Σ2^(−M_j) with linear counting below 2.5m; per-node
+    estimates summed and rounded to 6 dp per round — identical
+    arithmetic in the DataFrame twin and the replay oracle.
+
+    Returns [(t, nf_est)] for t = 0..t_max. Vectorized: one
+    np.maximum.at scatter per round over the (n × m) uint8 register
+    matrix (~64 B/node at the m=64 default)."""
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    regs = np.zeros((n, m), dtype=np.uint8)
+    for node, bucket, rho in init:
+        i = proj.index.get(node)
+        if i is not None:
+            regs[i, int(bucket)] = max(regs[i, int(bucket)], min(int(rho), 255))
+    u = proj.esrc()
+    v = proj.adj_v.astype(np.int64)
+    out = [(0, round(_hll_estimate_rows(regs, m), 6))]
+    for t in range(1, t_max + 1):
+        new = regs.copy()
+        # v's ball grows by u's ball for every edge v→u (out-neighbor
+        # merge): scatter-max the edge-destination rows into the
+        # edge-source rows.
+        np.maximum.at(new, u, regs[v])
+        regs = new
+        out.append((t, round(_hll_estimate_rows(regs, m), 6)))
+    return out
+
+
+def ktruss_kernel(proj: Projection):
+    """Truss decomposition (Cohen 2008): for every edge of the
+    undirected simple graph underlying the road multigraph, the truss
+    number — the largest k such that the edge survives in the k-truss
+    (the maximal subgraph where every edge closes ≥ k−2 triangles
+    within the subgraph). The edge-strength analog of coreness:
+    k-core bounds neighborhoods, k-truss certifies them with
+    triangles, the standard cohesive-subgraph ladder.
+
+    Classic incremental peeling: initial support by sorted-adjacency
+    intersection, then repeatedly delete the minimum-support edge
+    (ties → smallest (a, b)), decrementing the support of the two
+    companion edges of every triangle it closed. Deterministic;
+    O(E^1.5) intersections total; one executor task over the
+    broadcast CSR (the sequential-peel tier, like
+    ``biconnectivity_kernel`` — the superstep twin peels
+    level-synchronously instead and is proven equal in tests).
+
+    Returns sorted (a, b, truss) rows with a < b string-wise.
+    """
+    import heapq as _hq
+
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    u = proj.esrc()
+    v = proj.adj_v.astype(np.int64)
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    keep = lo != hi
+    pair_keys = np.unique(lo[keep] * n + hi[keep])
+    adj: dict[int, set[int]] = {}
+    edges: set[tuple[int, int]] = set()
+    for kk in pair_keys.tolist():
+        a, b = kk // n, kk % n
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        edges.add((a, b))
+    ids = proj.ids
+    sup: dict[tuple[int, int], int] = {}
+    for a, b in edges:
+        sup[(a, b)] = len(adj[a] & adj[b])
+
+    def ekey(e: tuple[int, int]) -> tuple[str, str]:
+        x, y = ids[e[0]], ids[e[1]]
+        return (x, y) if x < y else (y, x)
+
+    heap = [(s, ekey(e), e) for e, s in sup.items()]
+    _hq.heapify(heap)
+    k = 2
+    truss: dict[tuple[int, int], int] = {}
+    alive = set(edges)
+    while alive:
+        while heap:
+            s, _nm, e = heap[0]
+            if e not in alive or s != sup[e]:
+                _hq.heappop(heap)
+                continue
+            break
+        if not heap:
+            break
+        s, _nm, e = heap[0]
+        if s >= k - 1:
+            k += 1
+            continue
+        _hq.heappop(heap)
+        a, b = e
+        alive.discard(e)
+        truss[e] = k
+        adj[a].discard(b)
+        adj[b].discard(a)
+        for c in adj[a] & adj[b]:
+            for other in ((min(a, c), max(a, c)), (min(b, c), max(b, c))):
+                if other in alive:
+                    sup[other] -= 1
+                    _hq.heappush(heap, (sup[other], ekey(other), other))
+    rows = sorted((*ekey(e), t) for e, t in truss.items())
+    return [(x, y, int(t)) for x, y, t in rows]

@@ -86,7 +86,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
 # then (c) the oldest-gated rotation: all 16 entries last gated r3 or
-# earlier, plus the first 3 of the r4-last cohort. 50 exactly; the
+# earlier, plus the first 1 of the r4-last cohort. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
 # keep registration order after these.
@@ -101,6 +101,8 @@ GATE_ORDER: list[str] = [
     "graph_assortativity",  # NEW r7 (Newman 2002 degree correlation, full SQL)
     "bpe_tokenize",  # NEW r7 (BPE train+encode vs independent replay golden)
     "quality_classifier",  # NEW r7 (fastText-style LR vs independent replay)
+    "graph_hyperball",  # NEW r7 (HyperBall N(t) vs register replay golden)
+    "graph_ktruss",  # NEW r7 (truss ladder vs level-sync replay golden)
     "ann_ivf_pq_topk",  # NEW post-r6-snapshot (IVFADC vs independent replay)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
@@ -144,8 +146,6 @@ GATE_ORDER: list[str] = [
     # (c) rotation — head of the r4-last cohort (the rest are
     # whole-registry-checked locally, ORACLES_r07.md)
     "asof_join_attribution",
-    "range_join_attribution",
-    "pack_sequences_summary",
 ]
 
 
@@ -4345,3 +4345,42 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, F.col("lang") == F.lit("en"), dim=256, iters=10
     )
     return linear_classifier_score(d, w, b)
+
+
+@q(
+    "graph_hyperball",
+    PIPELINE_GOLDEN_SQL["graph_hyperball"],
+    "HyperBall neighborhood function (Boldi & Vigna 2013): N(t) for "
+    "t=0..8 over the directed road graph via one deterministic "
+    "HyperLogLog register set per node merged along out-edges each "
+    "round - the distance-analytics sketch for graphs too big for "
+    "per-source SSSP; the register contract is pinned (JVM xxhash64 "
+    "seeds), so the gate value-matches even though N(t) estimates the "
+    "true ball sizes. Pinned-golden oracle: independent pure-Python "
+    "register replay via the ported xxhash64",
+)
+def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import hyperball
+
+    _, roads = _graph(spark)
+    return hyperball(roads, t_max=8, m=64, projection=_graph_projection(spark))
+
+
+@q(
+    "graph_ktruss",
+    PIPELINE_GOLDEN_SQL["graph_ktruss"],
+    "truss decomposition (Cohen 2008): per undirected edge the largest "
+    "k whose k-truss keeps it (every edge closing >= k-2 in-subgraph "
+    "triangles) - the triangle-certified edge-strength ladder next to "
+    "k-core. Broadcast tier: incremental min-support peel; past the "
+    "limit: level-synchronous drop rounds over the live set (peel "
+    "order provably cannot change the ladder). Pinned-golden oracle: "
+    "independent level-synchronous pure-Python replay",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import truss_decomposition
+
+    _, roads = _graph(spark)
+    return truss_decomposition(roads, projection=_graph_projection(spark)).orderBy(
+        "src", "dst"
+    )

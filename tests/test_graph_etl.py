@@ -635,3 +635,88 @@ def test_degree_assortativity_known_values(spark):
     cdf = spark.createDataFrame(cyc, "src string, dst string, cost double, road_id string")
     got = degree_assortativity(cdf).collect()[0]
     assert got.n_edges == 5 and got.assortativity is None
+
+
+def test_hyperball_tiers_and_semantics(spark):
+    """Round-7 HyperBall: kernel tier ≡ superstep tier row-for-row
+    (the register contract is fully deterministic), N(t) is monotone
+    non-decreasing, N(0) estimates n distinct singletons, and at
+    saturation on a small clique the estimate sits within the HLL
+    error band of the true pair count (n² reachable pairs)."""
+    from bigdata_foundation_spark.graph.etl import _hyperball_init, _hyperball_superstep, hyperball
+
+    # directed 12-clique (every ordered pair an edge): saturates at t=1
+    n = 12
+    rows = [
+        (f"n{i:02d}", f"n{j:02d}", 1.0, f"e{i}_{j}")
+        for i in range(n)
+        for j in range(n)
+        if i != j
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    kern = sorted(map(tuple, hyperball(df, t_max=3, m=64, strategy="broadcast").collect()))
+    sup = sorted(
+        map(
+            tuple,
+            _hyperball_superstep(df, _hyperball_init(df, 64), t_max=3, m=64).collect(),
+        )
+    )
+    assert [t for t, _ in kern] == [0, 1, 2, 3]
+    assert all(abs(a[1] - b[1]) < 1e-6 for a, b in zip(kern, sup)), (kern, sup)
+    ests = [e for _t, e in kern]
+    assert all(b >= a - 1e-9 for a, b in zip(ests, ests[1:]))  # monotone
+    # N(0) ~ n singletons; clique saturates at n^2 pairs by t=1
+    assert abs(ests[0] - n) / n < 0.35  # HLL relative error band at m=64
+    assert abs(ests[1] - n * n) / (n * n) < 0.35
+    assert abs(ests[3] - ests[1]) < 1e-9  # saturated
+
+    # two-node chain: balls grow along edge direction only
+    chain = spark.createDataFrame(
+        [("a", "b", 1.0, "e1"), ("b", "c", 1.0, "e2")],
+        "src string, dst string, cost double, road_id string",
+    )
+    k2 = dict((t, e) for t, e in map(tuple, hyperball(chain, t_max=3, m=64, strategy="broadcast").collect()))
+    s2 = dict(
+        (t, e)
+        for t, e in map(
+            tuple,
+            _hyperball_superstep(chain, _hyperball_init(chain, 64), t_max=3, m=64).collect(),
+        )
+    )
+    assert all(abs(k2[t] - s2[t]) < 1e-6 for t in k2)
+
+
+def test_ktruss_tiers_and_known_values(spark):
+    """Round-7 truss decomposition: a clique's edges all carry truss n
+    (K5 → 5), a pure cycle carries 2, and the kernel peel ≡ the
+    level-synchronous superstep tier on toys and a random graph (peel
+    order cannot change the ladder)."""
+    import random
+
+    from bigdata_foundation_spark.graph.etl import (
+        _ktruss_superstep,
+        truss_decomposition,
+    )
+
+    k5 = [
+        (f"n{i}", f"n{j}", 1.0, f"e{i}{j}")
+        for i in range(5)
+        for j in range(i + 1, 5)
+    ]
+    df = spark.createDataFrame(k5, "src string, dst string, cost double, road_id string")
+    got = {(r.src, r.dst): r.truss for r in truss_decomposition(df, strategy="broadcast").collect()}
+    assert set(got.values()) == {5}
+    cyc = [(f"c{i}", f"c{(i + 1) % 6}", 1.0, f"e{i}") for i in range(6)]
+    cdf = spark.createDataFrame(cyc, "src string, dst string, cost double, road_id string")
+    got = {(r.src, r.dst): r.truss for r in truss_decomposition(cdf, strategy="broadcast").collect()}
+    assert set(got.values()) == {2}
+
+    rng = random.Random(11)
+    rows = [
+        (f"v{rng.randrange(30)}", f"v{rng.randrange(30)}", 1.0, f"r{i}")
+        for i in range(140)
+    ]
+    rdf = spark.createDataFrame(rows, "src string, dst string, cost double, road_id string")
+    kern = sorted(map(tuple, truss_decomposition(rdf, strategy="broadcast").collect()))
+    sup = sorted(map(tuple, _ktruss_superstep(rdf).collect()))
+    assert kern == sup

@@ -693,6 +693,8 @@ def main() -> None:
         "embedding_kmeans": kmeans_golden(vecs),
         "bpe_tokenize": bpe_golden(docs),
         "quality_classifier": classifier_golden(docs, load_doc_langs()),
+        "graph_hyperball": hyperball_golden(),
+        "graph_ktruss": ktruss_golden(),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -1919,6 +1921,115 @@ def classifier_golden(docs, langs, dim=256, iters=10, lr=0.5):
         rows.append((did, round(p, 6), p >= 0.5))
     return values_sql(
         [("id", "BIGINT"), ("prob", "DOUBLE"), ("predicted", "BOOLEAN")], rows
+    )
+
+
+
+
+# --- graph_hyperball (round 7) ----------------------------------------------
+
+def hyperball_golden(t_max=8, m=64):
+    """Replay of etl.hyperball's pinned HyperBall contract (Boldi &
+    Vigna 2013) over CSV1: bucket = pmod(xxhash64(id), m), rank from
+    xxhash64(id, INT 1) — Spark's lit(1) is an int32, hashed as such —
+    negative → 1, zero → 65, else 65 − bit_length; t_max rounds of
+    elementwise out-neighbor register max; per-node HLL estimate
+    (alpha·m²/Σ2^(−M_j), linear counting below 2.5m) summed and
+    rounded 6 dp per round. Independent bookkeeping: dict-of-lists
+    registers, per-edge merge loop."""
+    import math
+
+    edges = [(s, d) for s, d, _c in load_csv1_weighted_edges()]
+    nodes = sorted({x for e in edges for x in e})
+    if m <= 16:
+        alpha = 0.673
+    elif m <= 32:
+        alpha = 0.697
+    elif m <= 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs: dict[str, list[int]] = {}
+    for v in nodes:
+        r = [0] * m
+        bucket = spark_xxhash64(v) % m
+        h2 = spark_xxhash64(v, ("int", 1))
+        if h2 < 0:
+            rho = 1
+        elif h2 == 0:
+            rho = 65
+        else:
+            rho = 65 - h2.bit_length()
+        r[bucket] = min(rho, 255)
+        regs[v] = r
+
+    def nf() -> float:
+        tot = 0.0
+        for v in nodes:
+            r = regs[v]
+            s = sum(2.0 ** (-x) for x in r)
+            raw = alpha * m * m / s
+            z = sum(1 for x in r if x == 0)
+            if raw <= 2.5 * m and z > 0:
+                tot += m * math.log(m / z)
+            else:
+                tot += raw
+        return round(tot, 6)
+
+    simple = {(s, d) for s, d in edges if s != d}
+    rows = [(0, nf())]
+    for t in range(1, t_max + 1):
+        new = {v: list(r) for v, r in regs.items()}
+        for s, d in simple:
+            nr = new[s]
+            rr = regs[d]
+            for j in range(m):
+                if rr[j] > nr[j]:
+                    nr[j] = rr[j]
+        regs = new
+        rows.append((t, nf()))
+    return values_sql([("t", "INTEGER"), ("nf_est", "DOUBLE")], rows)
+
+
+
+
+# --- graph_ktruss (round 7) -------------------------------------------------
+
+def ktruss_golden():
+    """Replay of etl.truss_decomposition by LEVEL-SYNCHRONOUS peeling
+    (deliberately the superstep tier's formulation, not the kernel's
+    incremental min-support heap): for ascending k, repeatedly drop
+    every edge with in-subgraph support < k−2 until stable; dropped
+    edges carry truss k−1. Peel order cannot affect the ladder, so
+    all three agree."""
+    und = {
+        (min(s, d), max(s, d))
+        for s, d, _c in load_csv1_weighted_edges()
+        if s != d
+    }
+    alive = set(und)
+    truss: dict[tuple[str, str], int] = {}
+    k = 3
+    while alive:
+        while True:
+            adj: dict[str, set[str]] = {}
+            for a, b in alive:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = [
+                (a, b) for a, b in alive if len(adj[a] & adj[b]) < k - 2
+            ]
+            if not drop:
+                break
+            for e in drop:
+                truss[e] = k - 1
+                alive.discard(e)
+        k += 1
+        if k > 1000:
+            raise RuntimeError("ktruss_golden runaway")
+    rows = sorted((a, b, t) for (a, b), t in truss.items())
+    return values_sql(
+        [("src", "VARCHAR"), ("dst", "VARCHAR"), ("truss", "INTEGER")], rows
     )
 
 
