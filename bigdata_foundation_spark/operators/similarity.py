@@ -1062,6 +1062,70 @@ def ivf_pq_query(
     return _adc_rank(joined, m, k)
 
 
+def ivf_pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    train_iters: int = 5,
+) -> DataFrame:
+    """IVF×PQ with an exact re-rank tail (FAISS ``IndexRefineFlat``,
+    Jégou et al. 2011 §V-A): the ADC scan produces a ``shortlist`` of
+    candidates per query (cheap, compressed-domain), then ONLY those
+    |Q|·shortlist rows are re-scored against the TRUE vectors and the
+    final top-``k`` ranks on exact squared L2. This is the standard
+    third stage of the production ANN pipeline — probe (IVF) → scan
+    (PQ/ADC) → refine (exact) — and removes the ADC quantization bias
+    from the returned ordering at a cost independent of corpus size.
+
+    Scale shape: the refine step re-reads the corpus through ONE
+    broadcast hash join on the candidate ids (|Q|·shortlist rows
+    broadcast — a semi-join filter on the scan, prunable further by
+    bucketing the source table on ``id_col``); the exact distances are
+    codegen'd ``zip_with``/``aggregate`` expressions. No Python on
+    data, no shuffle of the corpus.
+
+    Returns (query_id, neighbor_id, dist, rank): exact squared L2
+    ascending, ties → lowest neighbor id, 6-dp rounded, self excluded.
+    Deterministic end-to-end (the shortlist inherits ``ivf_pq_topk``'s
+    determinism contract); independent pure-Python replay in
+    tools/gen_pipeline_goldens.py (``ivf_pq_golden(refine_k=...)``)."""
+    centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
+    books = _ivf_pq_codebooks(
+        corpus, centroids, id_col, vec_col, m, n_codes, sample_size, train_iters
+    )
+    c = _ivf_pq_corpus_codes(corpus, centroids, books, id_col, vec_col)
+    q = _ivf_pq_probe_tables(queries, centroids, books, n_probe, id_col, vec_col)
+    joined = F.broadcast(q).join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    cands = _adc_rank(joined, m, shortlist).select("query_id", "neighbor_id")
+    nbrs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_nv")
+    )
+    qvs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    fetched = nbrs.join(F.broadcast(cands), "neighbor_id").join(F.broadcast(qvs), "query_id")
+    sqdist = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        fetched.withColumn("dist", F.round(sqdist, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
 def ivf_compact(spark: SparkSession, path: str, target_file_mb: int = 512) -> dict[int, int]:
     """Compact an ``ivf_build``/``ivf_pq_build`` index after many
     ``ivf_append`` batches — the index-lifecycle step MinHash already

@@ -86,7 +86,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
 # then (c) the oldest-gated rotation: all 16 entries last gated r3 or
-# earlier, plus the first 1 of the r4-last cohort. 50 exactly; the
+# earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
 # keep registration order after these.
@@ -104,6 +104,7 @@ GATE_ORDER: list[str] = [
     "graph_hyperball",  # NEW r7 (HyperBall N(t) vs register replay golden)
     "graph_ktruss",  # NEW r7 (truss ladder vs level-sync replay golden)
     "ann_ivf_pq_topk",  # NEW post-r6-snapshot (IVFADC vs independent replay)
+    "ann_ivf_pq_refine",  # NEW r7 (IVFADC + exact refine tail vs replay)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -143,9 +144,6 @@ GATE_ORDER: list[str] = [
     "streaming_sessionize",
     "streaming_sliding",
     "token_totals_by_source",
-    # (c) rotation — head of the r4-last cohort (the rest are
-    # whole-registry-checked locally, ORACLES_r07.md)
-    "asof_join_attribution",
 ]
 
 
@@ -2342,6 +2340,23 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8)
     res = S.ivf_pq_topk(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
+    "ann_ivf_pq_refine",
+    PIPELINE_GOLDEN_SQL["ann_ivf_pq_refine"],
+    "IVFADC + exact re-rank refine tail (FAISS IndexRefineFlat): the "
+    "ADC scan shortlists 20 candidates per query, only those rows are "
+    "re-scored against the true vectors via one broadcast hash join, "
+    "final top-5 ranks on exact squared L2 — the standard third stage "
+    "of the production ANN pipeline (pinned-golden oracle: independent "
+    "pure-Python replay incl. the refine tail)",
+)
+def ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.ivf_pq_refine_topk(e, qs, k=5, shortlist=20)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
 
 

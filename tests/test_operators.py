@@ -1287,6 +1287,48 @@ def test_ivf_pq_beats_pq_alone_recall(spark):
     assert c_ivfpq >= c_pq + 0.1, (c_ivfpq, c_pq)
 
 
+def test_ivf_pq_refine_improves_recall_and_is_exact(spark):
+    """The refine tail (FAISS IndexRefineFlat): re-ranking the ADC
+    shortlist on true vectors (a) never loses recall vs ADC-only
+    ranking at the same probe width, and strictly gains on the sf0.01
+    corpus (the quantization bias it removes is what caps ADC recall);
+    (b) returns the TRUE squared L2 in ``dist`` (checked against
+    numpy to 6 dp) — the downstream consumer can threshold on it,
+    unlike the ``adc`` surrogate; (c) is partition-deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 20)
+    t = pqt.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    idx = {v: i for i, v in enumerate(ids)}
+    X = np.asarray([list(v) for v in t.column("embedding").to_pylist()], dtype=np.float64)
+
+    def recall(res, nq):
+        recs = []
+        for qid in range(nq):
+            d2 = ((X - X[idx[qid]]) ** 2).sum(axis=1)
+            d2[idx[qid]] = np.inf
+            exact = set(np.asarray(ids)[np.argsort(d2, kind="stable")[:5]].tolist())
+            got = [r["neighbor_id"] for r in res if r["query_id"] == qid]
+            recs.append(len(exact & set(got)) / 5)
+        return float(np.mean(recs))
+
+    plain = S.ivf_pq_topk(e, qs, k=5).collect()
+    refined = S.ivf_pq_refine_topk(e, qs, k=5, shortlist=20).collect()
+    r_plain, r_ref = recall(plain, 20), recall(refined, 20)
+    assert r_ref >= r_plain, (r_ref, r_plain)
+    assert r_ref > r_plain + 0.1, (r_ref, r_plain)  # measured 0.70 vs 0.25
+
+    for r in refined:
+        true_d2 = float(((X[idx[r["query_id"]]] - X[idx[r["neighbor_id"]]]) ** 2).sum())
+        assert abs(r["dist"] - round(true_d2, 6)) < 1e-6, r
+
+    again = S.ivf_pq_refine_topk(e.repartition(7), qs, k=5, shortlist=20).collect()
+    assert sorted(map(tuple, refined)) == sorted(map(tuple, again))
+
+
 def test_ivf_pq_determinism_and_self_exclusion(spark):
     """IVF×PQ output is identical across corpus partitionings (the
     centroid/codebook/encode chain is hash-deterministic, same

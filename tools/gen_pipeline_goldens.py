@@ -686,6 +686,7 @@ def main() -> None:
         "graph_kcore": kcore_golden(),
         "ann_pq_topk": pq_golden(vecs),
         "ann_ivf_pq_topk": ivf_pq_golden(vecs),
+        "ann_ivf_pq_refine": ivf_pq_golden(vecs, refine_k=5, shortlist=20),
         "semantic_dedup": semdedup_golden(vecs),
         "graph_msf": msf_golden(),
         "graph_louvain": louvain_golden(),
@@ -1371,6 +1372,8 @@ def ivf_pq_golden(
     train_iters=5,
     max_query_id=8,
     lloyd_iters=2,
+    refine_k=None,
+    shortlist=20,
 ):
     """Replay of similarity.ivf_pq_topk (FAISS IVFADC, Jégou et al.
     2011 §IV): IVF centroids under the ivf_golden contract
@@ -1479,8 +1482,32 @@ def ivf_pq_golden(
                     adc = adc + tables[j][codes[j]]
                 scored.append((r6(adc), nid))
         scored.sort()
-        for rank, (adc, nid) in enumerate(scored[:k], 1):
-            rows.append((qid, nid, adc, rank))
+        if refine_k is None:
+            for rank, (adc, nid) in enumerate(scored[:k], 1):
+                rows.append((qid, nid, adc, rank))
+        else:
+            # Refine tail (similarity.ivf_pq_refine_topk): exact
+            # squared-L2 re-rank of the ADC shortlist, ties → lowest
+            # neighbor id, 6-dp rounded on the ranked value.
+            exact = sorted(
+                (
+                    r6(sum((a - b) ** 2 for a, b in zip(qv, byid[nid]))),
+                    nid,
+                )
+                for _adc, nid in scored[:shortlist]
+            )
+            for rank, (dist, nid) in enumerate(exact[:refine_k], 1):
+                rows.append((qid, nid, dist, rank))
+    if refine_k is not None:
+        return values_sql(
+            [
+                ("query_id", "BIGINT"),
+                ("neighbor_id", "BIGINT"),
+                ("dist", "DOUBLE"),
+                ("rank", "BIGINT"),
+            ],
+            rows,
+        )
     return values_sql(
         [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("adc", "DOUBLE"), ("rank", "BIGINT")],
         rows,
