@@ -618,6 +618,81 @@ def tfidf_top_terms(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the classic corpus-linguistics signal for
+    multiword expressions ("new york", "machine learning"), and a
+    curation feature: templated/boilerplate corpora surface as walls
+    of implausibly-high-PMI pairs.
+
+    PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p from corpus counts:
+    ln( (c_xy·N_uni²) / (N_bi·c_x·c_y) ). Pairs are ADJACENT token
+    pairs within a document (lowercase whitespace tokens, the corpus
+    convention); ``min_count`` floors c_xy so one-off juxtapositions
+    of two rare words can't dominate (the standard PMI sparsity fix).
+
+    Ranking uses the UNROUNDED score (ties → w1 asc, w2 asc — exact
+    ties DO occur: symmetric pairs with equal counts get bit-identical
+    doubles); the returned pmi is 6-dp rounded.
+
+    Scale shape: tokens/bigrams never leave their row until the two
+    map-side-combined count aggregates (8-byte-ish keys, not text);
+    the corpus totals enter as broadcast 1-row cross joins (lazy, no
+    driver count job); the unigram-count joins are keyed on the word
+    (vocab ≪ corpus; AQE broadcasts when it fits); the final top-k is
+    orderBy+limit → TakeOrderedAndProject, never a global sort. The
+    rank column is a row_number window over the ≤k survivors only.
+
+    Returns (rank, w1, w2, n_pair, pmi), rank 1-based by pmi desc."""
+    toks = df.select(tokens(text_col).alias("_t"))
+    uni = toks.select(F.explode("_t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("_c"))
+    nu = uni.agg(F.count("*").cast("double").alias("_nu"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, element_at(_t, i + 2) AS w2))"
+            )
+        ).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    nb = pairs.agg(F.count("*").cast("double").alias("_nb"))
+    pcnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("_c").alias("_c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("_c").alias("_c2"))
+    scored = (
+        pcnt.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "_s",
+            F.log(
+                (F.col("n_pair").cast("double") * F.col("_nu") * F.col("_nu"))
+                / (F.col("_nb") * F.col("_c1") * F.col("_c2"))
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("_s"), F.asc("w1"), F.asc("w2")).limit(k)
+    w = Window.orderBy(F.desc("_s"), F.asc("w1"), F.asc("w2"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "w1",
+        "w2",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.round("_s", 6).alias("pmi"),
+    )
+
+
 def unigram_logprob_score(
     documents: DataFrame,
     text_col: str = "text",

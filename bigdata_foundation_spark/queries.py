@@ -85,8 +85,8 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: all 16 entries last gated r3 or
-# earlier. 50 exactly; the
+# then (c) the oldest-gated rotation: the 15 oldest entries last gated
+# r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
 # keep registration order after these.
@@ -105,6 +105,7 @@ GATE_ORDER: list[str] = [
     "graph_ktruss",  # NEW r7 (truss ladder vs level-sync replay golden)
     "ann_ivf_pq_topk",  # NEW post-r6-snapshot (IVFADC vs independent replay)
     "ann_ivf_pq_refine",  # NEW r7 (IVFADC + exact refine tail vs replay)
+    "pmi_collocations",  # NEW r7 (PMI collocations, full SQL oracle)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -143,7 +144,6 @@ GATE_ORDER: list[str] = [
     "streaming_hourly",
     "streaming_sessionize",
     "streaming_sliding",
-    "token_totals_by_source",
 ]
 
 
@@ -1259,6 +1259,48 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_counts(_docs(spark, sf_dir), "text", n=3, k=100)
+
+
+@q(
+    "pmi_collocations",
+    r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+    bi AS (
+      SELECT toks[i.i] AS w1, toks[i.i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+      WHERE len(toks) > 1
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bi),
+    pc AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2
+      HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT pc.w1, pc.w2, pc.n_pair,
+             ln((CAST(pc.n_pair AS DOUBLE) * nu.n * nu.n) / (nb.n * u1.c * u2.c)) AS _s
+      FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w
+      CROSS JOIN nu CROSS JOIN nb
+    )
+    SELECT CAST(rk AS INT) AS rank, w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(_s, 6) AS pmi
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY _s DESC, w1 ASC, w2 ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 50
+    """,
+    "top-50 bigram collocations by pointwise mutual information (Church & "
+    "Hanks 1990) with a min-count floor: adjacent lowercase-token pairs, "
+    "two map-side-combined count aggs + broadcast scalar totals + "
+    "TakeOrderedAndProject top-k (full SQL oracle)",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pmi_collocations(_docs(spark, sf_dir), "text", k=50, min_count=5)
 
 
 @q(

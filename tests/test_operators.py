@@ -1446,6 +1446,44 @@ def test_semantic_dedup_semantics_and_determinism(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pmi_collocations_math_and_plan(spark):
+    """PMI collocations (r7): values equal the independent in-test
+    computation ln(c_xy·N²/(N_bi·c_x·c_y)) on a hand-built corpus; a
+    genuine collocation ("san francisco" — the words only ever appear
+    together) outranks a chance pairing of common words; min_count
+    floors rare pairs out; no cartesian / no Python in the plan."""
+    import math as _m
+    from collections import Counter
+
+    docs = [
+        (i, "san francisco is big and the city of san francisco is wet") for i in range(3)
+    ] + [(10 + i, "the city is big and the bay is wet near the city") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r for r in TX.pmi_collocations(df, k=100, min_count=3).collect()}
+
+    toks = [d[1].split() for d in docs]
+    uni = Counter(w for t in toks for w in t)
+    n_uni = sum(uni.values())
+    bi = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    n_bi = sum(bi.values())
+    want = {
+        p: _m.log((c * n_uni * n_uni) / (n_bi * uni[p[0]] * uni[p[1]]))
+        for p, c in bi.items()
+        if c >= 3
+    }
+    assert set(got) == set(want)
+    for p, r in got.items():
+        assert abs(r["pmi"] - round(want[p], 6)) < 1e-9, (p, r["pmi"], want[p])
+        assert r["n_pair"] == bi[p]
+    assert got[("san", "francisco")]["rank"] < got[("the", "city")]["rank"]
+    ranks = sorted(r["rank"] for r in got.values())
+    assert ranks == list(range(1, len(got) + 1))
+
+    plan = TX.pmi_collocations(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_unigram_perplexity_semantics(spark):
     """Unigram-LM scoring (round 6): an out-of-distribution document
     (tokens appearing nowhere else) must score strictly higher than a
