@@ -808,6 +808,77 @@ def bm25_scores(
     )
 
 
+def unimax_mixture(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    budget_frac: float = 1.35,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """UniMax language/domain sampling (Chung et al. 2023): allocate a
+    token budget across groups as uniformly as possible subject to a
+    per-group repeat cap — no group is sampled past ``max_epochs``
+    passes over its data, and the leftover budget spreads evenly over
+    the groups that can still absorb it. This is the mixture policy
+    that replaced hand-tuned temperature sampling for multilingual
+    pretraining: small languages get up-weighted WITHOUT being
+    overfit by unbounded repetition.
+
+    The cap-constrained uniform allocation is exactly water-filling:
+    allocation_g = min(cap_g, t) with cap_g = max_epochs·n_g and the
+    level t chosen so Σ allocation = B (= budget_frac·N_total); if the
+    budget exceeds Σ cap, every group just gets its cap. t has the
+    closed form max over boundary candidates (caps sorted ascending,
+    S = prefix sum): t = max_j (B − S_{j-1}) / (n_groups − j + 1) —
+    one window cumsum over |groups| rows, no iteration.
+
+    Everything after the ONE map-side-combined token-count aggregate
+    runs on |groups| rows (the window and the 1-row level agg are a
+    broadcastable frame); the corpus is scanned once and only 8-byte
+    partial counts shuffle. All arithmetic is exact-integer-derived
+    IEEE doubles in a pinned association order, so the oracle is a
+    full SQL re-derivation, not a golden.
+
+    Returns (group_col, n_tokens, allocation, epochs, capped) sorted
+    by group: allocation/epochs 6-dp rounded, ``capped`` = the group
+    hit its repeat cap (epochs == max_epochs), epochs = 0 for a
+    zero-token group."""
+    g = (
+        df.groupBy(group_col)
+        .agg(F.sum(whitespace_token_count(text_col)).cast("double").alias("_n"))
+        .withColumn("_cap", F.lit(max_epochs) * F.col("_n"))
+    )
+    tot = g.agg(
+        F.sum("_n").alias("_total"), F.count("*").cast("double").alias("_ng")
+    )
+    w = Window.orderBy(F.asc("_cap"), F.asc(group_col))
+    ord_ = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("_rn", F.row_number().over(w).cast("double"))
+        .withColumn("_cum", F.sum("_cap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    lvl = ord_.agg(
+        F.max(
+            (F.lit(budget_frac) * F.col("_total") - (F.col("_cum") - F.col("_cap")))
+            / (F.col("_ng") - F.col("_rn") + F.lit(1.0))
+        ).alias("_t")
+    )
+    alloc = F.least(F.col("_cap"), F.col("_t"))
+    return (
+        ord_.crossJoin(F.broadcast(lvl))
+        .select(
+            F.col(group_col),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.round(alloc, 6).alias("allocation"),
+            F.round(
+                F.when(F.col("_n") > 0, alloc / F.col("_n")).otherwise(F.lit(0.0)), 6
+            ).alias("epochs"),
+            (F.col("_cap") <= F.col("_t")).alias("capped"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def dsir_logratio_scores(
     documents: DataFrame,
     target: DataFrame,

@@ -85,7 +85,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 15 oldest entries last gated
+# then (c) the oldest-gated rotation: the 14 oldest entries last gated
 # r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
@@ -106,6 +106,7 @@ GATE_ORDER: list[str] = [
     "ann_ivf_pq_topk",  # NEW post-r6-snapshot (IVFADC vs independent replay)
     "ann_ivf_pq_refine",  # NEW r7 (IVFADC + exact refine tail vs replay)
     "pmi_collocations",  # NEW r7 (PMI collocations, full SQL oracle)
+    "unimax_mixture",  # NEW r7 (UniMax water-filling, full SQL oracle)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -143,7 +144,6 @@ GATE_ORDER: list[str] = [
     "streaming_dedup",
     "streaming_hourly",
     "streaming_sessionize",
-    "streaming_sliding",
 ]
 
 
@@ -1474,6 +1474,42 @@ def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.sum(TX.whitespace_token_count("text")).cast("bigint").alias("total_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@q(
+    "unimax_mixture",
+    r"""
+    WITH g AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS DOUBLE) AS n
+      FROM documents GROUP BY lang
+    ),
+    caps AS (SELECT lang, n, 2.0 * n AS cap FROM g),
+    tot AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS DOUBLE) AS ng FROM caps),
+    ord AS (
+      SELECT lang, n, cap, total, ng,
+             CAST(row_number() OVER (ORDER BY cap ASC, lang ASC) AS DOUBLE) AS rn,
+             SUM(cap) OVER (ORDER BY cap ASC, lang ASC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM caps CROSS JOIN tot
+    ),
+    lvl AS (
+      SELECT MAX((1.35 * total - (cum - cap)) / (ng - rn + 1.0)) AS t FROM ord
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(LEAST(cap, lvl.t), 6) AS allocation,
+           ROUND(CASE WHEN n > 0 THEN LEAST(cap, lvl.t) / n ELSE 0.0 END, 6) AS epochs,
+           cap <= lvl.t AS capped
+    FROM ord CROSS JOIN lvl ORDER BY lang
+    """,
+    "UniMax mixture allocation (Chung et al. 2023): token budget spread "
+    "uniformly across languages under a max-epochs repeat cap via "
+    "closed-form water-filling — one token-count agg, then |groups|-row "
+    "window math (full SQL oracle)",
+)
+def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.unimax_mixture(
+        _docs(spark, sf_dir), "text", group_col="lang", budget_frac=1.35, max_epochs=2.0
     )
 
 

@@ -1446,6 +1446,52 @@ def test_semantic_dedup_semantics_and_determinism(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_unimax_mixture_waterfill_semantics(spark):
+    """UniMax (r7): on a skewed corpus the allocation (a) conserves
+    the budget exactly when the budget is below the cap sum, (b) caps
+    exactly the smallest groups at max_epochs and gives every uncapped
+    group the SAME level t, (c) degrades to cap-for-everyone when the
+    budget exceeds the cap sum; values match an independent in-test
+    water-fill replay."""
+    rows = []
+    did = 0
+    for grp, ndocs, tok in [("a", 2, "x y z"), ("b", 4, "x y z w"), ("c", 20, "x y z w q")]:
+        for _ in range(ndocs):
+            rows.append((did, tok, grp))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # token counts: a=6, b=16, c=100; caps(me=2)=12,32,200; total=122
+    got = {
+        r["source"]: r
+        for r in TX.unimax_mixture(df, budget_frac=1.0, max_epochs=2.0).collect()
+    }
+    n = {"a": 6.0, "b": 16.0, "c": 100.0}
+    caps = {g: 2.0 * v for g, v in n.items()}
+    B = 122.0
+    t = max(
+        (B - sum(sorted(caps.values())[:j])) / (3 - j)
+        for j in range(3)
+    )
+    want_alloc = {g: min(caps[g], t) for g in n}
+    assert abs(sum(want_alloc.values()) - B) < 1e-9  # replay conserves budget
+    for g in n:
+        assert abs(got[g]["allocation"] - round(want_alloc[g], 6)) < 1e-9, (g, got[g])
+        assert got[g]["n_tokens"] == int(n[g])
+        assert got[g]["capped"] == (caps[g] <= t)
+    assert got["a"]["capped"] and got["b"]["capped"] and not got["c"]["capped"]
+    assert abs(got["a"]["epochs"] - 2.0) < 1e-9
+    assert abs(sum(r["allocation"] for r in got.values()) - B) < 1e-6
+
+    # budget above the cap sum: everyone gets exactly their cap
+    big = {
+        r["source"]: r
+        for r in TX.unimax_mixture(df, budget_frac=3.0, max_epochs=2.0).collect()
+    }
+    for g in n:
+        assert abs(big[g]["allocation"] - caps[g]) < 1e-9
+        assert big[g]["capped"]
+
+
 def test_pmi_collocations_math_and_plan(spark):
     """PMI collocations (r7): values equal the independent in-test
     computation ln(c_xy·N²/(N_bi·c_x·c_y)) on a hand-built corpus; a
