@@ -10,7 +10,7 @@ on each function.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -294,6 +294,61 @@ def profile_columns(df: DataFrame, cols: list[str], round_numeric: int = 2) -> D
         for c in cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Changelog → SCD Type-2 dimension (Kimball): collapse each key's
+    event stream into validity intervals of its tracked attribute —
+    a new version opens only when the attribute CHANGES (repeats
+    extend the current version), ``valid_to`` is the next version's
+    start, or the Kimball high-date sentinel 9999-12-31 on the
+    open/current version (the idiomatic SCD2 convention — range
+    predicates ``BETWEEN valid_from AND valid_to`` need no NULL
+    branch). The standard slowly-changing-dimension build every
+    warehouse runs from CDC feeds.
+
+    Three windows, all partitioned by the key (ONE shuffle of the
+    changelog on the key; every window reuses that partitioning —
+    Catalyst plans a single Exchange): (1) lag to mark changes
+    (null-safe, so the first row always opens version 1), (2) a
+    running sum of marks to number versions, (3) after the per-version
+    aggregate, lead(valid_from) to close each interval. Events order
+    by (ts, tiebreak) within the key — the tiebreak makes same-ts
+    changelogs deterministic.
+
+    Returns (key, attr, version, valid_from, valid_to, n_events,
+    is_current); version is 1-based per key."""
+    ev = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    marked = changelog.withColumn(
+        "_chg",
+        F.when(F.col(attr_col).eqNullSafe(F.lag(attr_col).over(ev)), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "_ver", F.sum("_chg").over(ev.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = marked.groupBy(key_col, "_ver").agg(
+        F.min(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    vw = Window.partitionBy(key_col).orderBy(F.asc("_ver"))
+    nxt = F.lead("valid_from").over(vw)
+    return versions.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("_ver").cast("bigint").alias("version"),
+        "valid_from",
+        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
 
 
 def snapshot_diff(

@@ -85,7 +85,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 14 oldest entries last gated
+# then (c) the oldest-gated rotation: the 13 oldest entries last gated
 # r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
@@ -107,6 +107,7 @@ GATE_ORDER: list[str] = [
     "ann_ivf_pq_refine",  # NEW r7 (IVFADC + exact refine tail vs replay)
     "pmi_collocations",  # NEW r7 (PMI collocations, full SQL oracle)
     "unimax_mixture",  # NEW r7 (UniMax water-filling, full SQL oracle)
+    "scd2_user_history",  # NEW r7 (changelog->SCD2 intervals, full SQL oracle)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -143,7 +144,6 @@ GATE_ORDER: list[str] = [
     "sql_q6_revenue",
     "streaming_dedup",
     "streaming_hourly",
-    "streaming_sessionize",
 ]
 
 
@@ -4169,6 +4169,45 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return R.snapshot_diff(
         old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_orderpriority"]
+    )
+
+
+@q(
+    "scd2_user_history",
+    r"""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS NOT DISTINCT FROM
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+    ),
+    ver AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS v
+      FROM marked
+    ),
+    versions AS (
+      SELECT user_id, v, MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ver GROUP BY user_id, v
+    )
+    SELECT user_id, event_type, CAST(v AS BIGINT) AS version, valid_from,
+           COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v),
+                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY v) IS NULL AS is_current
+    FROM versions
+    """,
+    "changelog to SCD Type-2 dimension (Kimball): per-user validity "
+    "intervals of the tracked attribute, new version only on change, "
+    "valid_to = next version's start (9999-12-31 while current) — one keyed "
+    "shuffle, every window reuses it (full SQL oracle)",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return R.scd2_history(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts", tiebreak_col="event_id"
     )
 
 

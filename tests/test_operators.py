@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from bigdata_foundation_spark.operators import dedup as D
 from bigdata_foundation_spark.operators import multimodal as M
+from bigdata_foundation_spark.operators import relational as R
 from bigdata_foundation_spark.operators import similarity as S
 from bigdata_foundation_spark.operators import text as TX
 
@@ -1444,6 +1445,43 @@ def test_semantic_dedup_semantics_and_determinism(spark):
     plan = S.semantic_dedup(e)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_history_semantics(spark):
+    """SCD2 build (r7): on a hand-built changelog — repeats extend the
+    open version, changes close it at the next start, versions chain
+    gaplessly (valid_to == next valid_from), exactly one current row
+    per key (high-date sentinel), n_events counts the run length,
+    same-timestamp changes order by the tiebreak column; result is
+    partition-count invariant."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 100, "a"),
+        (2, "2024-01-01 11:00:00", 100, "a"),  # repeat -> same version
+        (3, "2024-01-01 12:00:00", 100, "b"),  # change -> v2
+        (4, "2024-01-01 12:00:00", 100, "c"),  # same ts as id 3: tiebreak -> v3
+        (5, "2024-01-02 09:00:00", 200, "x"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = R.scd2_history(df, "user_id", "event_type", "ts", "event_id")
+    res = sorted(
+        (r["user_id"], r["version"], r["event_type"], str(r["valid_from"]),
+         str(r["valid_to"]), r["n_events"], r["is_current"])
+        for r in got.collect()
+    )
+    assert res == [
+        (100, 1, "a", "2024-01-01 10:00:00", "2024-01-01 12:00:00", 2, False),
+        (100, 2, "b", "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1, False),
+        (100, 3, "c", "2024-01-01 12:00:00", "9999-12-31 00:00:00", 1, True),
+        (200, 1, "x", "2024-01-02 09:00:00", "9999-12-31 00:00:00", 1, True),
+    ]
+    res2 = sorted(
+        (r["user_id"], r["version"], r["event_type"], str(r["valid_from"]),
+         str(r["valid_to"]), r["n_events"], r["is_current"])
+        for r in R.scd2_history(df.repartition(5), "user_id", "event_type", "ts", "event_id").collect()
+    )
+    assert res2 == res
 
 
 def test_unimax_mixture_waterfill_semantics(spark):
