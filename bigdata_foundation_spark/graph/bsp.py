@@ -92,6 +92,38 @@ _STATE_SCHEMA = T.StructType(
     ]
 )
 
+_PARENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.StringType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+        T.StructField("parent", T.StringType(), False),
+    ]
+)
+
+
+def reconstruct_paths(state: DataFrame, targets: list[str]) -> dict[str, list[str]]:
+    """Recover full paths for ``targets`` from a ``carry_paths=False``
+    ``bsp_sssp`` result by walking the parent forest (the source is its
+    own parent, terminating the walk).
+
+    The forest is collected as TWO narrow string columns, one row per
+    reachable node — at the 270k-node grid that is a few MB, and the
+    walk is O(Σ path length) dict hops. For graphs whose reachable set
+    cannot be collected, keep the forest in parquet and batch-walk it
+    with iterative joins instead; this helper serves the
+    few-targets-after-one-SSSP shape the path family actually uses
+    (p2p, Yen spurs), where |targets| ≪ |V|."""
+    parent = {r["node"]: r["parent"] for r in state.select("node", "parent").collect()}
+    out: dict[str, list[str]] = {}
+    for t in targets:
+        if t not in parent:
+            continue
+        chain = [t]
+        while parent[chain[-1]] != chain[-1]:
+            chain.append(parent[chain[-1]])
+        out[t] = chain[::-1]
+    return out
+
 
 def bsp_sssp(
     spark: SparkSession,
@@ -103,6 +135,7 @@ def bsp_sssp(
     max_supersteps: int = 10_000,
     checkpoint_state_every: int = 8,
     stats: dict | None = None,
+    carry_paths: bool = True,
 ) -> DataFrame:
     """Single-source shortest distances (and paths) by BSP relaxation.
 
@@ -111,6 +144,15 @@ def bsp_sssp(
     ``target`` is given). ``use_heuristic`` additionally prunes by the
     admissible Euclidean heuristic (requires ``nodes`` with
     XCoord/YCoord) — the A* variant.
+
+    ``carry_paths=False`` switches the state row from ``(node, dist,
+    path array)`` to constant-width ``(node, dist, parent)`` — the
+    scale fix for the measured ceiling of the path-carrying design
+    (KERNEL_BENCH §BSP: on a 270k-node grid the average accepted path
+    is ~500 hops, so checkpoint-rewriting path arrays dominates the
+    superstep at ~2s; parent rows keep it near the small-graph floor).
+    Distances are bit-identical either way; full paths are recovered
+    on demand with :func:`reconstruct_paths` from the parent forest.
     """
     # Kernel projection: min-cost per (src, dst). Column-pruned and
     # cached — the analog of GDS's relationshipProjection
@@ -146,20 +188,30 @@ def bsp_sssp(
     edges = edges.repartition("src").cache()
     edges.count()  # materialize the projection once
 
-    state = spark.createDataFrame([(source, 0.0, [source])], _STATE_SCHEMA).localCheckpoint(eager=True)
+    if carry_paths:
+        state = spark.createDataFrame([(source, 0.0, [source])], _STATE_SCHEMA)
+    else:
+        state = spark.createDataFrame([(source, 0.0, source)], _PARENT_STATE_SCHEMA)
+    state = state.localCheckpoint(eager=True)
     frontier = state
     best_target = float("inf")
 
     _dirty = False
     step = 0
     for step in range(1, max_supersteps + 1):
+        carried = (
+            F.concat(F.col("f.path"), F.array(F.col("e.dst"))).alias("path")
+            if carry_paths
+            else F.col("f.node").alias("parent")
+        )
+        ccol = "path" if carry_paths else "parent"
         cand = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
             .select(
                 F.col("e.dst").alias("node"),
                 (F.col("f.dist") + F.col("e.cost")).alias("dist"),
-                F.concat(F.col("f.path"), F.array(F.col("e.dst"))).alias("path"),
+                carried,
                 F.col("e.h").alias("h"),
             )
         )
@@ -171,14 +223,14 @@ def bsp_sssp(
 
         best_cand = (
             cand.groupBy("node")
-            .agg(F.min(F.struct("dist", "path")).alias("m"))
-            .select("node", F.col("m.dist").alias("dist"), F.col("m.path").alias("path"))
+            .agg(F.min(F.struct("dist", ccol)).alias("m"))
+            .select("node", F.col("m.dist").alias("dist"), F.col(f"m.{ccol}").alias(ccol))
         )
         improved = (
             best_cand.alias("c")
             .join(state.alias("s"), "node", "left")
             .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
-            .select("node", F.col("c.dist").alias("dist"), F.col("c.path").alias("path"))
+            .select("node", F.col("c.dist").alias("dist"), F.col(f"c.{ccol}").alias(ccol))
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():

@@ -1165,6 +1165,56 @@ def bpe_encode(
     return docs.select(id_col, text_col).mapInPandas(_encode_batches, out_schema)
 
 
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility audit per group: BPE tokens per word and
+    per character — THE standard health metric when validating a
+    tokenizer against a corpus mix (multilingual fertility imbalance
+    is why UniMax-style mixtures and vocabulary sizing get revisited;
+    a group whose fertility is 2× the corpus mean pays 2× the compute
+    per effective word).
+
+    Rides :func:`bpe_encode` (one Arrow ``mapInPandas`` pass, zero
+    shuffle) for token counts, joins them back to the group column on
+    the doc id (one keyed shuffle of 3 narrow columns), and reduces to
+    |groups| rows in a map-side-combined aggregate. Word counts use
+    the SAME explicit-ASCII whitespace class as BPE training, so
+    fertility is exactly tokens/words under one tokenization contract.
+
+    Returns (group, n_docs, n_words, n_bpe_tokens, n_chars,
+    fertility, tokens_per_char) sorted by group, ratios 6-dp."""
+    enc = bpe_encode(docs, merges, text_col, id_col).select(
+        F.col("id").alias(id_col), "n_tokens"
+    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.filter(F.split(txt, _WS_CLASS), lambda t: F.length(t) > 0)).alias("_nw"),
+        F.length(txt).alias("_nc"),
+    )
+    return (
+        words.join(enc, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_nw").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("_nc").cast("bigint").alias("n_chars"),
+        )
+        .withColumn("fertility", F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6))
+        .withColumn(
+            "tokens_per_char", F.round(F.col("n_bpe_tokens") / F.col("n_chars"), 6)
+        )
+        .orderBy(group_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed-feature linear text classifier (fastText-style, Joulin et al.
 # 2016) — the quality-filter pattern of CCNet / the GPT-3 data work:

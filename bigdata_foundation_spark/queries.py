@@ -85,7 +85,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 13 oldest entries last gated
+# then (c) the oldest-gated rotation: the 12 oldest entries last gated
 # r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
@@ -108,6 +108,7 @@ GATE_ORDER: list[str] = [
     "pmi_collocations",  # NEW r7 (PMI collocations, full SQL oracle)
     "unimax_mixture",  # NEW r7 (UniMax water-filling, full SQL oracle)
     "scd2_user_history",  # NEW r7 (changelog->SCD2 intervals, full SQL oracle)
+    "bpe_fertility",  # NEW r7 (per-source tokenizer fertility vs BPE replay)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -140,7 +141,6 @@ GATE_ORDER: list[str] = [
     "posexplode_leading_tokens",
     "sketch_distinct_users",
     "sketch_value_quantiles",
-    "split_train_val_test",
     "sql_q6_revenue",
     "streaming_dedup",
     "streaming_hourly",
@@ -4452,6 +4452,24 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "id", "n_tokens", F.concat_ws(" ", "first_tokens").alias("head")
     )
+
+
+@q(
+    "bpe_fertility",
+    PIPELINE_GOLDEN_SQL["bpe_fertility"],
+    "tokenizer fertility audit per source: BPE tokens per word / per "
+    "char under the training whitespace contract — one mapInPandas "
+    "encode pass + one keyed join of narrow counts + a map-side "
+    "combined group aggregate (pinned-golden oracle: independent BPE "
+    "replay aggregated per source)",
+)
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import bpe_fertility as _bf
+    from bigdata_foundation_spark.operators.text import bpe_train
+
+    d = _docs(spark, sf_dir)
+    merges = bpe_train(d, num_merges=100, max_words=20000)
+    return _bf(d, merges)
 
 
 @q(

@@ -1447,6 +1447,34 @@ def test_semantic_dedup_semantics_and_determinism(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bpe_fertility_semantics(spark):
+    """Fertility audit (r7): with NO merges every word costs
+    len(word)+1 tokens (chars + </w>), so fertility is exactly
+    (total chars-in-words + n_words)/n_words per group — checked on a
+    hand corpus; groups aggregate independently; ratios are 6-dp."""
+    rows = [
+        (0, "ab ab", "s1"),
+        (1, "abcd", "s1"),
+        (2, "a a a", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in TX.bpe_fertility(df, merges=[]).collect()}
+    # s1: words ab,ab,abcd -> tokens (2+1)+(2+1)+(4+1)=11, words 3, chars 5+4=9
+    assert got["s1"]["n_docs"] == 2
+    assert got["s1"]["n_words"] == 3
+    assert got["s1"]["n_bpe_tokens"] == 11
+    assert got["s1"]["n_chars"] == 9
+    assert abs(got["s1"]["fertility"] - round(11 / 3, 6)) < 1e-9
+    assert abs(got["s1"]["tokens_per_char"] - round(11 / 9, 6)) < 1e-9
+    # s2: a a a -> 3*(1+1)=6 tokens, 3 words, 5 chars
+    assert got["s2"]["n_bpe_tokens"] == 6 and got["s2"]["n_words"] == 3
+    # with the ('a','</w>') merge trained in, s2's fertility halves
+    merges = [("a", "</w>")]
+    got2 = {r["source"]: r for r in TX.bpe_fertility(df, merges=merges).collect()}
+    assert got2["s2"]["n_bpe_tokens"] == 3
+    assert abs(got2["s2"]["fertility"] - 1.0) < 1e-9
+
+
 def test_scd2_history_semantics(spark):
     """SCD2 build (r7): on a hand-built changelog — repeats extend the
     open version, changes close it at the next start, versions chain

@@ -160,6 +160,40 @@ def test_bsp_full_equivalence_synthetic(spark):
     assert ab[-1]["cost"] == pytest.approx(pb[-1]["cost"], abs=1e-9)
 
 
+def test_bsp_dist_only_state_equals_path_carrying(spark):
+    """carry_paths=False (r7 — the scale fix for the path-array
+    checkpoint ceiling, KERNEL_BENCH §BSP): distances are bit-identical
+    to the path-carrying state, and reconstruct_paths recovers from
+    the parent forest exactly the shortest path the path-carrying run
+    produced (unique-shortest-path graph, so no tie ambiguity)."""
+    import random
+
+    from bigdata_foundation_spark.graph import bsp as B
+
+    rng = random.Random(11)
+    n = 60
+    edges = []
+    for u in range(n):
+        for _ in range(3):
+            v = rng.randrange(n)
+            if v != u:
+                # distinct sums w.h.p. -> unique shortest paths
+                edges.append((str(u), str(v), round(rng.uniform(1, 10), 6)))
+    roads = spark.createDataFrame(edges, "src string, dst string, cost double")
+
+    full = B.bsp_sssp(spark, roads, "0")
+    lean = B.bsp_sssp(spark, roads, "0", carry_paths=False)
+    fd = {r["node"]: r["dist"] for r in full.collect()}
+    ld = {r["node"]: r["dist"] for r in lean.collect()}
+    assert fd == ld  # bit-identical doubles, same relaxation order
+
+    fpaths = {r["node"]: list(r["path"]) for r in full.collect()}
+    far = max(fd, key=fd.get)
+    rec = B.reconstruct_paths(lean, [far, "0"])
+    assert rec[far] == fpaths[far]
+    assert rec["0"] == ["0"]
+
+
 def test_bsp_equals_broadcast(spark, graph1, proj):
     """Strategy equivalence on a bounded-depth query: the distributed
     BSP kernel and the broadcast heap kernel must agree exactly."""

@@ -118,6 +118,22 @@ def main() -> int:
                     f"({1000 * t_grid / stats_g['supersteps']:.0f} ms/superstep; "
                     f"VERIFIED vs kernel, max |delta| {gworst:.1e})"
                 )
+
+                # r7: dist-only state (carry_paths=False) — the fix for
+                # the path-array checkpoint ceiling measured above.
+                stats_l: dict = {}
+                t0 = time.perf_counter()
+                lstate = B.bsp_sssp(spark, broads, "n0", stats=stats_l, carry_paths=False)
+                lgot = {row["node"]: row["dist"] for row in lstate.select("node", "dist").collect()}
+                t_lean = time.perf_counter() - t0
+                lworst = max(abs(lgot[k] - goracle[k]) for k in goracle)
+                assert lworst < 1e-9, lworst
+                print(
+                    f"bsp_sssp grid {r}x{c} BUCKETED dist-only {t_lean:7.1f}s  "
+                    f"supersteps={stats_l['supersteps']:4d}  "
+                    f"({1000 * t_lean / stats_l['supersteps']:.0f} ms/superstep; "
+                    f"VERIFIED vs kernel, max |delta| {lworst:.1e})"
+                )
             finally:
                 spark.sql("DROP TABLE IF EXISTS bsp_bench_gbig_bucketed")
             return 0

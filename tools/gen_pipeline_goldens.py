@@ -86,6 +86,11 @@ def load_doc_langs() -> dict[int, str]:
     return dict(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
 
 
+def load_doc_sources() -> dict[int, str]:
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist()))
+
+
 def load_embeddings() -> list[tuple[int, list[float]]]:
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     return list(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
@@ -693,6 +698,7 @@ def main() -> None:
         "graph_modularity": modularity_golden(),
         "embedding_kmeans": kmeans_golden(vecs),
         "bpe_tokenize": bpe_golden(docs),
+        "bpe_fertility": bpe_golden(docs, fertility_groups=load_doc_sources()),
         "quality_classifier": classifier_golden(docs, load_doc_langs()),
         "graph_hyperball": hyperball_golden(),
         "graph_ktruss": ktruss_golden(),
@@ -1808,7 +1814,7 @@ def kmeans_golden(vecs, k=16, lloyd_iters=4):
 
 # --- bpe_tokenize (round 7) -------------------------------------------------
 
-def bpe_golden(docs, num_merges=100, max_words=20000, sample_tokens=12):
+def bpe_golden(docs, num_merges=100, max_words=20000, sample_tokens=12, fertility_groups=None):
     """Replay of text.bpe_train + bpe_encode (Sennrich et al. 2016):
     whitespace split on the explicit ASCII class, top-max_words
     histogram by (count DESC, word), merge loop with ties to the
@@ -1871,12 +1877,15 @@ def bpe_golden(docs, num_merges=100, max_words=20000, sample_tokens=12):
 
     memo: dict[str, list[str]] = {}
     rows = []
+    perdoc = []
     for did, text in sorted(docs):
         n = 0
+        nw = 0
         toks: list[str] = []
         for w in ws.split(text or ""):
             if not w:
                 continue
+            nw += 1
             enc = memo.get(w)
             if enc is None:
                 enc = memo[w] = encode(w)
@@ -1884,6 +1893,31 @@ def bpe_golden(docs, num_merges=100, max_words=20000, sample_tokens=12):
             if len(toks) < sample_tokens:
                 toks.extend(enc[: sample_tokens - len(toks)])
         rows.append((did, n, " ".join(toks)))
+        perdoc.append((did, n, nw, len(text or "")))
+    if fertility_groups is not None:
+        agg: dict[str, list[int]] = {}
+        for did, n, nw, nc in perdoc:
+            a = agg.setdefault(fertility_groups[did], [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += nw
+            a[2] += n
+            a[3] += nc
+        grows = [
+            (g, a[0], a[1], a[2], a[3], r6(a[2] / a[1]), r6(a[2] / a[3]))
+            for g, a in sorted(agg.items())
+        ]
+        return values_sql(
+            [
+                ("source", "VARCHAR"),
+                ("n_docs", "BIGINT"),
+                ("n_words", "BIGINT"),
+                ("n_bpe_tokens", "BIGINT"),
+                ("n_chars", "BIGINT"),
+                ("fertility", "DOUBLE"),
+                ("tokens_per_char", "DOUBLE"),
+            ],
+            grows,
+        )
     return values_sql(
         [("id", "BIGINT"), ("n_tokens", "BIGINT"), ("head", "VARCHAR")], rows
     )
