@@ -32,7 +32,10 @@ GRAPH_SOURCE, GRAPH_TARGET = "2022", "1319"  # farthest pair golden (FIXTURES.md
 # SCC/k-core in the graph suite below).
 # Round-7 additions: embedding_kmeans (the new first-class curation
 # primitive) joins the headline list; MSF/Louvain/node-similarity join
-# the 70k graph suite below.
+# the 70k graph suite below; the round-7-late debuts with a hot-path
+# scan/shuffle shape (IVF×PQ refine, PMI collocations, SCD2 build,
+# BPE fertility) get lines so their perf is regression-visible from
+# day one.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_segment_topk",
@@ -54,9 +57,14 @@ HEADLINE = [
     "semantic_dedup",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_refine",
     "embedding_kmeans",
     "bpe_tokenize",
     "quality_classifier",
+    "pmi_collocations",
+    "scd2_user_history",
+    "bpe_fertility",
+    "unimax_mixture",
 ]
 
 

@@ -85,7 +85,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 12 oldest entries last gated
+# then (c) the oldest-gated rotation: the 11 oldest entries last gated
 # r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
@@ -109,6 +109,7 @@ GATE_ORDER: list[str] = [
     "unimax_mixture",  # NEW r7 (UniMax water-filling, full SQL oracle)
     "scd2_user_history",  # NEW r7 (changelog->SCD2 intervals, full SQL oracle)
     "bpe_fertility",  # NEW r7 (per-source tokenizer fertility vs BPE replay)
+    "streaming_scd2",  # NEW r7 (incremental SCD2 stitch; oracle IS the batch SQL)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -140,7 +141,6 @@ GATE_ORDER: list[str] = [
     "order_count_histogram",
     "posexplode_leading_tokens",
     "sketch_distinct_users",
-    "sketch_value_quantiles",
     "sql_q6_revenue",
     "streaming_dedup",
     "streaming_hourly",
@@ -3887,6 +3887,69 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@q(
+    "streaming_scd2",
+    r"""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS NOT DISTINCT FROM
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+    ),
+    ver AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS v
+      FROM marked
+    ),
+    versions AS (
+      SELECT user_id, v, MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ver GROUP BY user_id, v
+    )
+    SELECT user_id, event_type, CAST(v AS BIGINT) AS version, valid_from,
+           COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v),
+                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY v) IS NULL AS is_current
+    FROM versions
+    """,
+    "INCREMENTAL SCD2 maintenance from a changelog stream (foreachBatch "
+    "stitch: extend-or-close the open version, renumber and append the "
+    "batch's runs, pass closed history through) — the events replayed as "
+    "a 2-file time-split stream, one micro-batch per file; the oracle is "
+    "the BATCH derivation, so the gate asserts stream == batch "
+    "row-for-row",
+)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_scd2
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="q_scd2_stream_")
+    src = os.path.join(base, "src")
+    n = ev.count()
+    cut = (
+        ev.orderBy("ts", "event_id").limit(n // 2).agg(F.max("ts").alias("m")).head()["m"]
+    )
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") <= F.lit(cut)), ev.filter(F.col("ts") > F.lit(cut)))
+    ):
+        d = os.path.join(base, f"b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        os.makedirs(src, exist_ok=True)
+        fn = next(f for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.replace(os.path.join(d, fn), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    es = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    target = os.path.join(base, "dim")
+    foreach_batch_scd2(es, target, "user_id", "event_type", "ts", "event_id")
+    return spark.read.parquet(target)
 
 
 @q(

@@ -207,6 +207,23 @@ def test_pq_scan_is_broadcast_codes_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ivf_pq_refine_plan_broadcast_no_python(spark):
+    """IVF×PQ refine (r7): the candidate fetch must reach the corpus
+    as BROADCAST hash joins (the |Q|·shortlist candidate set and the
+    query vectors are the built sides — the corpus is never shuffled),
+    with no cartesian and no Python eval; the exact re-rank is
+    codegen'd zip_with/aggregate."""
+    plan = plan_of(spark, "ann_ivf_pq_refine")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the corpus side must not be exchanged for the refine joins:
+    # hash-partitioning exchanges may appear only for windows (SinglePartition)
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\((?:neighbor_id|vec_id)", plan), plan
+
+
 def test_exact_substring_no_cartesian_one_fingerprint_shuffle(spark):
     """ExactSubstr must never cross-join documents, and (r7, verdict
     item 3) the duplicated-gram decision must NOT be a window over

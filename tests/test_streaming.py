@@ -276,3 +276,62 @@ def test_streaming_corpus_compaction_mid_stream(spark, tmp_path):
     comp_idx, comp = drive("comp", compact_every=2)
     assert plain == comp == [1, 3, 5, 7, 11]  # 9 rejected post-compaction
     assert _index_file_count(comp_idx) < _index_file_count(plain_idx)
+
+
+def test_streaming_scd2_equals_batch(spark, tmp_path):
+    """Incremental SCD2 (r7): a 3-batch changelog exercising every
+    stitch path — extend (same attr spans a batch boundary), close
+    (attr changes at a boundary), new-key mid-stream, untouched-key
+    passthrough — lands ROW-IDENTICAL to the batch operator run over
+    the full changelog."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark.operators.relational import scd2_history
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_scd2
+
+    schema = "event_id long, ts string, user_id long, event_type string"
+    batches = [
+        [
+            (1, "2024-01-01 10:00:00", 100, "a"),
+            (2, "2024-01-01 11:00:00", 100, "a"),
+            (3, "2024-01-01 09:00:00", 200, "x"),
+        ],
+        [
+            (4, "2024-01-02 08:00:00", 100, "a"),  # extends 100's open 'a'
+            (5, "2024-01-02 09:00:00", 100, "b"),  # then closes it
+            (6, "2024-01-02 10:00:00", 300, "q"),  # new key mid-stream
+        ],  # 200 untouched this batch
+        [
+            (7, "2024-01-03 07:00:00", 100, "b"),  # extends 'b'
+            (8, "2024-01-03 08:00:00", 200, "y"),  # closes 200's 'x'
+        ],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        _write_batch(spark, src, rows, schema, (i + 1) * 1_000_000)
+
+    target, ckpt = str(tmp_path / "dim"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    foreach_batch_scd2(stream, target, "user_id", "event_type", "ts", "event_id")
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = scd2_history(full, "user_id", "event_type", "ts", "event_id")
+
+    as_rows = lambda df: sorted(
+        (r["user_id"], r["version"], r["event_type"], str(r["valid_from"]),
+         str(r["valid_to"]), r["n_events"], r["is_current"])
+        for r in df.collect()
+    )
+    got = as_rows(spark.read.parquet(target))
+    assert got == as_rows(want)
+    # spot-pin the interesting rows
+    assert (100, 1, "a", "2024-01-01 10:00:00", "2024-01-02 09:00:00", 3, False) in got
+    assert (100, 2, "b", "2024-01-02 09:00:00", "9999-12-31 00:00:00", 2, True) in got
+    assert (200, 1, "x", "2024-01-01 09:00:00", "2024-01-03 08:00:00", 1, False) in got
