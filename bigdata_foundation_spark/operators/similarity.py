@@ -1062,6 +1062,40 @@ def ivf_pq_query(
     return _adc_rank(joined, m, k)
 
 
+def _exact_rerank(
+    cands: DataFrame,
+    source: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared refine tail: broadcast the (query_id, neighbor_id)
+    candidate set and the query vectors, fetch candidate vectors from
+    ``source`` through one broadcast hash join (the corpus is never
+    shuffled), and rank on exact squared L2 (6-dp, ties -> lowest
+    neighbor id)."""
+    nbrs = source.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_nv")
+    )
+    qvs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    fetched = nbrs.join(F.broadcast(cands), "neighbor_id").join(F.broadcast(qvs), "query_id")
+    sqdist = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        fetched.withColumn("dist", F.round(sqdist, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
 def ivf_pq_refine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1105,25 +1139,35 @@ def ivf_pq_refine_topk(
     q = _ivf_pq_probe_tables(queries, centroids, books, n_probe, id_col, vec_col)
     joined = F.broadcast(q).join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     cands = _adc_rank(joined, m, shortlist).select("query_id", "neighbor_id")
-    nbrs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_nv")
-    )
-    qvs = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-    )
-    fetched = nbrs.join(F.broadcast(cands), "neighbor_id").join(F.broadcast(qvs), "query_id")
-    sqdist = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_nv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
-    return (
-        fetched.withColumn("dist", F.round(sqdist, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dist", "rank")
-    )
+    return _exact_rerank(cands, corpus, queries, k, id_col, vec_col)
+
+
+def ivf_pq_query_refine(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    source: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refine tail over a MATERIALIZED ``ivf_pq_build`` index: ADC
+    shortlist from the partition-pruned codes table (``ivf_pq_query``'s
+    plan — the index stores no raw vectors), then exact re-rank against
+    ``source`` (the original corpus table, the system of record the
+    index was built from). This is the full production read path:
+    partition-pruned probe → compressed ADC scan → one broadcast
+    candidate join against the source table for true distances.
+
+    Returns (query_id, neighbor_id, dist, rank) — identical contract
+    to :func:`ivf_pq_refine_topk`, and row-identical to it when the
+    index was built with the same parameters
+    (test_ivf_pq_query_refine_matches_inline)."""
+    cands = ivf_pq_query(spark, path, queries, k=shortlist, n_probe=n_probe,
+                         id_col=id_col, vec_col=vec_col).select("query_id", "neighbor_id")
+    return _exact_rerank(cands, source, queries, k, id_col, vec_col)
 
 
 def ivf_compact(spark: SparkSession, path: str, target_file_mb: int = 512) -> dict[int, int]:

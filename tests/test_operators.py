@@ -1330,6 +1330,23 @@ def test_ivf_pq_refine_improves_recall_and_is_exact(spark):
     assert sorted(map(tuple, refined)) == sorted(map(tuple, again))
 
 
+def test_ivf_pq_query_refine_matches_inline(spark, vectors, tmp_path):
+    """The materialized-index refine path (probe = partition pruning,
+    candidates re-ranked against the SOURCE table) returns exactly the
+    inline ivf_pq_refine_topk rows with the same parameters."""
+    path = str(tmp_path / "ivfpq_ref_index")
+    S.ivf_pq_build(vectors, path, n_cells=8, m=8, n_codes=16)
+    qs = vectors.filter(F.col("vec_id") < 6)
+    got = S.ivf_pq_query_refine(spark, path, qs, vectors, k=3, shortlist=10, n_probe=2)
+    want = S.ivf_pq_refine_topk(
+        vectors, qs, k=3, shortlist=10, n_cells=8, n_probe=2, m=8, n_codes=16
+    )
+    as_rows = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["dist"], r["rank"]) for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
+
+
 def test_ivf_pq_determinism_and_self_exclusion(spark):
     """IVF×PQ output is identical across corpus partitionings (the
     centroid/codebook/encode chain is hash-deterministic, same
