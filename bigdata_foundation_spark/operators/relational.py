@@ -351,6 +351,59 @@ def scd2_history(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_minutes: int = 30,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Batch gap-based sessionization — the classic eventstream
+    rollup (and the batch twin of
+    ``streaming.sessionize_stream``'s ``session_window``): an event
+    opens a NEW session when more than ``gap_minutes`` passed since
+    the key's previous event; sessions number 1-based per key in time
+    order.
+
+    Same one-shuffle shape as :func:`scd2_history`: lag to mark gaps
+    (exact integer-microsecond arithmetic — no float time math, so
+    the oracle is a bit-exact SQL re-derivation), running sum of marks
+    to number sessions, one per-session aggregate. Returns
+    (key, session_id, session_start, session_end, n_events[,
+    total_value]) — total_value 2-dp when ``value_col`` is given."""
+    ev = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    prev = F.lag(ts_col).over(ev)
+    marked = events.withColumn(
+        "_new",
+        F.when(
+            prev.isNull()
+            | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_sid", F.sum("_new").over(ev.rowsBetween(Window.unboundedPreceding, 0)))
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    cols = ["session_start", "session_end", "n_events"] + (
+        ["total_value"] if value_col is not None else []
+    )
+    return (
+        marked.groupBy(key_col, "_sid")
+        .agg(*aggs)
+        .select(
+            F.col(key_col),
+            F.col("_sid").cast("bigint").alias("session_id"),
+            *cols,
+        )
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -85,7 +85,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 11 oldest entries last gated
+# then (c) the oldest-gated rotation: the 10 oldest entries last gated
 # r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
@@ -110,6 +110,7 @@ GATE_ORDER: list[str] = [
     "scd2_user_history",  # NEW r7 (changelog->SCD2 intervals, full SQL oracle)
     "bpe_fertility",  # NEW r7 (per-source tokenizer fertility vs BPE replay)
     "streaming_scd2",  # NEW r7 (incremental SCD2 stitch; oracle IS the batch SQL)
+    "sessionize_events",  # NEW r7 (batch gap sessionization, full SQL oracle)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -140,7 +141,6 @@ GATE_ORDER: list[str] = [
     "multimodal_frame_sample",
     "order_count_histogram",
     "posexplode_leading_tokens",
-    "sketch_distinct_users",
     "sql_q6_revenue",
     "streaming_dedup",
     "streaming_hourly",
@@ -3886,6 +3886,41 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+    )
+
+
+@q(
+    "sessionize_events",
+    r"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sid AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS s
+      FROM marked
+    )
+    SELECT user_id, CAST(s AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sid GROUP BY user_id, s
+    """,
+    "batch gap-based sessionization (30-min gap, the batch twin of the "
+    "streaming session_window): lag-mark + running-sum numbering + one "
+    "per-session aggregate, exact integer-microsecond gap arithmetic — "
+    "one keyed shuffle end to end (full SQL oracle)",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return R.sessionize(
+        ev, key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        gap_minutes=30, value_col="value",
     )
 
 

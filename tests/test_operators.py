@@ -1492,6 +1492,35 @@ def test_bpe_fertility_semantics(spark):
     assert abs(got2["s2"]["fertility"] - 1.0) < 1e-9
 
 
+def test_sessionize_gap_semantics(spark):
+    """Batch sessionization (r7): an exactly-at-gap event continues
+    the session (strict > gap opens one); sessions number per key in
+    time order; value totals are 2-dp; partition-count invariant."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.0),
+        (2, "2024-01-01 10:30:00", 7, 2.0),   # exactly 30 min -> same session
+        (3, "2024-01-01 11:00:01", 7, 4.0),   # 30m01s -> new session
+        (4, "2024-01-01 09:00:00", 8, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = sorted(
+        (r["user_id"], r["session_id"], str(r["session_start"]), r["n_events"], r["total_value"])
+        for r in R.sessionize(df, "user_id", "ts", "event_id", 30, "value").collect()
+    )
+    assert got == [
+        (7, 1, "2024-01-01 10:00:00", 2, 3.0),
+        (7, 2, "2024-01-01 11:00:01", 1, 4.0),
+        (8, 1, "2024-01-01 09:00:00", 1, 8.0),
+    ]
+    got2 = sorted(
+        (r["user_id"], r["session_id"], str(r["session_start"]), r["n_events"], r["total_value"])
+        for r in R.sessionize(df.repartition(3), "user_id", "ts", "event_id", 30, "value").collect()
+    )
+    assert got2 == got
+
+
 def test_scd2_history_semantics(spark):
     """SCD2 build (r7): on a hand-built changelog — repeats extend the
     open version, changes close it at the next start, versions chain
