@@ -404,6 +404,113 @@ def sessionize(
     )
 
 
+def scd2_apply_batch(
+    target: DataFrame | None,
+    batch: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """One incremental SCD2 MERGE step: stitch a changelog batch onto
+    an existing SCD2 dimension (``target``; None/empty → the batch's
+    own mini-SCD2). Pure DataFrame-in/DataFrame-out so it is testable
+    without streaming machinery — ``streaming.sinks.foreach_batch_scd2``
+    wraps it per micro-batch, and
+    ``test_scd2_apply_batch_folds_equal_batch`` (hypothesis) pins that
+    ANY batch split of an ordered changelog folds to the batch
+    operator's exact output.
+
+    Stitch semantics (per key touched by the batch): the open version
+    EXTENDS through the batch's first run when the attribute matches
+    (n_events merge, valid_from kept) and is CLOSED at the batch's
+    first timestamp otherwise; batch versions renumber onto the key's
+    version sequence; untouched keys and all closed history pass
+    through. Requires batches in non-decreasing (ts, tiebreak) order
+    per key — the CDC log contract."""
+    mini = scd2_history(batch, key_col, attr_col, ts_col, tiebreak_col)
+    if target is None:
+        return mini
+    cur = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+    curk = cur.select(
+        F.col(key_col),
+        F.col(attr_col).alias("_cur_attr"),
+        F.col("version").alias("_cur_ver"),
+        F.col("valid_from").alias("_cur_from"),
+        F.col("n_events").alias("_cur_n"),
+    )
+    j = mini.join(F.broadcast(curk), key_col, "left")
+    # Per-key stitch verdict from the FIRST batch version: version
+    # offset (extends -> cur_ver - 1; new key -> 0; attr changed ->
+    # cur_ver) applies to EVERY batch version of that key, so compute
+    # it once and join it back.
+    first_verdict = (
+        j.filter(F.col("version") == 1)
+        .select(
+            F.col(key_col),
+            F.when(F.col("_cur_attr").isNull(), F.lit(0))
+            .when(
+                F.col(attr_col).eqNullSafe(F.col("_cur_attr")),
+                F.col("_cur_ver") - 1,
+            )
+            .otherwise(F.col("_cur_ver"))
+            .alias("_off"),
+            (
+                F.col("_cur_attr").isNotNull()
+                & F.col(attr_col).eqNullSafe(F.col("_cur_attr"))
+            ).alias("_extends"),
+        )
+    )
+    adj = (
+        j.drop("_cur_attr")
+        .join(F.broadcast(first_verdict), key_col)
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            (F.col("version") + F.col("_off")).cast("bigint").alias("version"),
+            F.when(F.col("_extends") & (F.col("version") == 1), F.col("_cur_from"))
+            .otherwise(F.col("valid_from"))
+            .alias("valid_from"),
+            F.col("valid_to"),
+            F.when(
+                F.col("_extends") & (F.col("version") == 1),
+                F.col("n_events") + F.col("_cur_n"),
+            )
+            .otherwise(F.col("n_events"))
+            .cast("bigint")
+            .alias("n_events"),
+            F.col("is_current"),
+        )
+    )
+    # close (or drop, if extended) the previously-open rows of touched keys
+    fv = mini.filter(F.col("version") == 1).select(
+        F.col(key_col), F.col("valid_from").alias("_b_from")
+    )
+    closed_cur = (
+        cur.join(F.broadcast(first_verdict), key_col)
+        .filter(~F.col("_extends"))
+        .join(F.broadcast(fv), key_col)
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col("version"),
+            F.col("valid_from"),
+            F.col("_b_from").alias("valid_to"),
+            F.col("n_events"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched_cur = cur.join(
+        F.broadcast(mini.select(key_col).distinct()), key_col, "left_anti"
+    )
+    return (
+        hist.unionByName(untouched_cur)
+        .unionByName(closed_cur)
+        .unionByName(adj.select(*hist.columns))
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

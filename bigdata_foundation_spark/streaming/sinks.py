@@ -110,98 +110,17 @@ def foreach_batch_scd2(
     idempotent apply via temp-dir + atomic rename; a checkpoint replay
     of a completed batch rewrites the same table.
     """
-    from bigdata_foundation_spark.operators.relational import scd2_history
+    from bigdata_foundation_spark.operators.relational import scd2_apply_batch
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        mini = scd2_history(batch_df, key_col, attr_col, ts_col, tiebreak_col)
         if os.path.isdir(target_path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(target_path)
         ):
             tgt = spark.read.parquet(target_path)
-            cur = tgt.filter(F.col("is_current"))
-            hist = tgt.filter(~F.col("is_current"))
-            curk = cur.select(
-                F.col(key_col),
-                F.col(attr_col).alias("_cur_attr"),
-                F.col("version").alias("_cur_ver"),
-                F.col("valid_from").alias("_cur_from"),
-                F.col("n_events").alias("_cur_n"),
-            )
-            j = mini.join(F.broadcast(curk), key_col, "left")
-            # Per-key stitch verdict from the FIRST batch version:
-            # version offset (extends -> cur_ver - 1; new key -> 0;
-            # attr changed -> cur_ver) applies to EVERY batch version
-            # of that key, so compute it once and join it back.
-            first_verdict = (
-                j.filter(F.col("version") == 1)
-                .select(
-                    F.col(key_col),
-                    F.when(F.col("_cur_attr").isNull(), F.lit(0))
-                    .when(
-                        F.col(attr_col).eqNullSafe(F.col("_cur_attr")),
-                        F.col("_cur_ver") - 1,
-                    )
-                    .otherwise(F.col("_cur_ver"))
-                    .alias("_off"),
-                    (
-                        F.col("_cur_attr").isNotNull()
-                        & F.col(attr_col).eqNullSafe(F.col("_cur_attr"))
-                    ).alias("_extends"),
-                )
-            )
-            adj = (
-                j.drop("_cur_attr")
-                .join(F.broadcast(first_verdict), key_col)
-                .select(
-                    F.col(key_col),
-                    F.col(attr_col),
-                    (F.col("version") + F.col("_off")).cast("bigint").alias("version"),
-                    F.when(
-                        F.col("_extends") & (F.col("version") == 1), F.col("_cur_from")
-                    )
-                    .otherwise(F.col("valid_from"))
-                    .alias("valid_from"),
-                    F.col("valid_to"),
-                    F.when(
-                        F.col("_extends") & (F.col("version") == 1),
-                        F.col("n_events") + F.col("_cur_n"),
-                    )
-                    .otherwise(F.col("n_events"))
-                    .cast("bigint")
-                    .alias("n_events"),
-                    F.col("is_current"),
-                )
-            )
-            # close (or drop, if extended) the previously-open rows of
-            # touched keys
-            fv = mini.filter(F.col("version") == 1).select(
-                F.col(key_col), F.col("valid_from").alias("_b_from")
-            )
-            closed_cur = (
-                cur.join(F.broadcast(first_verdict), key_col)
-                .filter(~F.col("_extends"))
-                .join(F.broadcast(fv), key_col)
-                .select(
-                    F.col(key_col),
-                    F.col(attr_col),
-                    F.col("version"),
-                    F.col("valid_from"),
-                    F.col("_b_from").alias("valid_to"),
-                    F.col("n_events"),
-                    F.lit(False).alias("is_current"),
-                )
-            )
-            untouched_cur = cur.join(
-                F.broadcast(mini.select(key_col).distinct()), key_col, "left_anti"
-            )
-            merged = (
-                hist.unionByName(untouched_cur)
-                .unionByName(closed_cur)
-                .unionByName(adj.select(*hist.columns))
-            )
         else:
-            merged = mini
+            tgt = None
+        merged = scd2_apply_batch(tgt, batch_df, key_col, attr_col, ts_col, tiebreak_col)
         tmp = target_path.rstrip("/") + "._scd2_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(target_path):

@@ -510,3 +510,56 @@ def test_biconnectivity_kernel_matches_bruteforce(edges, parallel):
     )
     assert got_b == want_b
     assert got_a == want_a
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.sampled_from(["a", "b", "c"]),        # attr
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=13), max_size=2, unique=True),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_apply_batch_folds_equal_batch(spark, data, cuts):
+    """ANY ordered batch split of a changelog, folded through
+    scd2_apply_batch, equals the one-shot batch scd2_history — the
+    incremental-stitch contract on arbitrary (key, attr) sequences and
+    arbitrary 1–3-way splits (extend / close / new-key / untouched
+    paths all get generated)."""
+    rows = [
+        (i, f"2024-01-01 {i // 3600:02d}:{(i % 3600) // 60:02d}:{i % 60:02d}", k, a)
+        for i, (k, a) in enumerate(data)
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string"
+
+    def mk(rws):
+        return spark.createDataFrame(rws, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    pieces, prev = [], 0
+    for c in bounds + [len(rows)]:
+        if c > prev:
+            pieces.append(rows[prev:c])
+            prev = c
+
+    acc = None
+    for piece in pieces:
+        acc = R.scd2_apply_batch(
+            acc, mk(piece), "user_id", "event_type", "ts", "event_id"
+        )
+        # materialize like the sink's parquet round-trip does
+        acc = spark.createDataFrame(acc.collect(), acc.schema)
+
+    want = R.scd2_history(mk(rows), "user_id", "event_type", "ts", "event_id")
+    as_rows = lambda df: sorted(
+        (r["user_id"], r["version"], r["event_type"], str(r["valid_from"]),
+         str(r["valid_to"]), r["n_events"], r["is_current"])
+        for r in df.collect()
+    )
+    assert as_rows(acc) == as_rows(want)
