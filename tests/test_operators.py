@@ -1320,7 +1320,7 @@ def test_ivf_pq_refine_improves_recall_and_is_exact(spark):
     refined = S.ivf_pq_refine_topk(e, qs, k=5, shortlist=20).collect()
     r_plain, r_ref = recall(plain, 20), recall(refined, 20)
     assert r_ref >= r_plain, (r_ref, r_plain)
-    assert r_ref > r_plain + 0.1, (r_ref, r_plain)  # measured 0.70 vs 0.25
+    assert r_ref > r_plain + 0.1, (r_ref, r_plain)  # measured 0.48 vs 0.25
 
     for r in refined:
         true_d2 = float(((X[idx[r["query_id"]]] - X[idx[r["neighbor_id"]]]) ** 2).sum())
