@@ -404,6 +404,98 @@ def sessionize(
     )
 
 
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis — the classic product-analytics query:
+    for each key, the FIRST time it completed step i STRICTLY AFTER
+    its step-(i−1) completion, and the furthest stage reached. A later
+    occurrence of an earlier step never resets progress (first-touch
+    semantics, the standard funnel definition).
+
+    One chained conditional-min per step: step i is a keyed join of
+    step-i events against the step-(i−1) completion times + a strict
+    ``ts >`` filter + a min aggregate — |steps| keyed shuffles of
+    (key, ts) pairs, never a window over raw events and never a
+    per-key event collect. Completion times are monotone by
+    construction, so ``stage`` is simply the count of non-null t's.
+
+    Returns (key, t1..tN, stage) with one row per key that appears in
+    the events (stage 0 = never did step 1)."""
+    keys = events.select(key_col).distinct()
+    acc = None
+    for i, s in enumerate(steps, 1):
+        ev_s = events.filter(F.col(type_col) == F.lit(s)).select(key_col, ts_col)
+        if acc is None:
+            t = ev_s.groupBy(key_col).agg(F.min(ts_col).alias("t1"))
+            acc = t
+        else:
+            t = (
+                ev_s.join(
+                    acc.filter(F.col(f"t{i - 1}").isNotNull()).select(
+                        key_col, f"t{i - 1}"
+                    ),
+                    key_col,
+                )
+                .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
+                .groupBy(key_col)
+                .agg(F.min(ts_col).alias(f"t{i}"))
+            )
+            acc = acc.join(t, key_col, "left")
+    stage = None
+    for i in range(1, len(steps) + 1):
+        c = F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        stage = c if stage is None else stage + c
+    return (
+        keys.join(acc, key_col, "left")
+        .withColumn("stage", stage.cast("int"))
+        .orderBy(key_col)
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts — the other canonical product-analytics
+    rollup: keys cohorted by their FIRST activity date; a key counts
+    toward (cohort, week k) if it was active on any day in week k
+    after its cohort date (week 0 = the cohort week).
+
+    Two map-side-combined aggregates (first-activity per key, then
+    distinct (cohort, week, key) → counts) plus one keyed join of the
+    tiny cohort table back onto per-day activity — day-integer
+    arithmetic only, so the oracle is a full SQL re-derivation.
+
+    Returns (cohort_date 'yyyy-MM-dd', week_offset, n_users) sorted."""
+    days = events.select(F.col(key_col), F.to_date(F.col(ts_col)).alias("_d")).distinct()
+    cohorts = days.groupBy(key_col).agg(F.min("_d").alias("_c"))
+    return (
+        days.join(cohorts, key_col)
+        .select(
+            F.col(key_col),
+            F.col("_c"),
+            F.floor(F.datediff(F.col("_d"), F.col("_c")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("_c", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("_c", "yyyy-MM-dd").alias("cohort_date"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_date", "week_offset")
+    )
+
+
 def scd2_apply_batch(
     target: DataFrame | None,
     batch: DataFrame,

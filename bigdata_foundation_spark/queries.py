@@ -85,7 +85,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 10 oldest entries last gated
+# then (c) the oldest-gated rotation: the 8 oldest entries last gated
 # r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
@@ -111,6 +111,8 @@ GATE_ORDER: list[str] = [
     "bpe_fertility",  # NEW r7 (per-source tokenizer fertility vs BPE replay)
     "streaming_scd2",  # NEW r7 (incremental SCD2 stitch; oracle IS the batch SQL)
     "sessionize_events",  # NEW r7 (batch gap sessionization, full SQL oracle)
+    "funnel_stages",  # NEW r7 (ordered funnel, full SQL oracle)
+    "retention_cohorts",  # NEW r7 (weekly retention cohorts, full SQL oracle)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -137,9 +139,7 @@ GATE_ORDER: list[str] = [
     "argmin_supplier_per_nation",
     "grouping_sets_orders",
     "having_large_orders",
-    "mixture_sample_sources",
     "multimodal_frame_sample",
-    "order_count_histogram",
     "posexplode_leading_tokens",
     "sql_q6_revenue",
     "streaming_dedup",
@@ -3887,6 +3887,68 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@q(
+    "funnel_stages",
+    r"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+    )
+    SELECT k.user_id, s1.t1, s2.t2, s3.t3, s4.t4,
+           CAST((CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s4.t4 IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
+    FROM (SELECT DISTINCT user_id FROM events) k
+    LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    ORDER BY user_id
+    """,
+    "4-step ordered funnel (signup > view > click > purchase, strict "
+    "first-touch ordering): chained conditional-min joins of (key, ts) "
+    "pairs — never a window over raw events (full SQL oracle)",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return R.funnel_stages(ev, ["signup", "view", "click", "purchase"])
+
+
+@q(
+    "retention_cohorts",
+    r"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(d) AS c FROM days GROUP BY user_id),
+    weekly AS (
+      SELECT DISTINCT days.user_id, c,
+             CAST(FLOOR(date_diff('day', c, d) / 7.0) AS INT) AS week_offset
+      FROM days JOIN cohorts USING (user_id)
+    )
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_date, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM weekly GROUP BY c, week_offset ORDER BY cohort_date, week_offset
+    """,
+    "weekly retention cohorts by first-activity date: two map-side "
+    "combined aggs + one keyed join, day-integer arithmetic (full SQL "
+    "oracle)",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return R.retention_cohorts(ev)
 
 
 @q(

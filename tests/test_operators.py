@@ -1492,6 +1492,43 @@ def test_bpe_fertility_semantics(spark):
     assert abs(got2["s2"]["fertility"] - 1.0) < 1e-9
 
 
+def test_funnel_and_retention_semantics(spark):
+    """Funnel (r7): strict first-touch ordering — a step-2 event
+    BEFORE step 1 doesn't count, a later step-1 never resets; stage =
+    furthest consecutive step. Retention (r7): cohort = first activity
+    date, week buckets floor(days/7), distinct users per cell."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "signup"),
+        (2, "2024-01-01 09:00:00", 1, "view"),    # view BEFORE signup: ignored
+        (3, "2024-01-02 10:00:00", 1, "view"),    # counts (after signup)
+        (4, "2024-01-02 09:00:00", 1, "click"),   # click before view-touch: ignored
+        (5, "2024-01-03 10:00:00", 2, "view"),    # user 2 never signed up
+        (6, "2024-01-09 10:00:00", 1, "click"),   # week 1 activity + stage 3
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in R.funnel_stages(
+        df, ["signup", "view", "click", "purchase"]).collect()}
+    assert got[1]["stage"] == 3
+    assert str(got[1]["t1"]) == "2024-01-01 10:00:00"
+    assert str(got[1]["t2"]) == "2024-01-02 10:00:00"
+    assert str(got[1]["t3"]) == "2024-01-09 10:00:00"
+    assert got[1]["t4"] is None
+    assert got[2]["stage"] == 0 and got[2]["t1"] is None
+
+    ret = sorted(
+        (r["cohort_date"], r["week_offset"], r["n_users"])
+        for r in R.retention_cohorts(df).collect()
+    )
+    # user 1 cohort 01-01: active days 01,02 (wk0) and 09 (wk1); user 2 cohort 01-03 wk0
+    assert ret == [
+        ("2024-01-01", 0, 1),
+        ("2024-01-01", 1, 1),
+        ("2024-01-03", 0, 1),
+    ]
+
+
 def test_sessionize_gap_semantics(spark):
     """Batch sessionization (r7): an exactly-at-gap event continues
     the session (strict > gap opens one); sessions number per key in
