@@ -404,6 +404,70 @@ def sessionize(
     )
 
 
+def rfm_segmentation(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — the warehouse-classic scoring:
+    Recency (days since the customer's last order, anchored to the
+    dataset's max date), Frequency (order count), Monetary (total
+    spend), each quintile-scored 1–5 (5 = best) by ``ntile`` over a
+    DETERMINISTIC order (metric, then key — ntile's bucket-boundary
+    convention is SQL-standard and engine-identical, so the oracle is
+    a full SQL re-derivation).
+
+    One map-side-combined per-key aggregate, a broadcast 1-row anchor
+    cross join, then three ntile windows over |customers| rows — at a
+    scale where even the customer table can't sit in one window
+    partition, swap the exact ntile for approx_percentile bucket
+    boundaries applied scan-side; the shipped form keeps the exact
+    SQL-equivalent semantics.
+
+    Returns (key, recency_days, frequency, monetary, r_score,
+    f_score, m_score, rfm_cell) sorted by key; rfm_cell = r·100 +
+    f·10 + m."""
+    anchor = orders.agg(F.max(date_col).alias("_anchor"))
+    base = (
+        orders.groupBy(key_col)
+        .agg(
+            F.max(date_col).alias("_last"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(amount_col).alias("_monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col(key_col),
+            F.datediff(F.col("_anchor"), F.col("_last")).cast("int").alias("recency_days"),
+            "frequency",
+            F.col("_monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc(key_col))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc(key_col))
+    m_w = Window.orderBy(F.asc("_monetary"), F.asc(key_col))
+    return (
+        base.withColumn("r_score", F.ntile(buckets).over(r_w).cast("int"))
+        .withColumn("f_score", F.ntile(buckets).over(f_w).cast("int"))
+        .withColumn("m_score", F.ntile(buckets).over(m_w).cast("int"))
+        .select(
+            F.col(key_col),
+            "recency_days",
+            "frequency",
+            F.round("_monetary", 2).alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+            .cast("int")
+            .alias("rfm_cell"),
+        )
+        .orderBy(key_col)
+    )
+
+
 def funnel_stages(
     events: DataFrame,
     steps: list[str],

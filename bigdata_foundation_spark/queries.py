@@ -85,7 +85,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the BSP bucketed-projection caching + Lawler probe waves (path
 # family), SCC/k-core round-cap plumbing, and the
 # strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 8 oldest entries last gated
+# then (c) the oldest-gated rotation: the 7 oldest entries last gated
 # r3 or earlier. 50 exactly; the
 # whole registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
@@ -113,6 +113,7 @@ GATE_ORDER: list[str] = [
     "sessionize_events",  # NEW r7 (batch gap sessionization, full SQL oracle)
     "funnel_stages",  # NEW r7 (ordered funnel, full SQL oracle)
     "retention_cohorts",  # NEW r7 (weekly retention cohorts, full SQL oracle)
+    "rfm_segmentation",  # NEW r7 (RFM quintile scoring, full SQL oracle)
     # (b) changed since the r6 judged tree
     "ann_pq_topk",  # HOF folded-literal expression rewrite (107s->11s)
     "ann_ivf_topk",  # same _cell_scores HOF rewrite
@@ -136,7 +137,6 @@ GATE_ORDER: list[str] = [
     "graph_eigenvector",  # same
     "graph_components",  # same
     # (c) rotation — last gated r3 or earlier (all 16)
-    "argmin_supplier_per_nation",
     "grouping_sets_orders",
     "having_large_orders",
     "multimodal_frame_sample",
@@ -3887,6 +3887,38 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@q(
+    "rfm_segmentation",
+    r"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), anchor.a) AS INT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(o_totalprice) AS m
+      FROM orders CROSS JOIN anchor GROUP BY o_custkey, anchor.a
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, m,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS INT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS INT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY m ASC, o_custkey ASC) AS INT) AS m_score
+      FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, ROUND(m, 2) AS monetary,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+    FROM scored ORDER BY o_custkey
+    """,
+    "RFM customer segmentation: one per-key agg + broadcast anchor + "
+    "three deterministic ntile quintile windows (5 = best); at billions "
+    "of customers the exact ntile swaps for approx_percentile "
+    "boundaries applied scan-side (full SQL oracle)",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rfm_segmentation(_t(spark, sf_dir, "orders"))
 
 
 @q(

@@ -1492,6 +1492,31 @@ def test_bpe_fertility_semantics(spark):
     assert abs(got2["s2"]["fertility"] - 1.0) < 1e-9
 
 
+def test_rfm_segmentation_semantics(spark):
+    """RFM (r7): recency anchored to the dataset max date; scores are
+    ntile quintiles with 5 = best (most recent / most frequent /
+    biggest spender); deterministic under repartition."""
+    rows = []
+    oid = 0
+    # customer c gets c orders, each of 10*c value, last order day c
+    for c in range(1, 11):
+        for j in range(c):
+            oid += 1
+            rows.append((oid, c, f"2024-01-{c:02d} 00:00:00", 10.0 * c))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    got = {r["o_custkey"]: r for r in R.rfm_segmentation(df).collect()}
+    assert got[10]["recency_days"] == 0 and got[1]["recency_days"] == 9
+    assert got[10]["frequency"] == 10 and got[10]["monetary"] == 1000.0
+    # customer 10 is best on all three axes; customer 1 worst on all
+    assert (got[10]["r_score"], got[10]["f_score"], got[10]["m_score"]) == (5, 5, 5)
+    assert (got[1]["r_score"], got[1]["f_score"], got[1]["m_score"]) == (1, 1, 1)
+    assert got[10]["rfm_cell"] == 555 and got[1]["rfm_cell"] == 111
+    again = {r["o_custkey"]: tuple(r) for r in R.rfm_segmentation(df.repartition(7)).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == again
+
+
 def test_funnel_and_retention_semantics(spark):
     """Funnel (r7): strict first-touch ordering — a step-2 event
     BEFORE step 1 doesn't count, a later step-1 never resets; stage =
