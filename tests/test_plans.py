@@ -207,6 +207,17 @@ def test_pq_scan_is_broadcast_codes_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_scd2_and_sessionize_single_exchange(spark):
+    """SCD2 build and sessionization (r7): the changelog shuffles
+    EXACTLY once — one hash-partitioning Exchange on the key serves
+    the lag window, the running-sum window, the per-aggregate and (for
+    SCD2) the lead window. No Python eval anywhere."""
+    for name in ("scd2_user_history", "sessionize_events"):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
 def test_ivf_pq_refine_plan_broadcast_no_python(spark):
     """IVF×PQ refine (r7): the candidate fetch must reach the corpus
     as BROADCAST hash joins (the |Q|·shortlist candidate set and the
