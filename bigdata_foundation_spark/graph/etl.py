@@ -975,6 +975,103 @@ def eigenvector_centrality(
     return x.select(F.col("id").alias("NodeId"), F.round(F.col("r"), 6).alias("rank"))
 
 
+def hits(
+    spark,
+    roads: DataFrame,
+    iters: int = 20,
+    strategy: str = "auto",
+    projection=None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999): the mutual-
+    reinforcement pair a ← normalize2(Aᵀ h), h ← normalize2(A a) from
+    the all-ones start, fixed ``iters`` full update pairs — a node is
+    a good AUTHORITY when good hubs point at it and a good HUB when
+    it points at good authorities; the two-score sibling of
+    :func:`eigenvector_centrality` (which is HITS's authority side on
+    A+Aᵀ-free directed mass). Parallel edges each carry mass
+    (multigraph convention). Returns (NodeId, authority, hub) rounded
+    to 6 dp — the family's replayable determinism contract; a side
+    whose mass dies returns zeros (no divide-by-zero), and once one
+    side dies the other follows on the next half-step in BOTH tiers.
+
+    Tier dispatch mirrors :func:`pagerank`: broadcast numpy kernel
+    (``kernel.hits_kernel`` — two gather+bincount scatter-adds per
+    iteration over the CSR edge arrays) below
+    ``paths.BROADCAST_EDGE_LIMIT``; above it, the superstep loop —
+    per iteration TWO keyed joins (edges ⋈ h on src → sum at dst;
+    edges ⋈ a on dst → sum at src), each with map-side partial
+    aggregation and a one-scalar L2-norm agg, ``localCheckpoint``
+    every few iterations to truncate the iterated-join lineage
+    (graph/bsp.py discipline)."""
+    from bigdata_foundation_spark.graph import paths as _p
+
+    if _kernel_tier(roads, strategy, projection):
+        from pyspark.sql import types as T
+
+        from bigdata_foundation_spark.graph import kernel as _k
+
+        proj = projection or _p.build_projection(roads)
+        schema = T.StructType(
+            [
+                T.StructField("NodeId", T.StringType(), False),
+                T.StructField("authority", T.DoubleType(), False),
+                T.StructField("hub", T.DoubleType(), False),
+            ]
+        )
+        raw = _p._run_on_executor_df(
+            spark, proj, lambda p: _k.hits_kernel(p, iters), schema
+        )
+        return raw.select(
+            "NodeId",
+            F.round(F.col("authority"), 6).alias("authority"),
+            F.round(F.col("hub"), 6).alias("hub"),
+        )
+    nodes = (
+        roads.select(F.col("src").alias("id"))
+        .union(roads.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = roads.select("src", "dst").localCheckpoint()
+    a = nodes.withColumn("v", F.lit(1.0)).localCheckpoint()
+    h = nodes.withColumn("v", F.lit(1.0)).localCheckpoint()
+
+    def _half(mass: DataFrame, key: str, out: str) -> DataFrame:
+        """One HITS half-step: gather ``mass`` through the edges keyed
+        on ``key``, scatter-sum onto ``out``, L2-normalize (zeros if
+        the mass died)."""
+        contrib = (
+            edges.join(mass.withColumnRenamed("id", key), key)
+            .select(F.col(out).alias("id"), F.col("v").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        norm = contrib.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("c") * F.col("c"))), F.lit(0.0))
+        ).first()[0]
+        if norm == 0.0:
+            return nodes.withColumn("v", F.lit(0.0))
+        return nodes.join(contrib, "id", "left").select(
+            "id", (F.coalesce(F.col("c"), F.lit(0.0)) / F.lit(norm)).alias("v")
+        )
+
+    for i in range(iters):
+        a = _half(h, "src", "dst")
+        h = _half(a, "dst", "src")
+        if i % 4 == 3 or i == iters - 1:
+            a = a.localCheckpoint()
+            h = h.localCheckpoint()
+    return (
+        nodes.join(a.withColumnRenamed("v", "authority"), "id")
+        .join(h.withColumnRenamed("v", "hub"), "id")
+        .select(
+            F.col("id").alias("NodeId"),
+            F.round(F.col("authority"), 6).alias("authority"),
+            F.round(F.col("hub"), 6).alias("hub"),
+        )
+    )
+
+
 def random_walks(
     roads: DataFrame,
     walk_length: int = 8,

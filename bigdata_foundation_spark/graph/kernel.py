@@ -1578,3 +1578,38 @@ def ktruss_kernel(proj: Projection):
                     _hq.heappush(heap, (sup[other], ekey(other), other))
     rows = sorted((*ekey(e), t) for e, t in truss.items())
     return [(x, y, int(t)) for x, y, t in rows]
+
+
+def hits_kernel(proj: Projection, iters: int = 20):
+    """HITS hubs & authorities (Kleinberg 1999, the classic mutual-
+    reinforcement pair): a ← normalize2(Aᵀ h), h ← normalize2(A a)
+    from the all-ones start, fixed ``iters`` full update pairs — a
+    node is a good AUTHORITY when good hubs point at it, a good HUB
+    when it points at good authorities. Parallel edges each carry
+    mass (the family's multigraph convention, same as
+    :func:`pagerank_kernel` / :func:`eigenvector_kernel`).
+
+    Each half-step is one gather + one bincount scatter-add over the
+    edge arrays — O(E) per iteration, whole-array numpy, no per-node
+    Python. If a side's mass dies (no edges, or every edge leaves a
+    side empty) that vector is returned as zeros rather than dividing
+    by zero — and once one side is zero the other goes zero on the
+    next half-step, matching the superstep tier exactly. Raw floats
+    out; the caller applies the 6-dp rounding contract (summation-
+    order wobble ~1e-13 through the normalization vs the 1e-6
+    quantum)."""
+    n = len(proj.ids)
+    if n == 0:
+        return []
+    srcs = proj.esrc()
+    dsts = proj.adj_v
+    a = np.full(n, 1.0)
+    h = np.full(n, 1.0)
+    for _ in range(iters):
+        a_new = np.bincount(dsts, weights=h[srcs], minlength=n)
+        na = float(np.sqrt((a_new * a_new).sum()))
+        a = a_new / na if na > 0.0 else np.zeros(n)
+        h_new = np.bincount(srcs, weights=a[dsts], minlength=n)
+        nh = float(np.sqrt((h_new * h_new).sum()))
+        h = h_new / nh if nh > 0.0 else np.zeros(n)
+    return list(zip(proj.ids, a.tolist(), h.tolist()))

@@ -1350,3 +1350,83 @@ def linear_classifier_score(
         F.round(prob, 6).alias("prob"),
         (prob >= 0.5).alias("predicted"),
     )
+
+
+def corpus_drift(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus drift: the Jensen–Shannon divergence (log2, so
+    JS ∈ [0, 1]) between each slice's unigram token distribution P and
+    the distribution Q of the REST of the corpus — the standard
+    corpus-monitoring signal for "which source / crawl / day drifted
+    from the mix" (Lin 1991; the divergence behind content-drift
+    detectors and dataset-diff audits). Tokens: lowercase,
+    whitespace-split, empties dropped (the ``unigram_logprob_score``
+    convention); NULL-group docs are excluded.
+
+    JS needs NO smoothing — it is finite on disjoint supports — which
+    is what makes the computation SPARSE: with M = (P+Q)/2,
+
+      JS(P,Q) = Σ_t [ p/2·log2(2p/(p+q)) + q/2·log2(2q/(p+q)) ]
+
+    and every token absent from the slice (p = 0) contributes exactly
+    q/2, so the tail telescopes to (1 − Σ_{t∈slice} q_t)/2 — a closed
+    form over the slice's OWN support. Tokens never cross-join the
+    vocabulary: the plan is one explode → one (group, token) count
+    aggregate (map-side partial) → one keyed join with the |V|-row
+    global token counts → one per-group aggregate. At 100 TB the only
+    wide state is the global count table, keyed on token.
+
+    A slice that IS the whole corpus has an empty rest — its
+    ``js_divergence`` is NULL (undefined), never a divide-by-zero.
+    Returns (group, n_tokens, n_types, js_divergence) sorted by group;
+    js is the RAW double (the engine and the SQL oracle round
+    identically at compare time — the family's contract; summation-
+    order wobble ~1e-13 vs the 1e-6 hash quantum)."""
+    toks = (
+        documents.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    gcounts = toks.groupBy("g", "tok").agg(F.count("*").alias("cg"))
+    tcounts = gcounts.groupBy("tok").agg(F.sum("cg").alias("ct"))
+    gtotals = gcounts.groupBy("g").agg(
+        F.sum("cg").alias("ng"), F.count("*").alias("n_types")
+    )
+    total = tcounts.agg(F.sum("ct").alias("n_all"))
+    p = F.col("cg") / F.col("ng")
+    # try_divide: a slice that IS the whole corpus has an empty rest
+    # (n_all == ng) — q must be NULL there (as DuckDB's x/0 is), not an
+    # ANSI divide-by-zero; the js CASE guard below never reads it.
+    q = F.try_divide(F.col("ct") - F.col("cg"), F.col("n_all") - F.col("ng"))
+    term = F.when(
+        F.col("ct") > F.col("cg"),
+        0.5 * p * F.log2(2.0 * p / (p + q)) + 0.5 * q * F.log2(2.0 * q / (p + q)),
+    ).otherwise(0.5 * p)
+    joined = (
+        gcounts.join(tcounts, "tok")
+        .join(gtotals, "g")
+        .crossJoin(F.broadcast(total))
+    )
+    per_g = joined.groupBy("g").agg(
+        F.first("ng").alias("n_tokens"),
+        F.first("n_types").alias("n_types"),
+        F.sum(term).alias("_inside"),
+        F.sum(q).alias("_qcov"),
+        F.first("n_all").alias("_n_all"),
+    )
+    js = F.when(
+        F.col("_n_all") > F.col("n_tokens"),
+        F.col("_inside") + 0.5 * (1.0 - F.col("_qcov")),
+    )
+    return per_g.select(
+        F.col("g").alias(group_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        js.alias("js_divergence"),
+    ).orderBy(group_col)

@@ -2159,6 +2159,57 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_drift",
+    """
+    WITH toks AS (
+      SELECT source AS g, t.tok AS tok
+      FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+      WHERE source IS NOT NULL AND t.tok <> ''
+    ), gcounts AS (
+      SELECT g, tok, COUNT(*) AS cg FROM toks GROUP BY g, tok
+    ), tcounts AS (
+      SELECT tok, SUM(cg) AS ct FROM gcounts GROUP BY tok
+    ), gtotals AS (
+      SELECT g, SUM(cg) AS ng, COUNT(*) AS n_types FROM gcounts GROUP BY g
+    ), total AS (
+      SELECT SUM(ct) AS n_all FROM tcounts
+    ), terms AS (
+      SELECT gc.g, gt.ng, gt.n_types, tt.n_all,
+             CASE WHEN tc.ct > gc.cg
+                  THEN 0.5 * (gc.cg / gt.ng)
+                         * log2(2.0 * (gc.cg / gt.ng)
+                                / ((gc.cg / gt.ng) + ((tc.ct - gc.cg) / (tt.n_all - gt.ng))))
+                     + 0.5 * ((tc.ct - gc.cg) / (tt.n_all - gt.ng))
+                         * log2(2.0 * ((tc.ct - gc.cg) / (tt.n_all - gt.ng))
+                                / ((gc.cg / gt.ng) + ((tc.ct - gc.cg) / (tt.n_all - gt.ng))))
+                  ELSE 0.5 * (gc.cg / gt.ng) END AS term,
+             (tc.ct - gc.cg) / (tt.n_all - gt.ng) AS q
+      FROM gcounts gc JOIN tcounts tc USING (tok)
+           JOIN gtotals gt USING (g) CROSS JOIN total tt
+    )
+    SELECT g AS source,
+           CAST(MAX(ng) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           CASE WHEN MAX(n_all) > MAX(ng)
+                THEN SUM(term) + 0.5 * (1.0 - SUM(q)) END AS js_divergence
+    FROM terms GROUP BY g ORDER BY source
+    """,
+    "per-slice corpus drift: Jensen-Shannon divergence (log2 base, JS in "
+    "[0,1]) between each source's unigram distribution and the REST of the "
+    "corpus - the corpus-monitoring signal for which slice drifted from "
+    "the mix. JS is finite without smoothing, so the computation stays "
+    "SPARSE: absent-token mass telescopes to (1 - sum q)/2 over the "
+    "slice's own support; one keyed token join, no vocab cross product. "
+    "Full SQL oracle",
+)
+def corpus_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import corpus_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_drift(docs)
+
+
+@q(
     "exact_substring_spans",
     """
     WITH docs AS (
@@ -3017,6 +3068,27 @@ def graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eigenvector_centrality(spark, roads, projection=_graph_projection(spark))
         .orderBy(F.desc("rank"), F.asc("NodeId"))
+        .limit(100)
+    )
+
+
+@q(
+    "graph_hits",
+    PIPELINE_GOLDEN_SQL["graph_hits"],
+    "HITS hubs & authorities (Kleinberg 1999): a <- normalize2(A^T h), "
+    "h <- normalize2(A a), 20 fixed full update pairs from the all-ones "
+    "start, multigraph mass — a node is a good authority when good hubs "
+    "point at it and vice versa. Top-100 by (authority DESC, NodeId); "
+    "pinned-golden oracle from the independent pure-Python replay (6-dp "
+    "rounding contract)",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.graph.etl import hits
+
+    _, roads = _graph(spark)
+    return (
+        hits(spark, roads, projection=_graph_projection(spark))
+        .orderBy(F.desc("authority"), F.asc("NodeId"))
         .limit(100)
     )
 

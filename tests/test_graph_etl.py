@@ -720,3 +720,35 @@ def test_ktruss_tiers_and_known_values(spark):
     kern = sorted(map(tuple, truss_decomposition(rdf, strategy="broadcast").collect()))
     sup = sorted(map(tuple, _ktruss_superstep(rdf).collect()))
     assert kern == sup
+
+
+def test_hits_semantics_and_tiers(spark):
+    """HITS (round 7): kernel tier == superstep tier row-for-row; on
+    the bipartite hub/authority toy the pure hubs carry all hub mass
+    and the pure authorities all authority mass; both score vectors
+    are L2-normalized; a single edge gives (authority, hub) = (1, 1)
+    split across its endpoints."""
+    from bigdata_foundation_spark.graph.etl import hits
+
+    rows = [("p1", "a1", "r1", 1.0), ("p1", "a2", "r2", 1.0),
+            ("p2", "a1", "r3", 1.0), ("p2", "a2", "r4", 1.0)]
+    roads = spark.createDataFrame(rows, "src string, dst string, road_id string, cost double")
+    k = {r["NodeId"]: (r["authority"], r["hub"]) for r in
+         hits(spark, roads, strategy="broadcast").collect()}
+    s = {r["NodeId"]: (r["authority"], r["hub"]) for r in
+         hits(spark, roads, strategy="bsp").collect()}
+    assert k == s
+    for a_node in ("a1", "a2"):            # pure authorities: no hub mass
+        assert k[a_node][1] == 0.0 and k[a_node][0] > 0.0
+    for p_node in ("p1", "p2"):            # pure hubs: no authority mass
+        assert k[p_node][0] == 0.0 and k[p_node][1] > 0.0
+    assert abs(sum(a * a for a, _h in k.values()) - 1.0) < 1e-4
+    assert abs(sum(h * h for _a, h in k.values()) - 1.0) < 1e-4
+
+    one = spark.createDataFrame([("u", "v", "r1", 1.0)],
+                                "src string, dst string, road_id string, cost double")
+    ok = {r["NodeId"]: (r["authority"], r["hub"]) for r in
+          hits(spark, one, strategy="broadcast").collect()}
+    os_ = {r["NodeId"]: (r["authority"], r["hub"]) for r in
+           hits(spark, one, strategy="bsp").collect()}
+    assert ok == os_ == {"u": (0.0, 1.0), "v": (1.0, 0.0)}

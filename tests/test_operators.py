@@ -2051,3 +2051,53 @@ def test_linear_classifier_contract(spark):
     plan = linear_classifier_score(docs, w, b)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_corpus_drift_semantics(spark):
+    """corpus_drift (round 7): identically-distributed slices sit at
+    JS ~ 0 against the rest; a disjoint-vocabulary slice hits the JS
+    maximum of EXACTLY 1.0 (the telescoped absent-token closed form:
+    inside = 0.5, coverage = 0); a single-source corpus has no rest
+    and returns NULL; doc-split invariance (the statistic depends on
+    the token multiset, not document boundaries); NULL groups are
+    excluded."""
+    from bigdata_foundation_spark.operators.text import corpus_drift
+
+    # Two sources with the SAME token distribution, one disjoint one.
+    rows = [
+        (1, "alpha beta alpha beta", "a"),
+        (2, "alpha beta alpha beta", "a"),
+        (3, "alpha beta alpha beta alpha beta alpha beta", "b"),
+        (4, "zeta eta theta zeta", "c"),
+        (5, None, "a"),
+        (6, "ghost tokens", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in corpus_drift(docs).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["n_tokens"] == 8 and out["a"]["n_types"] == 2
+    # c's vocabulary is disjoint from the rest -> JS == 1.0 exactly.
+    assert out["c"]["js_divergence"] == 1.0
+    # a vs rest shares the dominant alpha/beta mass -> far from 1;
+    # a and b are identically distributed, so a's divergence comes
+    # only from c's tail and stays small but positive.
+    assert 0.0 < out["a"]["js_divergence"] < 0.25
+    assert out["b"]["js_divergence"] < out["c"]["js_divergence"]
+
+    # Doc-split invariance: one source's text split across more docs.
+    split_rows = [
+        (1, "alpha beta", "a"), (7, "alpha beta", "a"),
+        (2, "alpha beta alpha beta", "a"),
+        (3, "alpha beta alpha beta alpha beta alpha beta", "b"),
+        (4, "zeta eta theta zeta", "c"),
+    ]
+    split_docs = spark.createDataFrame(split_rows, "doc_id long, text string, source string")
+    out2 = {r["source"]: r for r in corpus_drift(split_docs).collect()}
+    for g in ("a", "b", "c"):
+        assert out2[g]["n_tokens"] == out[g]["n_tokens"]
+        assert abs(out2[g]["js_divergence"] - out[g]["js_divergence"]) < 1e-12
+
+    solo = spark.createDataFrame([(1, "only one source here", "s")],
+                                 "doc_id long, text string, source string")
+    srow = corpus_drift(solo).collect()
+    assert len(srow) == 1 and srow[0]["js_divergence"] is None

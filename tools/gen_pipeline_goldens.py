@@ -702,6 +702,7 @@ def main() -> None:
         "quality_classifier": classifier_golden(docs, load_doc_langs()),
         "graph_hyperball": hyperball_golden(),
         "graph_ktruss": ktruss_golden(),
+        "graph_hits": hits_golden(),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -869,6 +870,46 @@ def eigenvector_golden(iters=20, topk=100):
     rows = [(v, rv) for rv, v in ranked[:topk]]
     return values_sql([("NodeId", "VARCHAR"), ("rank", "DOUBLE")], rows)
 
+
+
+def hits_golden(iters=20, topk=100):
+    """Replay of graph.etl.hits (Kleinberg 1999): a <- normalize2(A^T h),
+    h <- normalize2(A a) from the all-ones start, multigraph mass,
+    fixed full update pairs, 6-dp rounding; a side whose mass dies
+    goes to zeros. Pins the top-``topk`` rows by (authority DESC,
+    NodeId)."""
+    import math
+
+    edges = load_csv1_edges()
+    nodes = sorted({x for e in edges for x in e})
+    a = {v: 1.0 for v in nodes}
+    h = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        an: dict[str, float] = {}
+        for s_, d in edges:
+            an[d] = an.get(d, 0.0) + h[s_]
+        na = math.sqrt(sum(c * c for c in an.values()))
+        a = (
+            {v: an.get(v, 0.0) / na for v in nodes}
+            if na > 0.0
+            else {v: 0.0 for v in nodes}
+        )
+        hn: dict[str, float] = {}
+        for s_, d in edges:
+            hn[s_] = hn.get(s_, 0.0) + a[d]
+        nh = math.sqrt(sum(c * c for c in hn.values()))
+        h = (
+            {v: hn.get(v, 0.0) / nh for v in nodes}
+            if nh > 0.0
+            else {v: 0.0 for v in nodes}
+        )
+    ranked = sorted(
+        ((r6(a[v]), r6(h[v]), v) for v in nodes), key=lambda t: (-t[0], t[2])
+    )
+    rows = [(v, av, hv) for av, hv, v in ranked[:topk]]
+    return values_sql(
+        [("NodeId", "VARCHAR"), ("authority", "DOUBLE"), ("hub", "DOUBLE")], rows
+    )
 
 
 # --- graph_random_walks ----------------------------------------------------
