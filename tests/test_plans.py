@@ -55,6 +55,7 @@ def test_topk_never_global_sorts(spark):
         "exact_substring_spans",
         "bm25_rank",
         "dsir_scores",
+        "corpus_drift",
     ],
 )
 def test_no_python_in_hot_path(spark, name):
@@ -310,3 +311,14 @@ def test_dsir_gumbel_topk_bounded_heap(spark):
     )
     plan = dsir_gumbel_topk(scores, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_corpus_drift_sparse_no_vocab_cross_product(spark):
+    """corpus_drift's only cross join must be the broadcast 1-row
+    global total — the slice × vocabulary product (the naive smoothed
+    formulation) must never appear; the token join is keyed."""
+    plan = plan_of(spark, "corpus_drift")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
