@@ -101,6 +101,59 @@ def brute_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training
+    (the in-batch-negatives upgrade of DPR, Karpukhin et al. 2020;
+    ANCE, Xuan et al. 2020): for every query vector, the exact
+    cosine top-k most-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — the "closest wrong answers" that make
+    the strongest training negatives. Self-matches are excluded;
+    label comparison is null-safe (a NULL label equals only NULL, so
+    NULL-vs-NULL pairs are filtered as same-label). Ties break by
+    neighbor id — :func:`brute_topk`'s determinism contract.
+
+    Scale shape: the QUERY block broadcasts (training batches are
+    small against a 100 TB corpus); the corpus is scanned ONCE with
+    the dot product in codegen and the per-query heap bounded by the
+    rank window — never a corpus-side shuffle. For corpus-scale query
+    sets, mine through the compressed index instead: IVF×PQ shortlist
+    (:func:`ivf_pq_query_refine`) then apply the same label filter on
+    the re-rank — the brute form here IS the recall oracle for that
+    path. Output: (query_id, neighbor_id, cosine, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("_qv"),
+            F.col(label_col).alias("_ql"),
+        )
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(~F.col("_cl").eqNullSafe(F.col("_ql")))
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (public LSH construction)."""
     rng = random.Random(seed)

@@ -2116,6 +2116,37 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hard_negatives",
+    """
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_aggregate(list_transform(generate_series(1, 64),
+                            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')
+             / ( sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), 'sum'))
+               * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')) ) AS cos_raw
+      FROM q JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND c.label IS DISTINCT FROM q.label)
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk FROM scored) t
+    WHERE rnk <= 5
+    """,
+    "hard-negative mining for contrastive training (DPR/ANCE pattern): "
+    "exact cosine top-5 DIFFERENT-label corpus vectors per query - the "
+    "closest wrong answers. Broadcast query block, one codegen corpus "
+    "scan, null-safe label filter. Full SQL oracle",
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    res = S.hard_negatives(e, qs, k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q(
     "ann_ivf_topk",
     PIPELINE_GOLDEN_SQL["ann_ivf_topk"],
     "IVF-cell approximate top-k, sampled centroids + n_probe re-rank "

@@ -2101,3 +2101,32 @@ def test_corpus_drift_semantics(spark):
                                  "doc_id long, text string, source string")
     srow = corpus_drift(solo).collect()
     assert len(srow) == 1 and srow[0]["js_divergence"] is None
+
+
+def test_hard_negatives_semantics(spark):
+    """hard_negatives (round 7): the nearest SAME-label vector is
+    excluded and the nearest different-label one wins rank 1; self
+    never appears; NULL labels are null-safe (NULL vs NULL = same
+    label, excluded); output ranks are dense 1..k per query."""
+    from bigdata_foundation_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0], 7),      # query
+        (1, [0.999, 0.05], 7),   # nearest overall but SAME label
+        (2, [0.95, 0.3], 1),     # nearest different-label -> rank 1
+        (3, [0.0, 1.0], 2),      # orthogonal different-label -> rank 2
+        (4, [1.0, 0.01], None),  # NULL label vs 7 -> different, very close
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    qs = emb.filter(F.col("vec_id") == 0)
+    out = S.hard_negatives(emb, qs, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [4, 2, 3]
+    assert all(r["query_id"] == 0 for r in out)
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+    # NULL query label: NULL IS NOT DISTINCT FROM NULL -> 4 excluded.
+    rows2 = rows + [(5, [0.9, 0.1], None)]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>, label int")
+    qs2 = emb2.filter(F.col("vec_id") == 5)
+    out2 = S.hard_negatives(emb2, qs2, k=5).collect()
+    assert {r["neighbor_id"] for r in out2} == {0, 1, 2, 3}
