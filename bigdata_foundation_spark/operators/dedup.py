@@ -1097,3 +1097,109 @@ def remove_duplicate_spans(
             (F.size("_t") - F.size("_keep")).cast("bigint").alias("n_tokens_removed"),
         )
     )
+
+
+# --- Bloom-filter membership (cross-batch exact-dedup probe) ---------------
+
+def _bloom_pow2() -> Column:
+    """Literal 64-long array [2^0 .. 2^63] (2^63 as the signed-long min
+    — Java long arithmetic; bitwiseAND against it tests the sign bit).
+    One compact array Literal, not 64 expressions."""
+    return F.lit([(1 << b) - (1 << 64) if b == 63 else (1 << b) for b in range(64)])
+
+
+def _bloom_positions(col: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """The k Bloom positions of a string value: pmod(xxhash64(value,
+    i), n_bits) for i = 1..k — the per-hash INT salt i makes the k
+    functions independent through xxhash64's multi-argument fold, and
+    every position is replayable with the ported hash
+    (tools/spark_hashes.spark_xxhash64(value, ('int', i)))."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)).cast("long")
+        for i in range(1, n_hashes + 1)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> list[int]:
+    """Build a Bloom filter (Bloom 1970) over a string column as a
+    dense ``n_bits/64``-long signed word array — the compact
+    membership summary that lets a NEW batch be probed against
+    billions of already-ingested fingerprints WITHOUT shuffling or
+    even reading the stored corpus: the standard cross-batch
+    exact-dedup front door (probe first; only maybe-seen rows pay the
+    exact verify join). No false negatives ever; false-positive rate
+    ≈ (1 − e^(−k·n/m))^k is the classic dial (defaults: 1 Mi bits /
+    k=5 ≈ 1% FPR at ~130k items, 16 KiB per million bits).
+
+    Scale shape: k codegen hash expressions → ONE explode → ONE
+    (word_idx) bit_or aggregate (map-side partial — the shuffle
+    carries at most n_bits/64 partially-OR'd words per task, never
+    rows) → a bounded ≤ n_bits/64-row collect. The driver holds the
+    dense bitmap; :func:`bloom_probe` ships it back as one array
+    Literal (the PQ-codebook broadcast pattern). Size the bitmap for
+    the driver/plan, not the data: up to ~2^27 bits (16 MiB) is
+    comfortable; past that, use the partitioned MinHash/fingerprint
+    index lifecycle instead (``minhash_index_*``) — the Bloom is the
+    LOW-memory tier, not the only tier. NULL values are skipped
+    (a NULL fingerprint is not a member).
+
+    Deterministic and engine-replayable: positions are
+    pmod(xxhash64(value, i), n_bits), so an independent pure-Python
+    replay reconstructs the identical bitmap — false positives and
+    all (the pinned-golden oracle for ``bloom_dedup_probe`` does
+    exactly that)."""
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), n_bits, n_hashes)))
+    words = (
+        df.filter(F.col(col).isNotNull())
+        .select(pos.alias("p"))
+        .select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.element_at(_bloom_pow2(), F.pmod(F.col("p"), F.lit(64)).cast("int") + 1).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    dense = [0] * (n_bits // 64)
+    for r in words:
+        dense[int(r["w"])] = int(r["word"])
+    return dense
+
+
+def bloom_probe(
+    df: DataFrame,
+    words: list[int],
+    col: str = "text",
+    n_hashes: int = 5,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Probe a string column against a :func:`bloom_build` bitmap:
+    adds BOOLEAN ``out_col`` — true iff ALL k bits are set (member or
+    false positive; never a false negative). The bitmap travels as ONE
+    array Literal inside the plan, the probe is k element_at +
+    bitwiseAND expressions ANDed in whole-stage codegen — zero
+    shuffle, zero Python, composable with scan pushdown: at 100 TB
+    the probe costs exactly one pass over the new batch. NULL values
+    probe to NULL."""
+    n_bits = len(words) * 64
+    wlit = F.lit([int(w) for w in words])
+    pow2 = _bloom_pow2()
+    hit = None
+    for p in _bloom_positions(F.col(col), n_bits, n_hashes):
+        bit = (
+            F.element_at(wlit, F.shiftright(p, 6).cast("int") + 1).bitwiseAND(
+                F.element_at(pow2, F.pmod(p, F.lit(64)).cast("int") + 1)
+            )
+            != 0
+        )
+        hit = bit if hit is None else hit & bit
+    return df.withColumn(
+        out_col, F.when(F.col(col).isNotNull(), hit)
+    )

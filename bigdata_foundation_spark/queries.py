@@ -2190,6 +2190,31 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "bloom_dedup_probe",
+    PIPELINE_GOLDEN_SQL["bloom_dedup_probe"],
+    "Bloom-filter cross-batch dedup probe (Bloom 1970): build a 16 "
+    "Ki-bit / k=5 bitmap over the first 250 docs' text, probe EVERY doc "
+    "scan-side (bitmap ships as one array Literal, k codegen bit tests, "
+    "zero shuffle) - the low-memory front door before the exact verify "
+    "join. No false negatives; false positives are deterministic "
+    "pmod(xxhash64) bits, so the pinned-golden oracle (independent "
+    "pure-Python replay with the ported hash) reproduces them exactly",
+)
+def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.dedup import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    words = bloom_build(
+        docs.filter(F.col("doc_id") < 250), col="text", n_bits=1 << 14, n_hashes=5
+    )
+    return (
+        bloom_probe(docs, words, col="text", n_hashes=5)
+        .select("doc_id", "maybe_seen")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_drift",
     """
     WITH toks AS (

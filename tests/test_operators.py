@@ -2130,3 +2130,58 @@ def test_hard_negatives_semantics(spark):
     qs2 = emb2.filter(F.col("vec_id") == 5)
     out2 = S.hard_negatives(emb2, qs2, k=5).collect()
     assert {r["neighbor_id"] for r in out2} == {0, 1, 2, 3}
+
+
+def test_bloom_build_probe_contract(spark):
+    """Bloom filter (round 7): the engine bitmap is EXACTLY the
+    pure-Python replay (ported xxhash64 — false positives and all);
+    no false negatives ever; a tiny 64-bit bloom saturates into
+    deterministic false positives that both sides agree on; NULL
+    probes to NULL; n_bits validation raises."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from spark_hashes import pmod, spark_xxhash64
+
+    from bigdata_foundation_spark.operators.dedup import bloom_build, bloom_probe
+
+    seen = ["alpha", "beta", "gamma", "delta"]
+    df = spark.createDataFrame([(s,) for s in seen], "text string")
+    n_bits, k = 1 << 10, 5
+    words = bloom_build(df, col="text", n_bits=n_bits, n_hashes=k)
+
+    # Exact bitmap replay.
+    replay = [0] * (n_bits // 64)
+    for s in seen:
+        for i in range(1, k + 1):
+            p = pmod(spark_xxhash64(s, ("int", i)), n_bits)
+            replay[p >> 6] |= 1 << (p & 63)
+    replay = [w - (1 << 64) if w >= (1 << 63) else w for w in replay]
+    assert words == replay
+
+    probe = spark.createDataFrame(
+        [("alpha",), ("beta",), ("zzz-unseen",), (None,)], "text string"
+    )
+    got = {r["text"]: r["maybe_seen"] for r in bloom_probe(probe, words, col="text", n_hashes=k).collect()}
+    assert got["alpha"] is True and got["beta"] is True   # no false negatives
+    assert got[None] is None
+    # replay the unseen probe decision rather than assuming it's False
+    expect_unseen = all(
+        (replay[pmod(spark_xxhash64("zzz-unseen", ("int", i)), n_bits) >> 6]
+         >> (pmod(spark_xxhash64("zzz-unseen", ("int", i)), n_bits) & 63)) & 1
+        for i in range(1, k + 1)
+    )
+    assert got["zzz-unseen"] == expect_unseen
+
+    # A saturated tiny bloom: every bit set -> everything "maybe seen".
+    many = spark.createDataFrame([(f"doc-{i}",) for i in range(200)], "text string")
+    tiny = bloom_build(many, col="text", n_bits=64, n_hashes=3)
+    assert tiny == [-1]  # all 64 bits set
+    out = bloom_probe(probe, tiny, col="text", n_hashes=3).collect()
+    assert all(r["maybe_seen"] is True for r in out if r["text"] is not None)
+
+    with _pytest.raises(ValueError):
+        bloom_build(df, col="text", n_bits=100)

@@ -322,3 +322,19 @@ def test_corpus_drift_sparse_no_vocab_cross_product(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_bloom_probe_scan_side_zero_shuffle(spark):
+    """The Bloom probe must be pure scan-side codegen: bitmap as one
+    array Literal, k bit tests, NO exchange, NO join, NO Python —
+    probing a 100 TB batch costs exactly one pass."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark.operators.dedup import bloom_build, bloom_probe
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    words = bloom_build(df.filter(F.col("doc_id") < 50), col="text", n_bits=1 << 10)
+    plan = bloom_probe(df, words, col="text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -703,6 +703,7 @@ def main() -> None:
         "graph_hyperball": hyperball_golden(),
         "graph_ktruss": ktruss_golden(),
         "graph_hits": hits_golden(),
+        "bloom_dedup_probe": bloom_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -2133,6 +2134,35 @@ def ktruss_golden():
     return values_sql(
         [("src", "VARCHAR"), ("dst", "VARCHAR"), ("truss", "INTEGER")], rows
     )
+
+
+
+
+# --- bloom_dedup_probe ------------------------------------------------------
+
+def bloom_golden(docs, seen_below=250, n_bits=1 << 14, n_hashes=5):
+    """Replay of dedup.bloom_build + bloom_probe: positions are
+    pmod(xxhash64(text, ('int', i)), n_bits) for i = 1..k via the
+    ported hash — the bitmap (and therefore every false positive) is
+    reproduced EXACTLY, so the probe booleans are deterministic
+    engine-independent values. Seen set = doc_id < seen_below with
+    non-null text; every doc probes (NULL text -> NULL)."""
+    bits = set()
+    for doc_id, text in docs:
+        if doc_id < seen_below and text is not None:
+            for i in range(1, n_hashes + 1):
+                bits.add(pmod(spark_xxhash64(text, ("int", i)), n_bits))
+    rows = []
+    for doc_id, text in sorted(docs):
+        if text is None:
+            rows.append((doc_id, None))
+            continue
+        hit = all(
+            pmod(spark_xxhash64(text, ("int", i)), n_bits) in bits
+            for i in range(1, n_hashes + 1)
+        )
+        rows.append((doc_id, hit))
+    return values_sql([("doc_id", "BIGINT"), ("maybe_seen", "BOOLEAN")], rows)
 
 
 if __name__ == "__main__":
