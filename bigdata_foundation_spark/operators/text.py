@@ -1430,3 +1430,81 @@ def corpus_drift(
         F.col("n_types").cast("bigint").alias("n_types"),
         js.alias("js_divergence"),
     ).orderBy(group_col)
+
+
+def count_min_cells(
+    documents: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1 << 12,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the corpus
+    token stream: ``depth`` hash rows × ``width`` counters; cell
+    (r, pmod(xxhash64(token, r), width)) accumulates every occurrence.
+    Point estimates are min over the depth cells — always ≥ the true
+    count (one-sided error ≤ e·N/width with prob 1−e^−depth): THE
+    bounded-memory frequency summary when the vocabulary itself is too
+    big to hold (heavy-hitter screens, frequency-capped sampling,
+    per-shard frequency merges — CMS cells ADD, so shard sketches
+    union by summing cells).
+
+    Tokens: lowercase whitespace-split, empties dropped (the family
+    convention). Scale shape: one explode → depth codegen hash
+    expressions → ONE (row, col) count aggregate, map-side partial —
+    the shuffle carries at most depth·width partially-counted cells
+    per task, never token rows. Output (row, col, c) — only nonzero
+    cells (sparse); deterministic and engine-replayable via the ported
+    xxhash64 (rows are salted with the INT row index, the
+    ``bloom_build`` convention)."""
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(F.xxhash64(F.col("tok"), F.lit(r)), F.lit(width))
+                    .cast("int")
+                    .alias("col"),
+                )
+                for r in range(1, depth + 1)
+            ]
+        )
+    )
+    return (
+        toks.select(rows.alias("_c"))
+        .select("_c.row", "_c.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    cells: list[tuple[int, int, int]],
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1 << 12,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-estimate token counts against collected Count-Min cells:
+    adds ``out_col`` = min over the depth row lookups. The dense
+    depth×width counter table ships as ONE flat array Literal (the
+    Bloom/PQ broadcast pattern — depth·width longs, e.g. 4×4096 =
+    128 KiB), each lookup an element_at in whole-stage codegen —
+    zero shuffle, zero Python. ``cells`` is the (row, col, c) output
+    of :func:`count_min_cells` collected driver-side (bounded by
+    depth·width regardless of corpus size)."""
+    dense = [0] * (depth * width)
+    for r, c, v in cells:
+        if not (1 <= r <= depth and 0 <= c < width):
+            raise ValueError(f"cell ({r},{c}) outside depth×width")
+        dense[(r - 1) * width + c] = int(v)
+    tab = F.lit(dense)
+    est = None
+    for r in range(1, depth + 1):
+        pos = F.pmod(F.xxhash64(F.col(token_col), F.lit(r)), F.lit(width)).cast("int")
+        look = F.element_at(tab, F.lit((r - 1) * width) + pos + 1)
+        est = look if est is None else F.least(est, look)
+    return df.withColumn(out_col, est)

@@ -2190,6 +2190,39 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cms_heavy_hitters",
+    PIPELINE_GOLDEN_SQL["cms_heavy_hitters"],
+    "Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus "
+    "token stream: 4x4096 cells, ONE map-side-combined (row,col) count "
+    "agg regardless of vocabulary size; the exact top-20 tokens carry "
+    "their CMS point estimate (min over depth rows, shipped back as one "
+    "array Literal - scan-side lookups). Always est >= exact; "
+    "all-integer, so the pinned-golden replay (ported xxhash64) is "
+    "bit-exact",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import cms_estimate, count_min_cells
+
+    docs = _t(spark, sf_dir, "documents")
+    depth, width = 4, 1 << 12
+    cells = [
+        (r["row"], r["col"], r["c"])
+        for r in count_min_cells(docs, depth=depth, width=width).collect()
+    ]
+    top = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("tok"))
+        .limit(20)
+    )
+    return cms_estimate(top, cells, depth=depth, width=width).select(
+        "tok", "exact", F.col("est").cast("bigint").alias("est")
+    )
+
+
+@q(
     "bloom_dedup_probe",
     PIPELINE_GOLDEN_SQL["bloom_dedup_probe"],
     "Bloom-filter cross-batch dedup probe (Bloom 1970): build a 16 "

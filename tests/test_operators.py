@@ -2185,3 +2185,43 @@ def test_bloom_build_probe_contract(spark):
 
     with _pytest.raises(ValueError):
         bloom_build(df, col="text", n_bits=100)
+
+
+def test_count_min_sketch_contract(spark):
+    """Count-Min (round 7): estimates are NEVER below true counts
+    (one-sided error); shard sketches merge by SUMMING cells (the
+    distributed-union property); a wide sketch on a tiny vocab is
+    exact; out-of-range cells raise."""
+    import pytest as _pytest
+
+    from bigdata_foundation_spark.operators.text import cms_estimate, count_min_cells
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d d d d"), (3, None)],
+        "doc_id long, text string",
+    )
+    depth, width = 4, 1 << 10
+    cells = [(r["row"], r["col"], r["c"])
+             for r in count_min_cells(docs, depth=depth, width=width).collect()]
+    truth = {"a": 4, "b": 3, "c": 2, "d": 4}
+    toks = spark.createDataFrame([(t,) for t in truth], "tok string")
+    est = {r["tok"]: r["est"]
+           for r in cms_estimate(toks, cells, depth=depth, width=width).collect()}
+    for t, c in truth.items():
+        assert est[t] >= c
+    # tiny vocab + wide sketch -> no collisions -> exact
+    assert est == truth
+
+    # shard merge: cells(A) + cells(B) == cells(A ∪ B)
+    a = docs.filter(F.col("doc_id") == 1)
+    b = docs.filter(F.col("doc_id") != 1)
+    merged: dict = {}
+    for shard in (a, b):
+        for r in count_min_cells(shard, depth=depth, width=width).collect():
+            merged[(r["row"], r["col"])] = merged.get((r["row"], r["col"]), 0) + r["c"]
+    whole = {(r["row"], r["col"]): r["c"]
+             for r in count_min_cells(docs, depth=depth, width=width).collect()}
+    assert merged == whole
+
+    with _pytest.raises(ValueError):
+        cms_estimate(toks, [(99, 0, 1)], depth=depth, width=width)

@@ -704,6 +704,7 @@ def main() -> None:
         "graph_ktruss": ktruss_golden(),
         "graph_hits": hits_golden(),
         "bloom_dedup_probe": bloom_golden(docs),
+        "cms_heavy_hitters": cms_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
@@ -2163,6 +2164,47 @@ def bloom_golden(docs, seen_below=250, n_bits=1 << 14, n_hashes=5):
         )
         rows.append((doc_id, hit))
     return values_sql([("doc_id", "BIGINT"), ("maybe_seen", "BOOLEAN")], rows)
+
+
+
+
+# --- cms_heavy_hitters ------------------------------------------------------
+
+def cms_golden(docs, depth=4, width=1 << 12, topk=20):
+    """Replay of text.count_min_cells + cms_estimate over the exact
+    top-``topk`` tokens: ASCII whitespace tokenization (the family
+    contract), cell (r, pmod(xxhash64(tok, ('int', r)), width))
+    accumulation via the ported hash, estimate = min over depth rows.
+    All-integer -> bit-exact, no rounding contract."""
+    import re
+
+    counts: dict = {}
+    for _doc_id, text in docs:
+        if text is None:
+            continue
+        for t in re.split(r"\s+", text.lower(), flags=re.ASCII):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+    cells: dict = {}
+    for t, c in counts.items():
+        for r in range(1, depth + 1):
+            key = (r, pmod(spark_xxhash64(t, ("int", r)), width))
+            cells[key] = cells.get(key, 0) + c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    rows = [
+        (
+            t,
+            c,
+            min(
+                cells[(r, pmod(spark_xxhash64(t, ("int", r)), width))]
+                for r in range(1, depth + 1)
+            ),
+        )
+        for t, c in top
+    ]
+    return values_sql(
+        [("tok", "VARCHAR"), ("exact", "BIGINT"), ("est", "BIGINT")], rows
+    )
 
 
 if __name__ == "__main__":
