@@ -879,6 +879,54 @@ def unimax_mixture(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    alpha: float = 0.3,
+    budget_frac: float = 1.0,
+) -> DataFrame:
+    """Temperature-based mixture sampling weights — the exponentiated
+    multinomial that UniMax replaced and that mT5 / XLM-R / GPT-3
+    style multilingual mixes standardized (Xue et al. 2021 §3.1;
+    Conneau et al. 2020 §3): sampling weight w_g ∝ (n_g)^alpha with
+    alpha ∈ (0, 1] — alpha = 1 is proportional sampling, alpha → 0
+    approaches uniform; 0.3 is the mT5/XLM-R setting. Shipping BOTH
+    policies lets a pipeline A/B the classic temperature mix against
+    the capped :func:`unimax_mixture` on the same count table.
+
+    Scale shape: identical to unimax — ONE map-side-combined
+    token-count aggregate (8-byte partials shuffle, never rows), then
+    |groups|-row arithmetic against a broadcast 1-row normalizer.
+    Returns (group_col, n_tokens, weight, allocation, epochs) sorted
+    by group, 6-dp rounded: weight = n^alpha / Σ n^alpha, allocation
+    = weight · budget_frac · N_total, epochs = allocation / n (how
+    many passes over the group the mix implies — the overfit signal
+    temperature mixes famously lack a cap on; 0 for an empty group)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    g = df.groupBy(group_col).agg(
+        F.sum(whitespace_token_count(text_col)).cast("double").alias("_n")
+    )
+    pw = g.withColumn("_p", F.pow(F.col("_n"), F.lit(float(alpha))))
+    tot = pw.agg(F.sum("_p").alias("_sp"), F.sum("_n").alias("_total"))
+    weight = F.col("_p") / F.col("_sp")
+    alloc = weight * F.lit(float(budget_frac)) * F.col("_total")
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(group_col),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.round(weight, 6).alias("weight"),
+            F.round(alloc, 6).alias("allocation"),
+            F.round(
+                F.when(F.col("_n") > 0, alloc / F.col("_n")).otherwise(F.lit(0.0)), 6
+            ).alias("epochs"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def dsir_logratio_scores(
     documents: DataFrame,
     target: DataFrame,

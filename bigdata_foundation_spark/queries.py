@@ -1514,6 +1514,34 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "temperature_mixture",
+    r"""
+    WITH g AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS DOUBLE) AS n
+      FROM documents GROUP BY lang
+    ),
+    pw AS (SELECT lang, n, POW(n, 0.3) AS p FROM g),
+    tot AS (SELECT SUM(p) AS sp, SUM(n) AS total FROM pw)
+    SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(p / sp, 6) AS weight,
+           ROUND((p / sp) * 1.0 * total, 6) AS allocation,
+           ROUND(CASE WHEN n > 0 THEN ((p / sp) * 1.0 * total) / n ELSE 0.0 END, 6) AS epochs
+    FROM pw CROSS JOIN tot ORDER BY lang
+    """,
+    "temperature-based mixture sampling weights (mT5/XLM-R alpha=0.3 "
+    "exponentiated multinomial - the policy UniMax replaced): w_g ~ "
+    "n_g^alpha over per-language token counts; one map-side-combined "
+    "count agg then |groups|-row arithmetic. epochs column exposes the "
+    "unbounded-repetition overfit signal. Full SQL oracle",
+)
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.temperature_mixture(
+        _docs(spark, sf_dir), "text", group_col="lang", alpha=0.3, budget_frac=1.0
+    )
+
+
+@q(
     "q10_returned_revenue",
     """
     SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,

@@ -2225,3 +2225,40 @@ def test_count_min_sketch_contract(spark):
 
     with _pytest.raises(ValueError):
         cms_estimate(toks, [(99, 0, 1)], depth=depth, width=width)
+
+
+def test_temperature_mixture_semantics(spark):
+    """temperature_mixture (round 7): alpha=1 is exactly proportional
+    sampling; alpha->0 flattens toward uniform (small groups gain,
+    big groups lose); weights sum to 1; budget conservation
+    (sum allocation == budget); empty-text group gets 0 weight;
+    alpha validation raises."""
+    import pytest as _pytest
+
+    from bigdata_foundation_spark.operators.text import temperature_mixture
+
+    rows = [
+        (1, "t " * 90, "big"),      # 90 tokens
+        (2, "t " * 9, "small"),     # 9 tokens
+        (3, "t", "tiny"),           # 1 token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    prop = {r["source"]: r for r in temperature_mixture(docs, alpha=1.0).collect()}
+    assert abs(prop["big"]["weight"] - 0.9) < 1e-6
+    assert abs(prop["small"]["weight"] - 0.09) < 1e-6
+    # alpha=1: every group's epochs == budget_frac exactly
+    assert all(abs(r["epochs"] - 1.0) < 1e-6 for r in prop.values())
+
+    cool = {r["source"]: r for r in temperature_mixture(docs, alpha=0.3).collect()}
+    assert cool["big"]["weight"] < prop["big"]["weight"]      # big loses
+    assert cool["tiny"]["weight"] > prop["tiny"]["weight"]    # tiny gains
+    assert abs(sum(r["weight"] for r in cool.values()) - 1.0) < 1e-5
+    assert abs(sum(r["allocation"] for r in cool.values()) - 100.0) < 1e-3
+    # the overfit signal: the up-weighted tiny group repeats >1 epoch
+    assert cool["tiny"]["epochs"] > 1.0
+
+    with _pytest.raises(ValueError):
+        temperature_mixture(docs, alpha=0.0)
+    with _pytest.raises(ValueError):
+        temperature_mixture(docs, alpha=1.5)
