@@ -869,3 +869,42 @@ def rrf_fuse(
         )
         score = term if score is None else score + term
     return out.withColumn("rrf_score", score)
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two dataset versions — the dataset-
+    versioning primitive behind incremental re-processing and audit
+    trails (what changed between crawl N and crawl N+1?): per id,
+    ``status`` ∈ {added, removed, changed, unchanged}.
+
+    Scale shape: content is fingerprinted SCAN-SIDE to 8 bytes
+    (xxhash64 over ``content_cols``), so the full-outer join shuffles
+    (id, fingerprint) pairs — never the document bodies; at 100 TB the
+    diff costs one keyed shuffle of 16-byte rows per side. Equal
+    fingerprints ⇒ unchanged (the standard 2⁻⁶⁴ collision contract —
+    use the exact-equality verify join on the 'changed' survivors if
+    bytes must be proven). NULL content hashes deterministically, so
+    NULL-vs-NULL compares unchanged (null-safe semantics, matching
+    SQL's IS NOT DISTINCT FROM). Caveat inherited from Spark's hash
+    fold: a NULL column is SKIPPED, so with multiple content_cols the
+    value pair (NULL, 'x') collides with ('x', NULL) — add a sentinel
+    coalesce per column if that shape can occur."""
+    cols = content_cols or [c for c in old.columns if c != id_col]
+    o = old.select(F.col(id_col), F.xxhash64(*cols).alias("_ofp"))
+    n = new.select(F.col(id_col), F.xxhash64(*cols).alias("_nfp"))
+    status = (
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") == F.col("_nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(F.col(id_col), status.alias("status"))
+        .orderBy(id_col)
+    )

@@ -1514,6 +1514,55 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dataset_diff",
+    """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+    )
+    SELECT COALESCE(o.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS NOT DISTINCT FROM v2.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM documents o FULL OUTER JOIN v2 ON o.doc_id = v2.doc_id
+    ORDER BY doc_id
+    """,
+    "dataset snapshot diff (the versioning primitive behind incremental "
+    "re-processing): per id, added/removed/changed/unchanged between two "
+    "corpus versions - content fingerprinted SCAN-SIDE to 8-byte "
+    "xxhash64, so the full-outer join shuffles (id, fingerprint) pairs, "
+    "never document bodies. v2 is derived deterministically (10% of ids "
+    "removed, ids<10 re-added under new ids, every 7th text modified); "
+    "the oracle re-derives it and compares content EXACTLY (IS NOT "
+    "DISTINCT FROM) - agreement also witnesses the fingerprint contract. "
+    "Full SQL oracle",
+)
+def dataset_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.relational import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dataset_diff(docs, v2, id_col="doc_id", content_cols=["text"])
+
+
+@q(
     "temperature_mixture",
     r"""
     WITH g AS (

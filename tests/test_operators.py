@@ -2262,3 +2262,30 @@ def test_temperature_mixture_semantics(spark):
         temperature_mixture(docs, alpha=0.0)
     with _pytest.raises(ValueError):
         temperature_mixture(docs, alpha=1.5)
+
+
+def test_dataset_diff_semantics(spark):
+    """dataset_diff (round 7): all four statuses; NULL-vs-NULL content
+    is unchanged (null-safe); content compare respects every
+    content_col; the join output covers the id union exactly."""
+    from bigdata_foundation_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, None, "z"), (4, "gone", "w")],
+        "doc_id long, text string, meta string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (3, None, "z"), (5, "fresh", "v")],
+        "doc_id long, text string, meta string",
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in dataset_diff(old, new, content_cols=["text", "meta"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
+
+    # second content col participates
+    new2 = spark.createDataFrame([(1, "a", "CHANGED")], "doc_id long, text string, meta string")
+    out2 = {r["doc_id"]: r["status"]
+            for r in dataset_diff(old.filter(F.col("doc_id") == 1), new2,
+                                  content_cols=["text", "meta"]).collect()}
+    assert out2 == {1: "changed"}
