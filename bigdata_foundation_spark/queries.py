@@ -76,22 +76,30 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# Gate-slot rotation (r7): (a) the six round-7 debuts plus
-# ann_ivf_pq_topk (landed after the r6 snapshot — debuts value-gate
-# first), then (b) every entry whose code path changed since the r6
-# judged tree: the IVF/PQ/SemDeDup HOF expression rewrite, the
-# ExactSubstr skew guard, rrf duplicate-id collapse, the centrality
-# family's exact all-source tier + eccentricity zero-distance fix,
-# the BSP bucketed-projection caching + Lawler probe waves (path
-# family), SCC/k-core round-cap plumbing, and the
-# strategy-wins-over-projection dispatch fix (analytics family);
-# then (c) the oldest-gated rotation: the 7 oldest entries last gated
-# r3 or earlier. 50 exactly; the
-# whole registry is additionally value-checked locally each round via
+# Gate-slot rotation (r7): (a) ALL round-7 debuts, newest first (the
+# seven late-round operators, then the mid-round ones plus
+# ann_ivf_pq_topk, which landed after the r6 snapshot — debuts
+# value-gate first), then (b) every entry whose code path changed
+# since the r6 judged tree: the IVF/PQ/SemDeDup HOF expression
+# rewrite, the ExactSubstr skew guard, rrf duplicate-id collapse, the
+# centrality family's exact all-source tier + eccentricity
+# zero-distance fix, the BSP bucketed-projection caching + Lawler
+# probe waves (path family), SCC/k-core round-cap plumbing, and the
+# strategy-wins-over-projection dispatch fix (analytics family).
+# 50 exactly — this round's debut+changed set fills every slot, so
+# the oldest-gated rotation pauses for r7 (it resumes r8); the whole
+# registry is additionally value-checked locally each round via
 # tools/check_oracles.py — see ORACLES_r07.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) round-7 debuts
+    # (a) round-7 debuts — late-round additions first (newest code)
+    "graph_hits",  # NEW r7-late (HITS hubs/authorities vs pure-Python replay)
+    "corpus_drift",  # NEW r7-late (per-slice JS divergence, full SQL oracle)
+    "hard_negatives",  # NEW r7-late (different-label exact top-k, full SQL)
+    "bloom_dedup_probe",  # NEW r7-late (Bloom bitmap vs ported-hash replay)
+    "cms_heavy_hitters",  # NEW r7-late (Count-Min cells vs bit-exact replay)
+    "temperature_mixture",  # NEW r7-late (alpha-multinomial mix, full SQL)
+    "dataset_diff",  # NEW r7-late (snapshot diff, full SQL oracle)
     "graph_msf",  # NEW r7 (Boruvka two-tier vs independent Kruskal golden)
     "graph_louvain",  # NEW r7 (deterministic Louvain vs independent replay)
     "graph_modularity",  # NEW r7 (LPA replay + modularity arithmetic golden)
@@ -136,14 +144,6 @@ GATE_ORDER: list[str] = [
     "graph_ppr",  # same
     "graph_eigenvector",  # same
     "graph_components",  # same
-    # (c) rotation — last gated r3 or earlier (all 16)
-    "grouping_sets_orders",
-    "having_large_orders",
-    "multimodal_frame_sample",
-    "posexplode_leading_tokens",
-    "sql_q6_revenue",
-    "streaming_dedup",
-    "streaming_hourly",
 ]
 
 
