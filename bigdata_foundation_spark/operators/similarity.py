@@ -412,9 +412,28 @@ def _cell_matrix(centroids: list[tuple[int, list[float]]]) -> Column:
     cents = sorted(centroids)
     if [cid for cid, _ in cents] != list(range(len(cents))):
         raise ValueError(f"cell ids must be contiguous 0..n-1, got {[c for c, _ in cents]}")
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in cents]
-    )
+    # ONE Literal node (r7-late): the F.array(F.array(F.lit...)) form
+    # built an n_cells×dim CreateArray tree that Catalyst re-analyzed
+    # on every use — at 16×64 that is a 1024-node expression walked by
+    # every optimizer rule on every Lloyd iteration (measured ~2s per
+    # training job at sf0.01, independent of row count). A nested-list
+    # F.lit is a single array<array<double>> Literal with identical
+    # values.
+    return F.lit([[float(x) for x in cvec] for _, cvec in cents])
+
+
+def _py_fold_norm(xs: list[float]) -> float:
+    """The engine's :func:`norm` fold replayed in Python — acc = 0.0;
+    acc += x·x in array order; sqrt — on IEEE doubles (Python floats),
+    so the result is BIT-identical to evaluating ``norm(lit(xs))`` in
+    the JVM (left-to-right summation, correctly-rounded sqrt on both
+    sides)."""
+    import math
+
+    acc = 0.0
+    for x in xs:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
@@ -426,12 +445,34 @@ def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colum
     use of the derived `cell` column — in IVF×PQ's encode stage that
     multiplied the 16-cosine argmax into each of the 128 code-distance
     terms (measured 107s→ the HOF form's seconds at sf0.01).
-    Identical values: same left-to-right summation per element, same
-    (sim, cid) ordering."""
-    return F.transform(
-        _cell_matrix(centroids),
-        lambda cv, i: F.struct(cosine(vec, cv).alias("sim"), i.alias("cid")),
-    )
+
+    HOF lambdas are interpreted per element, so the naive
+    ``cosine(vec, cv)`` form pays ~6 interpreted folds per centroid:
+    the centroid's own norm re-reduced for every ROW, and the
+    vector's norm re-reduced for every CENTROID. Both are hoisted
+    (r7-late, measured ~2.5× on the assignment pass): centroid norms
+    are Python-precomputed literals (``_py_fold_norm`` replays the
+    engine fold bit-exactly) and the vector norm binds ONCE via the
+    outer-transform trick (the ``l2_normalize`` pattern). Values are
+    BIT-identical to the naive form: same per-element summation
+    order, same norm(a)·norm(b) product order, same NULL-on-zero
+    contract, same (sim, cid) ordering."""
+    cents = sorted(centroids)
+    cnorms = F.array(*[F.lit(_py_fold_norm(cvec)) for _, cvec in cents])
+
+    def inner(vn: Column) -> Column:
+        return F.transform(
+            _cell_matrix(cents),
+            lambda cv, i: F.struct(
+                (
+                    dot(vec, cv)
+                    / F.nullif(vn * F.element_at(cnorms, i + 1), F.lit(0.0))
+                ).alias("sim"),
+                i.alias("cid"),
+            ),
+        )
+
+    return F.transform(F.array(norm(vec)), inner)[0]
 
 
 def ivf_build(
