@@ -376,7 +376,18 @@ def _centroids_from(
     layout (and differs from the pure-Python replay's list order);
     the ~1e-13 relative wobble that causes sits far below the 1e-6
     rounding quantum, so the rounded centroids — and therefore every
-    downstream assignment, golden, and re-run — are reproducible."""
+    downstream assignment, golden, and re-run — are reproducible.
+
+    KNOWN SCALE GAP (deliberate, next-round target): each Lloyd step
+    scans the FULL corpus — lloyd_iters full passes at 100 TB just to
+    train 16 centroids. The FAISS practice (already followed by
+    ``_pq_codebooks``) trains on a bounded hash-spread sample
+    collected ONCE, driver-side; moving this loop to that scheme cuts
+    training to one bounded collect + one final assignment pass and
+    makes the centroid derivation bit-exact (no distributed-avg
+    wobble at all). It changes centroid VALUES, so it must land
+    together with regenerated golden replays — too entangled for a
+    late-round change; the assignment/query paths are unaffected."""
     seeds = (
         corpus.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(n_cells)
