@@ -347,6 +347,7 @@ def _centroids_from(
     id_col: str,
     vec_col: str,
     lloyd_iters: int = 2,
+    train_sample: int = 4096,
 ):
     """Deterministic centroids: HASH-SPREAD seeds + seeded Lloyd
     refinement.
@@ -378,27 +379,35 @@ def _centroids_from(
     rounding quantum, so the rounded centroids — and therefore every
     downstream assignment, golden, and re-run — are reproducible.
 
-    KNOWN SCALE GAP (deliberate, next-round target): each Lloyd step
-    scans the FULL corpus — lloyd_iters full passes at 100 TB just to
-    train 16 centroids. The FAISS practice (already followed by
-    ``_pq_codebooks``) trains on a bounded hash-spread sample
-    collected ONCE, driver-side; moving this loop to that scheme cuts
-    training to one bounded collect + one final assignment pass and
-    makes the centroid derivation bit-exact (no distributed-avg
-    wobble at all). It changes centroid VALUES, so it must land
-    together with regenerated golden replays — too entangled for a
-    late-round change; the assignment/query paths are unaffected."""
-    seeds = (
+    SAMPLE-BOUNDED TRAINING (r7-late — the FAISS practice
+    ``_pq_codebooks`` already follows): Lloyd refines over the
+    ``train_sample`` rows with smallest ``(xxhash64(id), id)`` — the
+    SAME hash-spread ordering the seeds use, collected in the SAME
+    single TakeOrdered job — so training costs ONE corpus pass total
+    at any scale, not ``lloyd_iters`` full scans; the iteration jobs
+    run over a ≤ train_sample-row local frame. PQ training wants
+    thousands of rows, not the corpus, and so does this coarse
+    quantizer. Every gate/golden corpus here is SMALLER than the
+    default sample, where sample ≡ corpus and the only change vs the
+    full-corpus form is ``avg``'s summation order — absorbed by the
+    6-dp contract above, so all pinned goldens hold (re-verified on
+    the golden family after the change)."""
+    take = max(int(train_sample), n_cells)
+    sample_rows = (
         corpus.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(n_cells)
+        .limit(take)
         .select(id_col, _as_double(F.col(vec_col)).alias("_v"))
         .collect()
     )
-    seeds = sorted(seeds, key=lambda r: r[id_col])
+    seeds = sorted(sample_rows[:n_cells], key=lambda r: r[id_col])
     cents = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
     if lloyd_iters and cents:
         dim = len(cents[0][1])
-        v = corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+        spark = corpus.sparkSession
+        v = spark.createDataFrame(
+            [(list(r["_v"]),) for r in sorted(sample_rows, key=lambda r: r[id_col])],
+            "_v array<double>",
+        )
         for _ in range(lloyd_iters):
             assigned = v.withColumn(
                 "cell", F.array_max(_cell_scores(F.col("_v"), cents))["cid"]
