@@ -296,6 +296,14 @@ def profile_columns(df: DataFrame, cols: list[str], round_numeric: int = 2) -> D
     return one.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
 
 
+# SCD2 open-version sentinel. Kimball's classic 9999-12-31 overflows
+# pandas' nanosecond datetime64 range (max 2262-04-11), which breaks any
+# Arrow/pandas consumer of the dimension — so we pin the high date just
+# inside that range. Still far enough out that BETWEEN valid_from AND
+# valid_to needs no NULL branch for any realistic data.
+SCD2_HIGH_DATE = "2261-12-31 00:00:00"
+
+
 def scd2_history(
     changelog: DataFrame,
     key_col: str,
@@ -307,8 +315,9 @@ def scd2_history(
     event stream into validity intervals of its tracked attribute —
     a new version opens only when the attribute CHANGES (repeats
     extend the current version), ``valid_to`` is the next version's
-    start, or the Kimball high-date sentinel 9999-12-31 on the
-    open/current version (the idiomatic SCD2 convention — range
+    start, or the high-date sentinel ``SCD2_HIGH_DATE`` (2261-12-31,
+    the pandas-nanosecond-safe stand-in for Kimball's 9999-12-31) on
+    the open/current version (the idiomatic SCD2 convention — range
     predicates ``BETWEEN valid_from AND valid_to`` need no NULL
     branch). The standard slowly-changing-dimension build every
     warehouse runs from CDC feeds.
@@ -325,11 +334,15 @@ def scd2_history(
     Returns (key, attr, version, valid_from, valid_to, n_events,
     is_current); version is 1-based per key."""
     ev = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    # The first row must open version 1 UNCONDITIONALLY — checked via
+    # lag(tiebreak) (non-null by contract), because eqNullSafe(NULL
+    # attr, NULL lag) is true and would otherwise mark a NULL-attr
+    # first row as a "repeat" of nothing (version 0).
     marked = changelog.withColumn(
         "_chg",
-        F.when(F.col(attr_col).eqNullSafe(F.lag(attr_col).over(ev)), F.lit(0)).otherwise(
-            F.lit(1)
-        ),
+        F.when(F.lag(tiebreak_col).over(ev).isNull(), F.lit(1))
+        .when(F.col(attr_col).eqNullSafe(F.lag(attr_col).over(ev)), F.lit(0))
+        .otherwise(F.lit(1)),
     ).withColumn(
         "_ver", F.sum("_chg").over(ev.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -345,7 +358,7 @@ def scd2_history(
         F.col(attr_col),
         F.col("_ver").cast("bigint").alias("version"),
         "valid_from",
-        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
+        F.coalesce(nxt, F.lit(SCD2_HIGH_DATE).cast("timestamp")).alias("valid_to"),
         "n_events",
         nxt.isNull().alias("is_current"),
     )
@@ -605,7 +618,11 @@ def scd2_apply_batch(
         j.filter(F.col("version") == 1)
         .select(
             F.col(key_col),
-            F.when(F.col("_cur_attr").isNull(), F.lit(0))
+            # New-key detection keys off _cur_ver (never NULL on a real
+            # current row) — NOT _cur_attr, which is legitimately NULL
+            # when the tracked attribute itself is NULL; eqNullSafe then
+            # decides extend-vs-close for existing keys.
+            F.when(F.col("_cur_ver").isNull(), F.lit(0))
             .when(
                 F.col(attr_col).eqNullSafe(F.col("_cur_attr")),
                 F.col("_cur_ver") - 1,
@@ -613,7 +630,7 @@ def scd2_apply_batch(
             .otherwise(F.col("_cur_ver"))
             .alias("_off"),
             (
-                F.col("_cur_attr").isNotNull()
+                F.col("_cur_ver").isNotNull()
                 & F.col(attr_col).eqNullSafe(F.col("_cur_attr"))
             ).alias("_extends"),
         )

@@ -841,8 +841,8 @@ def unimax_mixture(
 
     Returns (group_col, n_tokens, allocation, epochs, capped) sorted
     by group: allocation/epochs 6-dp rounded, ``capped`` = the group
-    hit its repeat cap (epochs == max_epochs), epochs = 0 for a
-    zero-token group."""
+    hit its repeat cap (epochs == max_epochs; always False for a
+    zero-token group, whose epochs is pinned to 0)."""
     g = (
         df.groupBy(group_col)
         .agg(F.sum(whitespace_token_count(text_col)).cast("double").alias("_n"))
@@ -873,7 +873,10 @@ def unimax_mixture(
             F.round(
                 F.when(F.col("_n") > 0, alloc / F.col("_n")).otherwise(F.lit(0.0)), 6
             ).alias("epochs"),
-            (F.col("_cap") <= F.col("_t")).alias("capped"),
+            # capped == "epochs hit max_epochs": requires mass — a
+            # zero-token group (cap 0 <= t always) pins epochs to 0,
+            # so it must not report capped.
+            ((F.col("_n") > 0) & (F.col("_cap") <= F.col("_t"))).alias("capped"),
         )
         .orderBy(group_col)
     )
@@ -1555,4 +1558,7 @@ def cms_estimate(
         pos = F.pmod(F.xxhash64(F.col(token_col), F.lit(r)), F.lit(width)).cast("int")
         look = F.element_at(tab, F.lit((r - 1) * width) + pos + 1)
         est = look if est is None else F.least(est, look)
-    return df.withColumn(out_col, est)
+    # NULL token -> NULL estimate (same contract as bloom_probe):
+    # xxhash64 silently skips NULL args, which would otherwise hash
+    # only the row salt and return an arbitrary cell's count.
+    return df.withColumn(out_col, F.when(F.col(token_col).isNotNull(), est))

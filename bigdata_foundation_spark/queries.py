@@ -1499,7 +1499,7 @@ def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, CAST(n AS BIGINT) AS n_tokens,
            ROUND(LEAST(cap, lvl.t), 6) AS allocation,
            ROUND(CASE WHEN n > 0 THEN LEAST(cap, lvl.t) / n ELSE 0.0 END, 6) AS epochs,
-           cap <= lvl.t AS capped
+           (n > 0 AND cap <= lvl.t) AS capped
     FROM ord CROSS JOIN lvl ORDER BY lang
     """,
     "UniMax mixture allocation (Chung et al. 2023): token budget spread "
@@ -4261,7 +4261,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH marked AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN event_type IS NOT DISTINCT FROM
+             CASE WHEN lag(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1
+                  WHEN event_type IS NOT DISTINCT FROM
                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
                   THEN 0 ELSE 1 END AS chg
       FROM events
@@ -4278,7 +4280,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_type, CAST(v AS BIGINT) AS version, valid_from,
            COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v),
-                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                    TIMESTAMP '2261-12-31 00:00:00') AS valid_to,
            n_events,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY v) IS NULL AS is_current
     FROM versions
@@ -4607,7 +4609,9 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH marked AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN event_type IS NOT DISTINCT FROM
+             CASE WHEN lag(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1
+                  WHEN event_type IS NOT DISTINCT FROM
                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
                   THEN 0 ELSE 1 END AS chg
       FROM events
@@ -4624,14 +4628,14 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_type, CAST(v AS BIGINT) AS version, valid_from,
            COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v),
-                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                    TIMESTAMP '2261-12-31 00:00:00') AS valid_to,
            n_events,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY v) IS NULL AS is_current
     FROM versions
     """,
     "changelog to SCD Type-2 dimension (Kimball): per-user validity "
     "intervals of the tracked attribute, new version only on change, "
-    "valid_to = next version's start (9999-12-31 while current) — one keyed "
+    "valid_to = next version's start (2261-12-31 sentinel while current) — one keyed "
     "shuffle, every window reuses it (full SQL oracle)",
 )
 def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:

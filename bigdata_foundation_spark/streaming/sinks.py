@@ -106,14 +106,27 @@ def foreach_batch_scd2(
     full changelog (pinned by test_streaming_scd2_equals_batch and
     the streaming_scd2 oracle, which IS the batch SQL derivation).
 
-    Same effectively-once discipline as :func:`foreach_batch_upsert`:
-    idempotent apply via temp-dir + atomic rename; a checkpoint replay
-    of a completed batch rewrites the same table.
+    Effectively-once discipline: unlike upsert, the SCD2 stitch is NOT
+    idempotent per se (replaying an applied batch would re-extend
+    n_events and append duplicate versions), so the last applied
+    ``batch_id`` is persisted INSIDE the table directory (a
+    ``_scd2_batch_id`` marker — underscore-prefixed, so Spark's parquet
+    reader ignores it) in the same atomic rename as the data. A
+    checkpoint replay after a crash between the rename and the
+    streaming commit sees ``batch_id <= last_applied`` and skips the
+    apply, so replays converge instead of corrupting the dimension.
     """
     from bigdata_foundation_spark.operators.relational import scd2_apply_batch
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    marker = "_scd2_batch_id"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        mpath = os.path.join(target_path, marker)
+        if os.path.isfile(mpath):
+            with open(mpath) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # checkpoint replay of an already-applied batch
         if os.path.isdir(target_path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(target_path)
         ):
@@ -123,6 +136,8 @@ def foreach_batch_scd2(
         merged = scd2_apply_batch(tgt, batch_df, key_col, attr_col, ts_col, tiebreak_col)
         tmp = target_path.rstrip("/") + "._scd2_tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as fh:
+            fh.write(str(batch_id))
         if os.path.isdir(target_path):
             shutil.rmtree(target_path)
         os.rename(tmp, target_path)

@@ -1609,8 +1609,8 @@ def test_scd2_history_semantics(spark):
     assert res == [
         (100, 1, "a", "2024-01-01 10:00:00", "2024-01-01 12:00:00", 2, False),
         (100, 2, "b", "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1, False),
-        (100, 3, "c", "2024-01-01 12:00:00", "9999-12-31 00:00:00", 1, True),
-        (200, 1, "x", "2024-01-02 09:00:00", "9999-12-31 00:00:00", 1, True),
+        (100, 3, "c", "2024-01-01 12:00:00", "2261-12-31 00:00:00", 1, True),
+        (200, 1, "x", "2024-01-02 09:00:00", "2261-12-31 00:00:00", 1, True),
     ]
     res2 = sorted(
         (r["user_id"], r["version"], r["event_type"], str(r["valid_from"]),
@@ -1664,6 +1664,12 @@ def test_unimax_mixture_waterfill_semantics(spark):
     for g in n:
         assert abs(big[g]["allocation"] - caps[g]) < 1e-9
         assert big[g]["capped"]
+
+    # zero-token group: epochs pinned to 0, so capped must be False
+    # (its cap 0 <= t always — the flag gates on mass)
+    withz = df.union(spark.createDataFrame([(99, "", "z")], df.schema))
+    z = {r["source"]: r for r in TX.unimax_mixture(withz, budget_frac=1.0, max_epochs=2.0).collect()}
+    assert z["z"]["n_tokens"] == 0 and z["z"]["epochs"] == 0.0 and not z["z"]["capped"]
 
 
 def test_pmi_collocations_math_and_plan(spark):
@@ -2211,6 +2217,14 @@ def test_count_min_sketch_contract(spark):
         assert est[t] >= c
     # tiny vocab + wide sketch -> no collisions -> exact
     assert est == truth
+
+    # NULL token -> NULL estimate (bloom_probe's NULL contract):
+    # xxhash64 skips NULL args, so an unguarded lookup would hash only
+    # the row salt and return an arbitrary cell's count
+    nulled = spark.createDataFrame([("a",), (None,)], "tok string")
+    got_null = {r["tok"]: r["est"]
+                for r in cms_estimate(nulled, cells, depth=depth, width=width).collect()}
+    assert got_null["a"] == truth["a"] and got_null[None] is None
 
     # shard merge: cells(A) + cells(B) == cells(A ∪ B)
     a = docs.filter(F.col("doc_id") == 1)

@@ -516,7 +516,10 @@ def test_biconnectivity_kernel_matches_bruteforce(edges, parallel):
     data=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=3),   # key
-            st.sampled_from(["a", "b", "c"]),        # attr
+            # None included: a key whose open version has a NULL tracked
+            # attribute must still be recognized as an EXISTING key
+            # (new-key detection is version-based, not attr-based)
+            st.sampled_from(["a", "b", "c", None]),  # attr
         ),
         min_size=1,
         max_size=14,
@@ -558,8 +561,9 @@ def test_scd2_apply_batch_folds_equal_batch(spark, data, cuts):
 
     want = R.scd2_history(mk(rows), "user_id", "event_type", "ts", "event_id")
     as_rows = lambda df: sorted(
-        (r["user_id"], r["version"], r["event_type"], str(r["valid_from"]),
-         str(r["valid_to"]), r["n_events"], r["is_current"])
+        (r["user_id"], r["version"],
+         "<NULL>" if r["event_type"] is None else r["event_type"],
+         str(r["valid_from"]), str(r["valid_to"]), r["n_events"], r["is_current"])
         for r in df.collect()
     )
     assert as_rows(acc) == as_rows(want)

@@ -333,5 +333,13 @@ def test_streaming_scd2_equals_batch(spark, tmp_path):
     assert got == as_rows(want)
     # spot-pin the interesting rows
     assert (100, 1, "a", "2024-01-01 10:00:00", "2024-01-02 09:00:00", 3, False) in got
-    assert (100, 2, "b", "2024-01-02 09:00:00", "9999-12-31 00:00:00", 2, True) in got
+    assert (100, 2, "b", "2024-01-02 09:00:00", "2261-12-31 00:00:00", 2, True) in got
     assert (200, 1, "x", "2024-01-01 09:00:00", "2024-01-03 08:00:00", 1, False) in got
+
+    # Crash-replay discipline: re-delivering already-applied batches
+    # (fresh checkpoint, same source -> same batch ids over again) must
+    # NOT re-stitch — the persisted _scd2_batch_id marker skips them,
+    # so the dimension is byte-identical instead of re-extended/
+    # duplicate-versioned.
+    foreach_batch_scd2(stream, target, "user_id", "event_type", "ts", "event_id")
+    assert as_rows(spark.read.parquet(target)) == got
