@@ -1306,64 +1306,77 @@ def train_linear_classifier(
     dim: int = 256,
     iters: int = 10,
     lr: float = 0.5,
+    train_sample: int = 4096,
 ) -> tuple[list[float], float]:
     """Train a binary logistic classifier over hashed word features by
-    full-batch gradient descent. Each iteration is two keyed
-    aggregations over the CACHED feature table (margin per doc,
-    gradient per feature index) collecting only ``dim`` + 1 doubles to
-    the driver — corpus size bounds nothing driver-side, the classic
-    distributed-LR shape. Every updated weight is rounded to 6 dp (the
-    repo-wide determinism quantum: Spark's partial-agg float order
-    differs from the replay's list order by ~1e-13).
+    full-batch gradient descent ON A SAMPLE (r8 — r7 verdict item 4):
+    the ``train_sample`` docs with smallest ``(xxhash64(id), id)`` — the
+    repo's hash-spread selection (``similarity._centroids_from``), a
+    uniform deterministic pseudo-random sample. A dim≈2⁸–2¹⁵ linear
+    model needs ~10³–10⁵ labeled examples, not the corpus: the
+    pipelines this mimics (CCNet, DCLM, the GPT-3 quality filter)
+    train on a small reference sample and only SCORE at corpus scale,
+    and the previous full-corpus form paid ``iters`` complete corpus
+    scans for identical model capacity. Training now costs ONE corpus
+    pass (the TakeOrdered sample job — feature hashing stays JVM-side
+    in that scan) at any scale; the GD iterations run as driver-side
+    Python over the ≤ ``train_sample`` collected feature dicts, in
+    ascending-id order with every updated weight rounded to 6 dp (the
+    repo determinism quantum), exactly the golden replay's arithmetic.
+
+    SAMPLE CONTRACT: corpora with ≤ ``train_sample`` docs (every
+    gate/golden corpus) train on ALL docs — sample ≡ corpus, so the
+    cap only changes behavior where the full-corpus form was the
+    scale bug.
 
     Returns (weights[dim], bias) — feed to
     :func:`linear_classifier_score`, whose scan-side fold applies them
-    with zero shuffle. ``label_col`` is any boolean expression over
-    the input (e.g. ``F.col('lang') == 'en'``)."""
-    feats = hashed_word_features(docs, text_col, id_col, dim).cache()
-    labels = docs.select(
-        F.col(id_col).alias("id"),
-        (F.col(label_col) if isinstance(label_col, str) else label_col)
-        .cast("double")
-        .alias("y"),
-    ).cache()
-    n_docs = labels.count()
-    feats.count()
+    with zero shuffle over the FULL corpus. ``label_col`` is any
+    boolean expression over the input (e.g. ``F.col('lang') ==
+    'en'``)."""
+    import math
+
+    lab = (F.col(label_col) if isinstance(label_col, str) else label_col).cast("double")
+    sample = (
+        docs.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(max(int(train_sample), 1))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.filter(F.split(F.col(text_col), _WS_CLASS), lambda x: F.length(x) > 0),
+                lambda word: F.pmod(F.xxhash64(word), F.lit(int(dim))).cast("int"),
+            ).alias("_idxs"),
+            lab.alias("y"),
+        )
+        .collect()
+    )
+    feats: list[dict[int, float]] = []
+    ys: list[float] = []
+    for r in sorted(sample, key=lambda r: r["id"]):
+        idxs = list(r["_idxs"] or [])
+        f: dict[int, float] = {}
+        for i in idxs:  # first-occurrence dict order == replay order
+            f[i] = f.get(i, 0.0) + 1.0
+        n = len(idxs)
+        feats.append({i: c / n for i, c in f.items()} if n else {})
+        ys.append(float(r["y"]))
+    n_docs = len(feats)
+    if not n_docs:
+        raise ValueError("train_linear_classifier: empty corpus")
     w = [0.0] * dim
     b = 0.0
     for _ in range(int(iters)):
-        wlit = F.array(*[F.lit(float(x)) for x in w])
-        margins = (
-            feats.withColumn(
-                "_wx", F.element_at(wlit, F.col("idx") + 1) * F.col("val")
-            )
-            .groupBy("id")
-            .agg(F.sum("_wx").alias("_m"))
-        )
-        err = (
-            labels.join(margins, "id", "left")
-            .select(
-                "id",
-                (
-                    1.0 / (1.0 + F.exp(-(F.coalesce(F.col("_m"), F.lit(0.0)) + F.lit(b))))
-                    - F.col("y")
-                ).alias("e"),
-            )
-        )
-        grad_rows = (
-            feats.join(err, "id")
-            .groupBy("idx")
-            .agg(F.sum(F.col("e") * F.col("val")).alias("g"))
-            .collect()
-        )
-        bg = err.agg(F.sum("e").alias("g")).collect()[0]["g"]
-        grad = {int(r["idx"]): float(r["g"]) for r in grad_rows}
-        w = [
-            round(w[j] - lr * grad.get(j, 0.0) / n_docs, 6) for j in range(dim)
-        ]
-        b = round(b - lr * float(bg) / n_docs, 6)
-    feats.unpersist()
-    labels.unpersist()
+        grad = [0.0] * dim
+        bg = 0.0
+        for f, yv in zip(feats, ys):
+            m = sum(w[i] * v for i, v in f.items())
+            p = 1.0 / (1.0 + math.exp(-(m + b)))
+            e = p - yv
+            for i, v in f.items():
+                grad[i] += e * v
+            bg += e
+        w = [round(w[j] - lr * grad[j] / n_docs, 6) for j in range(dim)]
+        b = round(b - lr * bg / n_docs, 6)
     return w, b
 
 

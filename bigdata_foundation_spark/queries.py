@@ -4912,10 +4912,11 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fastText-style hashed linear quality classifier (Joulin et al. "
     "2016 - the CCNet/GPT-3 quality-filter pattern): train logistic "
     "weights over L1-normalized hashed bag-of-words (dim=256, "
-    "pmod(xxhash64(word), dim)) by full-batch GD - two keyed aggs per "
-    "iteration, dim+1 doubles to the driver, 6dp weight rounding - "
-    "then score the WHOLE corpus as one scan-side HOF fold (zero "
-    "shuffle, zero Python). Label: lang == 'en'. Pinned-golden oracle: "
+    "pmod(xxhash64(word), dim)) by full-batch GD over a hash-spread "
+    "<=4096-doc sample (ONE corpus pass at any scale; JVM-side feature "
+    "hashing, driver-side iterations, 6dp weight rounding) - then "
+    "score the WHOLE corpus as one scan-side HOF fold (zero shuffle, "
+    "zero Python). Label: lang == 'en'. Pinned-golden oracle: "
     "independent pure-Python feature/GD/scoring replay",
 )
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2058,6 +2058,25 @@ def test_linear_classifier_contract(spark):
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
 
+    # SAMPLE CONTRACT (r8): training is bounded by train_sample — the
+    # docs with smallest (xxhash64(id), id). Weights from the capped
+    # run equal weights from training directly on exactly that subset,
+    # regardless of what else is in the corpus.
+    n_keep = 10
+    hashed = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", F.xxhash64("doc_id").alias("h")).collect()
+    }
+    keep_ids = sorted(hashed, key=lambda d: (hashed[d], d))[:n_keep]
+    sub = docs.filter(F.col("doc_id").isin(keep_ids))
+    w_cap, b_cap = train_linear_classifier(
+        docs, F.col("lang") == "en", dim=64, iters=10, train_sample=n_keep
+    )
+    w_sub, b_sub = train_linear_classifier(
+        sub, F.col("lang") == "en", dim=64, iters=10, train_sample=n_keep
+    )
+    assert (w_cap, b_cap) == (w_sub, b_sub)
+
 
 def test_corpus_drift_semantics(spark):
     """corpus_drift (round 7): identically-distributed slices sit at

@@ -1970,15 +1970,17 @@ def bpe_golden(docs, num_merges=100, max_words=20000, sample_tokens=12, fertilit
 
 # --- quality_classifier (round 7) -------------------------------------------
 
-def classifier_golden(docs, langs, dim=256, iters=10, lr=0.5):
+def classifier_golden(docs, langs, dim=256, iters=10, lr=0.5, train_sample=4096):
     """Replay of text.train_linear_classifier +
     linear_classifier_score (fastText-style hashed logistic
     regression, Joulin et al. 2016; label = lang == 'en'): L1-
     normalized hashed bag-of-words (idx = pmod(xxhash64(word), dim)),
-    full-batch GD with every weight rounded to 6 dp per iteration (the
-    determinism quantum vs Spark's partial-agg sum order), then the
-    scan-side scoring fold in document word order (bit-identical
-    summation), prob rounded 6 dp."""
+    full-batch GD over the HASH-SPREAD TRAINING SAMPLE (r8: the
+    train_sample ids with smallest (xxhash64(id), id) — sample ≡
+    corpus at gate scale — iterated in ascending-id order) with every
+    weight rounded to 6 dp per iteration (the determinism quantum),
+    then the scan-side scoring fold over ALL docs in document word
+    order (bit-identical summation), prob rounded 6 dp."""
     import math
     import re
 
@@ -1996,13 +1998,17 @@ def classifier_golden(docs, langs, dim=256, iters=10, lr=0.5):
         n = len(idxs)
         feats[did] = {i: c / n for i, c in f.items()} if n else {}
     y = {did: 1.0 if langs[did] == "en" else 0.0 for did, _t in docs}
-    n_docs = len(docs)
+    train_ids = sorted(
+        sorted((did for did, _t in docs), key=lambda d: (spark_xxhash64(d), d))[:train_sample]
+    )
+    n_docs = len(train_ids)
     w = [0.0] * dim
     b = 0.0
     for _ in range(iters):
         grad = [0.0] * dim
         bg = 0.0
-        for did, f in feats.items():
+        for did in train_ids:
+            f = feats[did]
             m = sum(w[i] * v for i, v in f.items())
             p = 1.0 / (1.0 + math.exp(-(m + b)))
             e = p - y[did]
