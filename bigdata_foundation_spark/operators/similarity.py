@@ -1173,6 +1173,51 @@ def ivf_pq_build(
     ).coalesce(1).write.mode("overwrite").parquet(path + "__codebooks")
 
 
+def _ivf_pq_load(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Load the persisted coarse centroids and PQ codebooks of an
+    ``ivf_pq_build`` index — the tiny (n_cells×dim + m×n_codes×d
+    doubles) metadata every read/append path shares."""
+    centroids = [
+        (int(r["cell"]), list(r["centroid"]))
+        for r in spark.read.parquet(path + "__centroids").collect()
+    ]
+    brows = spark.read.parquet(path + "__codebooks").collect()
+    m = 1 + max(int(r["subspace"]) for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(brows, key=lambda r: (int(r["subspace"]), int(r["code"]))):
+        books[int(r["subspace"])].append(list(r["centroid"]))
+    return centroids, books
+
+
+def ivf_pq_append(
+    spark: SparkSession,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into an ``ivf_pq_build`` index WITHOUT
+    retraining or touching stored codes — the FAISS ``IndexIVFPQ.add``
+    contract (r8; plain IVF got exactly this pair in r7): each new row
+    is assigned to its max-cosine cell under the PERSISTED centroids,
+    its residual is PQ-encoded with the PERSISTED codebooks, and the
+    codes append under that cell's partition directory. Queries after
+    the append are identical to encoding the stored-∪-new corpus with
+    the original centroids/codebooks (pinned by
+    ``test_ivf_pq_append_equals_union_encode``) — partition pruning
+    keeps working because appended files land inside the probed cell
+    directories. Centroids/codebooks stay fixed between retrains;
+    rebuild when drift matters, and run :func:`ivf_compact` (format-
+    agnostic over cell-partitioned indexes) when append fragmentation
+    does. Ids must be disjoint from the stored corpus (the
+    ``minhash_index_append`` contract)."""
+    centroids, books = _ivf_pq_load(spark, path)
+    c = _ivf_pq_corpus_codes(new_corpus, centroids, books, id_col, vec_col)
+    c.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_pq_query(
     spark: SparkSession,
     path: str,
@@ -1189,15 +1234,8 @@ def ivf_pq_query(
     the scan then reads only the probed cells' m-byte codes. Results
     are identical to ``ivf_pq_topk`` with the same parameters (pinned
     by ``test_ivf_pq_build_query_matches_inline``)."""
-    centroids = [
-        (int(r["cell"]), list(r["centroid"]))
-        for r in spark.read.parquet(path + "__centroids").collect()
-    ]
-    brows = spark.read.parquet(path + "__codebooks").collect()
-    m = 1 + max(int(r["subspace"]) for r in brows)
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in sorted(brows, key=lambda r: (int(r["subspace"]), int(r["code"]))):
-        books[int(r["subspace"])].append(list(r["centroid"]))
+    centroids, books = _ivf_pq_load(spark, path)
+    m = len(books)
     q = _ivf_pq_probe_tables(queries, centroids, books, n_probe, id_col, vec_col)
     q = tracked_cache(q)  # probed-cell collect + the join both read it
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})

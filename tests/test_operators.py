@@ -1380,6 +1380,93 @@ def test_ivf_pq_build_query_matches_inline(spark, vectors, tmp_path):
     assert "cell" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_pq_append_equals_union_encode(spark, vectors, tmp_path):
+    """ivf_pq_append = FAISS IndexIVFPQ.add (r8 — the lifecycle plain
+    IVF got in r7): new vectors are cell-assigned and residual-encoded
+    under the PERSISTED centroids/codebooks and appended in place.
+    Queries after the append equal encoding the stored-∪-new corpus
+    with the original (half-A-trained) parameters, and the appended
+    ids are findable through the pruned probe path."""
+    from bigdata_foundation_spark.operators.similarity import (
+        _adc_rank,
+        _ivf_pq_corpus_codes,
+        _ivf_pq_load,
+        _ivf_pq_probe_tables,
+    )
+
+    path = str(tmp_path / "ivfpq_app")
+    a = vectors.filter(F.col("vec_id") % 2 == 0)
+    b = vectors.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_pq_build(a, path, n_cells=8, m=8, n_codes=16)
+    S.ivf_pq_append(spark, path, b)
+    qs = vectors.filter(F.col("vec_id") < 6)
+    as_rows = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["adc"], r["rank"]) for r in df.collect()
+    )
+    got = as_rows(S.ivf_pq_query(spark, path, qs, k=3, n_probe=2))
+
+    cents, books = _ivf_pq_load(spark, path)
+    c = _ivf_pq_corpus_codes(vectors, cents, books, "vec_id", "embedding")
+    q = _ivf_pq_probe_tables(qs, cents, books, 2, "vec_id", "embedding")
+    joined = (
+        F.broadcast(q).join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    want = as_rows(_adc_rank(joined, len(books), 3))
+    assert got == want and got
+    # appended (odd-id) vectors actually surface as neighbors
+    assert any(nid % 2 == 1 for _q, nid, _a, _r in got)
+
+
+def test_ivf_pq_compact_preserves_queries(spark, vectors, tmp_path):
+    """ivf_compact over an ivf_pq_build index (r8): append
+    fragmentation coalesces, the cell partition layout (and pruning)
+    survives, centroids/codebooks are untouched, and ADC queries are
+    row-identical before/after — mirroring
+    test_ivf_compact_preserves_queries for the composed index."""
+    import os
+
+    path = str(tmp_path / "ivfpq_cmp")
+    thirds = [vectors.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    S.ivf_pq_build(thirds[0], path, n_cells=8, m=8, n_codes=16)
+    for part in thirds[1:]:
+        S.ivf_pq_append(spark, path, part)
+    qs = vectors.filter(F.col("vec_id") < 6)
+
+    def files(cell_dir):
+        return sum(
+            1
+            for f in os.listdir(cell_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    cell_dirs = [
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("cell=")
+    ]
+    before_files = sum(files(d) for d in cell_dirs)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
+            for r in S.ivf_pq_query(spark, path, qs, k=3, n_probe=2).collect()
+        )
+
+    before_rows = run()
+    S.ivf_compact(spark, path)
+    after_dirs = [
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("cell=")
+    ]
+    assert sorted(after_dirs) == sorted(cell_dirs)
+    assert sum(files(d) for d in after_dirs) < before_files
+    assert run() == before_rows and before_rows
+    plan = (
+        S.ivf_pq_query(spark, path, qs, k=3, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 def test_ivf_compact_preserves_queries(spark, vectors, tmp_path):
     """ivf_compact (r7, verdict item 5 — the lifecycle step MinHash
     already has): after appends fragment the cell directories into
