@@ -136,6 +136,7 @@ def bsp_sssp(
     checkpoint_state_every: int = 8,
     stats: dict | None = None,
     carry_paths: bool = True,
+    broadcast_frontier_rows: int = 65_536,
 ) -> DataFrame:
     """Single-source shortest distances (and paths) by BSP relaxation.
 
@@ -153,6 +154,29 @@ def bsp_sssp(
     superstep at ~2s; parent rows keep it near the small-graph floor).
     Distances are bit-identical either way; full paths are recovered
     on demand with :func:`reconstruct_paths` from the parent forest.
+
+    ADAPTIVE BROADCAST SUPERSTEPS (r8 — r7 verdict item 6, from a
+    measured phase profile: the improved-job itself was ~85% of the
+    991 ms superstep, its cost dominated by per-superstep
+    sorts/Exchanges of the EDGE and STATE sides, not by the union
+    recompute chain, which added only ~15% at depth 8). While the
+    frontier holds ≤ ``broadcast_frontier_rows`` rows (known exactly —
+    it is last step's materialized ``improved``), every join in the
+    superstep pins the SMALL side as a broadcast build: frontier →
+    edges (hash probe of the cached edge scan — no edge-side sort or
+    frontier Exchange), candidates → state improvement test (flipped
+    right-outer so the 270k-row state STREAMS from its in-memory
+    checkpoint and is never exchanged), improvements → state anti-join
+    (same). The improvement frontier also coalesces to ONE partition
+    before its checkpoint — a wavefront of a few thousand rows does
+    not want 32 scheduled tasks. Distances are BIT-IDENTICAL (same
+    per-row arithmetic, same min-struct merge; measured max |Δ| = 0.0
+    on the 520×520 grid) and the superstep constant drops ~1.5× on
+    high-diameter grids (KERNEL_BENCH §BSP r8 row). Frontiers larger
+    than the threshold — the expander regime, where broadcasting would
+    collect megabytes to the driver — fall back to the r7 shuffle
+    shapes for exactly that superstep; the threshold is per-step, so
+    one wide wave does not pin the whole run to shuffle plans.
     """
     # Kernel projection: min-cost per (src, dst). Column-pruned and
     # cached — the analog of GDS's relationshipProjection
@@ -194,6 +218,7 @@ def bsp_sssp(
         state = spark.createDataFrame([(source, 0.0, source)], _PARENT_STATE_SCHEMA)
     state = state.localCheckpoint(eager=True)
     frontier = state
+    small = broadcast_frontier_rows >= 1  # the 1-row seed frontier
     best_target = float("inf")
 
     _dirty = False
@@ -205,8 +230,9 @@ def bsp_sssp(
             else F.col("f.node").alias("parent")
         )
         ccol = "path" if carry_paths else "parent"
+        fr = F.broadcast(frontier.alias("f")) if small else frontier.alias("f")
         cand = (
-            frontier.alias("f")
+            fr
             .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
             .select(
                 F.col("e.dst").alias("node"),
@@ -226,17 +252,33 @@ def bsp_sssp(
             .agg(F.min(F.struct("dist", ccol)).alias("m"))
             .select("node", F.col("m.dist").alias("dist"), F.col(f"m.{ccol}").alias(ccol))
         )
-        improved = (
-            best_cand.alias("c")
-            .join(state.alias("s"), "node", "left")
-            .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
-            .select("node", F.col("c.dist").alias("dist"), F.col(f"c.{ccol}").alias(ccol))
-            .localCheckpoint(eager=True)
-        )
-        if improved.isEmpty():
+        if small:
+            # Flipped right-outer: state streams from its in-memory
+            # checkpoint (never exchanged); the candidate set is the
+            # broadcast build side. Row-identical to the shuffle form.
+            improved = (
+                state.alias("s")
+                .join(F.broadcast(best_cand.alias("c")), "node", "right")
+                .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
+                .select("node", F.col("c.dist").alias("dist"), F.col(f"c.{ccol}").alias(ccol))
+                .coalesce(1)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            improved = (
+                best_cand.alias("c")
+                .join(state.alias("s"), "node", "left")
+                .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
+                .select("node", F.col("c.dist").alias("dist"), F.col(f"c.{ccol}").alias(ccol))
+                .localCheckpoint(eager=True)
+            )
+        n_improved = improved.count()
+        if n_improved == 0:
             break
+        small = n_improved <= broadcast_frontier_rows
 
-        state = state.alias("s").join(improved.alias("i"), "node", "left_anti").unionByName(improved)
+        imp = F.broadcast(improved.alias("i")) if small else improved.alias("i")
+        state = state.alias("s").join(imp, "node", "left_anti").unionByName(improved)
         _dirty = True
         if step % checkpoint_state_every == 0:
             state = _checkpoint_union_state(state)
@@ -278,6 +320,7 @@ def bsp_multi_sssp(
     checkpoint_state_every: int = 8,
     edges_pre_aggregated: DataFrame | None = None,
     stats: dict | None = None,
+    broadcast_frontier_rows: int = 65_536,
 ) -> DataFrame:
     """Distance-only SSSP from MANY sources in one BSP run: state is
     ``(source, node, dist)`` keyed by source, so every superstep
@@ -291,6 +334,13 @@ def bsp_multi_sssp(
 
     ``edges_pre_aggregated`` lets the caller pass an already-cached
     min-cost (src, dst, cost) projection shared across waves.
+
+    Supersteps whose combined frontier holds ≤
+    ``broadcast_frontier_rows`` rows run the adaptive BROADCAST shapes
+    (see :func:`bsp_sssp` — frontier→edges hash probe, flipped
+    right-outer improvement test, broadcast anti-join; distances
+    bit-identical, state never exchanged); wider waves fall back to
+    the shuffle plans per step.
     """
     if edges_pre_aggregated is not None:
         edges = edges_pre_aggregated
@@ -312,12 +362,14 @@ def bsp_multi_sssp(
         [(s, s, 0.0) for s in sources], _MULTI_STATE_SCHEMA
     ).localCheckpoint(eager=True)
     frontier = state
+    small = len(sources) <= broadcast_frontier_rows
 
     _dirty = False
     step = 0
     for step in range(1, max_supersteps + 1):
+        fr = F.broadcast(frontier.alias("f")) if small else frontier.alias("f")
         cand = (
-            frontier.alias("f")
+            fr
             .join(e.alias("e2"), F.col("f.node") == F.col("e2._u"))
             .select(
                 F.col("f.source").alias("source"),
@@ -327,23 +379,37 @@ def bsp_multi_sssp(
         )
         best_cand = cand.groupBy("source", "node").agg(F.min("dist").alias("dist"))
         on = (F.col("c.source") == F.col("s.source")) & (F.col("c.node") == F.col("s.node"))
-        improved = (
-            best_cand.alias("c")
-            .join(state.alias("s"), on, "left")
-            .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
-            .select(
-                F.col("c.source").alias("source"),
-                F.col("c.node").alias("node"),
-                F.col("c.dist").alias("dist"),
-            )
-            .localCheckpoint(eager=True)
+        sel = (
+            F.col("c.source").alias("source"),
+            F.col("c.node").alias("node"),
+            F.col("c.dist").alias("dist"),
         )
-        if improved.isEmpty():
+        if small:
+            improved = (
+                state.alias("s")
+                .join(F.broadcast(best_cand.alias("c")), on, "right")
+                .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
+                .select(*sel)
+                .coalesce(1)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            improved = (
+                best_cand.alias("c")
+                .join(state.alias("s"), on, "left")
+                .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
+                .select(*sel)
+                .localCheckpoint(eager=True)
+            )
+        n_improved = improved.count()
+        if n_improved == 0:
             break
+        small = n_improved <= broadcast_frontier_rows
         anti = (F.col("s.source") == F.col("i.source")) & (F.col("s.node") == F.col("i.node"))
+        imp = F.broadcast(improved.alias("i")) if small else improved.alias("i")
         state = (
             state.alias("s")
-            .join(improved.alias("i"), anti, "left_anti")
+            .join(imp, anti, "left_anti")
             .unionByName(improved)
         )
         _dirty = True
