@@ -684,6 +684,68 @@ def scd2_apply_batch(
     )
 
 
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-slice numeric drift: the two-sample Kolmogorov–Smirnov
+    statistic D = sup_x |F_slice(x) − F_rest(x)| between each slice's
+    empirical CDF of ``value_col`` and the CDF of the REST of the
+    corpus — the numeric complement of :func:`~bigdata_foundation_spark.
+    operators.text.corpus_drift`'s token-distribution JS (which source
+    / crawl / day drifted on a measured column). The sup over a step
+    function is attained at observed values, so D is exact, not
+    sampled.
+
+    Plan shape: one (group, value) count aggregate (map-side partial)
+    → a |distinct values| × |slices| evaluation grid (distinct-value
+    rows cross-joined with the broadcast |slices|-row table — slices
+    are FEW by construction, the corpus_drift contract) → one window
+    cumsum per slice ordered by value → per-slice max. Rows never
+    shuffle twice and the corpus is scanned once. At 100 TB with a
+    high-cardinality continuous column, quantize/bin the value first
+    (the standard ECDF-sketch practice) — the statistic is then exact
+    on the binned distribution.
+
+    NULL groups/values are excluded; a single-slice corpus returns
+    NULL ks_d (no rest to drift from). Returns (group, n_slice,
+    n_rest, ks_d) sorted by group; ks_d ships RAW (unrounded) — the
+    integer-ratio arithmetic is bit-identical across engines, and
+    rounding at compare time avoids the engine-specific
+    .xx5-boundary divergence class (the r5 q9 lesson)."""
+    base = df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    counts = base.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
+    groups = counts.groupBy(group_col).agg(F.sum("_c").alias("_ng"))
+    values = counts.groupBy(value_col).agg(F.sum("_c").alias("_nv"))
+    tot = groups.agg(F.sum("_ng").alias("_n"))
+    grid = (
+        values.crossJoin(F.broadcast(groups))
+        .join(counts, [group_col, value_col], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc(value_col))
+    cum_g = F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_all = F.sum("_nv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    n_rest = F.col("_n") - F.col("_ng")
+    d = F.abs(
+        cum_g / F.col("_ng")
+        - (cum_all - cum_g) / F.nullif(n_rest, F.lit(0))
+    )
+    return (
+        grid.select(F.col(group_col), F.col("_ng"), n_rest.alias("_nr"), d.alias("_d"))
+        .groupBy(group_col)
+        .agg(
+            F.min("_ng").cast("bigint").alias("n_slice"),
+            F.min("_nr").cast("bigint").alias("n_rest"),
+            F.max("_d").alias("ks_d"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

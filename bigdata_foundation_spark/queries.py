@@ -2268,6 +2268,60 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "bigram_perplexity",
+    r"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents
+      WHERE len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) > 0
+    ), uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS tok FROM base) GROUP BY tok
+    ), scal AS (
+      SELECT SUM(c) AS n_total, COUNT(*) AS v FROM uni
+    ), bi AS (
+      SELECT b[1] AS prev, b[2] AS cur, COUNT(*) AS cb
+      FROM (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS b FROM base)
+      GROUP BY 1, 2
+    ), ctx AS (
+      SELECT prev, SUM(cb) AS cc FROM bi GROUP BY prev
+    ), first AS (
+      SELECT doc_id, -log2((uni.c + 0.5) / (scal.n_total + 0.5 * scal.v)) AS nll
+      FROM (SELECT doc_id, ts[1] AS tok FROM base)
+      JOIN uni USING (tok) CROSS JOIN scal
+    ), rest AS (
+      SELECT doc_id,
+             -log2(0.7 * (bi.cb / ctx.cc)
+                   + (1.0 - 0.7) * ((uni.c + 0.5) / (scal.n_total + 0.5 * scal.v))) AS nll
+      FROM (SELECT doc_id, b[1] AS prev, b[2] AS cur
+            FROM (SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS b
+                  FROM base))
+      JOIN bi USING (prev, cur)
+      JOIN ctx USING (prev)
+      JOIN uni ON uni.tok = cur
+      CROSS JOIN scal
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           AVG(nll) AS nll_per_token
+    FROM (SELECT * FROM first UNION ALL SELECT * FROM rest)
+    GROUP BY doc_id
+    """,
+    "Interpolated bigram-LM perplexity (Jelinek-Mercer, Chen & Goodman "
+    "1999) - one modeling step past the unigram scorer toward CCNet's "
+    "5-gram KenLM: P(w|prev) = 0.7*MLE(bigram) + 0.3*add-k unigram; "
+    "position 1 scores under the unigram. Bigrams built SCAN-SIDE "
+    "(arrays_zip of the token array against its tail - no per-doc "
+    "window shuffle); counts are two map-side-combined aggs; scoring "
+    "is keyed joins + one per-doc avg. Full SQL oracle",
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.operators.text import bigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs).orderBy("doc_id")
+
+
+@q(
     "cms_heavy_hitters",
     PIPELINE_GOLDEN_SQL["cms_heavy_hitters"],
     "Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus "
@@ -2374,6 +2428,51 @@ def corpus_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return corpus_drift(docs)
+
+
+@q(
+    "ks_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), counts AS (
+      SELECT g, v, COUNT(*) AS c FROM base GROUP BY g, v
+    ), grps AS (
+      SELECT g, SUM(c) AS ng FROM counts GROUP BY g
+    ), vals AS (
+      SELECT v, SUM(c) AS nv FROM counts GROUP BY v
+    ), tot AS (
+      SELECT SUM(ng) AS n FROM grps
+    ), grid AS (
+      SELECT grps.g, vals.v, vals.nv, grps.ng, counts.c
+      FROM vals CROSS JOIN grps
+      LEFT JOIN counts ON counts.g = grps.g AND counts.v = vals.v
+    ), cum AS (
+      SELECT g, ng, v,
+             SUM(COALESCE(c, 0)) OVER (PARTITION BY g ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cg,
+             SUM(nv) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS ca
+      FROM grid
+    )
+    SELECT g AS event_type,
+           CAST(MIN(ng) AS BIGINT) AS n_slice,
+           CAST(MIN(n - ng) AS BIGINT) AS n_rest,
+           MAX(ABS(cg / ng - (ca - cg) / NULLIF(n - ng, 0))) AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY g ORDER BY g
+    """,
+    "Per-slice numeric drift (r8): two-sample Kolmogorov-Smirnov "
+    "D = sup|ECDF_slice - ECDF_rest| of the event value per event_type "
+    "- the numeric complement of corpus_drift's token JS. One (group, "
+    "value) count agg, a |values| x |slices| window grid (slices are "
+    "few), one cumsum window per slice; exact (sup attained at "
+    "observed values). Full SQL oracle",
+)
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return R.ks_drift(ev, "event_type", "value")
 
 
 @q(

@@ -2281,6 +2281,79 @@ def test_linear_classifier_contract(spark):
     assert (w_cap, b_cap) == (w_sub, b_sub)
 
 
+def test_ks_drift_semantics(spark):
+    """ks_drift (r8): values equal an independent in-test ECDF sup
+    computation on a hand-built dataset; a shifted slice shows large
+    D while an identically-distributed slice sits near 0; a
+    single-slice corpus returns NULL; NULL groups/values excluded."""
+    rows = []
+    for i in range(200):
+        rows.append(("a", float(i % 10)))
+        rows.append(("b", float(i % 10)))          # b ~ identical to a
+    for i in range(100):
+        rows.append(("c", 100.0 + (i % 10)))       # c fully shifted
+    rows += [(None, 1.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in R.ks_drift(df, "g", "v").collect()}
+    assert set(got) == {"a", "b", "c"}
+
+    # independent replay
+    import collections
+    data = collections.defaultdict(list)
+    for g, v in rows:
+        if g is not None and v is not None:
+            data[g].append(v)
+    all_vals = sorted({v for vs in data.values() for v in vs})
+    for g in data:
+        rest = [v for gg, vs in data.items() if gg != g for v in vs]
+        want = max(
+            abs(
+                sum(1 for x in data[g] if x <= t) / len(data[g])
+                - sum(1 for x in rest if x <= t) / len(rest)
+            )
+            for t in all_vals
+        )
+        assert abs(got[g]["ks_d"] - want) < 1e-12, (g, got[g]["ks_d"], want)
+        assert got[g]["n_slice"] == len(data[g]) and got[g]["n_rest"] == len(rest)
+    assert got["c"]["ks_d"] == pytest.approx(1.0)     # disjoint support
+    assert got["a"]["ks_d"] < got["c"]["ks_d"]        # shifted slice drifts most
+
+    single = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    srow = R.ks_drift(single, "g", "v").collect()
+    assert len(srow) == 1 and srow[0]["ks_d"] is None
+
+
+def test_bigram_perplexity_order_sensitivity(spark):
+    """bigram_logprob_score (r8): captures word ORDER — a document
+    with exactly the token multiset of the corpus's dominant sentence
+    but shuffled scores IDENTICAL under the unigram LM and strictly
+    worse under the interpolated bigram; a 1-token doc scores as pure
+    unigram; n_tokens counts every position; empty docs are absent."""
+    from bigdata_foundation_spark.operators.text import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    sent = "the cat sat on the mat"
+    rows = [(i, sent) for i in range(10)] + [(100, "mat the on sat cat the"),
+                                             (200, "the"), (300, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+    bi = {r["doc_id"]: r for r in bigram_logprob_score(df).collect()}
+    assert 300 not in bi and 300 not in uni  # empty doc absent
+    assert bi[0]["n_tokens"] == 6 and bi[100]["n_tokens"] == 6
+    # same multiset -> unigram cannot separate
+    assert abs(uni[100]["nll_per_token"] - uni[0]["nll_per_token"]) < 1e-12
+    # bigram does
+    assert bi[100]["nll_per_token"] > bi[0]["nll_per_token"] + 0.1
+    # 1-token doc == its unigram score
+    assert abs(bi[200]["nll_per_token"] - uni[200]["nll_per_token"]) < 1e-12
+    # no cartesian, no Python in the plan
+    plan = bigram_logprob_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "Python" not in plan
+
+
 def test_corpus_drift_semantics(spark):
     """corpus_drift (round 7): identically-distributed slices sit at
     JS ~ 0 against the rest; a disjoint-vocabulary slice hits the JS
