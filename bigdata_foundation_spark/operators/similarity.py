@@ -464,6 +464,90 @@ def _cell_matrix(centroids: list[tuple[int, list[float]]]) -> Column:
     return F.lit([[float(x) for x in cvec] for _, cvec in cents])
 
 
+def pca_train(
+    corpus: DataFrame,
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Deterministic PCA training on the hash-spread sample (r8) — the
+    dimensionality-reduction step every embedding pipeline runs before
+    clustering/indexing (and the whitening FAISS's OPQ/PCAMatrix
+    applies): sample = the ``train_sample`` rows with smallest
+    ``(xxhash64(id), id)`` (the repo-wide selection contract — ONE
+    corpus pass at any scale), mean and covariance over the sorted-id
+    sample ROUNDED TO 6 DP (the determinism quantum: accumulation
+    order differs between numpy's pairwise sums and the replay's
+    list-order loops by ~1e-13, far below the quantum, so the rounded
+    matrix — and therefore the eigendecomposition — is reproducible),
+    then the top ``n_components`` eigenvectors of the rounded
+    covariance, each SIGN-FIXED so its largest-|coordinate| entry is
+    positive (first index on ties) and rounded to 6 dp.
+
+    Returns (mean[dim], components[n_components][dim] in DESCENDING
+    eigenvalue order, explained_variance[n_components] 6-dp) — feed to
+    :func:`pca_project`, whose scan-side folds apply them with zero
+    shuffle over the full corpus (train-on-sample / score-at-scan, the
+    same 100 TB shape as the classifier and centroid training)."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(max(int(train_sample), 2))
+        .select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+        .collect()
+    )
+    if len(rows) < 2:
+        raise ValueError("pca: need at least 2 vectors")
+    X = np.asarray(
+        [list(r["_v"]) for r in sorted(rows, key=lambda r: r[id_col])],
+        dtype=np.float64,
+    )
+    mu = np.round(X.mean(axis=0), 6)
+    D = X - mu
+    C = np.round(D.T @ D / (len(X) - 1), 6)
+    evals, evecs = np.linalg.eigh(C)  # ascending
+    comps: list[list[float]] = []
+    var: list[float] = []
+    for k in range(1, int(n_components) + 1):
+        w = evecs[:, -k]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        comps.append([round(float(x), 6) for x in w])
+        var.append(round(float(evals[-k]), 6))
+    return [float(x) for x in mu], comps, var
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto trained PCA components as pure
+    scan-side folds — no shuffle, no Python: the mean and each loading
+    vector ship as folded literals; per row, per component, one
+    ``zip_with``/``aggregate`` fold sums (x_i − μ_i)·w_i in array
+    order (bit-identical to the pure-Python replay's loop). Returns
+    (id, pc) with pc = array of 6-dp scores in component order."""
+    mu = F.lit([float(x) for x in mean])
+    centered = F.zip_with(_as_double(F.col(vec_col)), mu, lambda x, m: x - m)
+    scores = [
+        F.round(
+            F.aggregate(
+                F.zip_with(centered, F.lit([float(x) for x in w]), lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        for w in components
+    ]
+    return df.select(F.col(id_col).alias("id"), F.array(*scores).alias("pc"))
+
+
 def _py_fold_dot(a: list[float], b: list[float]) -> float:
     """The engine's :func:`dot` fold replayed in Python — acc = 0.0;
     acc += x·y in array order — bit-identical to the JVM fold for the

@@ -93,6 +93,10 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # via tools/check_oracles.py — see ORACLES_r08.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
+    # (a0) round-8 debuts — value-gate first
+    "bigram_perplexity",  # NEW r8 (interpolated bigram LM, full SQL oracle)
+    "ks_drift",  # NEW r8 (two-sample KS numeric drift, full SQL oracle)
+    "embedding_pca",  # NEW r8 (PCA train-on-sample/project-at-scan vs replay)
     # (a) changed since the r7 judged tree
     "scd2_user_history",  # sentinel 2261-12-31 + first-row NULL-attr fix
     "streaming_scd2",  # same + version-based new-key stitch + idempotent sink
@@ -142,9 +146,6 @@ GATE_ORDER: list[str] = [
     "q20_excess_suppliers",  # last gated r4
     "q21_waiting_suppliers",  # last gated r4
     "q22_idle_customers",  # last gated r4
-    "q2_min_cost_supplier",  # last gated r4
-    "q3_segment_topk",  # last gated r4
-    "q4_late_orders",  # last gated r4
 ]
 
 
@@ -4922,6 +4923,26 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return S.kmeans_cluster(e, k=16, id_col="vec_id", vec_col="embedding", lloyd_iters=4)
+
+
+@q(
+    "embedding_pca",
+    PIPELINE_GOLDEN_SQL["embedding_pca"],
+    "PCA over the embeddings table (r8 - the reduction/whitening step "
+    "FAISS's PCAMatrix applies before indexing): mean/covariance on "
+    "the hash-spread <=4096-row sample (one corpus pass at any scale, "
+    "6dp-rounded matrices for determinism), top-4 sign-fixed "
+    "eigenvectors, then every vector projected by pure scan-side "
+    "zip_with/aggregate folds - zero shuffle, zero Python on data "
+    "(pinned-golden oracle: independent loop-accumulated replay)",
+)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    mu, comps, _var = S.pca_train(e, n_components=4)
+    proj = S.pca_project(e, mu, comps)
+    return proj.select(
+        "id", *[F.col("pc")[k].alias(f"pc{k + 1}") for k in range(4)]
+    )
 
 
 @q(

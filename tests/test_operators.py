@@ -2281,6 +2281,48 @@ def test_linear_classifier_contract(spark):
     assert (w_cap, b_cap) == (w_sub, b_sub)
 
 
+def test_pca_train_project_semantics(spark, vectors):
+    """embedding_pca (r8): components are orthonormal and ordered by
+    descending explained variance; projected score variance matches
+    the eigenvalues on the training set; the sign convention pins each
+    loading's largest-|coordinate| entry positive; projection is
+    partition-invariant and pure scan-side (no Exchange, no Python);
+    training obeys the hash-spread sample cap."""
+    import numpy as np
+
+    mu, comps, var = S.pca_train(vectors, n_components=4)
+    W = np.array(comps)
+    assert np.allclose(W @ W.T, np.eye(4), atol=1e-4)  # orthonormal (6dp-rounded)
+    assert var == sorted(var, reverse=True) and var[0] > 0
+    for w in comps:
+        assert w[int(np.argmax(np.abs(w)))] > 0
+    proj = S.pca_project(vectors, mu, comps)
+    got = {r["id"]: list(r["pc"]) for r in proj.collect()}
+    # replay the fold independently
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in vectors.collect()}
+    for vid, v in rows.items():
+        for k, w in enumerate(comps):
+            s = 0.0
+            for x, m, c in zip(v, mu, w):
+                s = s + (x - m) * c
+            assert abs(got[vid][k] - round(s, 6)) < 1e-9, (vid, k)
+    # score variance tracks eigenvalues (training set == corpus here)
+    P = np.array([got[vid] for vid in sorted(rows)])
+    sv = P.var(axis=0, ddof=1)
+    for k in range(4):
+        assert abs(sv[k] - var[k]) / max(var[k], 1e-9) < 0.01, (k, sv[k], var[k])
+    # partition invariance + plan purity
+    again = {r["id"]: list(r["pc"]) for r in S.pca_project(vectors.repartition(7), mu, comps).collect()}
+    assert again == got
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # sample cap: training on the capped corpus == training on the subset
+    hashed = {r["vec_id"]: r["h"] for r in vectors.select("vec_id", F.xxhash64("vec_id").alias("h")).collect()}
+    keep = sorted(hashed, key=lambda d: (hashed[d], d))[:10]
+    sub = vectors.filter(F.col("vec_id").isin(keep))
+    assert S.pca_train(vectors, 4, train_sample=10) == S.pca_train(sub, 4, train_sample=10)
+
+
 def test_ks_drift_semantics(spark):
     """ks_drift (r8): values equal an independent in-test ECDF sup
     computation on a hand-built dataset; a shifted slice shows large

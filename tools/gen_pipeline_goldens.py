@@ -700,6 +700,7 @@ def main() -> None:
         "bpe_tokenize": bpe_golden(docs),
         "bpe_fertility": bpe_golden(docs, fertility_groups=load_doc_sources()),
         "quality_classifier": classifier_golden(docs, load_doc_langs()),
+        "embedding_pca": pca_golden(vecs),
         "graph_hyperball": hyperball_golden(),
         "graph_ktruss": ktruss_golden(),
         "graph_hits": hits_golden(),
@@ -1798,7 +1799,11 @@ def modularity_golden(iters=10):
     m = len(simple)
     internal: dict[str, int] = {}
     degsum: dict[str, int] = {}
-    for a, b in simple:
+    # sorted(): set iteration is PYTHONHASHSEED-dependent, which made
+    # the float summation order (and the last ~1e-16 of Q) wobble
+    # between generator runs — harmless at the 6-dp compare, but it
+    # polluted every regeneration diff.
+    for a, b in sorted(simple):
         la, lb = labels[a], labels[b]
         degsum[la] = degsum.get(la, 0) + 1
         degsum[lb] = degsum.get(lb, 0) + 1
@@ -2034,6 +2039,63 @@ def classifier_golden(docs, langs, dim=256, iters=10, lr=0.5, train_sample=4096)
     )
 
 
+
+
+# --- embedding_pca (round 8) -------------------------------------------------
+
+def pca_golden(vecs, n_components=4, train_sample=4096):
+    """Replay of similarity.pca_train + pca_project: hash-spread
+    sample (same (xxhash64(id), id) selection), mean/covariance
+    accumulated with INDEPENDENT plain-Python loops (vs the engine's
+    numpy matmul — the ~1e-13 accumulation-order wobble is absorbed by
+    the 6-dp rounding of both matrices before eigendecomposition),
+    numpy eigh on the rounded covariance (shared by necessity — LAPACK
+    is not reimplementable here; determinism is eigh-on-identical-
+    matrix), sign-fix + 6-dp loadings, then the scan-side projection
+    fold replayed in array order with Spark HALF_UP rounding (r6)."""
+    import numpy as np
+
+    byid = dict(vecs)
+    chosen = sorted(byid, key=lambda vid: (spark_xxhash64(vid), vid))[:train_sample]
+    ids = sorted(chosen)
+    dim = len(vecs[0][1])
+    n = len(ids)
+    sums = [0.0] * dim
+    for vid in ids:
+        for i, x in enumerate(byid[vid]):
+            sums[i] += float(x)
+    mu = np.round(np.array([s / n for s in sums]), 6)
+    acc = [[0.0] * dim for _ in range(dim)]
+    for vid in ids:
+        d = [float(x) - mu[i] for i, x in enumerate(byid[vid])]
+        for i in range(dim):
+            di = d[i]
+            row = acc[i]
+            for j in range(dim):
+                row[j] += di * d[j]
+    C = np.round(np.array(acc) / (n - 1), 6)
+    evals, evecs = np.linalg.eigh(C)
+    comps = []
+    for k in range(1, n_components + 1):
+        w = evecs[:, -k]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        comps.append([round(float(x), 6) for x in w])
+    mu_l = [float(x) for x in mu]
+    rows = []
+    for vid in sorted(byid):
+        v = [float(x) for x in byid[vid]]
+        pcs = []
+        for w in comps:
+            s = 0.0
+            for x, m, c in zip(v, mu_l, w):
+                s = s + (x - m) * c
+            pcs.append(r6(s))
+        rows.append((vid, *pcs))
+    return values_sql(
+        [("id", "BIGINT")] + [(f"pc{k}", "DOUBLE") for k in range(1, n_components + 1)],
+        rows,
+    )
 
 
 # --- graph_hyperball (round 7) ----------------------------------------------
