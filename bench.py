@@ -65,6 +65,10 @@ HEADLINE = [
     "scd2_user_history",
     "bpe_fertility",
     "unimax_mixture",
+    # Round-8 debuts with a hot-path scan/shuffle shape
+    "bigram_perplexity",
+    "ks_drift",
+    "embedding_pca",
 ]
 
 
