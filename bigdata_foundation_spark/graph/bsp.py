@@ -219,6 +219,7 @@ def bsp_sssp(
     state = state.localCheckpoint(eager=True)
     frontier = state
     small = broadcast_frontier_rows >= 1  # the 1-row seed frontier
+    _state_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     best_target = float("inf")
 
     _dirty = False
@@ -281,7 +282,12 @@ def bsp_sssp(
         state = state.alias("s").join(imp, "node", "left_anti").unionByName(improved)
         _dirty = True
         if step % checkpoint_state_every == 0:
-            state = _checkpoint_union_state(state)
+            # coalesce (narrow) before materializing: the broadcast
+            # anti-join passes partitions THROUGH, so each union would
+            # otherwise add one partition to the state forever (+8 per
+            # checkpoint — ~1000 scheduled tasks/superstep by the end
+            # of a high-diameter run).
+            state = _checkpoint_union_state(state.coalesce(_state_parts))
             _dirty = False
         frontier = improved
 
@@ -292,7 +298,7 @@ def bsp_sssp(
 
     edges.unpersist()
     if _dirty:
-        state = _checkpoint_union_state(state)
+        state = _checkpoint_union_state(state.coalesce(_state_parts))
     if stats is not None:
         stats["supersteps"] = step
     return state
@@ -363,6 +369,7 @@ def bsp_multi_sssp(
     ).localCheckpoint(eager=True)
     frontier = state
     small = len(sources) <= broadcast_frontier_rows
+    _state_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     _dirty = False
     step = 0
@@ -414,14 +421,17 @@ def bsp_multi_sssp(
         )
         _dirty = True
         if step % checkpoint_state_every == 0:
-            state = _checkpoint_union_state(state)
+            # coalesce before materializing — see bsp_sssp: broadcast
+            # anti-joins pass partitions through, so unions would grow
+            # the state's partition count forever.
+            state = _checkpoint_union_state(state.coalesce(_state_parts))
             _dirty = False
         frontier = improved
 
     if edges_pre_aggregated is None:
         edges.unpersist()
     if _dirty:
-        state = _checkpoint_union_state(state)
+        state = _checkpoint_union_state(state.coalesce(_state_parts))
     if stats is not None:
         stats["supersteps"] = step
     return state
