@@ -108,6 +108,26 @@ PICKS = [
         "slice x vocabulary cross product the smoothed formulation forces; "
         "absent-token mass is a closed-form telescoped scalar",
     ),
+    (
+        "bigram_perplexity",
+        "bigrams built SCAN-SIDE (arrays_zip of the token array against its "
+        "tail — no per-doc window shuffle); LM counts are map-side-combined "
+        "aggs; scoring is keyed joins + one per-doc avg — text shuffles once",
+    ),
+    (
+        "embedding_pca",
+        "train-on-sample / project-at-scan: the projection is pure "
+        "zip_with/aggregate folds against folded literal loadings — zero "
+        "Exchange, zero Python on data; training cost is ONE TakeOrdered "
+        "sample pass at any corpus size",
+    ),
+    (
+        "ks_drift",
+        "exact two-sample KS per slice from ONE (group, value) count agg; "
+        "the only wide state is the |values| x |slices| window grid (slices "
+        "few by construction) — one cumsum Exchange, never a row-level "
+        "cross product",
+    ),
 ]
 
 

@@ -42,6 +42,10 @@ PICKS = [
     "funnel_stages",
     "retention_cohorts",
     "rfm_segmentation",
+    # r8 debuts
+    "bigram_perplexity",
+    "ks_drift",
+    "embedding_pca",
 ]
 
 
