@@ -209,7 +209,15 @@ def bsp_sssp(
     # gives (+17% measured, KERNEL_BENCH §BSP) but paid once here for
     # ANY input. The groupBy above leaves (src, dst) partitioning,
     # which a join on src alone cannot reuse.
-    edges = edges.repartition("src").cache()
+    # Adaptive width (r8, measured on the 520×520 grid: 710 → 456
+    # ms/superstep): small-frontier supersteps are TASK-SCHEDULING
+    # bound (~70 tasks/job at 32 partitions), so the edge projection
+    # and the state coalesce both target ~128k rows/partition with a
+    # floor of 8 — at genuinely large inputs the count climbs back to
+    # the session's shuffle parallelism.
+    _shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    _edge_parts = min(_shuffle_parts, max(8, roads.count() // 131_072))
+    edges = edges.repartition(_edge_parts, "src").cache()
     edges.count()  # materialize the projection once
 
     if carry_paths:
@@ -219,7 +227,7 @@ def bsp_sssp(
     state = state.localCheckpoint(eager=True)
     frontier = state
     small = broadcast_frontier_rows >= 1  # the 1-row seed frontier
-    _state_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    _settled = 1
     best_target = float("inf")
 
     _dirty = False
@@ -277,6 +285,7 @@ def bsp_sssp(
         if n_improved == 0:
             break
         small = n_improved <= broadcast_frontier_rows
+        _settled += n_improved
 
         imp = F.broadcast(improved.alias("i")) if small else improved.alias("i")
         state = state.alias("s").join(imp, "node", "left_anti").unionByName(improved)
@@ -286,7 +295,9 @@ def bsp_sssp(
             # anti-join passes partitions THROUGH, so each union would
             # otherwise add one partition to the state forever (+8 per
             # checkpoint — ~1000 scheduled tasks/superstep by the end
-            # of a high-diameter run).
+            # of a high-diameter run). Width tracks the settled-row
+            # upper bound (~128k rows/partition, floor 8).
+            _state_parts = min(_shuffle_parts, max(8, _settled // 131_072))
             state = _checkpoint_union_state(state.coalesce(_state_parts))
             _dirty = False
         frontier = improved
@@ -298,7 +309,9 @@ def bsp_sssp(
 
     edges.unpersist()
     if _dirty:
-        state = _checkpoint_union_state(state.coalesce(_state_parts))
+        state = _checkpoint_union_state(
+            state.coalesce(min(_shuffle_parts, max(8, _settled // 131_072)))
+        )
     if stats is not None:
         stats["supersteps"] = step
     return state
@@ -348,15 +361,16 @@ def bsp_multi_sssp(
     bit-identical, state never exchanged); wider waves fall back to
     the shuffle plans per step.
     """
+    _shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if edges_pre_aggregated is not None:
         edges = edges_pre_aggregated
     else:
-        # repartition("src"): zero Exchange on the edge side per
-        # superstep (see bsp_sssp — the r7 projection contract)
+        # adaptive width — see bsp_sssp (r8): ~128k rows/partition,
+        # floor 8; small-frontier supersteps are task-scheduling bound
         edges = (
             roads.groupBy("src", "dst")
             .agg(F.min("cost").alias("cost"))
-            .repartition("src")
+            .repartition(min(_shuffle_parts, max(8, roads.count() // 131_072)), "src")
             .cache()
         )
         edges.count()
@@ -369,7 +383,7 @@ def bsp_multi_sssp(
     ).localCheckpoint(eager=True)
     frontier = state
     small = len(sources) <= broadcast_frontier_rows
-    _state_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    _settled = len(sources)
 
     _dirty = False
     step = 0
@@ -412,6 +426,7 @@ def bsp_multi_sssp(
         if n_improved == 0:
             break
         small = n_improved <= broadcast_frontier_rows
+        _settled += n_improved
         anti = (F.col("s.source") == F.col("i.source")) & (F.col("s.node") == F.col("i.node"))
         imp = F.broadcast(improved.alias("i")) if small else improved.alias("i")
         state = (
@@ -423,15 +438,20 @@ def bsp_multi_sssp(
         if step % checkpoint_state_every == 0:
             # coalesce before materializing — see bsp_sssp: broadcast
             # anti-joins pass partitions through, so unions would grow
-            # the state's partition count forever.
-            state = _checkpoint_union_state(state.coalesce(_state_parts))
+            # the state's partition count forever; width tracks the
+            # settled-row upper bound.
+            state = _checkpoint_union_state(
+                state.coalesce(min(_shuffle_parts, max(8, _settled // 131_072)))
+            )
             _dirty = False
         frontier = improved
 
     if edges_pre_aggregated is None:
         edges.unpersist()
     if _dirty:
-        state = _checkpoint_union_state(state.coalesce(_state_parts))
+        state = _checkpoint_union_state(
+            state.coalesce(min(_shuffle_parts, max(8, _settled // 131_072)))
+        )
     if stats is not None:
         stats["supersteps"] = step
     return state
