@@ -339,7 +339,7 @@ def bsp_multi_sssp(
     checkpoint_state_every: int = 8,
     edges_pre_aggregated: DataFrame | None = None,
     stats: dict | None = None,
-    broadcast_frontier_rows: int = 65_536,
+    broadcast_frontier_rows: int = 0,
 ) -> DataFrame:
     """Distance-only SSSP from MANY sources in one BSP run: state is
     ``(source, node, dist)`` keyed by source, so every superstep
@@ -359,18 +359,29 @@ def bsp_multi_sssp(
     (see :func:`bsp_sssp` — frontier→edges hash probe, flipped
     right-outer improvement test, broadcast anti-join; distances
     bit-identical, state never exchanged); wider waves fall back to
-    the shuffle plans per step.
+    the shuffle plans per step. The DEFAULT here is 0 (shuffle only),
+    the opposite of ``bsp_sssp``: multi-source candidate sets multiply
+    by |sources| × degree, so the threshold — set from the PREVIOUS
+    step's improved count — fires one step late and broadcasts a
+    ~|frontier|·degree-row build side (measured 281 vs 212 s on the
+    64-source 1M-edge wave). Pass a positive threshold for
+    high-diameter many-source waves whose per-source frontiers stay
+    genuinely small.
     """
     _shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if edges_pre_aggregated is not None:
         edges = edges_pre_aggregated
     else:
-        # adaptive width — see bsp_sssp (r8): ~128k rows/partition,
-        # floor 8; small-frontier supersteps are task-scheduling bound
+        # FULL shuffle width here, unlike bsp_sssp's adaptive floor-8
+        # projection: multi-source waves run WIDE frontiers (|sources| ×
+        # wavefront — the whole point is batching), so the per-superstep
+        # join is compute-bound and wants every core; the narrow
+        # projection was measured 34% SLOWER on the 64-source 1M-edge
+        # wave (254 vs 190 s) before this revert.
         edges = (
             roads.groupBy("src", "dst")
             .agg(F.min("cost").alias("cost"))
-            .repartition(min(_shuffle_parts, max(8, roads.count() // 131_072)), "src")
+            .repartition("src")
             .cache()
         )
         edges.count()
