@@ -24,6 +24,17 @@ Scale design decisions (SURVEY.md §4.3 hard-parts list):
   BSP analog of A*'s OPEN-list pruning / Dijkstra's settled-target
   early exit. h is a column expression (Euclidean on planar coords),
   evaluated JVM-side.
+* **Adaptive broadcast supersteps (r8)** — while the frontier is small
+  (its exact size is known: it is last step's materialized
+  improvements), every per-superstep join pins the small side as a
+  broadcast build, so neither the edge projection nor the settled
+  state is ever sorted or exchanged; wider frontiers fall back to the
+  shuffle shapes per step. Single-source defaults the threshold ON
+  (high-diameter runs live in the small-frontier regime); multi-source
+  defaults it OFF (candidate sets multiply by |sources| × degree —
+  measured A/B in KERNEL_BENCH §r8). Partition width tracks
+  ~128k rows/partition with a floor of 8 — small-frontier supersteps
+  are task-scheduling bound, not data bound.
 
 Feed these kernels a ``src``-bucketed edge table
 (``etl.load_graph(..., bucketed=True)`` / ``io.write_bucketed``) and
