@@ -148,6 +148,7 @@ def bsp_sssp(
     stats: dict | None = None,
     carry_paths: bool = True,
     broadcast_frontier_rows: int = 65_536,
+    broadcast_candidate_rows: int = 65_536,
 ) -> DataFrame:
     """Single-source shortest distances (and paths) by BSP relaxation.
 
@@ -166,28 +167,37 @@ def bsp_sssp(
     Distances are bit-identical either way; full paths are recovered
     on demand with :func:`reconstruct_paths` from the parent forest.
 
-    ADAPTIVE BROADCAST SUPERSTEPS (r8 — r7 verdict item 6, from a
-    measured phase profile: the improved-job itself was ~85% of the
-    991 ms superstep, its cost dominated by per-superstep
-    sorts/Exchanges of the EDGE and STATE sides, not by the union
-    recompute chain, which added only ~15% at depth 8). While the
-    frontier holds ≤ ``broadcast_frontier_rows`` rows (known exactly —
-    it is last step's materialized ``improved``), every join in the
-    superstep pins the SMALL side as a broadcast build: frontier →
-    edges (hash probe of the cached edge scan — no edge-side sort or
-    frontier Exchange), candidates → state improvement test (flipped
-    right-outer so the 270k-row state STREAMS from its in-memory
-    checkpoint and is never exchanged), improvements → state anti-join
-    (same). The improvement frontier also coalesces to ONE partition
-    before its checkpoint — a wavefront of a few thousand rows does
-    not want 32 scheduled tasks. Distances are BIT-IDENTICAL (same
-    per-row arithmetic, same min-struct merge; measured max |Δ| = 0.0
-    on the 520×520 grid) and the superstep constant drops ~1.5× on
-    high-diameter grids (KERNEL_BENCH §BSP r8 row). Frontiers larger
-    than the threshold — the expander regime, where broadcasting would
-    collect megabytes to the driver — fall back to the r7 shuffle
-    shapes for exactly that superstep; the threshold is per-step, so
-    one wide wave does not pin the whole run to shuffle plans.
+    ADAPTIVE BROADCAST SUPERSTEPS (r8, corrected r9 — the r8 "flipped
+    right-outer broadcast" was an unsupported BroadcastHashJoin shape
+    that silently fell back to a SortMergeJoin exchanging both sides;
+    advisor finding, fixed this round). While the frontier holds ≤
+    ``broadcast_frontier_rows`` rows (known exactly — it is last
+    step's materialized ``improved``) AND the candidate bound
+    |frontier| × max-out-degree stays ≤ ``broadcast_candidate_rows``
+    (the per-THIS-step gate: the improvement join's build side is the
+    candidate set, which a hub fan-out can multiply far past the
+    frontier size), the superstep runs only SUPPORTED broadcast
+    builds: frontier → edges (hash probe of the cached edge scan — no
+    edge-side sort or frontier Exchange), then the improvement test as
+    a two-join EXISTS decomposition — ``defeated`` = candidate nodes
+    already reached at ≤ dist by a settled-base ∪ pending-frontier
+    row (inner join, candidates broadcast), ``improved`` = candidates
+    left-anti ``defeated`` (both build-right shapes BroadcastHashJoin
+    actually supports) — and improvements → state anti-join (broadcast
+    build-right, supported). The settled base is the last periodic
+    state checkpoint and ``pending`` the tiny frontiers since, so the
+    per-superstep anti∪union state LINEAGE is evaluated only at its
+    every-``checkpoint_state_every`` flatten, never replayed inside a
+    superstep. The improvement frontier also coalesces to ONE
+    partition before its checkpoint — a wavefront of a few thousand
+    rows does not want 32 scheduled tasks. Distances are BIT-IDENTICAL
+    (same per-row arithmetic, same min-struct merge; EXISTS-defeat is
+    order-insensitive across state versions). Frontiers or candidate
+    bounds past their thresholds — the expander regime, where
+    broadcasting would collect megabytes to the driver — fall back to
+    the r7 shuffle shapes for exactly that superstep; the gates are
+    per-step, so one wide wave does not pin the whole run to shuffle
+    plans. Measured deltas: KERNEL_BENCH §BSP r9 row.
     """
     # Kernel projection: min-cost per (src, dst). Column-pruned and
     # cached — the analog of GDS's relationshipProjection
@@ -238,6 +248,24 @@ def bsp_sssp(
     state = state.localCheckpoint(eager=True)
     frontier = state
     small = broadcast_frontier_rows >= 1  # the 1-row seed frontier
+    n_frontier = 1
+    # Per-THIS-step candidate gating (r9): the improvement join's
+    # build side is the CANDIDATE set, whose size is bounded by
+    # |frontier| × max out-degree — computable before the join from a
+    # one-time degree pass, so a hub fan-out can never broadcast a
+    # megabyte build side. The frontier gate alone (last step's
+    # improved count) under-predicts exactly that fan-out.
+    max_deg = 1
+    if broadcast_frontier_rows >= 1:
+        _d = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).agg(F.max("_d")).head()
+        max_deg = int(_d[0]) if _d and _d[0] is not None else 1
+    # Settled-base + pending-frontier decomposition (r9): `base` is the
+    # last flat checkpoint of the state, `pending` the materialized
+    # improvement frontiers since. The broadcast improvement test reads
+    # base ∪ pending directly, so the per-superstep state LINEAGE
+    # (anti-join ∪ union per step) is only ever evaluated at its
+    # periodic checkpoint — not replayed every superstep.
+    base, pending = state, []
     _settled = 1
     best_target = float("inf")
 
@@ -272,16 +300,37 @@ def bsp_sssp(
             .agg(F.min(F.struct("dist", ccol)).alias("m"))
             .select("node", F.col("m.dist").alias("dist"), F.col(f"m.{ccol}").alias(ccol))
         )
-        if small:
-            # Flipped right-outer: state streams from its in-memory
-            # checkpoint (never exchanged); the candidate set is the
-            # broadcast build side. Row-identical to the shuffle form.
+        if small and n_frontier * max_deg <= broadcast_candidate_rows:
+            # Supported broadcast shapes (r9, advisor finding): a
+            # BroadcastHashJoin cannot BUILD the right side of a
+            # right-outer join, so the r8 "flipped right-outer" hint was
+            # inert — Spark logged it unsupported and planned a
+            # SortMergeJoin exchanging BOTH sides. Decompose the
+            # improvement test into two joins that each broadcast the
+            # small candidate side while the big state only STREAMS:
+            #   defeated = candidate nodes some known (base ∪ pending)
+            #              row already reaches at dist <= cand.dist
+            #              (inner join, build-right: supported);
+            #   improved = candidates anti-joined against defeated
+            #              (left-anti, build-right: supported).
+            # EXISTS semantics make base ∪ pending safe without a
+            # per-node min merge: if ANY version defeats the candidate,
+            # the current (minimal) version does too; new nodes match
+            # nothing and survive the anti. best_cand is materialized
+            # once so its edge probe is not recomputed by its two
+            # consumers.
+            best_cand = best_cand.coalesce(1).localCheckpoint(eager=True)
+            known = base.select("node", "dist")
+            for p in pending:
+                known = known.unionByName(p.select("node", "dist"))
+            defeated = (
+                known.alias("s")
+                .join(F.broadcast(best_cand.alias("c")), "node", "inner")
+                .filter(F.col("s.dist") <= F.col("c.dist"))
+                .select("node")
+            )
             improved = (
-                state.alias("s")
-                .join(F.broadcast(best_cand.alias("c")), "node", "right")
-                .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
-                .select("node", F.col("c.dist").alias("dist"), F.col(f"c.{ccol}").alias(ccol))
-                .coalesce(1)
+                best_cand.join(F.broadcast(defeated), "node", "left_anti")
                 .localCheckpoint(eager=True)
             )
         else:
@@ -293,6 +342,7 @@ def bsp_sssp(
                 .localCheckpoint(eager=True)
             )
         n_improved = improved.count()
+        n_frontier = n_improved
         if n_improved == 0:
             break
         small = n_improved <= broadcast_frontier_rows
@@ -311,6 +361,9 @@ def bsp_sssp(
             _state_parts = min(_shuffle_parts, max(8, _settled // 131_072))
             state = _checkpoint_union_state(state.coalesce(_state_parts))
             _dirty = False
+            base, pending = state, []
+        else:
+            pending.append(improved)
         frontier = improved
 
         if target is not None:
@@ -351,6 +404,7 @@ def bsp_multi_sssp(
     edges_pre_aggregated: DataFrame | None = None,
     stats: dict | None = None,
     broadcast_frontier_rows: int = 0,
+    broadcast_candidate_rows: int = 65_536,
 ) -> DataFrame:
     """Distance-only SSSP from MANY sources in one BSP run: state is
     ``(source, node, dist)`` keyed by source, so every superstep
@@ -405,6 +459,18 @@ def bsp_multi_sssp(
     ).localCheckpoint(eager=True)
     frontier = state
     small = len(sources) <= broadcast_frontier_rows
+    n_frontier = len(sources)
+    # One-time degree bound for the per-THIS-step candidate gate (r9):
+    # each frontier row fans out to at most max-out-degree candidates,
+    # so |frontier| × max_deg bounds the improvement join's broadcast
+    # build side BEFORE the join runs — the fix for the r8 negative
+    # result where the frontier-count gate fired one step late on
+    # |sources|-multiplied candidate sets.
+    max_deg = 1
+    if broadcast_frontier_rows >= 1:
+        _d = e.groupBy("_u").agg(F.count(F.lit(1)).alias("_d")).agg(F.max("_d")).head()
+        max_deg = int(_d[0]) if _d and _d[0] is not None else 1
+    base, pending = state, []
     _settled = len(sources)
 
     _dirty = False
@@ -427,13 +493,22 @@ def bsp_multi_sssp(
             F.col("c.node").alias("node"),
             F.col("c.dist").alias("dist"),
         )
-        if small:
+        if small and n_frontier * max_deg <= broadcast_candidate_rows:
+            # Supported two-join broadcast decomposition — see bsp_sssp
+            # (the r8 right-outer hint was an unsupported build side and
+            # fell back to a both-sides SortMergeJoin; advisor finding).
+            best_cand = best_cand.coalesce(1).localCheckpoint(eager=True)
+            known = base.select("source", "node", "dist")
+            for p in pending:
+                known = known.unionByName(p.select("source", "node", "dist"))
+            defeated = (
+                known.alias("s")
+                .join(F.broadcast(best_cand.alias("c")), ["source", "node"], "inner")
+                .filter(F.col("s.dist") <= F.col("c.dist"))
+                .select("source", "node")
+            )
             improved = (
-                state.alias("s")
-                .join(F.broadcast(best_cand.alias("c")), on, "right")
-                .filter(F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist")))
-                .select(*sel)
-                .coalesce(1)
+                best_cand.join(F.broadcast(defeated), ["source", "node"], "left_anti")
                 .localCheckpoint(eager=True)
             )
         else:
@@ -448,6 +523,7 @@ def bsp_multi_sssp(
         if n_improved == 0:
             break
         small = n_improved <= broadcast_frontier_rows
+        n_frontier = n_improved
         _settled += n_improved
         anti = (F.col("s.source") == F.col("i.source")) & (F.col("s.node") == F.col("i.node"))
         imp = F.broadcast(improved.alias("i")) if small else improved.alias("i")
@@ -466,6 +542,9 @@ def bsp_multi_sssp(
                 state.coalesce(min(_shuffle_parts, max(8, _settled // 131_072)))
             )
             _dirty = False
+            base, pending = state, []
+        else:
+            pending.append(improved)
         frontier = improved
 
     if edges_pre_aggregated is None:

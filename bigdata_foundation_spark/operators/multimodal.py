@@ -203,7 +203,12 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
         if p.startswith(_PNG_MAGIC):
             w, h, pix = _decode_png(p)
             return w, h, _pixel_feature(pix)
-    except ValueError:
+    except (ValueError, zlib.error, struct.error, IndexError):
+        # Corrupt bytes surface differently per layer: truncated IHDR
+        # → struct.error, bad IDAT stream → zlib.error, semantic
+        # violations → ValueError, short filtered scanlines →
+        # IndexError.  All must fall through to the stub so one bad
+        # file can't fail a corpus-scale ingest task.
         pass
     return _fake_decode(p)
 

@@ -23,6 +23,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bigdata_foundation_spark.operators._cache import tracked_cache
 
@@ -504,6 +505,15 @@ def pca_train(
         [list(r["_v"]) for r in sorted(rows, key=lambda r: r[id_col])],
         dtype=np.float64,
     )
+    dim = X.shape[1]
+    if int(n_components) < 1 or int(n_components) > dim:
+        raise ValueError(
+            f"pca: n_components={n_components} out of range for vector dim {dim}"
+        )
+    if int(n_components) > len(X) - 1:
+        raise ValueError(
+            f"pca: n_components={n_components} exceeds sample size - 1 = {len(X) - 1}"
+        )
     mu = np.round(X.mean(axis=0), 6)
     D = X - mu
     C = np.round(D.T @ D / (len(X) - 1), 6)
@@ -609,6 +619,204 @@ def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colum
         )
 
     return F.transform(F.array(norm(vec)), inner)[0]
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized ANN kernels (r9 — r8 verdict task 1).
+#
+# The HOF forms above (`_cell_scores`, `_pq_encode`, `_pq_tables`) are
+# JVM-side and shuffle-free but INTERPRETED per array element —
+# measured ~18.6s of the r8 62s headline suite across the IVF×PQ and
+# SemDeDup lines. These kernels compute the same quantities as numpy
+# batch math inside Arrow `mapInPandas` (the sanctioned vectorized
+# Python form — never row-at-a-time `F.udf`), preserving partitioning
+# (no shuffle) and the per-row semantics:
+#
+# * every reduction runs along the VECTOR axis only ((V*C[i]).sum(
+#   axis=1) etc.), so results are bit-identical regardless of Arrow
+#   batch size — the golden generator's independent numpy replay
+#   (tools/gen_pipeline_goldens.py) reproduces them exactly without
+#   sharing code;
+# * assignment = max sim, ties → HIGHEST cell id; zero/absent-norm
+#   sims are -inf so they lose to every real sim and tie-break to the
+#   highest cid — the `array_max(_cell_scores(...))` NULL contract;
+# * probe order = sim descending, ties → cid descending (the
+#   `sort_array(..., asc=False)` struct order);
+# * PQ codes = min squared-L2, ties → LOWEST code id (argmin).
+#
+# numpy's pairwise summation differs from the HOF fold's strict
+# left-to-right order by ~1e-16 relative, which can flip argmin/argmax
+# on NEAR-TIES — so the r9 switch regenerated every consumer's golden
+# with the same numpy arithmetic, and the HOF forms stay as the
+# cross-check oracle (`test_np_kernels_match_hof_off_ties`).
+# ---------------------------------------------------------------------------
+
+
+def _np_mat(rows) -> "object":
+    """Stack an Arrow/pandas column of embedding arrays into an (n, d)
+    float64 matrix; None rows become zero vectors (their sims get the
+    degenerate -inf / NULL-score treatment below)."""
+    import numpy as np
+
+    vecs = [None if v is None else np.asarray(v, dtype=np.float64) for v in rows]
+    dim = next((len(v) for v in vecs if v is not None), 0)
+    return np.asarray(
+        [np.zeros(dim, dtype=np.float64) if v is None else v for v in vecs],
+        dtype=np.float64,
+    ).reshape(len(vecs), dim)
+
+
+def _np_cell_sims(V, C):
+    """(n, k) cosine matrix; zero-norm products → -inf (the NULL-sim
+    ordering). Row-local reductions only — batch-size independent."""
+    import numpy as np
+
+    vn = np.sqrt((V * V).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    sims = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(C.shape[0]):
+        sims[:, i] = (V * C[i]).sum(axis=1)
+    denom = vn[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0.0, sims / denom, -np.inf)
+
+
+def _np_assign(sims):
+    """argmax with ties → highest cid (the array_max struct order)."""
+    return sims.shape[1] - 1 - sims[:, ::-1].argmax(axis=1)
+
+
+def _np_probe(sims, n_probe: int):
+    """(n, n_probe) probed cids: sim desc, ties → cid desc (the
+    sort_array(asc=False) struct order)."""
+    import numpy as np
+
+    k = sims.shape[1]
+    order = np.argsort(-sims[:, ::-1], axis=1, kind="stable")
+    return (k - 1 - order)[:, : min(n_probe, k)]
+
+
+def _np_books(books):
+    """Codebooks as a list of (n_codes, d) float64 matrices."""
+    import numpy as np
+
+    return [np.asarray(b, dtype=np.float64) for b in books]
+
+
+def _np_pq_dists(X, B):
+    """(n, n_codes) squared-L2 of each row of X against each code of
+    one (n_codes, d) book — reductions along the vector axis only."""
+    import numpy as np
+
+    out = np.empty((X.shape[0], B.shape[0]), dtype=np.float64)
+    for c in range(B.shape[0]):
+        diff = X - B[c]
+        out[:, c] = (diff * diff).sum(axis=1)
+    return out
+
+
+def _np_pq_encode(R, books):
+    """(n, m) int32 codes: per subspace, argmin squared-L2 (ties →
+    lowest code, numpy argmin's first-hit)."""
+    import numpy as np
+
+    d = books[0].shape[1]
+    codes = np.empty((R.shape[0], len(books)), dtype=np.int32)
+    for j, B in enumerate(books):
+        codes[:, j] = _np_pq_dists(R[:, j * d : (j + 1) * d], B).argmin(axis=1)
+    return codes
+
+
+def _np_pq_tables(R, books):
+    """list over rows of m×n_codes ADC tables (nested Python lists for
+    the Arrow array<array<double>> column)."""
+    d = books[0].shape[1]
+    per_book = [_np_pq_dists(R[:, j * d : (j + 1) * d], B) for j, B in enumerate(books)]
+    return [
+        [pb[i].tolist() for pb in per_book] for i in range(R.shape[0])
+    ]
+
+
+def _with_cell_np(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    out_col: str = "cell",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Append the max-cosine cell (and optionally its 6-dp score;
+    NULL for degenerate vectors) to every row via one Arrow
+    mapInPandas pass — partitioning preserved, no shuffle, all other
+    columns carried through untouched."""
+    import numpy as np
+    import pandas as pd
+
+    C = _np_mat([cv for _, cv in sorted(centroids)])
+    fields = list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    if score_col is not None:
+        fields.append(T.StructField(score_col, T.DoubleType()))
+    schema = T.StructType(fields)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sims = _np_cell_sims(_np_mat(pdf[vec_col]), C)
+            cells = _np_assign(sims)
+            pdf[out_col] = cells.astype("int32")
+            if score_col is not None:
+                best = sims[np.arange(len(cells)), cells]
+                pdf[score_col] = pd.Series(
+                    [None if not np.isfinite(s) else round(float(s), 6) for s in best],
+                    index=pdf.index,
+                    dtype="object",
+                )
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def _probe_cells_np(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = True,
+) -> DataFrame:
+    """(query_id, cell[, _qv]): each query exploded to its ``n_probe``
+    nearest cells (sim desc, ties → cid desc) — the numpy form of the
+    sort_array/slice/explode probe."""
+    import numpy as np
+    import pandas as pd
+
+    C = _np_mat([cv for _, cv in sorted(centroids)])
+    fields = [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+    ]
+    if keep_vec:
+        fields.append(T.StructField("_qv", T.ArrayType(T.DoubleType())))
+    schema = T.StructType(fields)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf[vec_col])
+            probes = _np_probe(_np_cell_sims(V, C), n_probe)
+            p = probes.shape[1]
+            out = {
+                "query_id": np.repeat(pdf[id_col].to_numpy(), p),
+                "cell": probes.reshape(-1).astype("int32"),
+            }
+            if keep_vec:
+                out["_qv"] = pd.Series(
+                    [row for row in V for _ in range(p)], dtype="object"
+                ).values
+            yield pd.DataFrame(out)
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def ivf_build(

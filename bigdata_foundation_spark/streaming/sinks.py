@@ -111,22 +111,59 @@ def foreach_batch_scd2(
     n_events and append duplicate versions), so the last applied
     ``batch_id`` is persisted INSIDE the table directory (a
     ``_scd2_batch_id`` marker — underscore-prefixed, so Spark's parquet
-    reader ignores it) in the same atomic rename as the data. A
-    checkpoint replay after a crash between the rename and the
-    streaming commit sees ``batch_id <= last_applied`` and skips the
-    apply, so replays converge instead of corrupting the dimension.
+    reader ignores it) in the same atomic rename as the data, SCOPED
+    BY CHECKPOINT LINEAGE (r9, advisor): the marker records the
+    streaming query id Spark persists in the checkpoint's ``metadata``
+    file, which survives crash-restarts from the same checkpoint but
+    differs for every fresh checkpoint. A checkpoint replay after a
+    crash between the rename and the streaming commit sees the SAME
+    lineage with ``batch_id <= last_applied`` and skips the apply, so
+    replays converge instead of corrupting the dimension. A DIFFERENT
+    lineage writing to an existing marked table FAILS LOUDLY instead
+    of silently skipping — a fresh checkpoint restarts batch ids at 0,
+    so the plain ``<=`` guard would discard genuinely new data; a
+    target table is bound to one checkpoint lineage, and re-pointing
+    it requires deleting the marker (accepting that the new query must
+    not re-deliver already-applied rows).
     """
     from bigdata_foundation_spark.operators.relational import scd2_apply_batch
 
     marker = "_scd2_batch_id"
 
+    def _lineage(ckpt_dir: str) -> str:
+        # Spark writes {"id": "<uuid>"} into <ckpt>/metadata at query
+        # start (before any batch runs) and reuses it on every restart
+        # from that checkpoint — the durable identity of the lineage.
+        import json
+
+        meta = os.path.join(ckpt_dir, "metadata")
+        try:
+            with open(meta) as fh:
+                return str(json.load(fh)["id"])
+        except (OSError, ValueError, KeyError):
+            return os.path.abspath(ckpt_dir)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        lineage = _lineage(ckpt)
         mpath = os.path.join(target_path, marker)
         if os.path.isfile(mpath):
             with open(mpath) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # checkpoint replay of an already-applied batch
+                lines = fh.read().strip().splitlines()
+            stored_lineage = lines[0] if len(lines) > 1 else lineage
+            stored_id = int(lines[-1])
+            if stored_lineage != lineage:
+                raise RuntimeError(
+                    f"foreach_batch_scd2: target {target_path!r} was last "
+                    f"written by streaming lineage {stored_lineage!r} (through "
+                    f"batch {stored_id}); this query is lineage {lineage!r}. "
+                    "Batch ids are only comparable within one checkpoint "
+                    "lineage — resume from the original checkpoint, or delete "
+                    f"the {marker} file to re-bind the table (only safe if the "
+                    "new stream does not re-deliver applied rows)."
+                )
+            if batch_id <= stored_id:
+                return  # checkpoint replay of an already-applied batch
         if os.path.isdir(target_path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(target_path)
         ):
@@ -137,7 +174,7 @@ def foreach_batch_scd2(
         tmp = target_path.rstrip("/") + "._scd2_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, marker), "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(f"{lineage}\n{batch_id}")
         if os.path.isdir(target_path):
             shutil.rmtree(target_path)
         os.rename(tmp, target_path)

@@ -428,6 +428,41 @@ def test_multimodal_real_bmp_png_decode(spark):
     fw, fh, ffeat = M._fake_decode(corrupt)
     assert (got[3]["width"], got[3]["height"]) == (fw, fh)
 
+    # r9 (advisor, high): corrupt bytes past the magic sniff raise
+    # zlib.error (garbage IDAT stream) or struct.error (IHDR shorter
+    # than 13 bytes) rather than ValueError — both must still fall
+    # back to the stub, or a single truncated PNG fails the whole
+    # ingest mapInPandas task.
+    import struct
+    import zlib as _zl
+
+    def chunk(tag, body):
+        c = len(body).to_bytes(4, "big") + tag + body
+        return c + _zl.crc32(tag + body).to_bytes(4, "big")
+
+    bad_idat = (
+        M._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x00not-a-zlib-stream")
+        + chunk(b"IEND", b"")
+    )
+    short_ihdr = M._PNG_MAGIC + chunk(b"IHDR", b"\x00\x01\x02")  # 3 < 13 bytes
+    for broken in (bad_idat, short_ihdr):
+        w, h, feat = M._decode_payload(broken)
+        assert (w, h, feat) == M._fake_decode(broken)
+    got2 = {
+        r["media_id"]: r
+        for r in M.decode_features(
+            spark.createDataFrame(
+                [(7, bad_idat, "image/png", len(bad_idat)),
+                 (8, short_ihdr, "image/png", len(short_ihdr))],
+                M.MEDIA_SCHEMA,
+            )
+        ).collect()
+    }
+    assert got2[7]["width"] == M._fake_decode(bad_idat)[0]
+    assert got2[8]["width"] == M._fake_decode(short_ihdr)[0]
+
 
 # ---------------------------------------------------------------------------
 # as-of / range join / deterministic sampling

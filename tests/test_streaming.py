@@ -317,7 +317,10 @@ def test_streaming_scd2_equals_batch(spark, tmp_path):
         .parquet(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    foreach_batch_scd2(stream, target, "user_id", "event_type", "ts", "event_id")
+    foreach_batch_scd2(
+        stream, target, "user_id", "event_type", "ts", "event_id",
+        checkpoint_dir=ckpt,
+    )
 
     full = spark.createDataFrame(
         [r for b in batches for r in b], schema
@@ -336,10 +339,28 @@ def test_streaming_scd2_equals_batch(spark, tmp_path):
     assert (100, 2, "b", "2024-01-02 09:00:00", "2261-12-31 00:00:00", 2, True) in got
     assert (200, 1, "x", "2024-01-01 09:00:00", "2024-01-03 08:00:00", 1, False) in got
 
-    # Crash-replay discipline: re-delivering already-applied batches
-    # (fresh checkpoint, same source -> same batch ids over again) must
-    # NOT re-stitch — the persisted _scd2_batch_id marker skips them,
-    # so the dimension is byte-identical instead of re-extended/
-    # duplicate-versioned.
-    foreach_batch_scd2(stream, target, "user_id", "event_type", "ts", "event_id")
+    # Lineage discipline (r9, advisor): a DIFFERENT checkpoint lineage
+    # writing to the marked table must FAIL LOUDLY — a fresh checkpoint
+    # restarts batch ids at 0, so the old plain `<=` guard would have
+    # silently discarded genuinely new batches. The dimension stays
+    # untouched by the failed attempt.
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="lineage"):
+        foreach_batch_scd2(stream, target, "user_id", "event_type", "ts", "event_id")
     assert as_rows(spark.read.parquet(target)) == got
+
+    # Same-lineage continuation: resuming from the ORIGINAL checkpoint
+    # with new source data applies exactly the new batch (the intended
+    # incremental daily-run shape), replaying nothing.
+    late = [(9, "2024-01-04 06:00:00", 300, "r")]  # closes 300's 'q'
+    _write_batch(spark, src, late, schema, 9_000_000)
+    foreach_batch_scd2(
+        stream, target, "user_id", "event_type", "ts", "event_id",
+        checkpoint_dir=ckpt,
+    )
+    full2 = spark.createDataFrame(
+        [r for b in batches for r in b] + late, schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want2 = scd2_history(full2, "user_id", "event_type", "ts", "event_id")
+    assert as_rows(spark.read.parquet(target)) == as_rows(want2)
