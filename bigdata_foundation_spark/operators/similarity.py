@@ -311,21 +311,15 @@ def ivf_topk(
     and probing becomes partition pruning)."""
     centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("cell", F.array_max(_cell_scores(F.col("_cv"), centroids))["cid"])
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False), 1, n_probe),
-                lambda s: s["cid"],
-            )
+    c = _with_cell_np(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
         ),
+        centroids,
+        "_cv",
     )
+
+    q = _probe_cells_np(queries, centroids, n_probe, id_col, vec_col)
 
     cand = (
         F.broadcast(q).join(c, "cell")
@@ -819,6 +813,65 @@ def _probe_cells_np(
     return queries.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
+def _pq_corpus_codes_np(
+    corpus: DataFrame, books: list[list[list[float]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, _codes): raw-vector PQ encode — numpy argmin per
+    subspace over the broadcast codebook matrices, one Arrow pass."""
+    import pandas as pd
+
+    B = _np_books(books)
+    schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("_codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = _np_pq_encode(_np_mat(pdf[vec_col]), B)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "_codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def _pq_query_tables_np(
+    queries: DataFrame, books: list[list[list[float]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, _tbl): per-query ADC lookup tables (m × n_codes
+    squared-L2), numpy form of ``_pq_tables``."""
+    import pandas as pd
+
+    B = _np_books(books)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("_tbl", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].to_numpy(),
+                    "_tbl": _np_pq_tables(_np_mat(pdf[vec_col]), B),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def ivf_build(
     corpus: DataFrame,
     path: str,
@@ -835,9 +888,7 @@ def ivf_build(
     (``<path>__centroids``) so the query path needs no corpus pass."""
     centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
     spark = corpus.sparkSession
-    c = corpus.withColumn(
-        "cell", F.array_max(_cell_scores(_as_double(F.col(vec_col)), centroids))["cid"]
-    )
+    c = _with_cell_np(corpus, centroids, vec_col)
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
     spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cell int, centroid array<double>"
@@ -863,17 +914,7 @@ def ivf_query(
         (int(r["cell"]), list(r["centroid"]))
         for r in spark.read.parquet(path + "__centroids").collect()
     ]
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False), 1, n_probe),
-                lambda s: s["cid"],
-            )
-        ),
-    )
+    q = _probe_cells_np(queries, centroids, n_probe, id_col, vec_col)
     q = tracked_cache(q)  # evaluated twice (probed-cell collect + the
     # join) — cache so the probe assignment is computed once and is
     # consistent even if the incoming `queries` plan is nondeterministic
@@ -920,9 +961,7 @@ def ivf_append(
         (int(r["cell"]), list(r["centroid"]))
         for r in spark.read.parquet(path + "__centroids").collect()
     ]
-    c = new_corpus.withColumn(
-        "cell", F.array_max(_cell_scores(_as_double(F.col(vec_col)), centroids))["cid"]
-    )
+    c = _with_cell_np(new_corpus, centroids, vec_col)
     c.write.mode("append").partitionBy("cell").parquet(path)
 
 
@@ -1194,20 +1233,8 @@ def pq_topk(
     books = _pq_codebooks(
         corpus, id_col, vec_col, m, n_codes, sample_size, train_iters
     )
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-        )
-        .withColumn("_codes", _pq_encode(F.col("_cv"), books))
-        .drop("_cv")
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-        )
-        .withColumn("_tbl", _pq_tables(F.col("_qv"), books))
-        .drop("_qv")
-    )
+    c = _pq_corpus_codes_np(corpus, books, id_col, vec_col)
+    q = _pq_query_tables_np(queries, books, id_col, vec_col)
     joined = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     adc = None
     for j in range(m):
@@ -1302,21 +1329,41 @@ def _ivf_pq_corpus_codes(
     vec_col: str,
 ) -> DataFrame:
     """(neighbor_id, cell, _codes): each corpus vector's max-cosine
-    cell and the PQ codes of its residual — all literal-expression
-    codegen, no Python on data."""
-    cmat = _cell_matrix(centroids)
-    return (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-        )
-        .withColumn("cell", F.array_max(_cell_scores(F.col("_cv"), centroids))["cid"])
-        .withColumn(
-            "_rv",
-            F.zip_with(F.col("_cv"), F.element_at(cmat, F.col("cell") + 1), lambda x, y: x - y),
-        )
-        .withColumn("_codes", _pq_encode(F.col("_rv"), books))
-        .select("neighbor_id", "cell", "_codes")
+    cell and the PQ codes of its residual, fused into ONE Arrow
+    mapInPandas pass (r9 — numpy batch math replaced the interpreted
+    HOF expressions; residual subtraction is elementwise so it is
+    bit-identical, assignment/argmin near-ties follow the numpy
+    arithmetic the golden replay mirrors). Partitioning preserved —
+    no shuffle; centroids and codebooks ride the task closure."""
+    import numpy as np
+    import pandas as pd
+
+    C = _np_mat([cv for _, cv in sorted(centroids)])
+    B = _np_books(books)
+    schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("_codes", T.ArrayType(T.IntegerType())),
+        ]
     )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf[vec_col])
+            cells = _np_assign(_np_cell_sims(V, C))
+            codes = _np_pq_encode(V - C[cells], B)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "_codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def _ivf_pq_probe_tables(
@@ -1331,32 +1378,40 @@ def _ivf_pq_probe_tables(
     the ADC lookup tables of the query's residual AGAINST THAT CELL'S
     centroid — IVFPQ's per-cell asymmetric tables (the residual a
     stored vector was encoded against depends on its cell, so the
-    query must re-table per probed cell)."""
-    cmat = _cell_matrix(centroids)
-    return (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-        )
-        .withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False),
-                        1,
-                        n_probe,
-                    ),
-                    lambda s: s["cid"],
-                )
-            ),
-        )
-        .withColumn(
-            "_rq",
-            F.zip_with(F.col("_qv"), F.element_at(cmat, F.col("cell") + 1), lambda x, y: x - y),
-        )
-        .withColumn("_tbl", _pq_tables(F.col("_rq"), books))
-        .select("query_id", "cell", "_tbl")
+    query must re-table per probed cell). Fused probe + residual +
+    tables in one Arrow mapInPandas pass (r9)."""
+    import numpy as np
+    import pandas as pd
+
+    C = _np_mat([cv for _, cv in sorted(centroids)])
+    B = _np_books(books)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("_tbl", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
     )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf[vec_col])
+            probes = _np_probe(_np_cell_sims(V, C), n_probe)
+            p = probes.shape[1]
+            ridx = np.repeat(np.arange(V.shape[0]), p)
+            cells_flat = probes.reshape(-1)
+            tables = _np_pq_tables(V[ridx] - C[cells_flat], B)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), p),
+                    "cell": cells_flat.astype("int32"),
+                    "_tbl": tables,
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def _adc_rank(joined: DataFrame, m: int, k: int) -> DataFrame:
@@ -1722,22 +1777,49 @@ def semantic_dedup(
     from bigdata_foundation_spark.operators.dedup import duplicate_clusters
 
     centroids = _centroids_from(corpus, n_cells, id_col, vec_col)
-    c = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("cell", F.array_max(_cell_scores(F.col("_v"), centroids))["cid"])
-    left = c.select(
-        F.col(id_col).alias("id_a"), F.col("cell"), F.col("_v").alias("_va")
+    c = _with_cell_np(
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")),
+        centroids,
+        "_v",
     )
-    right = c.select(
-        F.col(id_col).alias("id_b"), F.col("cell"), F.col("_v").alias("_vb")
+    # Within-cell pair scan as ONE per-cell numpy cosine sweep (r9):
+    # the former cell-keyed self-join shipped BOTH vectors once per
+    # PAIR through the join and folded an interpreted-HOF cosine per
+    # pair; applyInPandas ships each vector once per CELL and sweeps
+    # the |cell|² upper triangle as row-local numpy reductions —
+    # identical pair set (zero-norm rows get -inf sims and fall out of
+    # the threshold, the NULL-cosine contract). Still exactly one
+    # keyed Exchange on `cell`, and the same 100 TB budget note
+    # applies: pick n_cells so a cell's vectors fit one task.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    pairs_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
     )
-    pairs = (
-        left.join(right, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
-        .filter(F.col("_cos") >= F.lit(float(threshold)))
-        .select("id_a", "id_b")
-    )
+
+    def cell_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = _np_mat(list(pdf["_v"].iloc[order]))
+        vn = np.sqrt((V * V).sum(axis=1))
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for i in range(n - 1):
+            dots = (V[i + 1 :] * V[i]).sum(axis=1)
+            denom = vn[i + 1 :] * vn[i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0.0, dots / denom, -np.inf)
+            for off in np.nonzero(sims >= thr)[0]:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + off]))
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+
+    pairs = c.groupBy("cell").applyInPandas(cell_pairs, pairs_schema)
     clusters = duplicate_clusters(pairs).select(
         F.col("node").alias(id_col), F.col("cluster_id").alias("duplicate_of")
     )
@@ -1782,9 +1864,6 @@ def kmeans_cluster(
     v = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("_v")
     )
-    best = F.array_max(_cell_scores(F.col("_v"), cents))
-    return v.select(
-        "id",
-        best["cid"].alias("cluster"),
-        F.round(best["sim"], 6).alias("score"),
+    return _with_cell_np(v, cents, "_v", out_col="cluster", score_col="score").select(
+        "id", "cluster", "score"
     )

@@ -220,15 +220,19 @@ def test_scd2_and_sessionize_single_exchange(spark):
 
 
 def test_ivf_pq_refine_plan_broadcast_no_python(spark):
-    """IVF×PQ refine (r7): the candidate fetch must reach the corpus
-    as BROADCAST hash joins (the |Q|·shortlist candidate set and the
-    query vectors are the built sides — the corpus is never shuffled),
-    with no cartesian and no Python eval; the exact re-rank is
-    codegen'd zip_with/aggregate."""
+    """IVF×PQ refine (r7, encode stage re-pinned r9): the candidate
+    fetch must reach the corpus as BROADCAST hash joins (the
+    |Q|·shortlist candidate set and the query vectors are the built
+    sides — the corpus is never shuffled), with no cartesian and no
+    row-at-a-time Python; the encode/probe are Arrow MapInPandas
+    stages and the exact re-rank is codegen'd zip_with/aggregate."""
     plan = plan_of(spark, "ann_ivf_pq_refine")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+    # r9: encode/probe are Arrow-vectorized MapInPandas stages (numpy
+    # batch math); row-at-a-time Python remains banned.
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" in plan, plan
     # the corpus side must not be exchanged for the refine joins:
     # hash-partitioning exchanges may appear only for windows (SinglePartition)
     import re
@@ -259,14 +263,19 @@ def test_exact_substring_no_cartesian_one_fingerprint_shuffle(spark):
 
 
 def test_ivf_pq_scan_broadcast_literals_no_python(spark):
-    """IVF×PQ (r7): centroids and codebooks must ride the plan as
-    FOLDED LITERALS (no Python on data, no side table join for the
-    model), the probe join must broadcast the small query side, and
-    there must be no cartesian — the registry entry's whole pipeline
-    is scan → codegen encode → one broadcast hash join → window."""
+    """IVF×PQ (r7, re-pinned r9): centroids and codebooks must ride
+    WITH the tasks (closure-broadcast into the Arrow encode stage — no
+    side table join for the model), the probe join must broadcast the
+    small query side, and there must be no cartesian — the registry
+    entry's whole pipeline is scan → one Arrow encode stage → one
+    broadcast hash join → codegen ADC window."""
     plan = plan_of(spark, "ann_ivf_pq_topk")
     assert "CartesianProduct" not in plan
+    # r9: the corpus encode and the query probe/tables are each ONE
+    # Arrow MapInPandas stage; row-at-a-time Python remains banned and
+    # the ADC sum + ranking stay codegen'd JVM expressions.
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
 

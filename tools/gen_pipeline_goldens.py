@@ -417,6 +417,79 @@ def _cos(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# --- numpy ANN arithmetic (r9) ---------------------------------------------
+# The engine's scan-side ANN kernels (cell assignment, PQ encode, ADC
+# tables) are Arrow-vectorized numpy since r9; these helpers replay
+# that arithmetic with the SAME row-local reductions ((V*C[i]).sum(
+# axis=1), ((X-B[c])**2).sum(axis=1)) so results are bit-identical
+# regardless of how rows are batched. Training (Lloyd, codebooks)
+# remains the driver-side fold arithmetic replayed elsewhere in this
+# file — only scan-side quantities moved to numpy.
+# Tie/degenerate contracts mirrored: assignment = max sim, ties →
+# HIGHEST cid, zero-norm products → -inf; probe order = sim desc,
+# ties → cid desc; PQ codes = argmin squared-L2, ties → LOWEST code.
+
+
+def _npm(rows):
+    import numpy as np
+
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in rows], dtype=np.float64)
+
+
+def _np_sims(V, C):
+    import numpy as np
+
+    vn = np.sqrt((V * V).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    sims = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(C.shape[0]):
+        sims[:, i] = (V * C[i]).sum(axis=1)
+    denom = vn[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0.0, sims / denom, -np.inf)
+
+
+def _np_cells(V, C):
+    sims = _np_sims(V, C)
+    return [int(c) for c in sims.shape[1] - 1 - sims[:, ::-1].argmax(axis=1)]
+
+
+def _np_probe_ids(V, C, n_probe):
+    import numpy as np
+
+    sims = _np_sims(V, C)
+    k = sims.shape[1]
+    order = np.argsort(-sims[:, ::-1], axis=1, kind="stable")
+    return [[int(c) for c in row[: min(n_probe, k)]] for row in (k - 1 - order)]
+
+
+def _np_sqdists(X, B):
+    import numpy as np
+
+    out = np.empty((X.shape[0], B.shape[0]), dtype=np.float64)
+    for c in range(B.shape[0]):
+        diff = X - B[c]
+        out[:, c] = (diff * diff).sum(axis=1)
+    return out
+
+
+def _np_codes(R, books):
+    d = books[0].shape[1]
+    return [
+        [int(_np_sqdists(R[i : i + 1, j * d : (j + 1) * d], B).argmin()) for j, B in enumerate(books)]
+        for i in range(R.shape[0])
+    ]
+
+
+def _np_tables_row(r, books):
+    d = books[0].shape[1]
+    R = r.reshape(1, -1)
+    return [
+        [float(x) for x in _np_sqdists(R[:, j * d : (j + 1) * d], B)[0]]
+        for j, B in enumerate(books)
+    ]
+
+
 def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8, lloyd_iters=2):
     """Replay of similarity.ivf_topk: hash-spread centroid seeds (the
     n_cells ids with smallest (xxhash64(id), id) — same selection the
@@ -456,7 +529,9 @@ def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8, lloyd_iters=2):
             for cid, cvec in centroids
         ]
 
-    corpus_cell = {vid: max(cell_scores(v))[1] for vid, v in vecs}
+    _C = _npm([cvec for _cid, cvec in centroids])
+    _ids = [vid for vid, _v in vecs]
+    corpus_cell = dict(zip(_ids, _np_cells(_npm([v for _vid, v in vecs]), _C)))
     cells: dict[int, list[int]] = {}
     for vid, cell in corpus_cell.items():
         cells.setdefault(cell, []).append(vid)
@@ -464,7 +539,7 @@ def ivf_golden(vecs, k=5, n_cells=16, n_probe=4, max_query_id=8, lloyd_iters=2):
     out = []
     for qid in sorted(vid for vid in byid if vid < max_query_id):
         qv = byid[qid]
-        probed = [cid for _s, cid in sorted(cell_scores(qv), reverse=True)[:n_probe]]
+        probed = _np_probe_ids(_npm([qv]), _C, n_probe)[0]
         cand = {nid for cid in probed for nid in cells.get(cid, ()) if nid != qid}
         scored = sorted(
             ((r6(_cos(qv, byid[nid])), nid) for nid in cand),
@@ -1374,22 +1449,14 @@ def pq_golden(vecs, k=5, m=8, n_codes=16, sample_size=4096, train_iters=5, max_q
                     C[ci] = [round(sums[ci][i_] / counts[ci], 6) for i_ in range(d)]
         books.append(C)
 
-    def encode(v):
-        codes = []
-        for j, book in enumerate(books):
-            x = v[j * d : (j + 1) * d]
-            dists = [sum((xi - ci) ** 2 for xi, ci in zip(x, c)) for c in book]
-            codes.append(dists.index(min(dists)))
-        return codes
-
-    corpus_codes = {vid: encode(v) for vid, v in vecs}
+    _B = [_npm(book) for book in books]
+    corpus_codes = dict(
+        zip([vid for vid, _v in vecs], _np_codes(_npm([v for _vid, v in vecs]), _B))
+    )
     rows = []
     for qid in sorted(vid for vid in byid if vid < max_query_id):
         qv = byid[qid]
-        tables = [
-            [sum((xi - ci) ** 2 for xi, ci in zip(qv[j * d : (j + 1) * d], c)) for c in book]
-            for j, book in enumerate(books)
-        ]
+        tables = _np_tables_row(_npm([qv])[0], _B)
         scored = []
         for vid, codes in corpus_codes.items():
             if vid == qid:
@@ -1476,8 +1543,14 @@ def ivf_pq_golden(
     sample_ids = sorted(hash_order)
     assert dim % m == 0
     d = dim // m
+    # Codebook TRAINING residuals keep the driver-side fold
+    # assignment (the engine trains from the collected sample with
+    # _py_cos); SCAN-side cells/codes below use the numpy kernels.
     resid_of = {vid: resid(v)[1] for vid, v in vecs}
-    cell_of = {vid: resid(v)[0] for vid, v in vecs}
+    _C = _npm([cvec for _cid, cvec in centroids])
+    _ids = [vid for vid, _v in vecs]
+    _V = _npm([v for _vid, v in vecs])
+    cell_of = dict(zip(_ids, _np_cells(_V, _C)))
     books = []
     for j in range(m):
         C = [list(resid_of[vid][j * d : (j + 1) * d]) for vid in seed_ids]
@@ -1496,15 +1569,12 @@ def ivf_pq_golden(
                     C[ci] = [round(sums_[ci][i_] / counts_[ci], 6) for i_ in range(d)]
         books.append(C)
 
-    def encode(rv):
-        codes = []
-        for j, book in enumerate(books):
-            x = rv[j * d : (j + 1) * d]
-            dists = [sum((xi - ci) ** 2 for xi, ci in zip(x, c)) for c in book]
-            codes.append(dists.index(min(dists)))
-        return codes
+    _B = [_npm(book) for book in books]
+    # scan-side encode: residual against the NUMPY-assigned cell
+    import numpy as _np_
 
-    corpus_codes = {vid: encode(rv) for vid, rv in resid_of.items()}
+    _cells_arr = _np_.asarray([cell_of[vid] for vid in _ids])
+    corpus_codes = dict(zip(_ids, _np_codes(_V - _C[_cells_arr], _B)))
     cells: dict[int, list[int]] = {}
     for vid, cell in cell_of.items():
         cells.setdefault(cell, []).append(vid)
@@ -1512,17 +1582,11 @@ def ivf_pq_golden(
     rows = []
     for qid in sorted(vid for vid in byid if vid < max_query_id):
         qv = byid[qid]
-        probed = [cid for _s, cid in sorted(cell_scores(qv), reverse=True)[:n_probe]]
+        qvm = _npm([qv])
+        probed = _np_probe_ids(qvm, _C, n_probe)[0]
         scored = []
         for cid in probed:
-            qr = [x - y for x, y in zip(qv, cent[cid])]
-            tables = [
-                [
-                    sum((xi - ci) ** 2 for xi, ci in zip(qr[j * d : (j + 1) * d], c))
-                    for c in book
-                ]
-                for j, book in enumerate(books)
-            ]
+            tables = _np_tables_row((qvm - _C[cid : cid + 1])[0], _B)
             for nid in cells.get(cid, ()):
                 if nid == qid:
                     continue
@@ -1599,7 +1663,12 @@ def semdedup_golden(vecs, threshold=0.95, n_cells=16, lloyd_iters=2):
             for cid, cvec in centroids
         ]
 
-    cell_of = {vid: max(cell_scores(v))[1] for vid, v in vecs}
+    cell_of = dict(
+        zip(
+            [vid for vid, _v in vecs],
+            _np_cells(_npm([v for _vid, v in vecs]), _npm([cv for _cid, cv in centroids])),
+        )
+    )
     cells: dict[int, list[int]] = {}
     for vid, cell in cell_of.items():
         cells.setdefault(cell, []).append(vid)
@@ -1614,21 +1683,26 @@ def semdedup_golden(vecs, threshold=0.95, n_cells=16, lloyd_iters=2):
             parent[x], x = r, parent[x]
         return r
 
+    # r9: numpy pair sweep mirroring the engine's per-cell
+    # applyInPandas kernel — same row-local reductions, same -inf
+    # zero-norm exclusion, same sorted-id upper triangle.
+    import numpy as _np_
+
     for cell, members in cells.items():
         ms = sorted(members)
-        for i in range(len(ms)):
-            va = byid[ms[i]]
-            na = _norm(va)
-            if na == 0.0:
-                continue
-            for j in range(i + 1, len(ms)):
-                vb = byid[ms[j]]
-                if _norm(vb) == 0.0:
-                    continue
-                if _cos(va, vb) >= threshold:
-                    ra, rb = find(ms[i]), find(ms[j])
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
+        if len(ms) < 2:
+            continue
+        Vc = _npm([byid[m] for m in ms])
+        vn = _np_.sqrt((Vc * Vc).sum(axis=1))
+        for i in range(len(ms) - 1):
+            dots = (Vc[i + 1 :] * Vc[i]).sum(axis=1)
+            denom = vn[i + 1 :] * vn[i]
+            with _np_.errstate(divide="ignore", invalid="ignore"):
+                sims = _np_.where(denom > 0.0, dots / denom, -_np_.inf)
+            for off in _np_.nonzero(sims >= threshold)[0]:
+                ra, rb = find(ms[i]), find(ms[i + 1 + int(off)])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
 
     groups: dict[int, list[int]] = {}
     for vid in byid:
@@ -1849,10 +1923,15 @@ def kmeans_golden(vecs, k=16, lloyd_iters=4):
             )
             for cid, cvec in centroids
         ]
+    import numpy as _np_
+
+    _C = _npm([cv for _cid, cv in centroids])
     rows = []
     for vid, v in sorted(vecs):
-        sim, cid = max(cell_scores(v))
-        rows.append((vid, cid, round(sim, 6)))
+        sims = _np_sims(_npm([v]), _C)[0]
+        cid = int(len(sims) - 1 - sims[::-1].argmax())
+        s = sims[cid]
+        rows.append((vid, cid, None if not _np_.isfinite(s) else round(float(s), 6)))
     return values_sql(
         [("id", "BIGINT"), ("cluster", "INTEGER"), ("score", "DOUBLE")], rows
     )
