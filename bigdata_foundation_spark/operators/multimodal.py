@@ -5,15 +5,17 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` transforms, so each executor processes whole record
 batches without JVM↔Python per-row overhead.
 
-Codec status (r8): BMP (24-bpp BI_RGB) and PNG (8-bit gray/RGB/RGBA,
-non-interlaced, all five scanline filters) DECODE REAL BYTES with
-stdlib-only parsing (``struct`` + ``zlib`` — no image libraries in
+Codec status (r9): BMP (24-bpp BI_RGB), PNG (8-bit gray/RGB/RGBA,
+non-interlaced, all five scanline filters) and BASELINE JPEG (ITU
+T.81 SOF0 sequential DCT — 8-bit gray/YCbCr, any sampling factors,
+restart markers) DECODE REAL BYTES with stdlib-only parsing
+(``struct`` + ``zlib`` + the float IDCT below — no image libraries in
 this container), producing true dimensions and pixel-derived
-features. JPEG / audio / video remain STUBBED behind the
-deterministic ``_fake_decode`` (clearly marked below); a real
-deployment swaps that one function for PIL/libav while everything
-around it — Arrow batching, schemas, partitioning, UDF signatures —
-is already the production plumbing.
+features. Progressive/arithmetic JPEG and audio / video remain
+STUBBED behind the deterministic ``_fake_decode`` (clearly marked
+below); a real deployment swaps that one function for PIL/libav while
+everything around it — Arrow batching, schemas, partitioning, UDF
+signatures — is already the production plumbing.
 """
 
 from __future__ import annotations
@@ -52,7 +54,9 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB — deterministic stand-in for a real image/audio decode.
+    """STUB — deterministic stand-in for the decoders NOT implemented
+    here (progressive/arithmetic JPEG, audio, video; corrupt bytes of
+    any format also land here so ingest stays a total function).
 
     A real deployment swaps this one function for PIL/libav decode;
     everything around it (Arrow batching, schema, partitioning) is the
@@ -171,6 +175,256 @@ def _decode_png(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return w, h, pix
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_BASIS: list[list[float]] | None = None
+
+
+def _idct_basis() -> list[list[float]]:
+    """8-point DCT-III basis matrix B[x][u] = c(u)/2 · cos((2x+1)uπ/16)
+    — precomputed once; the 2-D IDCT is B·X·Bᵀ (ITU T.81 A.3.3)."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        _IDCT_BASIS = [
+            [
+                (math.sqrt(0.125) if u == 0 else 0.5)
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    return _IDCT_BASIS
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with JPEG
+    byte stuffing (0xFF 0x00 → literal 0xFF) and restart-marker
+    awareness (T.81 §B.1.1.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d, p = self.d, self.pos
+        if p >= len(d):
+            raise ValueError("jpeg: truncated entropy data")
+        byte = d[p]
+        if byte == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                pass  # stuffed 0xFF — consume the 0x00 when advancing
+            else:
+                raise ValueError("jpeg: hit marker inside entropy data")
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if byte == 0xFF else 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 §E.2.4)."""
+        self.bit = 0
+        d = self.d
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("jpeg: missing restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: bad huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map the t-bit magnitude to its signed
+    coefficient value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Stdlib baseline-JPEG decode (ITU T.81, SOF0 sequential DCT,
+    8-bit, 1 or 3 components, any sampling factors, restart markers):
+    marker walk → DQT/DHT/SOF0/SOS parse, huffman-decode the
+    interleaved MCU stream (DC diff coding + AC run/size RLE),
+    dequantize in zigzag order, 2-D float IDCT per 8×8 block,
+    nearest-neighbor chroma upsample, YCbCr→RGB (JFIF full-range).
+    Returns (width, height, row-major top-down RGB). Raises ValueError
+    on progressive (SOF2) / arithmetic / 12-bit / 4-component CMYK —
+    the caller falls back to the labeled stub for those."""
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        raise ValueError("not JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    restart = 0
+    pos = 2
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker")
+        marker = p[pos + 1]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline SOF0 supported")
+        ln = struct.unpack_from(">H", p, pos + 2)[0]
+        seg = p[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise ValueError("jpeg: only 8-bit quant tables")
+                qt[tq] = list(seg[o + 1 : o + 65])
+                o += 65
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError("jpeg: only 8-bit gray/YCbCr")
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 0xF, seg[8 + 3 * i])
+                for i in range(nc)
+            ]
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                counts = list(seg[o + 1 : o + 17])
+                syms = seg[o + 17 : o + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for bit_ln in range(1, 17):
+                    for _ in range(counts[bit_ln - 1]):
+                        table[(bit_ln, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                o += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cid_index[cid], tabs >> 4, tabs & 0xF))
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if w is None or not comps or not scan:
+        raise ValueError("jpeg: missing SOF0/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for _cid, hs, vs, _tq in comps:
+        planes.append([[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)])
+
+    basis = _idct_basis()
+    bits = _JpegBits(p, pos)
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                bits.align_restart()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, dc_t, ac_t in scan:
+                _cid, hs, vs, tq = comps[ci]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        t = _jpeg_huff_decode(bits, huff[(0, dc_t)])
+                        diff = _jpeg_extend(bits.receive(t), t)
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            zz[k] = _jpeg_extend(bits.receive(s), s) * q[k]
+                            k += 1
+                        blk = [[0.0] * 8 for _ in range(8)]
+                        for i in range(64):
+                            blk[_ZIGZAG[i] >> 3][_ZIGZAG[i] & 7] = float(zz[i])
+                        # out = B · blk · Bᵀ, +128 level shift, clamp
+                        tmp = [
+                            [sum(basis[x][u] * blk[u][v] for u in range(8)) for v in range(8)]
+                            for x in range(8)
+                        ]
+                        plane = planes[ci]
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        for x in range(8):
+                            row = plane[y0 + x]
+                            trow = tmp[x]
+                            for y in range(8):
+                                v = sum(trow[u] * basis[y][u] for u in range(8)) + 128.0
+                                row[x0 + y] = 0 if v < 0 else (255 if v > 255 else int(v + 0.5))
+
+    pix: list[tuple[int, int, int]] = []
+    if len(comps) == 1:
+        hs, vs = comps[0][1], comps[0][2]
+        plane = planes[0]
+        for yy in range(h):
+            for xx in range(w):
+                v = plane[yy * vs // vmax][xx * hs // hmax]
+                pix.append((v, v, v))
+        return w, h, pix
+    for yy in range(h):
+        for xx in range(w):
+            vals = []
+            for ci in range(3):
+                hs, vs = comps[ci][1], comps[ci][2]
+                vals.append(planes[ci][yy * vs // vmax][xx * hs // hmax])
+            y, cb, cr = float(vals[0]), vals[1] - 128.0, vals[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            pix.append(
+                tuple(
+                    0 if v < 0 else (255 if v > 255 else int(v + 0.5))
+                    for v in (r, g, b)
+                )
+            )
+    return w, h, pix
+
+
 def _pixel_feature(pix: list[tuple[int, int, int]]) -> list[float]:
     """8-float feature from REAL pixels, all in [0, 1]: per-channel
     means, gray mean/min/max, bright-pixel fraction, gray stddev —
@@ -202,6 +456,9 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
             return w, h, _pixel_feature(pix)
         if p.startswith(_PNG_MAGIC):
             w, h, pix = _decode_png(p)
+            return w, h, _pixel_feature(pix)
+        if p[:3] == b"\xff\xd8\xff":
+            w, h, pix = _decode_jpeg(p)
             return w, h, _pixel_feature(pix)
     except (ValueError, zlib.error, struct.error, IndexError):
         # Corrupt bytes surface differently per layer: truncated IHDR

@@ -10,6 +10,17 @@ the 10×-up and 10×-down points.
 
 Usage:
     python tools/pipeline_sweep.py            # prints the markdown table
+    python tools/pipeline_sweep.py --sf1      # adds a generated 10x (sf1) column
+
+The sf1 decade (r9 — r8 verdict task 6) is GENERATED, not shipped:
+each sf0.1 table is decade-extended 10x with id offsets and
+deterministic per-copy mutations chosen so the copies are NOT
+near-duplicates of their originals (documents: seeded word shuffle;
+embeddings: 0.5·v + unit noise, cosine to the original ~0.45; events:
+user-id shifts — 10x the users with similar per-user history, the
+realistic growth axis for SCD2/sessionize). Row counts and dup
+densities therefore scale honestly rather than degenerating into one
+giant duplicate cluster.
 """
 
 from __future__ import annotations
@@ -20,6 +31,73 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def make_sf1(out_dir: str, base: str = "/root/testdata/sf0.1") -> str:
+    """Write a synthetic sf1 (10x sf0.1) decade of documents /
+    embeddings / events into ``out_dir``. Driver-side pyarrow — the
+    inputs are ~100 MB; generation is seconds and deterministic."""
+    import os
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(f"{base}/documents.parquet").to_pylist()
+    out = []
+    for k in range(10):
+        for r in docs:
+            r2 = dict(r)
+            r2["doc_id"] = r["doc_id"] + k * 10_000
+            if k:
+                words = r["text"].split(" ")
+                random.Random(k * 1_000_003 + r["doc_id"]).shuffle(words)
+                r2["text"] = " ".join(words)
+                r2["n_chars"] = len(r2["text"])
+            out.append(r2)
+    pq.write_table(pa.Table.from_pylist(out), f"{out_dir}/documents.parquet")
+
+    emb = pq.read_table(f"{base}/embeddings.parquet")
+    V = np.asarray([list(v) for v in emb.column("embedding").to_pylist()], dtype=np.float32)
+    ids = np.asarray(emb.column("vec_id").to_pylist())
+    labels = np.asarray(emb.column("label").to_pylist())
+    vs, is_, ls = [V], [ids], [labels]
+    for k in range(1, 10):
+        rng = np.random.default_rng(k)
+        vs.append((0.5 * V + rng.standard_normal(V.shape).astype(np.float32)))
+        is_.append(ids + k * 10_000)
+        ls.append(labels)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.concatenate(is_),
+                "embedding": pa.array([list(map(float, v)) for v in np.concatenate(vs)], pa.list_(pa.float32())),
+                "label": pa.array(np.concatenate(ls), pa.int32()),
+            }
+        ),
+        f"{out_dir}/embeddings.parquet",
+    )
+
+    ev = pq.read_table(f"{base}/events.parquet")
+    parts = [ev]
+    n_users = 1 + max(ev.column("user_id").to_pylist())
+    for k in range(1, 10):
+        t = ev.set_column(
+            ev.schema.get_field_index("event_id"),
+            "event_id",
+            pa.array([e + k * 1_000_000 for e in ev.column("event_id").to_pylist()]),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array([u + k * n_users for u in ev.column("user_id").to_pylist()]),
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
+    return out_dir
 
 # The r7-late additions plus the heaviest established pipeline ops —
 # the set whose scaling shape is not already covered by SWEEP.md
@@ -59,11 +137,19 @@ def main() -> int:
     # JVM warmup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    print("| query | sf0.001 s (rows) | sf0.01 s (rows) | sf0.1 s (rows) |")
-    print("| --- | --- | --- | --- |")
+    sfs = list(SFS)
+    header = "| query | sf0.001 s (rows) | sf0.01 s (rows) | sf0.1 s (rows) |"
+    if "--sf1" in sys.argv:
+        import tempfile
+
+        sf1 = make_sf1(tempfile.mkdtemp(prefix="sweep_sf1_"))
+        sfs.append(sf1)
+        header = header[:-1] + " sf1 s (rows) |"
+    print(header)
+    print("| --- | --- | --- |" + (" --- |" if len(sfs) == 3 else " --- | --- |"))
     for name in PICKS:
         cells = []
-        for sf in SFS:
+        for sf in sfs:
             t0 = time.perf_counter()
             try:
                 n = reg[name].fn(spark, sf).count()
