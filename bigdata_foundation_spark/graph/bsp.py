@@ -24,15 +24,23 @@ Scale design decisions (SURVEY.md §4.3 hard-parts list):
   BSP analog of A*'s OPEN-list pruning / Dijkstra's settled-target
   early exit. h is a column expression (Euclidean on planar coords),
   evaluated JVM-side.
-* **Adaptive broadcast supersteps (r8)** — while the frontier is small
-  (its exact size is known: it is last step's materialized
-  improvements), every per-superstep join pins the small side as a
-  broadcast build, so neither the edge projection nor the settled
-  state is ever sorted or exchanged; wider frontiers fall back to the
-  shuffle shapes per step. Single-source defaults the threshold ON
-  (high-diameter runs live in the small-frontier regime); multi-source
-  defaults it OFF (candidate sets multiply by |sources| × degree —
-  measured A/B in KERNEL_BENCH §r8). Partition width tracks
+* **Adaptive broadcast supersteps (r8, shapes corrected r9)** — while
+  the frontier is small (its exact size is known: it is last step's
+  materialized improvements) and the candidate bound |frontier| ×
+  max-out-degree stays under the broadcast budget, every per-superstep
+  join pins the small side as a SUPPORTED broadcast build (the r8
+  right-outer hint was an unsupported BroadcastHashJoin shape that
+  silently planned a both-sides SortMergeJoin; r9 decomposes the
+  improvement test into inner-"defeated" + left-anti, both
+  build-right). The improvement test reads the settled BASE checkpoint
+  plus the pending frontiers directly, so the state lineage is only
+  evaluated at its periodic flatten. Single-source defaults the
+  threshold ON (high-diameter runs live in the small-frontier regime);
+  multi-source defaults it OFF — r9's A/B shows the all-shuffle run
+  keeps the state hash-partitioned on the key through localCheckpoint
+  and reuses that Exchange every wide superstep, which mixed broadcast
+  steps forfeit (243 vs 308 s on the 64-source 1M-edge wave,
+  bit-exact; KERNEL_BENCH §r9). Partition width tracks
   ~128k rows/partition with a floor of 8 — small-frontier supersteps
   are task-scheduling bound, not data bound.
 
@@ -420,18 +428,28 @@ def bsp_multi_sssp(
     min-cost (src, dst, cost) projection shared across waves.
 
     Supersteps whose combined frontier holds ≤
-    ``broadcast_frontier_rows`` rows run the adaptive BROADCAST shapes
-    (see :func:`bsp_sssp` — frontier→edges hash probe, flipped
-    right-outer improvement test, broadcast anti-join; distances
-    bit-identical, state never exchanged); wider waves fall back to
-    the shuffle plans per step. The DEFAULT here is 0 (shuffle only),
-    the opposite of ``bsp_sssp``: multi-source candidate sets multiply
-    by |sources| × degree, so the threshold — set from the PREVIOUS
-    step's improved count — fires one step late and broadcasts a
-    ~|frontier|·degree-row build side (measured 281 vs 212 s on the
-    64-source 1M-edge wave). Pass a positive threshold for
-    high-diameter many-source waves whose per-source frontiers stay
-    genuinely small.
+    ``broadcast_frontier_rows`` rows AND whose candidate bound
+    |frontier| × max-out-degree stays ≤ ``broadcast_candidate_rows``
+    run the adaptive BROADCAST shapes (see :func:`bsp_sssp` —
+    frontier→edges hash probe, two-join EXISTS improvement test,
+    broadcast anti-join; distances bit-identical). The DEFAULT here is
+    0 (shuffle only), the opposite of ``bsp_sssp`` — and r9's A/B
+    shows WHY, beyond r8's late-threshold hypothesis: even with exact
+    per-THIS-step candidate gating the adaptive arm loses on the
+    64-source 1M-edge expander wave (243 s shuffle-only vs 308 s,
+    bit-exact; KERNEL_BENCH §r9). The root cause is PARTITIONING
+    REUSE: in the all-shuffle run every improvement join and state
+    anti-join leaves the multi-million-row state hash-partitioned on
+    (source, node), the periodic ``localCheckpoint`` PRESERVES that
+    partitioning, and each later sort-merge join reuses it instead of
+    re-Exchanging the state — while mixed broadcast supersteps emit
+    pass-through partitioning that forces the wide steps to re-shuffle
+    the state from scratch. Expander waves spend almost all their
+    rows in wide supersteps, so the few cheap broadcast steps cannot
+    buy back even one extra state Exchange. Pass a positive threshold
+    only for high-diameter many-source waves whose frontiers stay
+    small for MOST of the run (where the single-source win profile
+    applies).
     """
     _shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if edges_pre_aggregated is not None:

@@ -1680,3 +1680,104 @@ def cms_estimate(
     # xxhash64 silently skips NULL args, which would otherwise hash
     # only the row salt and return an arbitrary cell's count.
     return df.withColumn(out_col, F.when(F.col(token_col).isNotNull(), est))
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3) —
+    the step AFTER perplexity scoring that every CCNet-style pipeline
+    runs: per LANGUAGE, rank documents by LM perplexity and cut the
+    ranking into equal thirds. "head" (lowest perplexity) is the
+    cleanest slice, the usual pre-training pick; "tail" is the
+    garbled/outlier slice. Scoring reuses
+    :func:`unigram_logprob_score` (the SQL-replayable unigram LM);
+    the split is an ``ntile(n_buckets)`` window per language ordered
+    by (nll, id) — ties on identical token multisets break by id, so
+    the bucketing is deterministic and oracle-replayable.
+
+    Returns (id, lang, n_tokens, nll_per_token, bucket). Scale shape:
+    the LM aggregate + score joins from the scorer, then ONE
+    hash-Exchange on lang for the window — per-language ranking is
+    the shuffle, exactly as wide as the language cardinality allows.
+    Zero-token documents are absent (nothing to score)."""
+    scored = unigram_logprob_score(documents, text_col, id_col)
+    j = documents.select(F.col(id_col), F.col(lang_col)).join(scored, id_col)
+    # QUANTIZED sort key: two documents with identical token-count
+    # multisets have mathematically equal nll, but float summation
+    # order makes the raw doubles differ by ~1e-16 per partitioning —
+    # which would flip their ntile order run to run. Rounding the KEY
+    # to the 6-dp quantum (output stays raw) collapses those to true
+    # ties, broken deterministically by id; the ~1e-13 avg wobble sits
+    # far below the half-quantum, so the rounded key is reproducible
+    # across partitionings AND engines.
+    w = Window.partitionBy(lang_col).orderBy(
+        F.round(F.col("nll_per_token"), 6).asc(), F.asc(id_col)
+    )
+    nt = F.ntile(int(n_buckets)).over(w)
+    bucket = (
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail")
+        if int(n_buckets) == 3
+        else nt.cast("string")
+    )
+    return j.select(
+        id_col, lang_col, "n_tokens", "nll_per_token", bucket.alias("bucket")
+    )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies — the classic
+    distributional health check for a text corpus (natural language
+    sits near slope −1 on the log-log rank/frequency line; templated
+    or machine-generated corpora bend away from it, which is why
+    corpus audits report it alongside Gopher's repetition signals).
+
+    OLS of ln(frequency) on ln(rank) over the ``top_n`` most frequent
+    tokens (rank ties break by token string, so the line is
+    deterministic). Returns ONE row: (n_points, zipf_slope,
+    ln_intercept), both 6-dp rounded.
+
+    Scale shape: one token-count aggregate (map-side partial), a
+    top-n rank (TakeOrdered-sized — never a global sort of the
+    vocabulary), then a 5-scalar OLS aggregate; nothing about the
+    corpus volume survives past the count aggregate."""
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # TakeOrdered-sized top-n FIRST (limit after orderBy plans as
+    # TakeOrderedAndProject — per-partition top-n, no global sort of
+    # the vocabulary), THEN the rank window over just those n rows.
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    pts = (
+        counts.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(int(top_n))
+        .withColumn("r", F.row_number().over(w))
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("ln_intercept"),
+    )

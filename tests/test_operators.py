@@ -2290,6 +2290,65 @@ def test_unigram_perplexity_semantics(spark):
         assert abs(got2[i] - got[i]["nll_per_token"]) < 1e-9
 
 
+def test_perplexity_buckets_semantics(spark):
+    """CCNet bucketing (NEW r9): per language the head/middle/tail
+    split is an ntile over (nll, id) — bucket sizes differ by ≤1
+    within a language, every head doc scores ≤ every tail doc of the
+    same language, zero-token docs are absent, and the split is
+    deterministic across partitionings."""
+    from bigdata_foundation_spark.operators.text import perplexity_buckets
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the rug", "en"),
+        (3, "the cat and the dog sat", "en"),
+        (4, "zxqv wvuts qqqqe zzyyx plmko", "en"),  # OOD -> tail
+        (5, "the the the the", "en"),
+        (6, "und der hund sass", "de"),
+        (7, "der hund und der hund", "de"),
+        (8, "qqqqe zzyyx", "de"),
+        (9, "   ", "en"),  # zero tokens: absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in perplexity_buckets(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}
+    for lang in ("en", "de"):
+        members = [r for r in got.values() if r["lang"] == lang]
+        sizes = [sum(1 for r in members if r["bucket"] == b) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        heads = [r["nll_per_token"] for r in members if r["bucket"] == "head"]
+        tails = [r["nll_per_token"] for r in members if r["bucket"] == "tail"]
+        assert max(heads) <= min(tails), lang
+    assert got[4]["bucket"] == "tail"  # the OOD doc
+    got2 = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs.repartition(7)).collect()}
+    assert got2 == {k: v["bucket"] for k, v in got.items()}
+
+
+def test_zipf_fit_semantics(spark):
+    """Zipf fit (NEW r9): on a corpus built to follow freq(r) = C/r
+    exactly, the OLS slope over the log-log rank/frequency points must
+    be -1 (to rounding); on the real documents table the slope is
+    negative; deterministic across partitionings."""
+    from bigdata_foundation_spark.operators.text import zipf_fit
+
+    # token "t{r}" appears floor(1200/r) times -> ln f = ln 1200 - ln r
+    words = []
+    for r in range(1, 51):
+        words += [f"t{r:02d}"] * (1200 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words[:2000])), (2, " ".join(words[2000:]))],
+        "doc_id long, text string",
+    )
+    row = zipf_fit(docs, top_n=40).head()
+    assert row["n_points"] == 40
+    assert abs(row["zipf_slope"] + 1.0) < 0.02, row["zipf_slope"]
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r1 = zipf_fit(real).head()
+    r2 = zipf_fit(real.repartition(13)).head()
+    assert r1["zipf_slope"] < 0
+    assert r1 == r2
+
+
 def test_exact_substring_spans_semantics(spark):
     """ExactSubstr (round 6): a >=L-token run shared by two documents
     is reported in BOTH as one merged span with exact boundaries; a
