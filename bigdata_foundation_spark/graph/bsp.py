@@ -157,6 +157,7 @@ def bsp_sssp(
     carry_paths: bool = True,
     broadcast_frontier_rows: int = 65_536,
     broadcast_candidate_rows: int = 65_536,
+    prune_edge_probe: int = 0,
 ) -> DataFrame:
     """Single-source shortest distances (and paths) by BSP relaxation.
 
@@ -206,6 +207,23 @@ def bsp_sssp(
     the r7 shuffle shapes for exactly that superstep; the gates are
     per-step, so one wide wave does not pin the whole run to shuffle
     plans. Measured deltas: KERNEL_BENCH §BSP r9 row.
+
+    FRONTIER-PRUNED EDGE PROBE (``prune_edge_probe`` > 0, r9): while
+    the frontier holds at most that many rows (and no A* heuristic is
+    attached), candidate generation re-reads the ORIGINAL ``roads``
+    input with a literal ``src IN (frontier ids)`` filter instead of
+    probing the full cached projection — on a src-bucketed table the
+    scan prunes whole bucket files, on plain parquet the IN predicate
+    prunes row groups, so the probe cost tracks |frontier| rather than
+    |E|. This is the only probe shape that survives past
+    cache-resident edge counts (a 25B-edge table cannot be scanned
+    per superstep) — and it is ONLY for that regime: below it, the
+    per-superstep plan/scan/re-aggregate overhead loses to the cached
+    in-memory probe decisively (measured 521 → 1688 s on the 520×520
+    grid, KERNEL_BENCH §r9 — which is why the default is 0/off).
+    Results are identical either way (same (src, dst, min-cost) rows
+    reach the same join; pinned by
+    test_bsp_pruned_edge_probe_equivalence).
     """
     # Kernel projection: min-cost per (src, dst). Column-pruned and
     # cached — the analog of GDS's relationshipProjection
@@ -287,16 +305,48 @@ def bsp_sssp(
         )
         ccol = "path" if carry_paths else "parent"
         fr = F.broadcast(frontier.alias("f")) if small else frontier.alias("f")
-        cand = (
-            fr
-            .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
-            .select(
-                F.col("e.dst").alias("node"),
-                (F.col("f.dist") + F.col("e.cost")).alias("dist"),
-                carried,
-                F.col("e.h").alias("h"),
+        if not use_heuristic and 0 < n_frontier <= prune_edge_probe:
+            # FRONTIER-PRUNED EDGE PROBE (r9 — r8 verdict task 4): read
+            # this superstep's out-edges from the ORIGINAL input with a
+            # literal ``src IN (frontier)`` filter instead of scanning
+            # the full cached projection. On a src-bucketed table Spark
+            # prunes whole BUCKET FILES from the scan (and on plain
+            # parquet the IN predicate still prunes row groups via
+            # min/max stats), so the probe cost tracks the FRONTIER,
+            # not |E| — at 25B edges a per-superstep full scan is not
+            # viable and this is the shape that survives. Costs one
+            # tiny driver collect of the already-materialized frontier
+            # ids plus a per-superstep min-cost re-aggregation over the
+            # pruned rows (frontier-sized). Results identical: the same
+            # (src, dst, min cost) rows reach the same candidate join.
+            ids = [r["node"] for r in frontier.select("node").collect()]
+            probe = (
+                roads.filter(F.col("src").isin(ids))
+                .groupBy("src", "dst")
+                .agg(F.min("cost").alias("cost"))
+                .withColumn("h", F.lit(0.0))
             )
-        )
+            cand = (
+                F.broadcast(frontier.alias("f"))
+                .join(probe.alias("e"), F.col("f.node") == F.col("e.src"))
+                .select(
+                    F.col("e.dst").alias("node"),
+                    (F.col("f.dist") + F.col("e.cost")).alias("dist"),
+                    carried,
+                    F.col("e.h").alias("h"),
+                )
+            )
+        else:
+            cand = (
+                fr
+                .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
+                .select(
+                    F.col("e.dst").alias("node"),
+                    (F.col("f.dist") + F.col("e.cost")).alias("dist"),
+                    carried,
+                    F.col("e.h").alias("h"),
+                )
+            )
         if target is not None and best_target < float("inf"):
             # Goal-directed pruning: a candidate whose admissible lower
             # bound already exceeds the best known target distance can

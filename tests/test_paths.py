@@ -194,6 +194,43 @@ def test_bsp_dist_only_state_equals_path_carrying(spark):
     assert rec["0"] == ["0"]
 
 
+def test_bsp_pruned_edge_probe_equivalence(spark):
+    """Frontier-pruned edge probe (r9 — r8 verdict task 4): with
+    ``prune_edge_probe`` active the candidate generation reads a
+    ``src IN (frontier)`` filtered scan of the raw input instead of
+    the cached projection — distances AND reconstructed paths must be
+    bit-identical to the unpruned run (same (src, dst, min-cost) rows
+    reach the same join), including when only SOME supersteps qualify
+    (threshold smaller than the widest frontier) and on a multigraph
+    (the per-superstep min-cost re-aggregation)."""
+    import random
+
+    from bigdata_foundation_spark.graph import bsp as B
+
+    rng = random.Random(23)
+    n = 80
+    edges = []
+    for u in range(n):
+        for _ in range(3):
+            v = rng.randrange(n)
+            if v != u:
+                edges.append((str(u), str(v), round(rng.uniform(1, 10), 6)))
+    # parallel edges: pruned path must re-aggregate min-cost per step
+    edges += [(a, b, c + 5.0) for a, b, c in edges[:40]]
+    roads = spark.createDataFrame(edges, "src string, dst string, cost double")
+
+    base = B.bsp_sssp(spark, roads, "0", carry_paths=False)
+    bd = {r["node"]: r["dist"] for r in base.collect()}
+    for thr in (100_000, 12):  # all supersteps pruned / only narrow ones
+        pr = B.bsp_sssp(
+            spark, roads, "0", carry_paths=False, prune_edge_probe=thr
+        )
+        pd_ = {r["node"]: r["dist"] for r in pr.collect()}
+        assert pd_ == bd, thr  # bit-identical doubles
+        far = max(bd, key=bd.get)
+        assert B.reconstruct_paths(pr, [far]) == B.reconstruct_paths(base, [far])
+
+
 def test_bsp_equals_broadcast(spark, graph1, proj):
     """Strategy equivalence on a bounded-depth query: the distributed
     BSP kernel and the broadcast heap kernel must agree exactly."""

@@ -42,7 +42,7 @@ def main() -> int:
 
     tmp = tempfile.mkdtemp(prefix="bsp_ab_")
     try:
-        if "--grid-only" not in sys.argv:
+        if not any(f in sys.argv for f in ("--grid-only", "--prune-grid")):
             n_nodes, deg = 125_000, 8
             pdf = synth_pdf(n_nodes, deg, 42)
             spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/edges")
@@ -73,6 +73,43 @@ def main() -> int:
             worst = max(abs(a[k] - b[k]) for k in a)
             print(f"multi arms bit-exact: max |delta| = {worst:.1e}")
             assert worst == 0.0, worst
+
+        if "--prune-grid" in sys.argv:
+            r = c = 520
+            gpdf = grid_pdf(r, c)
+            spark.createDataFrame(gpdf).write.mode("overwrite").parquet(f"{tmp}/gp")
+            groads = spark.read.parquet(f"{tmp}/gp")
+            write_bucketed(groads, "bsp_ab_prune_bucketed", ["src"], n_buckets=32)
+            try:
+                broads = spark.table("bsp_ab_prune_bucketed")
+                gproj = K.Projection.from_columns(
+                    gpdf["src"].to_numpy(dtype=object),
+                    gpdf["dst"].to_numpy(dtype=object),
+                    gpdf["cost"].to_numpy(dtype=np.float64),
+                )
+                goracle = K.sssp(gproj, "n0")
+                stats_p: dict = {}
+                t0 = time.perf_counter()
+                pstate = B.bsp_sssp(
+                    spark, broads, "n0", stats=stats_p, carry_paths=False,
+                    prune_edge_probe=4096,
+                )
+                pgot = {
+                    row["node"]: row["dist"]
+                    for row in pstate.select("node", "dist").collect()
+                }
+                t_p = time.perf_counter() - t0
+                pworst = max(abs(pgot[k] - goracle[k]) for k in goracle)
+                assert pworst < 1e-9, pworst
+                print(
+                    f"bsp_sssp grid {r}x{c} BUCKETED dist-only PRUNED-PROBE {t_p:7.1f}s  "
+                    f"supersteps={stats_p['supersteps']:4d}  "
+                    f"({1000 * t_p / stats_p['supersteps']:.0f} ms/superstep; "
+                    f"VERIFIED vs kernel, max |delta| {pworst:.1e})"
+                )
+            finally:
+                spark.sql("DROP TABLE IF EXISTS bsp_ab_prune_bucketed")
+            return 0
 
         if "--multi-only" not in sys.argv:
             r = c = 520
