@@ -69,6 +69,8 @@ HEADLINE = [
     "bigram_perplexity",
     "ks_drift",
     "embedding_pca",
+    "perplexity_buckets",
+    "zipf_fit",
 ]
 
 

@@ -68,17 +68,19 @@ PICKS = [
     ),
     (
         "ann_pq_topk",
-        "PQ-ADC scan: the only join is a BroadcastNestedLoop of (tiny query "
-        "tables) × (corpus CODES — m ints per row, 32× narrower than the raw "
-        "vectors); encoding and table lookups are codegen'd expressions, "
-        "no Python anywhere",
+        "PQ-ADC scan (r9): encode and per-query tables are ONE Arrow "
+        "MapInPandas stage each (numpy batch math — never row-at-a-time "
+        "Python); the only join is a BroadcastNestedLoop of (tiny query "
+        "tables) × (corpus CODES — m ints per row, 32× narrower than the "
+        "raw vectors) and the ADC sum + ranking stay codegen'd",
     ),
     (
         "ann_ivf_pq_refine",
         "the refine tail fetches candidate vectors through BROADCAST hash "
         "joins (the |Q|·shortlist candidate set and query vectors are the "
-        "built sides) — the corpus is scanned, never shuffled, and the exact "
-        "re-rank is codegen'd zip_with/aggregate",
+        "built sides) — the corpus is scanned, never shuffled; encode/probe "
+        "are Arrow MapInPandas stages (r9) and the exact re-rank is "
+        "codegen'd zip_with/aggregate",
     ),
     (
         "pmi_collocations",
@@ -120,6 +122,18 @@ PICKS = [
         "zip_with/aggregate folds against folded literal loadings — zero "
         "Exchange, zero Python on data; training cost is ONE TakeOrdered "
         "sample pass at any corpus size",
+    ),
+    (
+        "perplexity_buckets",
+        "CCNet bucketing (NEW r9): the scorer's LM aggregate + keyed score "
+        "joins, then exactly ONE lang-keyed Exchange for the ntile window — "
+        "per-language ranking is the only added shuffle",
+    ),
+    (
+        "zipf_fit",
+        "Zipf fit (NEW r9): one map-side-combined token-count agg, a "
+        "TakeOrderedAndProject top-n (never a global vocabulary sort), and "
+        "a 5-scalar OLS aggregate — corpus volume dies at the first agg",
     ),
     (
         "ks_drift",

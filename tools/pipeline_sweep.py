@@ -16,8 +16,8 @@ The sf1 decade (r9 — r8 verdict task 6) is GENERATED, not shipped:
 each sf0.1 table is decade-extended 10x with id offsets and
 deterministic per-copy mutations chosen so the copies are NOT
 near-duplicates of their originals (documents: seeded word shuffle;
-embeddings: 0.5·v + unit noise, cosine to the original ~0.45; events:
-user-id shifts — 10x the users with similar per-user history, the
+embeddings: 0.5·v + unit noise, cosine to the original ~0.45; events/orders:
+user/customer-id shifts — 10x the users with similar per-user history, the
 realistic growth axis for SCD2/sessionize). Row counts and dup
 densities therefore scale honestly rather than degenerating into one
 giant duplicate cluster.
@@ -81,6 +81,23 @@ def make_sf1(out_dir: str, base: str = "/root/testdata/sf0.1") -> str:
         f"{out_dir}/embeddings.parquet",
     )
 
+    orders = pq.read_table(f"{base}/orders.parquet")
+    oparts = [orders]
+    n_cust = 1 + max(orders.column("o_custkey").to_pylist())
+    for k in range(1, 10):
+        t = orders.set_column(
+            orders.schema.get_field_index("o_orderkey"),
+            "o_orderkey",
+            pa.array([o + k * 10_000_000 for o in orders.column("o_orderkey").to_pylist()]),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("o_custkey"),
+            "o_custkey",
+            pa.array([c + k * n_cust for c in orders.column("o_custkey").to_pylist()]),
+        )
+        oparts.append(t)
+    pq.write_table(pa.concat_tables(oparts), f"{out_dir}/orders.parquet")
+
     ev = pq.read_table(f"{base}/events.parquet")
     parts = [ev]
     n_users = 1 + max(ev.column("user_id").to_pylist())
@@ -124,6 +141,9 @@ PICKS = [
     "bigram_perplexity",
     "ks_drift",
     "embedding_pca",
+    # r9 debuts
+    "perplexity_buckets",
+    "zipf_fit",
 ]
 
 
@@ -144,7 +164,7 @@ def main() -> int:
 
         sf1 = make_sf1(tempfile.mkdtemp(prefix="sweep_sf1_"))
         sfs.append(sf1)
-        header = header[:-1] + " sf1 s (rows) |"
+        header = header + " sf1 s (rows) |"
     print(header)
     print("| --- | --- | --- |" + (" --- |" if len(sfs) == 3 else " --- | --- |"))
     for name in PICKS:
