@@ -208,6 +208,32 @@ def test_pq_scan_is_broadcast_codes_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_perplexity_buckets_one_lang_window_no_python(spark):
+    """CCNet bucketing (NEW r9): the split adds exactly ONE
+    lang-partitioned window (the ntile) on top of the scorer, with no
+    cartesian and no Python eval anywhere — per-language ranking is
+    the only added shuffle."""
+    plan = plan_of(spark, "perplexity_buckets")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    lang_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "lang" in ln
+    ]
+    assert len(lang_windows) >= 1, plan
+    assert "Exchange hashpartitioning(lang" in plan, plan
+
+
+def test_zipf_fit_takeordered_no_global_sort(spark):
+    """Zipf fit (NEW r9): the top-n over the vocabulary must plan as
+    TakeOrderedAndProject (per-partition top-n), never a global Sort
+    of the token counts; no cartesian, no Python."""
+    plan = plan_of(spark, "zipf_fit")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_scd2_and_sessionize_single_exchange(spark):
     """SCD2 build and sessionization (r7): the changelog shuffles
     EXACTLY once — one hash-partitioning Exchange on the key serves
