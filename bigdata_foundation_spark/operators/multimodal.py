@@ -336,6 +336,10 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         pos += 2 + ln
     if w is None or not comps or not scan:
         raise ValueError("jpeg: missing SOF0/SOS")
+    if w == 0 or h == 0:
+        # DNL-deferred or zero dimension: a "successful" decode would
+        # yield zero pixels and _pixel_feature would divide by zero.
+        raise ValueError("jpeg: zero-pixel frame")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -460,12 +464,16 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
         if p[:3] == b"\xff\xd8\xff":
             w, h, pix = _decode_jpeg(p)
             return w, h, _pixel_feature(pix)
-    except (ValueError, zlib.error, struct.error, IndexError):
+    except (ValueError, zlib.error, struct.error, IndexError, KeyError, ZeroDivisionError):
         # Corrupt bytes surface differently per layer: truncated IHDR
         # → struct.error, bad IDAT stream → zlib.error, semantic
         # violations → ValueError, short filtered scanlines →
-        # IndexError.  All must fall through to the stub so one bad
-        # file can't fail a corpus-scale ingest task.
+        # IndexError, a JPEG scan referencing an undefined quant/
+        # huffman table or SOS component id → KeyError, and any
+        # zero-pixel decode that slips past the dimension checks →
+        # ZeroDivisionError in _pixel_feature.  All must fall through
+        # to the stub so one bad file can't fail a corpus-scale
+        # ingest task.
         pass
     return _fake_decode(p)
 

@@ -646,14 +646,22 @@ def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colum
 # ---------------------------------------------------------------------------
 
 
-def _np_mat(rows) -> "object":
+def _np_mat(rows, dim: int | None = None) -> "object":
     """Stack an Arrow/pandas column of embedding arrays into an (n, d)
     float64 matrix; None rows become zero vectors (their sims get the
-    degenerate -inf / NULL-score treatment below)."""
+    degenerate -inf / NULL-score treatment below).
+
+    ``dim`` is the expected vector width — callers that know it (from
+    the centroids/codebooks) MUST pass it, so an Arrow batch whose
+    embeddings are ALL null degrades to zero vectors (the documented
+    NULL contract) instead of an (n, 0) matrix that breaks
+    broadcasting downstream (r10, advisor). Inference from the batch
+    is only the fallback for dim-agnostic callers."""
     import numpy as np
 
     vecs = [None if v is None else np.asarray(v, dtype=np.float64) for v in rows]
-    dim = next((len(v) for v in vecs if v is not None), 0)
+    if dim is None:
+        dim = next((len(v) for v in vecs if v is not None), 0)
     return np.asarray(
         [np.zeros(dim, dtype=np.float64) if v is None else v for v in vecs],
         dtype=np.float64,
@@ -755,7 +763,7 @@ def _with_cell_np(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sims = _np_cell_sims(_np_mat(pdf[vec_col]), C)
+            sims = _np_cell_sims(_np_mat(pdf[vec_col], C.shape[1]), C)
             cells = _np_assign(sims)
             pdf[out_col] = cells.astype("int32")
             if score_col is not None:
@@ -786,7 +794,7 @@ def _probe_cells_np(
 
     C = _np_mat([cv for _, cv in sorted(centroids)])
     fields = [
-        T.StructField("query_id", T.LongType()),
+        T.StructField("query_id", queries.schema[id_col].dataType),
         T.StructField("cell", T.IntegerType()),
     ]
     if keep_vec:
@@ -797,7 +805,7 @@ def _probe_cells_np(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _np_mat(pdf[vec_col])
+            V = _np_mat(pdf[vec_col], C.shape[1])
             probes = _np_probe(_np_cell_sims(V, C), n_probe)
             p = probes.shape[1]
             out = {
@@ -823,7 +831,7 @@ def _pq_corpus_codes_np(
     B = _np_books(books)
     schema = T.StructType(
         [
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
             T.StructField("_codes", T.ArrayType(T.IntegerType())),
         ]
     )
@@ -832,7 +840,7 @@ def _pq_corpus_codes_np(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = _np_pq_encode(_np_mat(pdf[vec_col]), B)
+            codes = _np_pq_encode(_np_mat(pdf[vec_col], len(B) * B[0].shape[1]), B)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].to_numpy(),
@@ -853,7 +861,7 @@ def _pq_query_tables_np(
     B = _np_books(books)
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
+            T.StructField("query_id", queries.schema[id_col].dataType),
             T.StructField("_tbl", T.ArrayType(T.ArrayType(T.DoubleType()))),
         ]
     )
@@ -865,7 +873,7 @@ def _pq_query_tables_np(
             yield pd.DataFrame(
                 {
                     "query_id": pdf[id_col].to_numpy(),
-                    "_tbl": _np_pq_tables(_np_mat(pdf[vec_col]), B),
+                    "_tbl": _np_pq_tables(_np_mat(pdf[vec_col], len(B) * B[0].shape[1]), B),
                 }
             )
 
@@ -1342,7 +1350,7 @@ def _ivf_pq_corpus_codes(
     B = _np_books(books)
     schema = T.StructType(
         [
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
             T.StructField("cell", T.IntegerType()),
             T.StructField("_codes", T.ArrayType(T.IntegerType())),
         ]
@@ -1352,7 +1360,7 @@ def _ivf_pq_corpus_codes(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _np_mat(pdf[vec_col])
+            V = _np_mat(pdf[vec_col], C.shape[1])
             cells = _np_assign(_np_cell_sims(V, C))
             codes = _np_pq_encode(V - C[cells], B)
             yield pd.DataFrame(
@@ -1387,7 +1395,7 @@ def _ivf_pq_probe_tables(
     B = _np_books(books)
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
+            T.StructField("query_id", queries.schema[id_col].dataType),
             T.StructField("cell", T.IntegerType()),
             T.StructField("_tbl", T.ArrayType(T.ArrayType(T.DoubleType()))),
         ]
@@ -1397,7 +1405,7 @@ def _ivf_pq_probe_tables(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _np_mat(pdf[vec_col])
+            V = _np_mat(pdf[vec_col], C.shape[1])
             probes = _np_probe(_np_cell_sims(V, C), n_probe)
             p = probes.shape[1]
             ridx = np.repeat(np.arange(V.shape[0]), p)
@@ -1795,28 +1803,34 @@ def semantic_dedup(
     import pandas as pd
 
     thr = float(threshold)
+    # id dtype follows the input column (any orderable id type, not
+    # just bigint — r10, advisor), same contract as the self-join form
+    # this sweep replaced.
+    id_dt = corpus.schema[id_col].dataType
     pairs_schema = T.StructType(
-        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+        [T.StructField("id_a", id_dt), T.StructField("id_b", id_dt)]
     )
 
     def cell_pairs(pdf):
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=pdf[id_col].dtype), "id_b": pd.Series(dtype=pdf[id_col].dtype)}
+            )
         order = pdf[id_col].to_numpy().argsort(kind="stable")
         ids = pdf[id_col].to_numpy()[order]
-        V = _np_mat(list(pdf["_v"].iloc[order]))
+        V = _np_mat(list(pdf["_v"].iloc[order]), len(centroids[0][1]))
         vn = np.sqrt((V * V).sum(axis=1))
-        a_out: list[int] = []
-        b_out: list[int] = []
+        a_out: list = []
+        b_out: list = []
         for i in range(n - 1):
             dots = (V[i + 1 :] * V[i]).sum(axis=1)
             denom = vn[i + 1 :] * vn[i]
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(denom > 0.0, dots / denom, -np.inf)
             for off in np.nonzero(sims >= thr)[0]:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[i + 1 + off]))
+                a_out.append(ids[i])
+                b_out.append(ids[i + 1 + off])
         return pd.DataFrame({"id_a": a_out, "id_b": b_out})
 
     pairs = c.groupBy("cell").applyInPandas(cell_pairs, pairs_schema)

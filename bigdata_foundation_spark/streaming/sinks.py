@@ -134,13 +134,31 @@ def foreach_batch_scd2(
         # Spark writes {"id": "<uuid>"} into <ckpt>/metadata at query
         # start (before any batch runs) and reuses it on every restart
         # from that checkpoint — the durable identity of the lineage.
+        # SCOPE: read with a local open(), so lineage scoping requires
+        # a LOCAL-FILESYSTEM checkpoint (this sink's target is local
+        # parquet + os.rename already). A non-local checkpoint URI
+        # (hdfs://, s3a://) falls back to the path STRING — two
+        # spellings of the same checkpoint would then look like
+        # different lineages — so the fallback logs loudly (r10,
+        # advisor) instead of degrading silently.
         import json
+        import logging
 
         meta = os.path.join(ckpt_dir, "metadata")
         try:
             with open(meta) as fh:
                 return str(json.load(fh)["id"])
         except (OSError, ValueError, KeyError):
+            logging.getLogger(__name__).warning(
+                "foreach_batch_scd2: cannot read streaming query id from "
+                "%s; falling back to the checkpoint PATH STRING as the "
+                "lineage key. Lineage scoping is only path-stable on "
+                "local-filesystem checkpoints — a moved/re-mounted or "
+                "remote (hdfs://, s3a://) checkpoint referenced via a "
+                "different spelling will be treated as a DIFFERENT "
+                "lineage and refuse to resume.",
+                meta,
+            )
             return os.path.abspath(ckpt_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -715,6 +715,103 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
     assert got2[8]["width"] == M._fake_decode(short_ihdr)[0]
 
 
+def test_corrupt_jpeg_falls_back_to_stub(spark):
+    """r10 (advisor, medium): corrupt JPEGs that sniff as JPEG but
+    reference an undefined quant/huffman table or an unknown SOS
+    component id raise KeyError inside _decode_jpeg, and a zero-height
+    SOF0 would produce a zero-pixel decode — all of these must fall
+    back to the stub (total-function ingest contract), not escape the
+    Arrow task."""
+    flat = _jpeg_bytes(8, 8, [[77] * 8 for _ in range(8)], gray=True)
+    assert M._decode_payload(flat)[:2] == (8, 8)  # sanity: valid decodes real
+
+    sof = flat.find(b"\xff\xc0")
+    sos = flat.find(b"\xff\xda")
+    assert sof > 0 and sos > 0
+
+    # SOS huffman-table spec -> undefined table ids (dc 7 / ac 7)
+    bad_huff = flat[: sos + 6] + b"\x77" + flat[sos + 7 :]
+    # SOS component id -> not declared in SOF0
+    bad_cid = flat[: sos + 5] + b"\x63" + flat[sos + 6 :]
+    # SOF0 component quant-table id -> undefined table 3
+    bad_quant = flat[: sof + 12] + b"\x03" + flat[sof + 13 :]
+    # SOF0 height -> 0 (DNL-deferred height): zero-pixel frame
+    zero_h = flat[: sof + 5] + b"\x00\x00" + flat[sof + 7 :]
+
+    broken = [bad_huff, bad_cid, bad_quant, zero_h]
+    for b in broken:
+        assert M._decode_payload(b) == M._fake_decode(b)
+
+    # and through the full engine path: one bad file per row, task survives
+    media = spark.createDataFrame(
+        [(i, b, "image/jpeg", len(b)) for i, b in enumerate(broken)],
+        M.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in M.decode_features(media).collect()}
+    assert len(got) == len(broken)
+    for i, b in enumerate(broken):
+        assert got[i]["width"] == M._fake_decode(b)[0]
+
+
+def test_ann_kernels_all_null_batch_and_string_ids(spark):
+    """r10 (advisor, low x2): (a) an Arrow batch whose embeddings are
+    ALL null degrades to zero vectors (NULL-sim contract: cell =
+    highest cid, score NULL) instead of crashing on an (n, 0) matrix;
+    (b) the Arrow kernels' id output type follows the input id column
+    — string ids survive pq_topk/ivf_topk/semantic_dedup."""
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.operators import similarity as S
+
+    # (a) all-null batch through the mapInPandas cell assigner
+    centroids = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("_v", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    ).repartition(1)
+    rows = {
+        r["vec_id"]: r
+        for r in S._with_cell_np(nulls, centroids, "_v", score_col="score").collect()
+    }
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["cell"] == 1 and r["score"] is None  # ties -> highest cid
+
+    # unit check: explicit dim beats inference on an all-None column
+    mat = S._np_mat([None, None], dim=4)
+    assert mat.shape == (2, 4) and (mat == 0.0).all()
+
+    # (b) string ids end-to-end
+    vecs = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("b", [0.9, 0.1, 0.0, 0.0]),
+        ("c", [0.0, 1.0, 0.0, 0.0]),
+        ("d", [0.0, 0.95, 0.05, 0.0]),
+        ("e", [0.0, 0.0, 1.0, 0.0]),
+        ("f", [0.0, 0.0, 0.0, 1.0]),
+        ("dup", [1.0, 0.0, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = S.ivf_topk(
+        corpus, corpus.filter(F.col("vec_id").isin("a", "c")), k=2, n_cells=2, n_probe=2
+    ).collect()
+    assert out and all(isinstance(r["query_id"], str) and isinstance(r["neighbor_id"], str) for r in out)
+
+    pq = S.pq_topk(corpus, corpus.filter(F.col("vec_id") == "a"), k=2, m=2, n_codes=4).collect()
+    assert pq and all(isinstance(r["neighbor_id"], str) for r in pq)
+
+    sd = {r["vec_id"]: r for r in S.semantic_dedup(corpus, n_cells=2).collect()}
+    assert len(sd) == len(vecs)
+    # the planted exact duplicate resolves to min(string id) of its group
+    grp = sorted(["a", "dup"])
+    assert sd["dup"]["duplicate_of"] == grp[0] and sd["a"]["duplicate_of"] == grp[0]
+
+
 # ---------------------------------------------------------------------------
 # as-of / range join / deterministic sampling
 # ---------------------------------------------------------------------------
