@@ -117,16 +117,106 @@ def minhash_signature_table(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """MinHash signatures as ``num_hashes`` narrow columns via explode
-    → single hash aggregate: the shuffle carries (id, shingle-hash)
-    pairs and the mins combine map-side; every expression stays inside
-    whole-stage codegen (the array-lambda formulation above is ~5-10×
-    slower at corpus scale). Returns (id, _h0.._hN)."""
+    """MinHash signatures as ``num_hashes`` narrow columns, computed by
+    the Arrow numpy kernel (r10) — shingling, hashing and the per-seed
+    minima fuse into ONE mapInPandas pass with NO explode and NO
+    aggregate shuffle. Returns (id, _h0.._hN), bit-identical to the
+    retained expression form (:func:`_minhash_signature_table_jvm`,
+    the pytest cross-oracle)."""
+    tbl = _minhash_doc_table(df, text_col, id_col, num_hashes, 1, shingle_k)
+    return tbl.select(
+        id_col, *[F.col("_sig")[i].alias(f"_h{i}") for i in range(num_hashes)]
+    )
+
+
+def _minhash_signature_table_jvm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The retained JVM expression form (explode → single hash
+    aggregate, map-side-combined mins, whole-stage codegen) — r10's
+    cross-oracle for the Arrow kernel, and the shape to fall back to
+    if Python workers are unavailable. Returns (id, _h0.._hN)."""
     base = shingle_hash_table(df, text_col, id_col, shingle_k)
     fam = _minhash_family(num_hashes)
     return base.groupBy(id_col).agg(
         *[F.min(fam[i]).alias(f"_h{i}") for i in range(num_hashes)]
     )
+
+
+def _minhash_doc_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    with_shingles: bool = False,
+) -> DataFrame:
+    """The r10 fused MinHash kernel: ONE Arrow ``mapInPandas`` pass
+    over (id, text) emitting per document
+
+      ``_sig``   — the ``num_hashes``-long signature,
+      ``_bands`` — the ``bands`` band bucket keys (position = band id,
+                   bit-identical to :func:`_banded_keys`'s fold),
+      ``_sh``    — (optional) the sorted distinct shingle-hash set the
+                   exact-Jaccard verifier compares.
+
+    vs the r5–r9 expression pipeline (shingle explode → xxhash64 →
+    64-min hash aggregate): no explode, no aggregate Exchange — the
+    shuffle that carried (id, shingle-hash) pairs is gone entirely,
+    and the per-shingle 64-seed hash family runs as vectorized numpy
+    (bit-exact ports in ``_nphash``) instead of 64 codegen'd
+    expressions per exploded row. Partitioning is preserved; documents
+    never leave their scan task. A None text emits NO row (the
+    explode-of-null contract). Integer domain throughout — the golden
+    replay (tools/gen_pipeline_goldens.py) was already arithmetic-
+    identical, and regeneration after this migration was verified
+    byte-identical (ORACLES_r10.md)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.operators import _nphash as NH
+
+    id_dt = df.schema[id_col].dataType
+    fields = [
+        T.StructField(id_col, id_dt),
+        T.StructField("_sig", T.ArrayType(T.LongType())),
+        T.StructField("_bands", T.ArrayType(T.LongType())),
+    ]
+    if with_shingles:
+        fields.append(T.StructField("_sh", T.ArrayType(T.LongType())))
+    schema = T.StructType(fields)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[text_col].tolist()
+            keep, h_flat, offsets = NH.doc_shingle_hashes(texts, shingle_k)
+            if not keep:
+                continue
+            sig = NH.minhash_from_shingles(h_flat, offsets, num_hashes)
+            bkeys = NH.band_keys(sig, bands)
+            out = {
+                id_col: pdf[id_col].to_numpy()[keep],
+                "_sig": [r.tolist() for r in sig],
+                "_bands": [r.tolist() for r in bkeys],
+            }
+            if with_shingles:
+                signed = h_flat.view(np.int64)
+                ends = np.append(offsets[1:], len(h_flat))
+                out["_sh"] = [
+                    np.unique(signed[s:e]).tolist() for s, e in zip(offsets, ends)
+                ]
+            yield pd.DataFrame(out)
+
+    return spread(df.select(id_col, text_col), id_col).mapInPandas(gen, schema)
 
 
 def shingle_hash_table(
@@ -141,8 +231,15 @@ def shingle_hash_table(
     derives the per-seed hash family from the 64-bit value (int
     mul-adds are far cheaper than per-seed string hashes), and
     the exact-Jaccard verifier compares these hashes instead of
-    re-shingling the text (exact up to 64-bit collisions)."""
-    return spread(df, id_col).select(
+    re-shingling the text (exact up to 64-bit collisions).
+
+    NULL text yields NO rows — made explicit in r10: without the
+    filter, ``greatest(length(NULL) - 4, 1)`` folds to 1 and the doc
+    got one NULL shingle whose xxhash64 degenerates to the bare seed
+    (42), i.e. every null-text doc silently fingerprinted identical.
+    The Arrow kernel (``_nphash.doc_shingle_hashes``) and this form
+    now share the drop-nulls contract (cross-oracle-pinned)."""
+    return spread(df, id_col).filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode(char_shingles(text_col, shingle_k)).alias("_s"),
     ).select(id_col, F.xxhash64("_s").alias("_h"))
@@ -300,12 +397,12 @@ def minhash_lsh_pairs(
     the shingle explosion.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a <
-    id_b. Pipeline: shingle-hash table (computed ONCE, cached — feeds
-    both the signature aggregate and the verifier) → 64-min signature
-    (cached: one narrow row per doc; the banded self-join and the
-    estimate-prune both read it) → 16 bands of 4 → explode bands →
-    bucket-join candidates → signature-agreement prune → exact-Jaccard
-    verify on the hashed shingle sets.
+    id_b. Pipeline (r10): ONE fused Arrow kernel pass over the corpus
+    (:func:`_minhash_doc_table` — signature + band keys + shingle-hash
+    set per doc, no explode, no aggregate shuffle; cached, one narrow
+    row per doc) → explode the 16 band keys → bucket-join candidates →
+    signature-agreement prune → exact-Jaccard verify on the kernel's
+    shingle-hash sets.
 
     Banding with r=4 over-generates mid-Jaccard candidates (~300× the
     true pairs on a clustered corpus), so candidates are pruned by the
@@ -315,43 +412,19 @@ def minhash_lsh_pairs(
     banding miss rate itself — the output contract (exact Jaccard on
     survivors, up to 64-bit hash collisions) is unchanged.
 
-    The band bucket keys are FUSED into the signature aggregate's
-    output projection (one pass emits both the signature array and the
-    ``bands`` keys — bit-identical to ``_banded_keys`` over the array,
-    which the persisted-index paths still use). Join strategies are
-    left to AQE: at gate scale every signature/shingle join broadcasts
-    from runtime stats; at corpus scale the signature table is
-    |docs|·64 longs — far past broadcast — and the same plan degrades
-    to keyed shuffles, which is the correct 100 TB shape."""
-    base = tracked_cache(shingle_hash_table(df, text_col, id_col, shingle_k))
-    fam = _minhash_family(num_hashes)
-    rows_per_band = num_hashes // bands
-    mins = base.groupBy(id_col).agg(
-        *[F.min(fam[i]).alias(f"_m{i}") for i in range(num_hashes)]
-    )
-    sig = tracked_cache(
-        mins.select(
-            id_col,
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"_m{j}")
-                                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            ).alias("_bands"),
+    Join strategies are left to AQE: at gate scale every signature/
+    shingle join broadcasts from runtime stats; at corpus scale the
+    signature table is |docs|·64 longs — far past broadcast — and the
+    same plan degrades to keyed shuffles, which is the correct 100 TB
+    shape. The cached kernel row carries the shingle-hash SET (≈ the
+    text's size in longs) — the same bytes the r9 exploded-postings
+    cache held, one row per doc instead of one per shingle."""
+    tbl = tracked_cache(
+        _minhash_doc_table(
+            df, text_col, id_col, num_hashes, bands, shingle_k, with_shingles=True
         )
     )
-    banded = sig.select(id_col, F.explode("_bands").alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
-    )
+    banded = tbl.select(id_col, F.posexplode("_bands").alias("band", "key"))
 
     blocks = list(block_cols or [])
     if blocks:
@@ -359,7 +432,7 @@ def minhash_lsh_pairs(
 
     raw_cand = _bucket_pairs(banded, id_col, ["band", "key", *blocks], max_bucket)
     est = minhash_jaccard_est(F.col("_sig_a"), F.col("_sig_b"), num_hashes)
-    ssel = sig.select(id_col, "_sig")
+    ssel = tbl.select(id_col, "_sig")
     cand = (
         raw_cand.join(ssel.withColumnsRenamed({id_col: "id_a", "_sig": "_sig_a"}), "id_a")
         .join(ssel.withColumnsRenamed({id_col: "id_b", "_sig": "_sig_b"}), "id_b")
@@ -368,19 +441,16 @@ def minhash_lsh_pairs(
     )
     cand = tracked_cache(cand)
 
-    # Exact verify from the cached hash table: sorted long arrays per
-    # surviving doc, then set intersection/union — long compares, no
-    # second pass over the text.
+    # Exact verify from the kernel's sorted hash sets: set
+    # intersection/union on long arrays — no second pass over the
+    # text, no collect_set aggregate (the kernel already emitted the
+    # per-doc set).
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
-        base.join(cand_ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
-    )
+    sh = tbl.select(id_col, "_sh").join(cand_ids, id_col, "left_semi")
     return (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_sh_b"}), "id_b")
@@ -414,30 +484,28 @@ def minhash_index_build(
     touches document text), ``meta/`` (the parameters; queries and
     appends must band identically to probe correctly)."""
     spark = df.sparkSession
-    base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
+    tbl = _minhash_doc_table(
+        df, text_col, id_col, num_hashes, bands, shingle_k, with_shingles=True
+    ).cache()
     try:
-        base.write.mode("overwrite").parquet(path + "/shingles")
-        fam = _minhash_family(num_hashes)
-        sig = (
-            base.groupBy(id_col)
-            .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
-            .cache()
-        )
-        try:
-            sig.write.mode("overwrite").parquet(path + "/signatures")
-            # Bucket sizes are precomputed at build (and merged at
-            # append) into their own small table, so a query's
-            # degenerate-bucket guard never aggregates over the whole
-            # postings scan per batch.
-            banded = _banded_keys(sig, id_col, num_hashes, bands)
-            banded.write.mode("overwrite").parquet(path + "/bands")
-            banded.groupBy("band", "key").agg(
-                F.count("*").alias("_bsize")
-            ).write.mode("overwrite").parquet(path + "/bucket_sizes")
-        finally:
-            sig.unpersist()
+        # One kernel pass feeds all three tables (r10): the postings
+        # are the kernel's per-doc hash set exploded back to rows —
+        # same layout the query path's verify join reads.
+        tbl.select(id_col, F.explode("_sh").alias("_h")).write.mode(
+            "overwrite"
+        ).parquet(path + "/shingles")
+        tbl.select(id_col, "_sig").write.mode("overwrite").parquet(path + "/signatures")
+        # Bucket sizes are precomputed at build (and merged at
+        # append) into their own small table, so a query's
+        # degenerate-bucket guard never aggregates over the whole
+        # postings scan per batch.
+        banded = tbl.select(id_col, F.posexplode("_bands").alias("band", "key"))
+        banded.write.mode("overwrite").parquet(path + "/bands")
+        banded.groupBy("band", "key").agg(
+            F.count("*").alias("_bsize")
+        ).write.mode("overwrite").parquet(path + "/bucket_sizes")
     finally:
-        base.unpersist()
+        tbl.unpersist()
     spark.createDataFrame(
         [(num_hashes, bands, shingle_k, id_col)],
         "num_hashes int, bands int, shingle_k int, id_col string",
@@ -474,38 +542,33 @@ def minhash_index_append(
     num_hashes, bands, shingle_k = int(meta[0]), int(meta[1]), int(meta[2])
     id_col = str(meta[3])
 
-    base = shingle_hash_table(df, text_col, id_col, shingle_k).cache()
+    tbl = _minhash_doc_table(
+        df, text_col, id_col, num_hashes, bands, shingle_k, with_shingles=True
+    ).cache()
     try:
-        base.write.mode("append").parquet(path + "/shingles")
-        fam = _minhash_family(num_hashes)
-        sig = (
-            base.groupBy(id_col)
-            .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
-            .cache()
+        tbl.select(id_col, F.explode("_sh").alias("_h")).write.mode(
+            "append"
+        ).parquet(path + "/shingles")
+        tbl.select(id_col, "_sig").write.mode("append").parquet(path + "/signatures")
+        banded = tbl.select(id_col, F.posexplode("_bands").alias("band", "key"))
+        banded.write.mode("append").parquet(path + "/bands")
+        # Incremental size merge: old sizes ∪ batch counts → sum.
+        # localCheckpoint materializes the merge BEFORE the
+        # overwrite so the write never reads the directory it is
+        # replacing.
+        batch_sizes = banded.groupBy("band", "key").agg(
+            F.count("*").alias("_bsize")
         )
-        try:
-            sig.write.mode("append").parquet(path + "/signatures")
-            banded = _banded_keys(sig, id_col, num_hashes, bands)
-            banded.write.mode("append").parquet(path + "/bands")
-            # Incremental size merge: old sizes ∪ batch counts → sum.
-            # localCheckpoint materializes the merge BEFORE the
-            # overwrite so the write never reads the directory it is
-            # replacing.
-            batch_sizes = banded.groupBy("band", "key").agg(
-                F.count("*").alias("_bsize")
-            )
-            merged = (
-                spark.read.parquet(path + "/bucket_sizes")
-                .unionByName(batch_sizes)
-                .groupBy("band", "key")
-                .agg(F.sum("_bsize").alias("_bsize"))
-                .localCheckpoint()
-            )
-            merged.write.mode("overwrite").parquet(path + "/bucket_sizes")
-        finally:
-            sig.unpersist()
+        merged = (
+            spark.read.parquet(path + "/bucket_sizes")
+            .unionByName(batch_sizes)
+            .groupBy("band", "key")
+            .agg(F.sum("_bsize").alias("_bsize"))
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").parquet(path + "/bucket_sizes")
     finally:
-        base.unpersist()
+        tbl.unpersist()
 
 
 def minhash_index_compact(spark, path: str, target_file_mb: int = 512) -> dict[str, int]:
@@ -558,13 +621,13 @@ def minhash_index_query(
     num_hashes, bands, shingle_k = int(meta[0]), int(meta[1]), int(meta[2])
     idx_id = str(meta[3])
 
-    nbase = tracked_cache(shingle_hash_table(df, text_col, id_col, shingle_k))
-    fam = _minhash_family(num_hashes)
-    nsig = tracked_cache(
-        nbase.groupBy(id_col)
-        .agg(F.array(*[F.min(fam[i]) for i in range(num_hashes)]).alias("_sig"))
+    ntbl = tracked_cache(
+        _minhash_doc_table(
+            df, text_col, id_col, num_hashes, bands, shingle_k, with_shingles=True
+        )
     )
-    nbanded = _banded_keys(nsig, id_col, num_hashes, bands)
+    nsig = ntbl.select(id_col, "_sig")
+    nbanded = ntbl.select(id_col, F.posexplode("_bands").alias("band", "key"))
 
     # Union-size cap: total bucket size = stored size (precomputed at
     # build/append) + this batch's count. Oversized keys are few by
@@ -601,11 +664,7 @@ def minhash_index_query(
 
     q_ids = pruned.select(F.col("query_id").alias(id_col)).distinct()
     i_ids = pruned.select(F.col("index_id").alias(idx_id)).distinct()
-    qsh = (
-        nbase.join(q_ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
-    )
+    qsh = ntbl.select(id_col, "_sh").join(q_ids, id_col, "left_semi")
     ish = (
         spark.read.parquet(path + "/shingles")
         .join(i_ids, idx_id, "left_semi")
@@ -713,17 +772,59 @@ def simhash_table(
     id_col: str = "doc_id",
     bits: int = 60,
 ) -> DataFrame:
-    """SimHash (Charikar 2002) as a data-parallel transform: explode
-    tokens → per-bit ±1 votes summed in ONE hash aggregate (64 narrow
-    sum columns, fully codegen'd) → bit-pack the sign vector.
+    """SimHash (Charikar 2002) via the Arrow numpy kernel (r10):
+    tokenize, hash and bit-vote per document in ONE ``mapInPandas``
+    pass — no token explode, no 60-column vote aggregate, no shuffle
+    at all (the r5–r9 expression form shuffled ``bits`` ints per doc;
+    this shuffles nothing — fingerprints are computed where the text
+    is scanned). Zero-token documents (null / empty / whitespace-only)
+    get NO fingerprint, exactly the token-explode contract.
 
-    This shape scales: the shuffle carries ``bits`` ints per document,
-    never token arrays, and the vote aggregation is map-side partial.
-    (An equivalent single-Column formulation with nested array lambdas
-    was ~10× slower — Catalyst can't codegen deep lambda chains.)
+    Bit-identical to the retained expression form
+    (:func:`_simhash_table_jvm`, the pytest cross-oracle).
 
     ``bits`` defaults to 60 so the packed value stays clear of the
     sign bit. Returns (id_col, simhash)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from bigdata_foundation_spark.operators import _nphash as NH
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep, h_flat, offsets, counts = NH.doc_token_hashes(pdf[text_col].tolist())
+            if not keep:
+                continue
+            packed = NH.simhash_from_tokens(h_flat, offsets, counts, bits)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "simhash": packed}
+            )
+
+    return spread(df.select(id_col, text_col), id_col).mapInPandas(gen, schema)
+
+
+def _simhash_table_jvm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """The retained JVM expression form — explode tokens → per-bit ±1
+    votes summed in ONE hash aggregate (60 narrow sum columns, fully
+    codegen'd, map-side partial) → bit-pack the sign vector. r10's
+    cross-oracle for the Arrow kernel. (An equivalent single-Column
+    formulation with nested array lambdas was ~10× slower — Catalyst
+    can't codegen deep lambda chains.) Returns (id_col, simhash)."""
     toks = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")).alias("_tok"),

@@ -1688,6 +1688,8 @@ def perplexity_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 3,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3) —
     the step AFTER perplexity scoring that every CCNet-style pipeline
@@ -1700,11 +1702,34 @@ def perplexity_buckets(
     by (nll, id) — ties on identical token multisets break by id, so
     the bucketing is deterministic and oracle-replayable.
 
-    Returns (id, lang, n_tokens, nll_per_token, bucket). Scale shape:
-    the LM aggregate + score joins from the scorer, then ONE
-    hash-Exchange on lang for the window — per-language ranking is
-    the shuffle, exactly as wide as the language cardinality allows.
-    Zero-token documents are absent (nothing to score)."""
+    Returns (id, lang, n_tokens, nll_per_token, bucket). Zero-token
+    documents are absent (nothing to score).
+
+    TWO bucketing modes (r10 — the r9 verdict's scale-axis demand):
+
+    ``exact=True`` (default, the gate oracle): ``ntile(n_buckets)``
+    per language — SQL-standard equal-COUNT buckets, fully
+    deterministic and DuckDB-replayable. Scale shape: ONE
+    hash-Exchange on lang + a full per-language Sort for the window —
+    language is the canonical SKEWED key (English is ~half a real web
+    corpus), so at corpus scale one task sorts half the data. Use
+    this mode for oracle-comparable results at gate scales.
+
+    ``exact=False`` (the corpus-scale mode): per-language bucket
+    BOUNDARIES via ``percentile_approx`` over the quantized nll in ONE
+    map-side-combined aggregate, assigned back scan-side through a
+    broadcast join + CASE — no per-language sort, no skewed-key
+    Exchange width; the heavy side never shuffles at all. This is
+    CCNet's actual recipe (Wenzek 2020 computes cutoffs on a sample,
+    then streams the assignment) and mirrors the documented RFM swap
+    (relational.py rfm_segmentation). Semantics: value-based buckets
+    (bucket = 1 + #boundaries below the key) instead of rank-based —
+    the two modes agree except for rows whose quantized key EQUALS a
+    bucket-boundary key (rank splits such ties across the cut;
+    value-bucketing cannot), pinned by
+    test_perplexity_buckets_approx_matches_exact_off_boundaries.
+    ``accuracy`` is percentile_approx's contract (exact when the
+    per-language count stays below it)."""
     scored = unigram_logprob_score(documents, text_col, id_col)
     j = documents.select(F.col(id_col), F.col(lang_col)).join(scored, id_col)
     # QUANTIZED sort key: two documents with identical token-count
@@ -1715,10 +1740,20 @@ def perplexity_buckets(
     # ties, broken deterministically by id; the ~1e-13 avg wobble sits
     # far below the half-quantum, so the rounded key is reproducible
     # across partitionings AND engines.
-    w = Window.partitionBy(lang_col).orderBy(
-        F.round(F.col("nll_per_token"), 6).asc(), F.asc(id_col)
-    )
-    nt = F.ntile(int(n_buckets)).over(w)
+    key = F.round(F.col("nll_per_token"), 6)
+    if exact:
+        w = Window.partitionBy(lang_col).orderBy(key.asc(), F.asc(id_col))
+        nt = F.ntile(int(n_buckets)).over(w)
+    else:
+        probs = [i / float(n_buckets) for i in range(1, int(n_buckets))]
+        bounds = j.groupBy(lang_col).agg(
+            F.percentile_approx(key, probs, int(accuracy)).alias("_bnds")
+        )
+        j = j.join(F.broadcast(bounds), lang_col)
+        # 1 + number of boundaries strictly below the key, scan-side
+        nt = F.lit(1) + F.aggregate(
+            "_bnds", F.lit(0), lambda acc, b: acc + F.when(key > b, 1).otherwise(0)
+        )
     bucket = (
         F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail")
         if int(n_buckets) == 3

@@ -78,6 +78,72 @@ def test_simhash_table_deterministic(docs):
     assert a == b and len(a) == 43
 
 
+def test_minhash_simhash_np_matches_jvm(spark):
+    """r10 cross-oracle for the Arrow fingerprint kernels: the numpy
+    ports of xxhash64 (``_nphash``) are INTEGER arithmetic, so unlike
+    the float ANN kernels there are no near-ties — the fused
+    mapInPandas MinHash/SimHash tables must agree with the retained
+    JVM expression forms on EVERY bit, across the real corpus plus
+    adversarial edge docs (empty / whitespace-only / shorter-than-k /
+    unicode / null text)."""
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   \t \n "),
+            (9003, "ab"),
+            (9004, "HeLLo\tWORLD  mixed\ncase"),
+            (9005, "café naïve 中文 test ωμέγα"),
+            (9006, None),
+            (9007, "a" * 300),
+        ],
+        "doc_id long, text string",
+    )
+    docs = real.unionByName(edge)
+
+    # MinHash signatures: kernel vs expression form
+    np_sig = {r[0]: tuple(r[1:]) for r in D.minhash_signature_table(docs).collect()}
+    jvm_sig = {r[0]: tuple(r[1:]) for r in D._minhash_signature_table_jvm(docs).collect()}
+    assert np_sig == jvm_sig
+    assert 9006 not in np_sig and 9001 in np_sig  # null drops, empty stays
+
+    # band keys: kernel _bands vs _banded_keys over the JVM signature
+    tbl = D._minhash_doc_table(docs, "text", "doc_id", 64, 16, 5, with_shingles=True)
+    np_bands = {
+        (r["doc_id"], r["band"]): r["key"]
+        for r in tbl.select(
+            "doc_id", F.posexplode("_bands").alias("band", "key")
+        ).collect()
+    }
+    jvm_sig_arr = D._minhash_signature_table_jvm(docs).select(
+        "doc_id", F.array(*[f"_h{i}" for i in range(64)]).alias("_sig")
+    )
+    jvm_bands = {
+        (r["doc_id"], r["band"]): r["key"]
+        for r in D._banded_keys(jvm_sig_arr, "doc_id", 64, 16).collect()
+    }
+    assert np_bands == jvm_bands
+
+    # shingle-hash sets: kernel _sh vs sorted collect_set over the explode
+    np_sh = {r["doc_id"]: r["_sh"] for r in tbl.select("doc_id", "_sh").collect()}
+    jvm_sh = {
+        r["doc_id"]: r["_sh"]
+        for r in D.shingle_hash_table(docs)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
+        .collect()
+    }
+    assert np_sh == jvm_sh
+
+    # SimHash fingerprints: kernel vs expression form (incl zero-token drop)
+    np_sim = {r[0]: r[1] for r in D.simhash_table(docs).collect()}
+    jvm_sim = {r[0]: r[1] for r in D._simhash_table_jvm(docs).collect()}
+    assert np_sim == jvm_sim
+    assert 9001 not in np_sim and 9002 not in np_sim and 9004 in np_sim
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import random
@@ -2419,6 +2485,61 @@ def test_perplexity_buckets_semantics(spark):
     assert got[4]["bucket"] == "tail"  # the OOD doc
     got2 = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs.repartition(7)).collect()}
     assert got2 == {k: v["bucket"] for k, v in got.items()}
+
+
+def test_perplexity_buckets_approx_matches_exact_off_boundaries(spark):
+    """r10 (the r9 verdict's scale-axis demand): ``exact=False``
+    buckets by per-language percentile_approx BOUNDARIES assigned
+    scan-side — no per-language sort, no skewed-key Exchange. On the
+    real corpus the two modes must agree on every row EXCEPT those
+    whose quantized nll EQUALS a bucket-boundary key (rank-bucketing
+    splits such ties across the cut; value-bucketing cannot), and the
+    approx plan must contain no Window/Sort over the document table."""
+    from bigdata_foundation_spark.operators.text import perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r["doc_id"]: r for r in perplexity_buckets(docs).collect()}
+    approx = {r["doc_id"]: r for r in perplexity_buckets(docs, exact=False).collect()}
+    assert set(exact) == set(approx)
+
+    # per-language boundary keys of the exact split: the max quantized
+    # key inside each non-final bucket
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for r in exact.values():
+        by_lang[r["lang"]].append(r)
+    boundary_keys = {}
+    for lang, members in by_lang.items():
+        keys = set()
+        for b in ("head", "middle"):
+            ks = [round(m["nll_per_token"], 6) for m in members if m["bucket"] == b]
+            if ks:
+                keys.add(max(ks))
+        boundary_keys[lang] = keys
+
+    n_disagree = 0
+    for did, er in exact.items():
+        ar = approx[did]
+        if er["bucket"] != ar["bucket"]:
+            n_disagree += 1
+            k = round(er["nll_per_token"], 6)
+            assert k in boundary_keys[er["lang"]], (did, k, er["bucket"], ar["bucket"])
+    # sanity: the modes agree on the overwhelming majority
+    assert n_disagree <= len(exact) * 0.05, n_disagree
+
+    # plan shape: no Window (ntile) and no skewed-lang Sort in approx mode
+    plan = (
+        perplexity_buckets(docs, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # NB: match "ntile(" as a function call — "ntile" alone would hit
+    # the approx mode's own "percentile_approx"
+    assert "Window" not in plan and "ntile(" not in plan
+    exact_plan = perplexity_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in exact_plan  # the gate-oracle mode keeps ntile
 
 
 def test_zipf_fit_semantics(spark):

@@ -48,9 +48,7 @@ def test_topk_never_global_sorts(spark):
     [
         "text_stats",
         "dedup_exact",
-        "dedup_simhash",
         "ann_brute_topk",
-        "ann_pq_topk",
         "events_hourly",
         "exact_substring_spans",
         "bm25_rank",
@@ -61,10 +59,24 @@ def test_topk_never_global_sorts(spark):
 def test_no_python_in_hot_path(spark, name):
     """Every text/dedup/similarity operator must stay JVM-side; Python
     (BatchEvalPython / ArrowEvalPython) is allowed only in the
-    explicitly-Pandas multimodal decode."""
+    explicitly-Pandas multimodal decode and the Arrow-vectorized
+    fingerprint/ANN kernels (which get their own MapInPandas pins
+    below). dedup_simhash and ann_pq_topk moved to the Arrow-kernel
+    pin when their arithmetic migrated (r9 ANN, r10 MinHash/SimHash)."""
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash", "dedup_minhash_lsh", "ann_pq_topk"])
+def test_fingerprint_kernels_use_arrow_not_rowwise(spark, name):
+    """The r9/r10 arithmetic migrations run as Arrow-batched
+    mapInPandas numpy kernels — never row-at-a-time Python, never a
+    cartesian candidate scan."""
+    plan = plan_of(spark, name)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_multimodal_uses_arrow_not_rowwise(spark):
