@@ -5,17 +5,19 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` transforms, so each executor processes whole record
 batches without JVM↔Python per-row overhead.
 
-Codec status (r9): BMP (24-bpp BI_RGB), PNG (8-bit gray/RGB/RGBA,
-non-interlaced, all five scanline filters) and BASELINE JPEG (ITU
+Codec status (r10): BMP (24-bpp BI_RGB), PNG (8-bit gray/RGB/RGBA,
+non-interlaced, all five scanline filters), BASELINE JPEG (ITU
 T.81 SOF0 sequential DCT — 8-bit gray/YCbCr, any sampling factors,
-restart markers) DECODE REAL BYTES with stdlib-only parsing
-(``struct`` + ``zlib`` + the float IDCT below — no image libraries in
-this container), producing true dimensions and pixel-derived
-features. Progressive/arithmetic JPEG and audio / video remain
-STUBBED behind the deterministic ``_fake_decode`` (clearly marked
-below); a real deployment swaps that one function for PIL/libav while
-everything around it — Arrow batching, schemas, partitioning, UDF
-signatures — is already the production plumbing.
+restart markers) and WAV (RIFF, 8/16-bit integer PCM, any channel
+count) DECODE REAL BYTES with stdlib-only parsing (``struct`` +
+``zlib`` + the float IDCT below — no image/audio libraries in this
+container), producing true dimensions / frame counts and
+sample-derived features. Progressive/arithmetic JPEG, compressed
+audio (MP3/AAC/float-PCM) and video remain STUBBED behind the
+deterministic ``_fake_decode`` (clearly marked below); a real
+deployment swaps that one function for PIL/libav while everything
+around it — Arrow batching, schemas, partitioning, UDF signatures —
+is already the production plumbing.
 """
 
 from __future__ import annotations
@@ -55,8 +57,9 @@ DECODED_SCHEMA = T.StructType(
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB — deterministic stand-in for the decoders NOT implemented
-    here (progressive/arithmetic JPEG, audio, video; corrupt bytes of
-    any format also land here so ingest stays a total function).
+    here (progressive/arithmetic JPEG, compressed audio, video;
+    corrupt bytes of any format also land here so ingest stays a
+    total function).
 
     A real deployment swaps this one function for PIL/libav decode;
     everything around it (Arrow batching, schema, partitioning) is the
@@ -447,13 +450,145 @@ def _pixel_feature(pix: list[tuple[int, int, int]]) -> list[float]:
     return [mr, mg, mb, mgray, gmin, gmax, bright, math.sqrt(var)]
 
 
+def _decode_wav(p: bytes) -> tuple[int, int, list[float]]:
+    """Stdlib WAV/PCM decode (r10 — the audio analog of r8's BMP):
+    RIFF chunk walk, ``fmt `` must be integer PCM (format code 1) at
+    8 or 16 bits; ``data`` decodes to normalized samples in [-1, 1]
+    (16-bit: signed LE / 32768; 8-bit: (unsigned - 128) / 128 — the
+    WAV spec's two PCM conventions). Returns
+    (n_frames, n_channels, feature) through the format-agnostic
+    DECODED_SCHEMA: width = frames per channel, height = channels.
+    Raises ValueError on anything else (caller falls back to the
+    stub — progressive JPEG / compressed audio / video stay stubbed).
+    """
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not WAV")
+    off = 12
+    fmt = None
+    data = None
+    while off + 8 <= len(p):
+        tag, ln = p[off : off + 4], struct.unpack_from("<I", p, off + 4)[0]
+        body = p[off + 8 : off + 8 + ln]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("wav: short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        off += 8 + ln + (ln & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data")
+    code, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if code != 1 or bits not in (8, 16) or n_ch < 1 or rate < 1:
+        raise ValueError("wav: only 8/16-bit integer PCM")
+    bytes_per = bits // 8
+    if block_align != n_ch * bytes_per:
+        raise ValueError("wav: bad block align")
+    n_frames = len(data) // block_align
+    if n_frames == 0:
+        raise ValueError("wav: empty data")
+    data = data[: n_frames * block_align]
+    if bits == 16:
+        ints = struct.unpack("<%dh" % (n_frames * n_ch), data)
+        samples = [v / 32768.0 for v in ints]
+    else:
+        samples = [(b - 128) / 128.0 for b in data]
+    return n_frames, n_ch, _audio_feature(samples, rate)
+
+
+def _audio_feature(samples: list[float], rate: int) -> list[float]:
+    """8-float feature from REAL PCM samples (interleaved, normalized
+    to [-1, 1]), all outputs in [0, 1] — the audio analog of
+    ``_pixel_feature``: mean/min/max amplitude (affinely mapped),
+    RMS energy, mean |amplitude|, zero-crossing fraction, positive
+    fraction, and the sample rate against a 96 kHz ceiling. Plain
+    sequential Python arithmetic ON PURPOSE: the golden replay
+    recomputes these with the same formula order, so the doubles are
+    bit-identical (same discipline as the pixel feature)."""
+    n = len(samples)
+    mean = sum(samples) / n
+    lo = min(samples)
+    hi = max(samples)
+    rms = math.sqrt(sum(v * v for v in samples) / n)
+    mabs = sum(abs(v) for v in samples) / n
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0.0) != (samples[i] < 0.0)
+    ) / max(n - 1, 1)
+    pos = sum(1 for v in samples if v > 0.0) / n
+    return [
+        (mean + 1.0) / 2.0,
+        (lo + 1.0) / 2.0,
+        (hi + 1.0) / 2.0,
+        rms,
+        mabs,
+        zc,
+        pos,
+        min(rate / 96000.0, 1.0),
+    ]
+
+
+def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM WAV payloads from an id column — the media
+    table an audio-bearing parquet would give, used by the
+    multimodal_audio_decode gate entry (and replayed independently by
+    tools/gen_pipeline_goldens.audio_golden). Per id d:
+    channels = 1 + d % 2, bits = 8 if d % 3 == 0 else 16,
+    n_frames = 64 + d % 129, rate = 8000; interleaved sample value
+    (frame i, channel c) is the integer hash
+    ``(d*31 + i*17 + c*7) * 2654435761 mod 2^16`` mapped to the PCM
+    range (16-bit: −32768 offset; 8-bit: top byte). Integer arithmetic
+    end to end, so engine and replay agree bit-for-bit."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            ids = pdf[id_col].tolist()
+            for d in ids:
+                payloads.append(synth_wav_bytes(int(d)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["audio/wav"] * len(ids),
+                    "byte_len": [len(b) for b in payloads],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_wav_bytes(d: int) -> bytes:
+    """The deterministic WAV payload for id ``d`` (see
+    synth_wav_table). Module-level so tests can call it directly."""
+    n_ch = 1 + d % 2
+    bits = 8 if d % 3 == 0 else 16
+    n_frames = 64 + d % 129
+    rate = 8000
+    vals = [
+        ((d * 31 + i * 17 + c * 7) * 2654435761) % 65536
+        for i in range(n_frames)
+        for c in range(n_ch)
+    ]
+    if bits == 16:
+        data = struct.pack("<%dh" % len(vals), *[v - 32768 for v in vals])
+    else:
+        data = bytes(v >> 8 for v in vals)
+    block_align = n_ch * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block_align, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
-    """Format-sniffing decode: REAL stdlib decode for BMP/PNG magic
-    bytes (a UTF-8 text payload can never false-positive — both
-    parsers require NUL-bearing headers), deterministic stub for
-    everything else (JPEG/audio/video — honestly labeled) and for
-    corrupt image bytes (production would route those to quarantine;
-    here they keep the ingest total-function contract)."""
+    """Format-sniffing decode: REAL stdlib decode for BMP/PNG/baseline-
+    JPEG/PCM-WAV magic bytes (a UTF-8 text payload can never
+    false-positive — all parsers require NUL-bearing or marker-bearing
+    headers), deterministic stub for everything else (progressive
+    JPEG / compressed audio / video — honestly labeled) and for
+    corrupt bytes of any format (production would route those to
+    quarantine; here they keep the ingest total-function contract)."""
     try:
         if p[:2] == b"BM":
             w, h, pix = _decode_bmp(p)
@@ -464,6 +599,8 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
         if p[:3] == b"\xff\xd8\xff":
             w, h, pix = _decode_jpeg(p)
             return w, h, _pixel_feature(pix)
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            return _decode_wav(p)
     except (ValueError, zlib.error, struct.error, IndexError, KeyError, ZeroDivisionError):
         # Corrupt bytes surface differently per layer: truncated IHDR
         # → struct.error, bad IDAT stream → zlib.error, semantic

@@ -819,6 +819,66 @@ def test_corrupt_jpeg_falls_back_to_stub(spark):
         assert got[i]["width"] == M._fake_decode(b)[0]
 
 
+def test_wav_pcm_decode(spark):
+    """r10 (r9 verdict task 6): WAV/PCM decodes REAL bytes stdlib-only
+    — byte-exact fixtures: hand-built 16-bit stereo and 8-bit mono
+    WAVs decode to known frame/channel counts and hand-computed
+    features; corrupt/unsupported audio (float PCM, truncated RIFF,
+    zero data) falls back to the stub; the synth payload round-trips
+    through the full Arrow engine path."""
+    import struct as st
+
+    def wav(n_ch, bits, rate, frames):  # frames = list of per-channel tuples
+        vals = [v for fr in frames for v in fr]
+        if bits == 16:
+            data = st.pack("<%dh" % len(vals), *vals)
+        else:
+            data = bytes(vals)
+        ba = n_ch * (bits // 8)
+        fmt = st.pack("<HHIIHH", 1, n_ch, rate, rate * ba, ba, bits)
+        body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        body += b"data" + st.pack("<I", len(data)) + data
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    # 16-bit stereo: 3 frames with known samples
+    w16 = wav(2, 16, 16000, [(0, 16384), (-32768, 32767), (16384, -16384)])
+    nf, nc, feat = M._decode_wav(w16)
+    assert (nf, nc) == (3, 2)
+    samples = [0.0, 0.5, -1.0, 32767 / 32768.0, 0.5, -0.5]
+    assert feat == pytest.approx(M._audio_feature(samples, 16000), abs=0)
+    assert feat[2] == pytest.approx((32767 / 32768.0 + 1) / 2)  # max
+    assert feat[1] == 0.0  # min == -1 -> mapped 0
+    assert feat[7] == pytest.approx(16000 / 96000.0)
+
+    # 8-bit mono: unsigned with 128 offset; 4 samples
+    w8 = wav(1, 8, 8000, [(128,), (255,), (0,), (192,)])
+    nf, nc, feat8 = M._decode_wav(w8)
+    assert (nf, nc) == (4, 1)
+    assert feat8 == pytest.approx(
+        M._audio_feature([0.0, 127 / 128.0, -1.0, 64 / 128.0], 8000), abs=0
+    )
+
+    # through the sniffing decode
+    assert M._decode_payload(w16) == (3, 2, feat)
+
+    # corrupt / unsupported -> stub
+    float_pcm = w16.replace(st.pack("<HH", 1, 2), st.pack("<HH", 3, 2), 1)
+    truncated = w16[:20]
+    no_data = wav(1, 16, 8000, [(0,)])[: 12 + 8 + 16]  # fmt only, data chunk cut
+    for bad in (float_pcm, truncated, no_data):
+        assert M._decode_payload(bad) == M._fake_decode(bad)
+
+    # synth payloads: engine mapInPandas end to end, real decode
+    ids = spark.range(10, 16).withColumnRenamed("id", "doc_id")
+    media = M.synth_wav_table(ids)
+    got = {r["media_id"]: r for r in M.decode_features(media).collect()}
+    for d in range(10, 16):
+        want = M._decode_wav(M.synth_wav_bytes(d))
+        assert (got[d]["width"], got[d]["height"]) == (want[0], want[1])
+        assert got[d]["feature"] == pytest.approx(want[2], abs=1e-6)
+        assert got[d]["width"] == 64 + d % 129 and got[d]["height"] == 1 + d % 2
+
+
 def test_ann_kernels_all_null_batch_and_string_ids(spark):
     """r10 (advisor, low x2): (a) an Arrow batch whose embeddings are
     ALL null degrades to zero vectors (NULL-sim contract: cell =

@@ -169,6 +169,55 @@ def minhash_golden(
     )
 
 
+# --- multimodal_audio_decode -------------------------------------------------
+
+def audio_golden(docs):
+    """Replays the synth-WAV contract (the integer-hash PCM samples
+    documented at multimodal.synth_wav_table) plus the WAV decode
+    normalization and the audio feature formulas, independently of
+    engine code: build the integer samples per doc_id, normalize
+    exactly as the PCM spec (16-bit signed/32768, 8-bit
+    (unsigned-128)/128), compute RMS and zero-crossing fraction in
+    the same sequential formula order, narrow to float32 (the engine
+    feature column is array<float>), 6-dp round."""
+    import struct as st
+
+    def f32(x: float) -> float:
+        return st.unpack("<f", st.pack("<f", x))[0]
+
+    out = []
+    for doc_id, _text in docs:
+        d = doc_id
+        n_ch = 1 + d % 2
+        bits = 8 if d % 3 == 0 else 16
+        n_frames = 64 + d % 129
+        vals = [
+            ((d * 31 + i * 17 + c * 7) * 2654435761) % 65536
+            for i in range(n_frames)
+            for c in range(n_ch)
+        ]
+        if bits == 16:
+            samples = [(v - 32768) / 32768.0 for v in vals]
+        else:
+            samples = [((v >> 8) - 128) / 128.0 for v in vals]
+        n = len(samples)
+        rms = math.sqrt(sum(v * v for v in samples) / n)
+        zc = sum(
+            1 for i in range(1, n) if (samples[i - 1] < 0.0) != (samples[i] < 0.0)
+        ) / max(n - 1, 1)
+        out.append((d, n_frames, n_ch, r6(f32(rms)), r6(f32(zc))))
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("n_frames", "INTEGER"),
+            ("n_channels", "INTEGER"),
+            ("rms", "DOUBLE"),
+            ("zcr", "DOUBLE"),
+        ],
+        out,
+    )
+
+
 # --- streaming_corpus_dedup ------------------------------------------------
 
 def corpus_stream_golden(
@@ -781,6 +830,7 @@ def main() -> None:
         "graph_hits": hits_golden(),
         "bloom_dedup_probe": bloom_golden(docs),
         "cms_heavy_hitters": cms_golden(docs),
+        "multimodal_audio_decode": audio_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
