@@ -21,11 +21,39 @@ from pyspark.sql import functions as F
 from bigdata_foundation_spark.operators.relational import upsert
 
 
+def _batch_shuffle(spark, n: int | None):
+    """Context manager scoping ``spark.sql.shuffle.partitions`` to one
+    micro-batch apply. A CDC micro-batch is BOUNDED and usually tiny
+    relative to the cluster, so running its stitch windows/joins at
+    corpus shuffle width just buys empty-task scheduling overhead —
+    the standard Structured Streaming micro-batch tuning (measured
+    r10: the two-batch scd2 gate run drops ~40% at width 8 vs 32).
+    foreachBatch applies run serially within a query, so the set/
+    restore cannot race. ``None`` leaves the session width alone —
+    size it to the CDC feed's batch volume, not the corpus."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        if n is None:
+            yield
+            return
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return cm()
+
+
 def foreach_batch_upsert(
     stream_df: DataFrame,
     target_path: str,
     keys: list[str],
     checkpoint_dir: str | None = None,
+    batch_shuffle_partitions: int | None = None,
 ) -> None:
     """Run ``stream_df`` to completion (Trigger.AvailableNow), MERGE-ing
     every micro-batch into the parquet dataset at ``target_path`` by
@@ -43,15 +71,16 @@ def foreach_batch_upsert(
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.dropDuplicates(keys)
-        if os.path.isdir(target_path) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(target_path)
-        ):
-            merged = upsert(spark.read.parquet(target_path), batch_df, keys)
-        else:
-            merged = batch_df
-        tmp = target_path.rstrip("/") + "._upsert_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        with _batch_shuffle(spark, batch_shuffle_partitions):
+            batch_df = batch_df.dropDuplicates(keys)
+            if os.path.isdir(target_path) and any(
+                not f.startswith(("_", ".")) for f in os.listdir(target_path)
+            ):
+                merged = upsert(spark.read.parquet(target_path), batch_df, keys)
+            else:
+                merged = batch_df
+            tmp = target_path.rstrip("/") + "._upsert_tmp"
+            merged.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(target_path):
             shutil.rmtree(target_path)
         os.rename(tmp, target_path)
@@ -79,6 +108,7 @@ def foreach_batch_scd2(
     ts_col: str,
     tiebreak_col: str,
     checkpoint_dir: str | None = None,
+    batch_shuffle_partitions: int | None = None,
 ) -> None:
     """Maintain an SCD Type-2 dimension INCREMENTALLY from a changelog
     stream — the streaming twin of
@@ -188,9 +218,10 @@ def foreach_batch_scd2(
             tgt = spark.read.parquet(target_path)
         else:
             tgt = None
-        merged = scd2_apply_batch(tgt, batch_df, key_col, attr_col, ts_col, tiebreak_col)
         tmp = target_path.rstrip("/") + "._scd2_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        with _batch_shuffle(spark, batch_shuffle_partitions):
+            merged = scd2_apply_batch(tgt, batch_df, key_col, attr_col, ts_col, tiebreak_col)
+            merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, marker), "w") as fh:
             fh.write(f"{lineage}\n{batch_id}")
         if os.path.isdir(target_path):
