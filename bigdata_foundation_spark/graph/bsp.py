@@ -158,6 +158,7 @@ def bsp_sssp(
     broadcast_frontier_rows: int = 65_536,
     broadcast_candidate_rows: int = 65_536,
     prune_edge_probe: int = 0,
+    edge_storage_level: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Single-source shortest distances (and paths) by BSP relaxation.
 
@@ -221,8 +222,16 @@ def bsp_sssp(
     per-superstep plan/scan/re-aggregate overhead loses to the cached
     in-memory probe decisively (measured 521 → 1688 s on the 520×520
     grid, KERNEL_BENCH §r9 — which is why the default is 0/off).
-    Results are identical either way (same (src, dst, min-cost) rows
-    reach the same join; pinned by
+    The beyond-cache side of the crossover is now MEASURED too
+    (r10, tools/bsp_prune_ab_r10.py — the r9 verdict's "validate or
+    retire" ask): with the edge projection DISK_ONLY (what
+    MEMORY_AND_DISK degrades to past memory scale) on a 5M-edge table
+    whose wavefront touches a 3.6k-node lattice, the pruned probe wins
+    0.57× (95.5 → 54.5 s over 119 supersteps, bit-equal) — the full
+    probe's per-superstep cost grows with |E| (0.56 → 0.80 s/step from
+    1M → 5M edges) while the pruned probe stays flat (~0.46 s/step).
+    KERNEL_BENCH §r10. Results are identical either way (same
+    (src, dst, min-cost) rows reach the same join; pinned by
     test_bsp_pruned_edge_probe_equivalence).
     """
     # Kernel projection: min-cost per (src, dst). Column-pruned and
@@ -264,7 +273,18 @@ def bsp_sssp(
     # the session's shuffle parallelism.
     _shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     _edge_parts = min(_shuffle_parts, max(8, roads.count() // 131_072))
-    edges = edges.repartition(_edge_parts, "src").cache()
+    # ``edge_storage_level`` (r10): DataFrame.cache() is
+    # MEMORY_AND_DISK, which at beyond-memory edge counts silently
+    # degrades to disk-resident blocks deserialized per superstep —
+    # the regime the frontier-pruned probe exists for. The knob makes
+    # that regime explicit (and measurable at test scale: the r10
+    # prune A/B persists DISK_ONLY to pay the per-superstep |E|
+    # deserialization a 25B-edge projection would).
+    from pyspark import StorageLevel
+
+    edges = edges.repartition(_edge_parts, "src").persist(
+        getattr(StorageLevel, edge_storage_level)
+    )
     edges.count()  # materialize the projection once
 
     if carry_paths:

@@ -76,79 +76,79 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# R9 GATE ALLOCATION (the driver checks the FIRST 50 registry
-# entries): (a0) this round's debuts value-gate first; (a) every entry
-# whose code path changed since the r8 judged tree — the
-# Arrow-vectorized ANN kernels (cell assignment / PQ encode / probe /
-# SemDeDup pair sweep, goldens regenerated byte-identical under the
-# mirrored numpy replay), the JPEG-capable format-sniffing decode +
-# widened corrupt-bytes fallback, the lineage-scoped streaming-SCD2
-# replay marker, and the two most BSP-adjacent path entries (the
-# supported-broadcast-shape rewrite of the superstep joins); then (b)
-# the OLDEST-GATED rotation: the FULL r4 block (19 entries — after
-# this round no entry's latest gate is older than r5) plus the first
-# 18 of the r5 block in name order (the remaining 20 r5 entries head
-# the r10 rotation; staleness computed from the union of
-# CORRECTNESS_r01–r08.json, which covers all 176 pre-r9 names).
-# Totals: 2 debuts + 11 changed + 19 r4 + 18 r5 = 50.
+# The driver gates the FIRST 50 registry keys each round. r10 order:
+# (a) this round's debut (WAV/PCM audio decode) and every entry whose
+# code path changed this round — the MinHash/SimHash Arrow kernel
+# migration and its consumers (byte-identical golden regen, like r9's
+# ANN migration), the perplexity_buckets approx-mode addition (exact
+# gate path untouched but same function), the streaming sinks'
+# micro-batch shuffle-width knob, the advisor hardening of the ANN
+# kernels (dim/id-dtype) and the multimodal fallback, and graph_sssp
+# (edge_storage_level knob on the BSP kernel); then (b) the
+# OLDEST-GATED rotation: the FULL r5 block (19 entries — after this
+# round no entry's latest gate is older than r6) plus the first 15 of
+# the r6 block in name order (the remaining 14 r6 entries head the
+# r11 rotation; staleness computed from the union of
+# CORRECTNESS_r01–r09.json).
+# Totals: 1 debut + 15 changed + 19 r5 + 15 r6 = 50.
 # The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r09.md. Entries not listed
+# via tools/check_oracles.py — see ORACLES_r10.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a0) round-9 debuts — value-gate first
-    "perplexity_buckets",  # NEW r9 (CCNet head/middle/tail split, full SQL oracle)
-    "zipf_fit",  # NEW r9 (Zipf slope OLS over top-1000 tokens, full SQL oracle)
-    # (a) changed since the r8 judged tree
-    "ann_pq_topk",  # Arrow-vectorized encode + ADC tables
-    "ann_ivf_topk",  # Arrow-vectorized cell assign + probe
-    "ann_ivf_pq_topk",  # fused Arrow encode (cell+residual+codes) + probe tables
-    "ann_ivf_pq_refine",  # same encode path + exact re-rank tail
-    "semantic_dedup",  # Arrow cell assign + per-cell numpy pair sweep
-    "embedding_kmeans",  # Arrow final assignment + score
-    "multimodal_decode",  # baseline-JPEG decode + corrupt-bytes fallback widening
-    "multimodal_frame_sample",  # rides the same decode plumbing
-    "streaming_scd2",  # lineage-scoped _scd2_batch_id replay marker
-    "graph_sssp",  # BSP supported-broadcast-shape rewrite (kernel tier at gate scale)
-    "graph_apsp_top10",  # same (multi-source candidate gating)
-    # (b) oldest-gated rotation — the FULL r4 block
-    "q2_min_cost_supplier",  # last gated r4
-    "q3_segment_topk",  # last gated r4
-    "q4_late_orders",  # last gated r4
-    "q5_region_revenue",  # last gated r4
-    "q7_nation_volume",  # last gated r4
-    "q8_market_share",  # last gated r4
-    "range_join_attribution",  # last gated r4
-    "salted_agg_events",  # last gated r4
-    "semi_join_ordered_parts",  # last gated r4
-    "shuffle_deterministic_order",  # last gated r4
-    "snapshot_diff_orders",  # last gated r4
-    "streaming_interval_join",  # last gated r4
-    "streaming_running_zscore",  # last gated r4
-    "streaming_upsert_sink",  # last gated r4
-    "upsert_orders",  # last gated r4
-    "window_funcs_orders",  # last gated r4
-    "window_top_orders_per_customer",  # last gated r4
-    "winnow_fingerprint_stats",  # last gated r4
-    "winnow_overlap_pairs",  # last gated r4
-    # (b) oldest-gated rotation — first 18 of the r5 block (name order)
-    "ann_brute_topk",  # last gated r5
-    "ann_lsh_multiprobe",  # last gated r5
-    "ann_lsh_topk",  # last gated r5
-    "anti_join_quiet_customers",  # last gated r5
-    "array_ops_customer",  # last gated r5
-    "balanced_sample_docs",  # last gated r5
-    "case_bucket_orders",  # last gated r5
-    "cross_lookup_pair",  # last gated r5
-    "cube_revenue",  # last gated r5
-    "curation_funnel",  # last gated r5
-    "date_functions_orders",  # last gated r5
-    "dedup_embedding_cosine",  # last gated r5
-    "dedup_embedding_lsh",  # last gated r5
-    "dedup_minhash_blocked",  # last gated r5
-    "dedup_ngram_jaccard",  # last gated r5
-    "dedup_simhash",  # last gated r5
-    "distinct_agg_priority",  # last gated r5
-    "embedding_normalize",  # last gated r5
+    # (a0) round-10 debut — value-gate first
+    "multimodal_audio_decode",  # NEW r10 (stdlib WAV/PCM decode, pinned golden)
+    # (a) changed since the r9 judged tree
+    "dedup_minhash_lsh",  # fused Arrow MinHash kernel (also r6-stale)
+    "dedup_minhash_blocked",  # same kernel + equality blocking
+    "dedup_simhash",  # Arrow SimHash kernel
+    "streaming_corpus_dedup",  # rides the kernel through the incremental index (also r6-stale)
+    "perplexity_buckets",  # exact=False mode added (gated path is exact=True)
+    "streaming_scd2",  # micro-batch shuffle-width knob
+    "streaming_upsert_sink",  # same knob
+    "multimodal_decode",  # WAV sniff added to the format dispatch + fallback widening
+    "ann_pq_topk",  # advisor hardening: dim/id-dtype in the Arrow kernels
+    "ann_ivf_topk",  # same
+    "ann_ivf_pq_topk",  # same
+    "ann_ivf_pq_refine",  # same
+    "semantic_dedup",  # same + pair-sweep id dtype
+    "embedding_kmeans",  # rides _with_cell_np
+    "graph_sssp",  # edge_storage_level knob on the BSP kernel (default unchanged)
+    # (b) oldest-gated rotation — the FULL r5 block
+    "events_hourly",  # last gated r5
+    "events_json_parse",  # last gated r5
+    "events_kv_extract",  # last gated r5
+    "graph_degree_distribution",  # last gated r5
+    "graph_k_hop",  # last gated r5
+    "graph_triangles",  # last gated r5
+    "hash_sample_orders",  # last gated r5
+    "orders_by_year",  # last gated r5
+    "orders_topk",  # last gated r5
+    "pivot_priority_by_year",  # last gated r5
+    "point_lookup_customer",  # last gated r5
+    "q9_product_profit",  # last gated r5
+    "rollup_order_stats",  # last gated r5
+    "setop_repeat_customers",  # last gated r5
+    "stats_agg_lineitem",  # last gated r5
+    "string_funcs_customer",  # last gated r5
+    "top_docs_per_group",  # last gated r5
+    "union_all_keys",  # last gated r5
+    "value_percentiles",  # last gated r5
+    # (b) oldest-gated rotation — first 15 of the r6 block (name order)
+    "bm25_rank",  # last gated r6
+    "chunk_documents",  # last gated r6
+    "contamination_check",  # last gated r6
+    "corpus_profile",  # last gated r6
+    "dedup_cluster_canonical",  # last gated r6
+    "dedup_cluster_keep_best",  # last gated r6
+    "dedup_exact",  # last gated r6
+    "dsir_scores",  # last gated r6
+    "fuzzy_name_match",  # last gated r6
+    "gopher_quality",  # last gated r6
+    "graph_articulation",  # last gated r6
+    "graph_bridges",  # last gated r6
+    "graph_dijkstra_agg",  # last gated r6
+    "graph_edges",  # last gated r6
+    "graph_ingest_limit",  # last gated r6
 ]
 
 
