@@ -71,6 +71,8 @@ HEADLINE = [
     "embedding_pca",
     "perplexity_buckets",
     "zipf_fit",
+    # Round-10 debut: stdlib WAV/PCM decode over synth payloads
+    "multimodal_audio_decode",
 ]
 
 

@@ -125,9 +125,37 @@ PICKS = [
     ),
     (
         "perplexity_buckets",
-        "CCNet bucketing (NEW r9): the scorer's LM aggregate + keyed score "
-        "joins, then exactly ONE lang-keyed Exchange for the ntile window — "
-        "per-language ranking is the only added shuffle",
+        "CCNet bucketing (r9; exact mode): the scorer's LM aggregate + keyed "
+        "score joins, then exactly ONE lang-keyed Exchange for the ntile "
+        "window — per-language ranking is the only added shuffle. Language "
+        "is the canonical SKEWED key, so the corpus-scale mode is "
+        "exact=False (r10): per-language percentile_approx boundaries in "
+        "one map-side-combined aggregate, assigned scan-side via a "
+        "broadcast join + CASE — no Window, no per-language Sort (pinned by "
+        "test_perplexity_buckets_approx_matches_exact_off_boundaries)",
+    ),
+    (
+        "dedup_minhash_lsh",
+        "MinHash-LSH (r10 Arrow kernel): shingling, the 64-seed signature "
+        "minima, band keys AND the verify hash sets fuse into ONE "
+        "MapInPandas pass — the shingle explode and its 64-min aggregate "
+        "Exchange are GONE; the remaining shuffles are the band bucket "
+        "window/agg and the candidate joins, all keyed; no Python "
+        "row-at-a-time, no cartesian",
+    ),
+    (
+        "dedup_simhash",
+        "SimHash (r10 Arrow kernel): tokenize+hash+bit-vote per document in "
+        "ONE MapInPandas pass — the token explode and the 60-column vote "
+        "aggregate are gone; fingerprints are computed where the text is "
+        "scanned (zero shuffle before the pigeonhole bucket join)",
+    ),
+    (
+        "multimodal_audio_decode",
+        "WAV/PCM decode (NEW r10): synth + decode are TWO chained "
+        "MapInPandas stages over the id scan — partitioning preserved, no "
+        "shuffle anywhere; per-file codec work is exactly the "
+        "embarrassingly-parallel shape a 100 TB media ingest needs",
     ),
     (
         "zipf_fit",

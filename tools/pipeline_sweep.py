@@ -144,6 +144,9 @@ PICKS = [
     # r9 debuts
     "perplexity_buckets",
     "zipf_fit",
+    # r10 additions: the other Arrow-kernel dedup line + the audio debut
+    "dedup_simhash",
+    "multimodal_audio_decode",
 ]
 
 
