@@ -507,19 +507,28 @@ def bsp_multi_sssp(
     shows WHY, beyond r8's late-threshold hypothesis: even with exact
     per-THIS-step candidate gating the adaptive arm loses on the
     64-source 1M-edge expander wave (243 s shuffle-only vs 308 s,
-    bit-exact; KERNEL_BENCH §r9). The root cause is PARTITIONING
-    REUSE: in the all-shuffle run every improvement join and state
-    anti-join leaves the multi-million-row state hash-partitioned on
-    (source, node), the periodic ``localCheckpoint`` PRESERVES that
-    partitioning, and each later sort-merge join reuses it instead of
-    re-Exchanging the state — while mixed broadcast supersteps emit
-    pass-through partitioning that forces the wide steps to re-shuffle
-    the state from scratch. Expander waves spend almost all their
-    rows in wide supersteps, so the few cheap broadcast steps cannot
-    buy back even one extra state Exchange. Pass a positive threshold
-    only for high-diameter many-source waves whose frontiers stay
-    small for MOST of the run (where the single-source win profile
-    applies).
+    bit-exact; KERNEL_BENCH §r9).
+
+    MECHANISM CORRECTION (r10): the r9 note attributed the loss to
+    "partitioning reuse through localCheckpoint" — plan inspection in
+    this Spark build REFUTES that specific attribution: a
+    ``localCheckpoint`` taken immediately after ``repartition(P,
+    key)`` plans as a bare ``Scan ExistingRDD`` and a later
+    equi-join re-adds ``Exchange ENSURE_REQUIREMENTS`` over it, i.e.
+    the checkpoint does NOT carry partitioning metadata forward, so
+    no logical-level Exchange elision distinguishes the arms. The
+    MEASURED result stands; the surviving cost asymmetry is
+    mechanical: a broadcast superstep runs TWO extra eager
+    materializations (``best_cand.coalesce(1).localCheckpoint`` and
+    the defeated/improved pipeline) plus their driver round-trips
+    per step, and its 1-partition ``improved`` rows enter the state
+    union unpartitioned — while a shuffle superstep is one eager job
+    whose SMJ work rides the session's full width. Expander waves
+    spend almost all their rows in wide supersteps, so the few cheap
+    broadcast steps cannot buy back their fixed overhead. Pass a
+    positive threshold only for high-diameter many-source waves whose
+    frontiers stay small for MOST of the run (where the single-source
+    win profile applies).
     """
     _shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if edges_pre_aggregated is not None:
