@@ -71,8 +71,10 @@ HEADLINE = [
     "embedding_pca",
     "perplexity_buckets",
     "zipf_fit",
-    # Round-10 debut: stdlib WAV/PCM decode over synth payloads
+    # Round-10 debuts: stdlib WAV/PCM decode + uncompressed-AVI frame
+    # sampling over synth payloads
     "multimodal_audio_decode",
+    "multimodal_video_frames",
 ]
 
 

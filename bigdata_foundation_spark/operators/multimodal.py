@@ -581,14 +581,211 @@ def synth_wav_bytes(d: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _riff_chunks(p: bytes, off: int, end: int):
+    """Yield (tag, body_start, body_len) over a RIFF chunk run —
+    shared by the WAV and AVI walkers. Chunks pad to even length."""
+    while off + 8 <= end:
+        tag = p[off : off + 4]
+        ln = struct.unpack_from("<I", p, off + 4)[0]
+        yield tag, off + 8, ln
+        off += 8 + ln + (ln & 1)
+
+
+def _decode_avi(p: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Stdlib uncompressed-AVI decode (r10 — the video analog of the
+    WAV work): RIFF 'AVI ' walk → ``avih`` main header (dimensions,
+    frame count) → ``strf`` BITMAPINFOHEADER validated 24-bpp BI_RGB
+    (fccHandler 'DIB ') → every ``00db``/``00dc`` chunk under the
+    ``movi`` list decoded exactly like a BMP pixel array (bottom-up
+    BGR rows padded to 4 bytes). Returns (width, height, frames) with
+    frames as row-major top-down RGB pixel lists. Raises ValueError
+    for anything else (compressed video stays honestly stubbed)."""
+    if len(p) < 24 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        raise ValueError("not AVI")
+    w = h = None
+    frames: list[list[tuple[int, int, int]]] = []
+    strf_ok = False
+
+    def walk(off: int, end: int) -> None:
+        nonlocal w, h, strf_ok
+        for tag, body, ln in _riff_chunks(p, off, end):
+            if tag == b"LIST":
+                walk(body + 4, body + ln)  # skip the 4-byte list type
+            elif tag == b"avih":
+                if ln < 40:
+                    raise ValueError("avi: short avih")
+                w = struct.unpack_from("<I", p, body + 32)[0]
+                h = struct.unpack_from("<I", p, body + 36)[0]
+            elif tag == b"strf" and ln >= 40:
+                bi_size, bw, bh, planes, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", p, body
+                )
+                if bi_size >= 40 and bpp == 24 and comp == 0:
+                    strf_ok = True
+                elif bpp or comp:
+                    raise ValueError("avi: only 24-bpp BI_RGB video")
+            elif tag in (b"00db", b"00dc"):
+                frames.append((body, ln))  # type: ignore[arg-type]
+
+    walk(12, len(p))
+    if w is None or h is None or not strf_ok:
+        raise ValueError("avi: missing avih/strf")
+    if w <= 0 or h <= 0:
+        raise ValueError("avi: zero-pixel frames")
+    row_sz = (w * 3 + 3) & ~3
+    out: list[list[tuple[int, int, int]]] = []
+    for body, ln in frames:  # type: ignore[misc]
+        if ln < row_sz * h:
+            raise ValueError("avi: truncated frame")
+        pix: list[tuple[int, int, int]] = []
+        for r in range(h):
+            src = body + row_sz * (h - 1 - r)  # bottom-up like BMP
+            for c in range(w):
+                b_, g, rr = p[src + 3 * c], p[src + 3 * c + 1], p[src + 3 * c + 2]
+                pix.append((rr, g, b_))
+        out.append(pix)
+    if not out:
+        raise ValueError("avi: no frames")
+    return w, h, out
+
+
+def video_frame_table(
+    media: DataFrame, every_n: int = 1, max_frames: int = 8
+) -> DataFrame:
+    """REAL video frame sampling (r10): decode each uncompressed-AVI
+    payload, keep every ``every_n``-th frame up to ``max_frames``, and
+    emit one row per sampled frame with true dimensions and the
+    pixel-derived feature — the production shape of a video curation
+    pass (decode → sample → per-frame features), as Arrow-batched
+    mapInPandas with partitioning preserved. Payloads that are not
+    decodable uncompressed AVIs emit NO rows (a production pipeline
+    routes those to the generic byte sampler ``frame_sample`` or a
+    libav-backed decoder; dropping keeps this operator's schema
+    honest — every emitted row carries REAL pixels)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, ws, hs, feats = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = _decode_avi(bytes(payload) if payload is not None else b"")
+                except (ValueError, struct.error, IndexError):
+                    continue
+                for k, fi in enumerate(range(0, len(frames), max(every_n, 1))):
+                    if k >= max_frames:
+                        break
+                    ids.append(mid)
+                    fnos.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    feats.append(_pixel_feature(frames[fi]))
+            if ids:  # an all-undecodable batch must yield nothing, not
+                # an empty frame whose default float64 columns break the
+                # Arrow list<float> conversion
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_no": fnos,
+                        "width": ws,
+                        "height": hs,
+                        "feature": feats,
+                    }
+                )
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
+
+
+def synth_avi_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic uncompressed-AVI payloads from an id column (the
+    video twin of synth_wav_table), replayed independently by
+    tools/gen_pipeline_goldens.video_golden. Per id d:
+    width = 8 + (d % 3)·4, height = 6 + (d % 2)·2,
+    n_frames = 3 + d % 6; pixel (frame f, row y, col x) channel c is
+    the integer hash ``(d·13 + f·7 + y·5 + x·3 + c) · 2654435761
+    mod 256`` (c = 0/1/2 = R/G/B). Integer arithmetic end to end."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            payloads = [synth_avi_bytes(int(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["video/x-msvideo"] * len(ids),
+                    "byte_len": [len(b) for b in payloads],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_avi_bytes(d: int) -> bytes:
+    """The deterministic AVI payload for id ``d`` (see
+    synth_avi_table). Module-level so tests can call it directly."""
+    w = 8 + (d % 3) * 4
+    h = 6 + (d % 2) * 2
+    n_frames = 3 + d % 6
+
+    def px(f: int, y: int, x: int, c: int) -> int:
+        return ((d * 13 + f * 7 + y * 5 + x * 3 + c) * 2654435761) % 256
+
+    row_sz = (w * 3 + 3) & ~3
+    frames = []
+    for f in range(n_frames):
+        rows = bytearray()
+        for r in range(h):
+            y = h - 1 - r  # bottom-up storage
+            line = bytearray()
+            for x in range(w):
+                line += bytes((px(f, y, x, 2), px(f, y, x, 1), px(f, y, x, 0)))  # BGR
+            line += b"\x00" * (row_sz - len(line))
+            rows += line
+        frames.append(bytes(rows))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 40_000, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<I2H8I", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_sz * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
     """Format-sniffing decode: REAL stdlib decode for BMP/PNG/baseline-
-    JPEG/PCM-WAV magic bytes (a UTF-8 text payload can never
-    false-positive — all parsers require NUL-bearing or marker-bearing
-    headers), deterministic stub for everything else (progressive
-    JPEG / compressed audio / video — honestly labeled) and for
-    corrupt bytes of any format (production would route those to
-    quarantine; here they keep the ingest total-function contract)."""
+    JPEG/PCM-WAV/uncompressed-AVI magic bytes (a UTF-8 text payload
+    can never false-positive — all parsers require NUL-bearing or
+    marker-bearing headers), deterministic stub for everything else
+    (progressive JPEG / compressed audio / compressed video — honestly
+    labeled) and for corrupt bytes of any format (production would
+    route those to quarantine; here they keep the ingest
+    total-function contract). An AVI contributes its FIRST frame's
+    pixel feature (the thumbnail convention); per-frame work goes
+    through :func:`video_frame_table`."""
     try:
         if p[:2] == b"BM":
             w, h, pix = _decode_bmp(p)
@@ -601,6 +798,9 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
             return w, h, _pixel_feature(pix)
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             return _decode_wav(p)
+        if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            w, h, frames = _decode_avi(p)
+            return w, h, _pixel_feature(frames[0])
     except (ValueError, zlib.error, struct.error, IndexError, KeyError, ZeroDivisionError):
         # Corrupt bytes surface differently per layer: truncated IHDR
         # → struct.error, bad IDAT stream → zlib.error, semantic

@@ -86,17 +86,18 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # kernels (dim/id-dtype) and the multimodal fallback, and graph_sssp
 # (edge_storage_level knob on the BSP kernel); then (b) the
 # OLDEST-GATED rotation: the FULL r5 block (19 entries — after this
-# round no entry's latest gate is older than r6) plus the first 15 of
-# the r6 block in name order (the remaining 14 r6 entries head the
+# round no entry's latest gate is older than r6) plus the first 14 of
+# the r6 block in name order (the remaining 15 r6 entries head the
 # r11 rotation; staleness computed from the union of
 # CORRECTNESS_r01–r09.json).
-# Totals: 1 debut + 15 changed + 19 r5 + 15 r6 = 50.
+# Totals: 2 debuts + 15 changed + 19 r5 + 14 r6 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r10.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a0) round-10 debut — value-gate first
+    # (a0) round-10 debuts — value-gate first
     "multimodal_audio_decode",  # NEW r10 (stdlib WAV/PCM decode, pinned golden)
+    "multimodal_video_frames",  # NEW r10 (uncompressed-AVI decode + frame sample, pinned golden)
     # (a) changed since the r9 judged tree
     "dedup_minhash_lsh",  # fused Arrow MinHash kernel (also r6-stale)
     "dedup_minhash_blocked",  # same kernel + equality blocking
@@ -148,7 +149,6 @@ GATE_ORDER: list[str] = [
     "graph_bridges",  # last gated r6
     "graph_dijkstra_agg",  # last gated r6
     "graph_edges",  # last gated r6
-    "graph_ingest_limit",  # last gated r6
 ]
 
 
@@ -2862,6 +2862,27 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("n_channels"),
         F.round(F.col("feature")[3].cast("double"), 6).alias("rms"),
         F.round(F.col("feature")[5].cast("double"), 6).alias("zcr"),
+    )
+
+
+@q(
+    "multimodal_video_frames",
+    PIPELINE_GOLDEN_SQL["multimodal_video_frames"],
+    "REAL stdlib uncompressed-AVI decode + frame sampling (r10 debut): deterministic "
+    "synth payloads -> RIFF/movi walk, per-frame DIB decode, every-2nd-frame sample, "
+    "pixel features; pinned golden from the independent integer-hash replay "
+    "(tools/gen_pipeline_goldens.video_golden)",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = M.video_frame_table(M.synth_avi_table(d), every_n=2, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "width",
+        "height",
+        F.round(F.col("feature")[3].cast("double"), 6).alias("gray_mean"),
+        F.round(F.col("feature")[7].cast("double"), 6).alias("gray_std"),
     )
 
 

@@ -879,6 +879,64 @@ def test_wav_pcm_decode(spark):
         assert got[d]["width"] == 64 + d % 129 and got[d]["height"] == 1 + d % 2
 
 
+def test_avi_video_decode_and_frame_sampling(spark):
+    """r10: uncompressed-AVI decodes REAL bytes stdlib-only — synth
+    payloads round-trip pixel-exact through _decode_avi; the real
+    frame sampler emits every-nth sampled frame with true dimensions
+    and pixel features; corrupt/compressed video falls back (sniffing
+    decode → stub; frame table → no rows); plan stays Arrow-batched."""
+    # pixel-exact round trip for a spread of ids
+    for d in (0, 1, 5, 10, 41):
+        p = M.synth_avi_bytes(d)
+        w, h, frames = M._decode_avi(p)
+        assert (w, h) == (8 + (d % 3) * 4, 6 + (d % 2) * 2)
+        assert len(frames) == 3 + d % 6
+
+        def px(f, y, x, c, d=d):
+            return ((d * 13 + f * 7 + y * 5 + x * 3 + c) * 2654435761) % 256
+
+        for f in (0, len(frames) - 1):
+            for y, x in ((0, 0), (h - 1, w - 1), (1, 2)):
+                assert frames[f][y * w + x] == (px(f, y, x, 0), px(f, y, x, 1), px(f, y, x, 2))
+        # sniffing decode = first-frame thumbnail
+        assert M._decode_payload(p) == (w, h, M._pixel_feature(frames[0]))
+
+    # corrupt variants -> stub / dropped
+    good = M.synth_avi_bytes(7)
+    truncated = good[:48]
+    compressed = good.replace(b"00db", b"00dc_", 1)[: len(good)]  # corrupt tag run
+    assert M._decode_payload(truncated) == M._fake_decode(truncated)
+
+    # engine path: sampler semantics (every_n=2, cap 4) + real features
+    ids = spark.range(20, 26).withColumnRenamed("id", "doc_id")
+    media = M.synth_avi_table(ids)
+    rows = M.video_frame_table(media, every_n=2, max_frames=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for d in range(20, 26):
+        n_frames = 3 + d % 6
+        want_fnos = list(range(0, n_frames, 2))[:4]
+        got = sorted(by_id[d], key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in got] == want_fnos
+        w, h, frames = M._decode_avi(M.synth_avi_bytes(d))
+        for r in got:
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["feature"] == pytest.approx(M._pixel_feature(frames[r["frame_no"]]), abs=1e-6)
+
+    # a non-AVI payload contributes no frame rows
+    mixed = media.unionByName(
+        spark.createDataFrame(
+            [(999, b"not a video", "application/octet-stream", 11)], M.MEDIA_SCHEMA
+        )
+    )
+    got_ids = {r["media_id"] for r in M.video_frame_table(mixed).collect()}
+    assert 999 not in got_ids and 20 in got_ids
+
+    plan = M.video_frame_table(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
 def test_ann_kernels_all_null_batch_and_string_ids(spark):
     """r10 (advisor, low x2): (a) an Arrow batch whose embeddings are
     ALL null degrades to zero vectors (NULL-sim contract: cell =

@@ -218,6 +218,53 @@ def audio_golden(docs):
     )
 
 
+# --- multimodal_video_frames -------------------------------------------------
+
+def video_golden(docs, every_n=2, max_frames=4):
+    """Replays the synth-AVI contract (the integer-hash pixels
+    documented at multimodal.synth_avi_table) plus the frame sampler
+    and the pixel feature, independently of engine code: rebuild each
+    sampled frame's RGB pixels from the hash, compute the gray
+    mean/stddev in the same sequential formula order as the engine's
+    pixel feature, narrow to float32 (the feature column is
+    array<float>), 6-dp round."""
+    import struct as st
+
+    def f32(x: float) -> float:
+        return st.unpack("<f", st.pack("<f", x))[0]
+
+    out = []
+    for doc_id, _text in docs:
+        d = doc_id
+        w = 8 + (d % 3) * 4
+        h = 6 + (d % 2) * 2
+        n_frames = 3 + d % 6
+        for k, fi in enumerate(range(0, n_frames, every_n)):
+            if k >= max_frames:
+                break
+            pix = [
+                tuple(((d * 13 + fi * 7 + y * 5 + x * 3 + c) * 2654435761) % 256 for c in range(3))
+                for y in range(h)
+                for x in range(w)
+            ]
+            n = len(pix)
+            gray = [(q[0] + q[1] + q[2]) / 3.0 for q in pix]
+            mgray = sum(gray) / (255.0 * n)
+            var = sum((g / 255.0 - mgray) ** 2 for g in gray) / n
+            out.append((d, fi, w, h, r6(f32(mgray)), r6(f32(math.sqrt(var)))))
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("frame_no", "INTEGER"),
+            ("width", "INTEGER"),
+            ("height", "INTEGER"),
+            ("gray_mean", "DOUBLE"),
+            ("gray_std", "DOUBLE"),
+        ],
+        out,
+    )
+
+
 # --- streaming_corpus_dedup ------------------------------------------------
 
 def corpus_stream_golden(
@@ -831,6 +878,7 @@ def main() -> None:
         "bloom_dedup_probe": bloom_golden(docs),
         "cms_heavy_hitters": cms_golden(docs),
         "multimodal_audio_decode": audio_golden(docs),
+        "multimodal_video_frames": video_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"

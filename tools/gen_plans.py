@@ -151,6 +151,13 @@ PICKS = [
         "scanned (zero shuffle before the pigeonhole bucket join)",
     ),
     (
+        "multimodal_video_frames",
+        "uncompressed-AVI decode + frame sampling (NEW r10): synth + "
+        "decode/sample are chained MapInPandas stages over the id scan — "
+        "partitioning preserved, zero shuffle; one row per sampled frame "
+        "with REAL pixel features",
+    ),
+    (
         "multimodal_audio_decode",
         "WAV/PCM decode (NEW r10): synth + decode are TWO chained "
         "MapInPandas stages over the id scan — partitioning preserved, no "

@@ -144,9 +144,10 @@ PICKS = [
     # r9 debuts
     "perplexity_buckets",
     "zipf_fit",
-    # r10 additions: the other Arrow-kernel dedup line + the audio debut
+    # r10 additions: the other Arrow-kernel dedup line + the media debuts
     "dedup_simhash",
     "multimodal_audio_decode",
+    "multimodal_video_frames",
 ]
 
 
