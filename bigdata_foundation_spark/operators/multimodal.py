@@ -6,18 +6,20 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 batches without JVM↔Python per-row overhead.
 
 Codec status (r10): BMP (24-bpp BI_RGB), PNG (8-bit gray/RGB/RGBA,
-non-interlaced, all five scanline filters), BASELINE JPEG (ITU
-T.81 SOF0 sequential DCT — 8-bit gray/YCbCr, any sampling factors,
-restart markers) and WAV (RIFF, 8/16-bit integer PCM, any channel
-count) DECODE REAL BYTES with stdlib-only parsing (``struct`` +
-``zlib`` + the float IDCT below — no image/audio libraries in this
-container), producing true dimensions / frame counts and
-sample-derived features. Progressive/arithmetic JPEG, compressed
-audio (MP3/AAC/float-PCM) and video remain STUBBED behind the
-deterministic ``_fake_decode`` (clearly marked below); a real
-deployment swaps that one function for PIL/libav while everything
-around it — Arrow batching, schemas, partitioning, UDF signatures —
-is already the production plumbing.
+non-interlaced, all five scanline filters), JPEG — BASELINE (ITU
+T.81 SOF0 sequential DCT) AND PROGRESSIVE (SOF2, full spectral
+selection + successive approximation) — 8-bit gray/YCbCr, any
+sampling factors, restart markers; WAV (RIFF, 8/16-bit integer PCM,
+any channel count); and uncompressed AVI (RIFF 'AVI ', 24-bpp DIB
+frames) all DECODE REAL BYTES with stdlib-only parsing (``struct`` +
+``zlib`` + the float IDCT below — no image/audio/video libraries in
+this container), producing true dimensions / frame counts and
+pixel/sample-derived features. Arithmetic-coded/hierarchical/12-bit
+JPEG, compressed audio (MP3/AAC/float-PCM) and compressed video
+remain STUBBED behind the deterministic ``_fake_decode`` (clearly
+marked below); a real deployment swaps that one function for
+PIL/libav while everything around it — Arrow batching, schemas,
+partitioning, UDF signatures — is already the production plumbing.
 """
 
 from __future__ import annotations
@@ -57,9 +59,9 @@ DECODED_SCHEMA = T.StructType(
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB — deterministic stand-in for the decoders NOT implemented
-    here (progressive/arithmetic JPEG, compressed audio, video;
-    corrupt bytes of any format also land here so ingest stays a
-    total function).
+    here (arithmetic/hierarchical JPEG, compressed audio, compressed
+    video; corrupt bytes of any format also land here so ingest stays
+    a total function).
 
     A real deployment swaps this one function for PIL/libav decode;
     everything around it (Arrow batching, schema, partitioning) is the
@@ -268,15 +270,23 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Stdlib baseline-JPEG decode (ITU T.81, SOF0 sequential DCT,
-    8-bit, 1 or 3 components, any sampling factors, restart markers):
-    marker walk → DQT/DHT/SOF0/SOS parse, huffman-decode the
-    interleaved MCU stream (DC diff coding + AC run/size RLE),
-    dequantize in zigzag order, 2-D float IDCT per 8×8 block,
-    nearest-neighbor chroma upsample, YCbCr→RGB (JFIF full-range).
-    Returns (width, height, row-major top-down RGB). Raises ValueError
-    on progressive (SOF2) / arithmetic / 12-bit / 4-component CMYK —
-    the caller falls back to the labeled stub for those."""
+    """Stdlib JPEG decode (ITU T.81) — BASELINE (SOF0, sequential DCT)
+    and PROGRESSIVE (SOF2, r10: full spectral selection AND successive
+    approximation, interleaved DC / non-interleaved AC scans, EOB runs,
+    restart markers, tables redefined between scans). 8-bit, 1 or 3
+    components, any sampling factors.
+
+    Architecture (r10 rework): every scan entropy-decodes into
+    per-component COEFFICIENT planes (quantized-domain ints in zigzag
+    order, the representation progressive scans refine across
+    multiple passes); rendering — dequantize, 2-D float IDCT,
+    nearest-neighbor chroma upsample, YCbCr→RGB (JFIF full-range) —
+    happens once at EOI. For SOF0 this stages through the same planes
+    the old inline decoder filled block-at-a-time; pixels are
+    bit-identical (same arithmetic, same order per block). Returns
+    (width, height, row-major top-down RGB). Raises ValueError on
+    arithmetic coding / 12-bit / hierarchical / CMYK — the caller
+    falls back to the labeled stub for those."""
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         raise ValueError("not JPEG")
     qt: dict[int, list[int]] = {}
@@ -284,14 +294,199 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     w = h = None
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     restart = 0
+    progressive = False
+    coef: list[list[list[list[int]]]] = []  # [ci][by][bx][64] zigzag ints
+    hmax = vmax = mcux = mcuy = 1
+    eobrun = 0
+
+    def alloc_planes() -> None:
+        nonlocal hmax, vmax, mcux, mcuy
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for _cid, hs, vs, _tq in comps:
+            coef.append(
+                [[[0] * 64 for _ in range(mcux * hs)] for _ in range(mcuy * vs)]
+            )
+
+    def decode_scan(scan, ss, se, ah, al, bits):
+        """Entropy-decode ONE scan into the coefficient planes
+        (``scan`` = [(ci, dc_table, ac_table)]). Covers all four
+        progressive scan kinds (T.81 G.2): DC first / DC refine
+        (interleaved or not), AC first / AC refine (single-component
+        only), plus the sequential full-spectrum scan SOF0 uses."""
+        nonlocal eobrun
+        eobrun = 0
+        interleaved = len(scan) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+            nx_used = mcux
+        else:
+            ci0 = scan[0][0]
+            _cid, hs0, vs0, _tq = comps[ci0]
+            cw = -(-(w * hs0) // hmax)
+            ch = -(-(h * vs0) // vmax)
+            nx_used, ny_used = -(-cw // 8), -(-ch // 8)
+            n_units = nx_used * ny_used
+
+        def block_seq(blk, dc_t, ac_t, pred):
+            # sequential (baseline) block: DC diff + AC run/size to 63
+            t = _jpeg_huff_decode(bits, huff[(0, dc_t)])
+            pred += _jpeg_extend(bits.receive(t), t)
+            blk[0] = pred
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
+                r, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                blk[k] = _jpeg_extend(bits.receive(sz), sz)
+                k += 1
+            return pred
+
+        def block_dc_first(blk, dc_t, pred):
+            t = _jpeg_huff_decode(bits, huff[(0, dc_t)])
+            pred += _jpeg_extend(bits.receive(t), t)
+            blk[0] = pred << al
+            return pred
+
+        def block_dc_refine(blk):
+            if bits.read_bit():
+                blk[0] |= 1 << al
+
+        def block_ac_first(blk, ac_t):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
+                r, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("jpeg: AC index overflow")
+                blk[k] = _jpeg_extend(bits.receive(sz), sz) << al
+                k += 1
+
+        def refine_nonzero(blk, k):
+            # correction bit for a history-nonzero coefficient (G.1.2.3)
+            if bits.read_bit():
+                bit = 1 << al
+                if blk[k] > 0 and not (blk[k] & bit):
+                    blk[k] += bit
+                elif blk[k] < 0 and not (-blk[k] & bit):
+                    blk[k] -= bit
+
+        def block_ac_refine(blk, ac_t):
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
+                    r, sz = rs >> 4, rs & 0xF
+                    newval = 0
+                    if sz == 0:
+                        if r != 15:
+                            # EOB run INCLUDING this block — which still
+                            # consumes its remaining correction bits in
+                            # the eobrun tail below (then decrements),
+                            # so unlike the AC-first path the count here
+                            # is the full (1<<r)+extra
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.receive(r)
+                            break
+                        # ZRL: pass over 16 zero-HISTORY coefficients
+                    else:
+                        if sz != 1:
+                            raise ValueError("jpeg: bad AC refine size")
+                        newval = (1 << al) if bits.read_bit() else -(1 << al)
+                    # advance: correction bits on nonzero history, count
+                    # zero-history positions down r
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_nonzero(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB run: correction bits for the remaining nonzero
+                # history coefficients of this block
+                while k <= se:
+                    if blk[k] != 0:
+                        refine_nonzero(blk, k)
+                    k += 1
+                eobrun -= 1
+
+        def one_block(ci, dc_t, ac_t, blk, pred):
+            if not progressive:
+                return block_seq(blk, dc_t, ac_t, pred)
+            if ss == 0:
+                if ah == 0:
+                    return block_dc_first(blk, dc_t, pred)
+                block_dc_refine(blk)
+                return pred
+            if ah == 0:
+                block_ac_first(blk, ac_t)
+            else:
+                block_ac_refine(blk, ac_t)
+            return pred
+
+        pred = [0] * len(comps)
+        n_mcu = 0
+        for unit in range(n_units):
+            if restart and n_mcu and n_mcu % restart == 0:
+                bits.align_restart()
+                pred = [0] * len(comps)
+                eobrun = 0
+            n_mcu += 1
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for ci, dc_t, ac_t in scan:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = coef[ci][my * vs + by][mx * hs + bx]
+                            pred[ci] = one_block(ci, dc_t, ac_t, blk, pred[ci])
+            else:
+                ci, dc_t, ac_t = scan[0]
+                by, bx = divmod(unit, nx_used)
+                blk = coef[ci][by][bx]
+                pred[ci] = one_block(ci, dc_t, ac_t, blk, pred[ci])
+        return bits
+
     pos = 2
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
-    while pos + 4 <= len(p):
+    while pos + 2 <= len(p):
         if p[pos] != 0xFF:
             raise ValueError("jpeg: bad marker")
         marker = p[pos + 1]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline SOF0 supported")
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only SOF0/SOF2 supported")
+        if pos + 4 > len(p):
+            break
         ln = struct.unpack_from(">H", p, pos + 2)[0]
         seg = p[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT
@@ -302,7 +497,8 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                     raise ValueError("jpeg: only 8-bit quant tables")
                 qt[tq] = list(seg[o + 1 : o + 65])
                 o += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8 or nc not in (1, 3):
                 raise ValueError("jpeg: only 8-bit gray/YCbCr")
@@ -310,6 +506,9 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 0xF, seg[8 + 3 * i])
                 for i in range(nc)
             ]
+            if w == 0 or h == 0:
+                raise ValueError("jpeg: zero-pixel frame")
+            alloc_planes()
         elif marker == 0xC4:  # DHT
             o = 0
             while o < len(seg):
@@ -329,80 +528,61 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
+            if w is None or not comps:
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             cid_index = {c[0]: i for i, c in enumerate(comps)}
+            scan = []
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cid_index[cid], tabs >> 4, tabs & 0xF))
-            pos = pos + 2 + ln
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            aa = seg[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            if ss > se or se > 63 or (progressive and ss == 0 and se != 0):
+                raise ValueError("jpeg: bad spectral range")
+            if progressive and ss > 0 and len(scan) != 1:
+                raise ValueError("jpeg: interleaved AC scan")
+            bits = _JpegBits(p, pos + 2 + ln)
+            decode_scan(scan, ss, se, ah, al, bits)
+            # advance to the next marker after the entropy segment
+            q = bits.pos
+            while q + 1 < len(p) and not (
+                p[q] == 0xFF and p[q + 1] not in (0x00,) and not (0xD0 <= p[q + 1] <= 0xD7)
+            ):
+                q += 1
+            pos = q
+            continue
         pos += 2 + ln
-    if w is None or not comps or not scan:
-        raise ValueError("jpeg: missing SOF0/SOS")
-    if w == 0 or h == 0:
-        # DNL-deferred or zero dimension: a "successful" decode would
-        # yield zero pixels and _pixel_feature would divide by zero.
-        raise ValueError("jpeg: zero-pixel frame")
+    if w is None or not comps or not coef:
+        raise ValueError("jpeg: missing SOF/SOS")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for _cid, hs, vs, _tq in comps:
-        planes.append([[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)])
-
+    # ---- render: dequantize + IDCT every block, then upsample ----
     basis = _idct_basis()
-    bits = _JpegBits(p, pos)
-    pred = [0] * len(comps)
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
-                bits.align_restart()
-                pred = [0] * len(comps)
-            n_mcu += 1
-            for ci, dc_t, ac_t in scan:
-                _cid, hs, vs, tq = comps[ci]
-                q = qt[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        t = _jpeg_huff_decode(bits, huff[(0, dc_t)])
-                        diff = _jpeg_extend(bits.receive(t), t)
-                        pred[ci] += diff
-                        zz = [0] * 64
-                        zz[0] = pred[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _jpeg_extend(bits.receive(s), s) * q[k]
-                            k += 1
-                        blk = [[0.0] * 8 for _ in range(8)]
-                        for i in range(64):
-                            blk[_ZIGZAG[i] >> 3][_ZIGZAG[i] & 7] = float(zz[i])
-                        # out = B · blk · Bᵀ, +128 level shift, clamp
-                        tmp = [
-                            [sum(basis[x][u] * blk[u][v] for u in range(8)) for v in range(8)]
-                            for x in range(8)
-                        ]
-                        plane = planes[ci]
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        for x in range(8):
-                            row = plane[y0 + x]
-                            trow = tmp[x]
-                            for y in range(8):
-                                v = sum(trow[u] * basis[y][u] for u in range(8)) + 128.0
-                                row[x0 + y] = 0 if v < 0 else (255 if v > 255 else int(v + 0.5))
+    planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        q = qt[tq]
+        plane = [[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)]
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                zz = coef[ci][by][bx]
+                blk = [[0.0] * 8 for _ in range(8)]
+                for i in range(64):
+                    blk[_ZIGZAG[i] >> 3][_ZIGZAG[i] & 7] = float(zz[i] * q[i])
+                tmp = [
+                    [sum(basis[x][u] * blk[u][v] for u in range(8)) for v in range(8)]
+                    for x in range(8)
+                ]
+                y0, x0 = by * 8, bx * 8
+                for x in range(8):
+                    row = plane[y0 + x]
+                    trow = tmp[x]
+                    for y in range(8):
+                        v = sum(trow[u] * basis[y][u] for u in range(8)) + 128.0
+                        row[x0 + y] = 0 if v < 0 else (255 if v > 255 else int(v + 0.5))
+        planes.append(plane)
 
     pix: list[tuple[int, int, int]] = []
     if len(comps) == 1:
@@ -430,7 +610,6 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 )
             )
     return w, h, pix
-
 
 def _pixel_feature(pix: list[tuple[int, int, int]]) -> list[float]:
     """8-float feature from REAL pixels, all in [0, 1]: per-channel
@@ -780,7 +959,7 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
     JPEG/PCM-WAV/uncompressed-AVI magic bytes (a UTF-8 text payload
     can never false-positive — all parsers require NUL-bearing or
     marker-bearing headers), deterministic stub for everything else
-    (progressive JPEG / compressed audio / compressed video — honestly
+    (arithmetic JPEG / compressed audio / compressed video — honestly
     labeled) and for corrupt bytes of any format (production would
     route those to quarantine; here they keep the ingest
     total-function contract). An AVI contributes its FIRST frame's

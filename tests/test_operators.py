@@ -575,6 +575,324 @@ def _jpeg_bytes(width, height, rows_rgb, gray=False, subsample=False, dri=0, qua
     return head + bytes(out) + b"\xff\xd9"
 
 
+def _jpeg_progressive_bytes(
+    width, height, rows_rgb, gray=False, subsample=False, quant=None, script=None
+):
+    """Hand-built PROGRESSIVE JPEG (SOF2) serializer: derives the SAME
+    quantized coefficients as the baseline encoder (_jpeg_bytes —
+    identical FDCT/quant arithmetic), then re-serializes them into a
+    spectral-selection + successive-approximation scan script (T.81
+    Annex G encoders: DC first/refine, AC first with EOB runs, AC
+    refine with buffered correction bits; per-scan huffman tables, so
+    the decoder's between-scan DHT evolution is exercised). Because
+    the COEFFICIENTS are identical, the engine's progressive decode
+    must reproduce the baseline decode's pixels EXACTLY."""
+    import math as _m
+    import struct as _s
+
+    q = quant if quant is not None else [1] * 64
+    zigzag = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    basis = [
+        [(_m.sqrt(0.125) if u == 0 else 0.5) * _m.cos((2 * x + 1) * u * _m.pi / 16.0) for u in range(8)]
+        for x in range(8)
+    ]
+
+    def fdct_quant(block):
+        tmp = [[sum(basis[x][u] * block[x][y] for x in range(8)) for y in range(8)] for u in range(8)]
+        coefm = [[sum(tmp[u][y] * basis[y][v] for y in range(8)) for v in range(8)] for u in range(8)]
+        return [int(round(coefm[zigzag[i] >> 3][zigzag[i] & 7] / q[i])) for i in range(64)]
+
+    if gray:
+        planes = [[[float(rows_rgb[y][x]) - 128.0 for x in range(width)] for y in range(height)]]
+        samp = [(1, 1)]
+    else:
+        ycc = [[None] * width for _ in range(height)]
+        for y in range(height):
+            for x in range(width):
+                r, g, b = rows_rgb[y][x]
+                yy = 0.299 * r + 0.587 * g + 0.114 * b
+                cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+                cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+                ycc[y][x] = (yy, cb, cr)
+        if subsample:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            planes = [[[ycc[y][x][0] - 128.0 for x in range(width)] for y in range(height)]]
+            for ci in (1, 2):
+                planes.append(
+                    [
+                        [
+                            sum(ycc[2 * y + dy][2 * x + dx][ci] for dy in (0, 1) for dx in (0, 1)) / 4.0 - 128.0
+                            for x in range(width // 2)
+                        ]
+                        for y in range(height // 2)
+                    ]
+                )
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+            planes = [
+                [[ycc[y][x][ci] - 128.0 for x in range(width)] for y in range(height)]
+                for ci in range(3)
+            ]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    # quantized zigzag coefficients for the FULL allocated block grid
+    blocks = []  # [ci][by][bx] -> zz[64]
+    for ci, (hs, vs) in enumerate(samp):
+        plane = planes[ci]
+        ph, pw = len(plane), len(plane[0])
+        grid = []
+        for by in range(mcuy * vs):
+            row = []
+            for bx in range(mcux * hs):
+                blk = [
+                    [plane[min(by * 8 + r, ph - 1)][min(bx * 8 + c, pw - 1)] for c in range(8)]
+                    for r in range(8)
+                ]
+                row.append(fdct_quant(blk))
+            grid.append(row)
+        blocks.append(grid)
+
+    ncomp = len(planes)
+    if script is None:
+        if ncomp == 1:
+            script = [
+                ([0], 0, 0, 0, 1),      # DC first, Al=1
+                ([0], 1, 5, 0, 2),      # AC low band first, Al=2
+                ([0], 6, 63, 0, 2),     # AC high band first, Al=2
+                ([0], 1, 63, 2, 1),     # AC refine 2 -> 1
+                ([0], 1, 63, 1, 0),     # AC refine 1 -> 0
+                ([0], 0, 0, 1, 0),      # DC refine
+            ]
+        else:
+            script = [
+                (list(range(ncomp)), 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+                (list(range(ncomp)), 0, 0, 1, 0),
+            ]
+
+    def used_grid(ci):
+        hs, vs = samp[ci]
+        cw = -(-(width * hs) // hmax)
+        ch = -(-(height * vs) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def encode_scan(comp_ids, ss, se, ah, al):
+        """Returns (stream, needs_dc_table, needs_ac_table): stream is
+        a list of ("sym", s) / ("bits", value, nbits) items in exact
+        emission order."""
+        stream = []
+        if ss == 0 and ah == 0:
+            # DC first: interleaved MCU order over comp_ids
+            pred = {ci: 0 for ci in comp_ids}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_ids:
+                        hs, vs = samp[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc = blocks[ci][my * vs + by][mx * hs + bx][0] >> al
+                                diff = dc - pred[ci]
+                                pred[ci] = dc
+                                t = max(diff, -diff).bit_length()
+                                stream.append(("sym", t))
+                                if t:
+                                    stream.append(
+                                        ("bits", diff if diff >= 0 else diff + (1 << t) - 1, t)
+                                    )
+            return stream, True, False
+        if ss == 0:
+            # DC refine: one raw bit per block, interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_ids:
+                        hs, vs = samp[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                bit = (blocks[ci][my * vs + by][mx * hs + bx][0] >> al) & 1
+                                stream.append(("bits", bit, 1))
+            return stream, False, False
+        # AC scans: single component, used-grid row-major block order
+        (ci,) = comp_ids
+        nx_used, ny_used = used_grid(ci)
+        eobrun = 0
+        br = []  # correction bits buffered since the last symbol
+        be = []  # correction bits belonging to the pending EOB run
+
+        def flush_eob():
+            # emits ONLY the pending EOB run + the bits that belong to
+            # it (the decoder consumes those right after the EOB
+            # symbol); the current segment's br bits flush after the
+            # NEXT coefficient/ZRL symbol instead
+            nonlocal eobrun
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                stream.append(("sym", nb << 4))
+                if nb:
+                    stream.append(("bits", eobrun - (1 << nb), nb))
+                eobrun = 0
+            for b in be:
+                stream.append(("bits", b, 1))
+            be.clear()
+
+        for by in range(ny_used):
+            for bx in range(nx_used):
+                zz = blocks[ci][by][bx]
+                if ah == 0:
+                    # AC first (shifted magnitudes, EOB runs)
+                    run = 0
+                    emitted = False
+                    for k in range(ss, se + 1):
+                        v = zz[k]
+                        t = (abs(v) >> al)
+                        if t == 0:
+                            run += 1
+                            continue
+                        if not emitted and eobrun:
+                            flush_eob()
+                        emitted = True
+                        while run > 15:
+                            stream.append(("sym", 0xF0))
+                            run -= 16
+                        s_ = t.bit_length()
+                        stream.append(("sym", (run << 4) | s_))
+                        mag = t if v > 0 else -t
+                        stream.append(
+                            ("bits", mag if mag >= 0 else mag + (1 << s_) - 1, s_)
+                        )
+                        run = 0
+                    if not emitted:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                    elif run:
+                        eobrun = 1  # trailing zeros -> start an EOB run
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                else:
+                    # AC refine (T.81 G.1.2.3 encoder): newly-nonzero
+                    # coefficients emit (r<<4)|1 + sign + the br bits
+                    # buffered since the last symbol; history-nonzero
+                    # coefficients buffer correction bits; runs count
+                    # ZERO-HISTORY positions only; bits buffered at end
+                    # of block join the pending EOB run's buffer.
+                    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                    eob_idx = -1
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eob_idx = i
+                    r = 0
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eob_idx:
+                            flush_eob()
+                            stream.append(("sym", 0xF0))
+                            r -= 16
+                            for b in br:
+                                stream.append(("bits", b, 1))
+                            br.clear()
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        # t == 1: newly nonzero at this precision
+                        flush_eob()
+                        stream.append(("sym", (r << 4) | 1))
+                        stream.append(("bits", 1 if zz[ss + i] > 0 else 0, 1))
+                        r = 0
+                        for b in br:
+                            stream.append(("bits", b, 1))
+                        br.clear()
+                    if r > 0 or br:
+                        eobrun += 1
+                        be.extend(br)
+                        br.clear()
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+        flush_eob()
+        return stream, False, True
+
+    def canonical(used):
+        syms = sorted(used)
+        L = max(1, len(syms).bit_length())
+        if (1 << L) <= len(syms):
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        codes = {s: (L, i) for i, s in enumerate(syms)}
+        return counts, syms, codes
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(q))
+    sof = bytes([8]) + _s.pack(">HH", height, width) + bytes([ncomp])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+
+    for comp_ids, ss, se, ah, al in script:
+        stream, is_dc, is_ac = encode_scan(comp_ids, ss, se, ah, al)
+        used = {s for kind, *rest in stream if kind == "sym" for s in [rest[0]]}
+        if used or is_dc or is_ac:
+            counts, syms, codes = canonical(used or {0x00})
+            if is_dc:
+                out += seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms))
+            if is_ac:
+                out += seg(0xC4, bytes([0x10]) + bytes(counts) + bytes(syms))
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00 if is_dc or (ss == 0) else 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        # entropy bits
+        buf = bytearray()
+        acc, nbits = 0, 0
+
+        def put(v, n):
+            nonlocal acc, nbits
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nbits += n
+            while nbits >= 8:
+                byte = (acc >> (nbits - 8)) & 0xFF
+                buf.append(byte)
+                if byte == 0xFF:
+                    buf.append(0x00)
+                nbits -= 8
+                acc &= (1 << nbits) - 1
+
+        for item in stream:
+            if item[0] == "sym":
+                L, code = codes[item[1]]
+                put(code, L)
+            else:
+                put(item[1], item[2])
+        if nbits:
+            byte = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+        out += bytes(buf)
+    return out + b"\xff\xd9"
+
+
 def _bmp_bytes(width, rows_rgb):
     """Hand-built 24-bpp BI_RGB BMP (bottom-up rows, BGR, 4-byte pad)."""
     import struct as _s
@@ -741,7 +1059,10 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
     assert (got_j[11]["width"], got_j[11]["height"]) == (16, 16)
     assert got_j[12]["feature"] == pytest.approx(M._pixel_feature([(77, 77, 77)] * 64), abs=1e-6)
 
-    # progressive JPEG (SOF2) stays honestly stubbed
+    # a MALFORMED SOF2 (baseline scan header behind a progressive
+    # marker: full-spectrum interleaved scan, illegal in progressive)
+    # falls back to the stub; real SOF2 decodes — see
+    # test_progressive_jpeg_decode
     prog = flat.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert M._decode_payload(prog) == M._fake_decode(prog)
 
@@ -779,6 +1100,65 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
     }
     assert got2[7]["width"] == M._fake_decode(bad_idat)[0]
     assert got2[8]["width"] == M._fake_decode(short_ihdr)[0]
+
+
+def test_progressive_jpeg_decode(spark):
+    """r10: PROGRESSIVE JPEG (SOF2) decodes real bytes — the
+    serializer (_jpeg_progressive_bytes) re-encodes the baseline
+    encoder's EXACT quantized coefficients into spectral-selection +
+    successive-approximation scans (DC first/refine, AC band firsts at
+    Al=2, two AC refine passes, EOB runs, per-scan huffman tables), so
+    the progressive decode must equal the baseline decode PIXEL FOR
+    PIXEL. Covers gray, 4:4:4 color with a coarse quant table, and
+    4:2:0 subsampling with padding blocks + non-interleaved used-grid
+    AC scans; arithmetic JPEG still falls back to the stub."""
+    # gray gradient+checker 16x8
+    grad = [[(x * 16 + (8 if (x + y) % 2 else 0)) % 256 for x in range(16)] for y in range(8)]
+    base = M._decode_jpeg(_jpeg_bytes(16, 8, grad, gray=True))
+    prog = M._decode_jpeg(_jpeg_progressive_bytes(16, 8, grad, gray=True))
+    assert prog == base
+
+    # 4:4:4 color with a coarse quant table (nonzero AC spread)
+    q2 = [16] + [8] * 63
+    cimg = [[(10 * x, 20 * y % 256, (x * y) % 256) for x in range(8)] for y in range(8)]
+    base = M._decode_jpeg(_jpeg_bytes(8, 8, cimg, quant=q2))
+    prog = M._decode_jpeg(_jpeg_progressive_bytes(8, 8, cimg, quant=q2))
+    assert prog == base
+
+    # 4:2:0 with structure: 32x16 -> luma used-grid 4x2 blocks inside a
+    # 4x2 MCU grid; chroma 2x1 blocks; multiple EOB runs
+    big = [
+        [((x * 7) % 256, (y * 11 + x) % 256, (x * x + y) % 256) for x in range(32)]
+        for y in range(16)
+    ]
+    base = M._decode_jpeg(_jpeg_bytes(32, 16, big, subsample=True))
+    prog = M._decode_jpeg(_jpeg_progressive_bytes(32, 16, big, subsample=True))
+    assert prog == base
+
+    # flat image: DC-only blocks, long EOB runs through every AC scan
+    flat = [[(77, 77, 77)] * 16 for _ in range(16)]
+    base = M._decode_jpeg(_jpeg_bytes(16, 16, flat))
+    prog = M._decode_jpeg(_jpeg_progressive_bytes(16, 16, flat))
+    assert prog == base
+
+    # through the sniffing decode + full engine path
+    pj = _jpeg_progressive_bytes(16, 8, grad, gray=True)
+    w, h, feat = M._decode_payload(pj)
+    assert (w, h) == (16, 8)
+    got = M.decode_features(
+        spark.createDataFrame([(5, pj, "image/jpeg", len(pj))], M.MEDIA_SCHEMA)
+    ).collect()[0]
+    assert (got["width"], got["height"]) == (16, 8)
+
+    # arithmetic coding (SOF9) stays stubbed
+    arith = pj.replace(b"\xff\xc2", b"\xff\xc9", 1)
+    assert M._decode_payload(arith) == M._fake_decode(arith)
+    # truncated MID-ENTROPY -> stub (the bit reader runs dry); note a
+    # progressive stream cut BETWEEN scans is a VALID partial render
+    # (the format's defining property), so only mid-scan cuts fail
+    sos = pj.find(b"\xff\xda")
+    trunc = pj[: sos + 24]
+    assert M._decode_payload(trunc) == M._fake_decode(trunc)
 
 
 def test_corrupt_jpeg_falls_back_to_stub(spark):
