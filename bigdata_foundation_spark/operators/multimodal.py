@@ -716,7 +716,9 @@ def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (frame i, channel c) is the integer hash
     ``(d*31 + i*17 + c*7) * 2654435761 mod 2^16`` mapped to the PCM
     range (16-bit: −32768 offset; 8-bit: top byte). Integer arithmetic
-    end to end, so engine and replay agree bit-for-bit."""
+    end to end, so engine and replay agree bit-for-bit. The id scan is
+    ``spread`` to the session's parallelism first — per-file codec
+    work must fan out across cores, not ride a one-split scan."""
     import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -734,25 +736,27 @@ def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    from bigdata_foundation_spark.operators.dedup import spread
+
+    return spread(df.select(id_col), id_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synth_wav_bytes(d: int) -> bytes:
     """The deterministic WAV payload for id ``d`` (see
     synth_wav_table). Module-level so tests can call it directly."""
+    import numpy as np
+
     n_ch = 1 + d % 2
     bits = 8 if d % 3 == 0 else 16
     n_frames = 64 + d % 129
     rate = 8000
-    vals = [
-        ((d * 31 + i * 17 + c * 7) * 2654435761) % 65536
-        for i in range(n_frames)
-        for c in range(n_ch)
-    ]
+    i_ = np.arange(n_frames, dtype=np.int64)[:, None]
+    c_ = np.arange(n_ch, dtype=np.int64)[None, :]
+    vals = (((d * 31 + i_ * 17 + c_ * 7) * 2654435761) % 65536).reshape(-1)
     if bits == 16:
-        data = struct.pack("<%dh" % len(vals), *[v - 32768 for v in vals])
+        data = (vals - 32768).astype("<i2").tobytes()
     else:
-        data = bytes(v >> 8 for v in vals)
+        data = (vals >> 8).astype(np.uint8).tobytes()
     block_align = n_ch * (bits // 8)
     fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block_align, block_align, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -908,31 +912,39 @@ def synth_avi_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    from bigdata_foundation_spark.operators.dedup import spread
+
+    return spread(df.select(id_col), id_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synth_avi_bytes(d: int) -> bytes:
     """The deterministic AVI payload for id ``d`` (see
-    synth_avi_table). Module-level so tests can call it directly."""
+    synth_avi_table). Module-level so tests can call it directly.
+    Pixel generation is vectorized numpy INTEGER arithmetic (r10:
+    the per-pixel Python loop, not the decoder, dominated the sf1
+    sweep) — byte-exact vs the scalar formula by construction."""
+    import numpy as np
+
     w = 8 + (d % 3) * 4
     h = 6 + (d % 2) * 2
     n_frames = 3 + d % 6
 
-    def px(f: int, y: int, x: int, c: int) -> int:
-        return ((d * 13 + f * 7 + y * 5 + x * 3 + c) * 2654435761) % 256
-
     row_sz = (w * 3 + 3) & ~3
-    frames = []
-    for f in range(n_frames):
-        rows = bytearray()
-        for r in range(h):
-            y = h - 1 - r  # bottom-up storage
-            line = bytearray()
-            for x in range(w):
-                line += bytes((px(f, y, x, 2), px(f, y, x, 1), px(f, y, x, 0)))  # BGR
-            line += b"\x00" * (row_sz - len(line))
-            rows += line
-        frames.append(bytes(rows))
+    f_ = np.arange(n_frames, dtype=np.int64)[:, None, None, None]
+    y_ = np.arange(h - 1, -1, -1, dtype=np.int64)[None, :, None, None]  # bottom-up
+    x_ = np.arange(w, dtype=np.int64)[None, None, :, None]
+    c_ = np.array([2, 1, 0], dtype=np.int64)[None, None, None, :]  # BGR order
+    vals = ((d * 13 + f_ * 7 + y_ * 5 + x_ * 3 + c_) * 2654435761) % 256
+    mat = vals.astype(np.uint8)  # (frames, h, w, 3) bottom-up BGR
+    pad = row_sz - w * 3
+    if pad:
+        mat = np.concatenate(
+            [mat.reshape(n_frames, h, w * 3), np.zeros((n_frames, h, pad), dtype=np.uint8)],
+            axis=2,
+        )
+    else:
+        mat = mat.reshape(n_frames, h, w * 3)
+    frames = [fr.tobytes() for fr in mat]
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
