@@ -576,7 +576,8 @@ def _jpeg_bytes(width, height, rows_rgb, gray=False, subsample=False, dri=0, qua
 
 
 def _jpeg_progressive_bytes(
-    width, height, rows_rgb, gray=False, subsample=False, quant=None, script=None
+    width, height, rows_rgb, gray=False, subsample=False, quant=None, script=None,
+    dri=0,
 ):
     """Hand-built PROGRESSIVE JPEG (SOF2) serializer: derives the SAME
     quantized coefficients as the baseline encoder (_jpeg_bytes —
@@ -698,10 +699,17 @@ def _jpeg_progressive_bytes(
         emission order."""
         stream = []
         if ss == 0 and ah == 0:
-            # DC first: interleaved MCU order over comp_ids
+            # DC first: interleaved MCU order over comp_ids; with dri,
+            # a restart marker every dri MCUs (pred resets — exercises
+            # the decoder's in-progressive-scan restart path)
             pred = {ci: 0 for ci in comp_ids}
+            n_mcu = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    if dri and n_mcu and n_mcu % dri == 0:
+                        stream.append(("rst", None))
+                        pred = {ci: 0 for ci in comp_ids}
+                    n_mcu += 1
                     for ci in comp_ids:
                         hs, vs = samp[ci]
                         for by in range(vs):
@@ -848,7 +856,15 @@ def _jpeg_progressive_bytes(
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += seg(0xC2, sof)  # SOF2: progressive
 
+    dri_state = None
     for comp_ids, ss, se, ah, al in script:
+        # restarts only in the interleaved DC-first scan; T.81 lets DRI
+        # be redefined between scans, so turn it off for the rest —
+        # this ALSO exercises the decoder's between-scan DRI handling
+        want_dri = dri if (ss == 0 and ah == 0 and dri) else 0
+        if want_dri != dri_state:
+            out += seg(0xDD, _s.pack(">H", want_dri))
+            dri_state = want_dri
         stream, is_dc, is_ac = encode_scan(comp_ids, ss, se, ah, al)
         used = {s for kind, *rest in stream if kind == "sym" for s in [rest[0]]}
         if used or is_dc or is_ac:
@@ -865,6 +881,7 @@ def _jpeg_progressive_bytes(
         # entropy bits
         buf = bytearray()
         acc, nbits = 0, 0
+        rst_no = 0
 
         def put(v, n):
             nonlocal acc, nbits
@@ -878,17 +895,26 @@ def _jpeg_progressive_bytes(
                 nbits -= 8
                 acc &= (1 << nbits) - 1
 
+        def flush_byte():
+            nonlocal acc, nbits
+            if nbits:
+                byte = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+                buf.append(byte)
+                if byte == 0xFF:
+                    buf.append(0x00)
+                acc, nbits = 0, 0
+
         for item in stream:
             if item[0] == "sym":
                 L, code = codes[item[1]]
                 put(code, L)
+            elif item[0] == "rst":
+                flush_byte()
+                buf.extend(bytes([0xFF, 0xD0 + (rst_no % 8)]))
+                rst_no += 1
             else:
                 put(item[1], item[2])
-        if nbits:
-            byte = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
-            buf.append(byte)
-            if byte == 0xFF:
-                buf.append(0x00)
+        flush_byte()
         out += bytes(buf)
     return out + b"\xff\xd9"
 
@@ -1139,6 +1165,17 @@ def test_progressive_jpeg_decode(spark):
     flat = [[(77, 77, 77)] * 16 for _ in range(16)]
     base = M._decode_jpeg(_jpeg_bytes(16, 16, flat))
     prog = M._decode_jpeg(_jpeg_progressive_bytes(16, 16, flat))
+    assert prog == base
+
+    # restart markers INSIDE a progressive scan (DRI on the interleaved
+    # DC-first scan, redefined to 0 before the AC scans): pred resets
+    # per interval, between-scan DRI handling exercised
+    wide = [[(x * 16 + (8 if (x + y) % 2 else 0)) % 256 for x in range(32)] for y in range(16)]
+    base = M._decode_jpeg(_jpeg_bytes(32, 16, wide, gray=True))
+    prog = M._decode_jpeg(_jpeg_progressive_bytes(32, 16, wide, gray=True, dri=2))
+    assert prog == base
+    base = M._decode_jpeg(_jpeg_bytes(32, 16, big, subsample=True))
+    prog = M._decode_jpeg(_jpeg_progressive_bytes(32, 16, big, subsample=True, dri=1))
     assert prog == base
 
     # through the sniffing decode + full engine path
