@@ -847,9 +847,12 @@ def video_frame_table(
     honest — every emitted row carries REAL pixels)."""
     import pandas as pd
 
+    # id dtype follows the input column (any id type, not just the
+    # synth tables' bigint — the r10 advisor lesson from the ANN
+    # kernels applied here from day one)
     schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
+            T.StructField("media_id", media.schema["media_id"].dataType),
             T.StructField("frame_no", T.IntegerType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
