@@ -1043,7 +1043,13 @@ def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFram
                 }
             )
 
-    return media.mapInPandas(_map, schema=DECODED_SCHEMA)
+    # id dtype follows the input column (r10 advisor contract — the
+    # canonical DECODED_SCHEMA documents the bigint default)
+    schema = T.StructType(
+        [T.StructField("media_id", media.schema["media_id"].dataType, False)]
+        + list(DECODED_SCHEMA.fields[1:])
+    )
+    return media.mapInPandas(_map, schema=schema)
 
 
 def resize_stub(decoded: DataFrame, max_side: int = 64) -> DataFrame:
