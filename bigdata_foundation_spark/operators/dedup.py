@@ -123,7 +123,7 @@ def minhash_signature_table(
     aggregate shuffle. Returns (id, _h0.._hN), bit-identical to the
     retained expression form (:func:`_minhash_signature_table_jvm`,
     the pytest cross-oracle)."""
-    tbl = _minhash_doc_table(df, text_col, id_col, num_hashes, 1, shingle_k)
+    tbl = _minhash_doc_table(df, text_col, id_col, num_hashes, 0, shingle_k)
     return tbl.select(
         id_col, *[F.col("_sig")[i].alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -187,8 +187,12 @@ def _minhash_doc_table(
     fields = [
         T.StructField(id_col, id_dt),
         T.StructField("_sig", T.ArrayType(T.LongType())),
-        T.StructField("_bands", T.ArrayType(T.LongType())),
     ]
+    if bands > 0:
+        # bands=0 callers (the signature-only table) skip the band-key
+        # fold entirely (r10 self-review: a discarded 64-step chain per
+        # doc is not free)
+        fields.append(T.StructField("_bands", T.ArrayType(T.LongType())))
     if with_shingles:
         fields.append(T.StructField("_sh", T.ArrayType(T.LongType())))
     schema = T.StructType(fields)
@@ -202,12 +206,13 @@ def _minhash_doc_table(
             if not keep:
                 continue
             sig = NH.minhash_from_shingles(h_flat, offsets, num_hashes)
-            bkeys = NH.band_keys(sig, bands)
             out = {
                 id_col: pdf[id_col].to_numpy()[keep],
                 "_sig": [r.tolist() for r in sig],
-                "_bands": [r.tolist() for r in bkeys],
             }
+            if bands > 0:
+                bkeys = NH.band_keys(sig, bands)
+                out["_bands"] = [r.tolist() for r in bkeys]
             if with_shingles:
                 signed = h_flat.view(np.int64)
                 ends = np.append(offsets[1:], len(h_flat))

@@ -298,6 +298,7 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     coef: list[list[list[list[int]]]] = []  # [ci][by][bx][64] zigzag ints
     hmax = vmax = mcux = mcuy = 1
     eobrun = 0
+    n_scans = 0
 
     def alloc_planes() -> None:
         nonlocal hmax, vmax, mcux, mcuy
@@ -547,6 +548,7 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 raise ValueError("jpeg: interleaved AC scan")
             bits = _JpegBits(p, pos + 2 + ln)
             decode_scan(scan, ss, se, ah, al, bits)
+            n_scans += 1
             # advance to the next marker after the entropy segment
             q = bits.pos
             while q + 1 < len(p) and not (
@@ -556,7 +558,11 @@ def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             pos = q
             continue
         pos += 2 + ln
-    if w is None or not comps or not coef:
+    if w is None or not comps or not coef or n_scans == 0:
+        # n_scans guards the headers-only case (SOF parsed, planes
+        # allocated, no SOS ever decoded): without it a truncated JPEG
+        # would "decode" to a fabricated all-gray image instead of
+        # falling back to the stub (r10 self-review finding).
         raise ValueError("jpeg: missing SOF/SOS")
 
     # ---- render: dequantize + IDCT every block, then upsample ----
@@ -642,19 +648,16 @@ def _decode_wav(p: bytes) -> tuple[int, int, list[float]]:
     """
     if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise ValueError("not WAV")
-    off = 12
     fmt = None
     data = None
-    while off + 8 <= len(p):
-        tag, ln = p[off : off + 4], struct.unpack_from("<I", p, off + 4)[0]
-        body = p[off + 8 : off + 8 + ln]
+    for tag, body_off, ln in _riff_chunks(p, 12, len(p)):
+        body = p[body_off : body_off + ln]
         if tag == b"fmt ":
             if len(body) < 16:
                 raise ValueError("wav: short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif tag == b"data":
             data = body
-        off += 8 + ln + (ln & 1)  # chunks pad to even length
     if fmt is None or data is None:
         raise ValueError("wav: missing fmt/data")
     code, n_ch, rate, _byte_rate, block_align, bits = fmt
@@ -774,19 +777,19 @@ def _riff_chunks(p: bytes, off: int, end: int):
         off += 8 + ln + (ln & 1)
 
 
-def _decode_avi(p: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Stdlib uncompressed-AVI decode (r10 — the video analog of the
-    WAV work): RIFF 'AVI ' walk → ``avih`` main header (dimensions,
-    frame count) → ``strf`` BITMAPINFOHEADER validated 24-bpp BI_RGB
-    (fccHandler 'DIB ') → every ``00db``/``00dc`` chunk under the
-    ``movi`` list decoded exactly like a BMP pixel array (bottom-up
-    BGR rows padded to 4 bytes). Returns (width, height, frames) with
-    frames as row-major top-down RGB pixel lists. Raises ValueError
-    for anything else (compressed video stays honestly stubbed)."""
+def _avi_frame_chunks(p: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """Parse an uncompressed AVI's structure WITHOUT decoding pixels:
+    RIFF 'AVI ' walk → ``avih`` main header (dimensions) → ``strf``
+    BITMAPINFOHEADER validated 24-bpp BI_RGB → the (offset, length) of
+    every ``00db``/``00dc`` chunk under ``movi``. Returns
+    (width, height, chunks). Raises ValueError for anything else
+    (compressed video stays honestly stubbed). Consumers decode ONLY
+    the frames they sample (r10 self-review: eager all-frame decode
+    wasted the per-pixel Python loop on discarded frames)."""
     if len(p) < 24 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
         raise ValueError("not AVI")
     w = h = None
-    frames: list[list[tuple[int, int, int]]] = []
+    chunks: list[tuple[int, int]] = []
     strf_ok = False
 
     def walk(off: int, end: int) -> None:
@@ -808,28 +811,41 @@ def _decode_avi(p: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
                 elif bpp or comp:
                     raise ValueError("avi: only 24-bpp BI_RGB video")
             elif tag in (b"00db", b"00dc"):
-                frames.append((body, ln))  # type: ignore[arg-type]
+                chunks.append((body, ln))
 
     walk(12, len(p))
     if w is None or h is None or not strf_ok:
         raise ValueError("avi: missing avih/strf")
     if w <= 0 or h <= 0:
         raise ValueError("avi: zero-pixel frames")
+    if not chunks:
+        raise ValueError("avi: no frames")
     row_sz = (w * 3 + 3) & ~3
-    out: list[list[tuple[int, int, int]]] = []
-    for body, ln in frames:  # type: ignore[misc]
+    for _body, ln in chunks:
         if ln < row_sz * h:
             raise ValueError("avi: truncated frame")
-        pix: list[tuple[int, int, int]] = []
-        for r in range(h):
-            src = body + row_sz * (h - 1 - r)  # bottom-up like BMP
-            for c in range(w):
-                b_, g, rr = p[src + 3 * c], p[src + 3 * c + 1], p[src + 3 * c + 2]
-                pix.append((rr, g, b_))
-        out.append(pix)
-    if not out:
-        raise ValueError("avi: no frames")
-    return w, h, out
+    return w, h, chunks
+
+
+def _avi_decode_frame(p: bytes, body: int, w: int, h: int) -> list[tuple[int, int, int]]:
+    """Decode ONE movi frame chunk exactly like a BMP pixel array
+    (bottom-up BGR rows padded to 4 bytes) → row-major top-down RGB."""
+    row_sz = (w * 3 + 3) & ~3
+    pix: list[tuple[int, int, int]] = []
+    for r in range(h):
+        src = body + row_sz * (h - 1 - r)  # bottom-up like BMP
+        for c in range(w):
+            b_, g, rr = p[src + 3 * c], p[src + 3 * c + 1], p[src + 3 * c + 2]
+            pix.append((rr, g, b_))
+    return pix
+
+
+def _decode_avi(p: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Full uncompressed-AVI decode: every frame's pixels (tests and
+    small payloads); the sampler path decodes selectively via
+    ``_avi_frame_chunks`` + ``_avi_decode_frame`` instead."""
+    w, h, chunks = _avi_frame_chunks(p)
+    return w, h, [_avi_decode_frame(p, body, w, h) for body, _ln in chunks]
 
 
 def video_frame_table(
@@ -864,18 +880,19 @@ def video_frame_table(
         for pdf in batches:
             ids, fnos, ws, hs, feats = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
                 try:
-                    w, h, frames = _decode_avi(bytes(payload) if payload is not None else b"")
+                    w, h, chunks = _avi_frame_chunks(raw)
                 except (ValueError, struct.error, IndexError):
                     continue
-                for k, fi in enumerate(range(0, len(frames), max(every_n, 1))):
+                for k, fi in enumerate(range(0, len(chunks), max(every_n, 1))):
                     if k >= max_frames:
                         break
                     ids.append(mid)
                     fnos.append(fi)
                     ws.append(w)
                     hs.append(h)
-                    feats.append(_pixel_feature(frames[fi]))
+                    feats.append(_pixel_feature(_avi_decode_frame(raw, chunks[fi][0], w, h)))
             if ids:  # an all-undecodable batch must yield nothing, not
                 # an empty frame whose default float64 columns break the
                 # Arrow list<float> conversion
@@ -993,8 +1010,8 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             return _decode_wav(p)
         if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-            w, h, frames = _decode_avi(p)
-            return w, h, _pixel_feature(frames[0])
+            w, h, chunks = _avi_frame_chunks(p)
+            return w, h, _pixel_feature(_avi_decode_frame(p, chunks[0][0], w, h))
     except (ValueError, zlib.error, struct.error, IndexError, KeyError, ZeroDivisionError):
         # Corrupt bytes surface differently per layer: truncated IHDR
         # → struct.error, bad IDAT stream → zlib.error, semantic

@@ -1321,8 +1321,11 @@ def test_avi_video_decode_and_frame_sampling(spark):
     # corrupt variants -> stub / dropped
     good = M.synth_avi_bytes(7)
     truncated = good[:48]
-    compressed = good.replace(b"00db", b"00dc_", 1)[: len(good)]  # corrupt tag run
-    assert M._decode_payload(truncated) == M._fake_decode(truncated)
+    # shrink the strf bpp field to 8: compressed/unsupported pixel format
+    compressed = good.replace(b"\x01\x00\x18\x00", b"\x01\x00\x08\x00", 1)
+    assert compressed != good
+    for bad in (truncated, compressed):
+        assert M._decode_payload(bad) == M._fake_decode(bad)
 
     # engine path: sampler semantics (every_n=2, cap 4) + real features
     ids = spark.range(20, 26).withColumnRenamed("id", "doc_id")
@@ -1344,11 +1347,13 @@ def test_avi_video_decode_and_frame_sampling(spark):
     # a non-AVI payload contributes no frame rows
     mixed = media.unionByName(
         spark.createDataFrame(
-            [(999, b"not a video", "application/octet-stream", 11)], M.MEDIA_SCHEMA
+            [(999, b"not a video", "application/octet-stream", 11),
+             (998, compressed, "video/x-msvideo", len(compressed))],
+            M.MEDIA_SCHEMA,
         )
     )
     got_ids = {r["media_id"] for r in M.video_frame_table(mixed).collect()}
-    assert 999 not in got_ids and 20 in got_ids
+    assert 999 not in got_ids and 998 not in got_ids and 20 in got_ids
 
     plan = M.video_frame_table(media)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
