@@ -567,3 +567,58 @@ def test_scd2_apply_batch_folds_equal_batch(spark, data, cuts):
         for r in df.collect()
     )
     assert as_rows(acc) == as_rows(want)
+
+
+# ---------------------------------------------------------------------------
+# numpy xxhash64 ports vs the INDEPENDENT pure-Python port (r10)
+# ---------------------------------------------------------------------------
+
+@given(
+    data=st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=40),
+    seed=st.integers(min_value=0, max_value=2**63 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_nphash_matches_independent_port(data, seed):
+    """The engine's vectorized xxhash64 ports (_nphash — used by the
+    Arrow MinHash/SimHash kernels) and the golden generator's
+    pure-Python port (tools/spark_hashes — used to mint the oracles)
+    are INDEPENDENT implementations of the same published spec; this
+    property pins them bit-equal on arbitrary byte strings, arbitrary
+    64-bit values under arbitrary seeds, and the multi-arg fold —
+    collapsing the remaining gap between kernel and oracle to the
+    spec itself."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import spark_hashes as SH
+
+    from bigdata_foundation_spark.operators import _nphash as NH
+
+    # variable-length byte strings (grouped-by-length vector path)
+    got = NH.hash_byte_strings(data).view(np.int64)
+    want = [SH.xxh64_bytes(b, 42) for b in data]
+    assert got.tolist() == want
+
+    # 64-bit values under a non-default seed (scalar and vector seeds)
+    vals = np.array(
+        [SH.xxh64_bytes(b, 7) & ((1 << 64) - 1) for b in data], dtype=np.uint64
+    )
+    got_l = NH.xxh64_long(vals, seed).view(np.int64)
+    want_l = [SH.xxh64_long(int(v), seed) for v in vals]
+    assert got_l.tolist() == want_l
+
+    # the seed-chained multi-arg fold (band keys)
+    got_c = NH.xxh64_chain_longs([vals, vals[::-1].copy()]).view(np.int64)
+    want_c = [
+        SH.spark_xxhash64(int(np.int64(a)), int(np.int64(b)))
+        for a, b in zip(vals, vals[::-1])
+    ]
+    assert got_c.tolist() == want_c
+
+    # hashInt under vector seeds (the per-seed MinHash family step)
+    got_i = NH.xxh64_int(seed % 97, vals).view(np.int64)
+    want_i = [SH.xxh64_int(seed % 97, int(v)) for v in vals]
+    assert got_i.tolist() == want_i
