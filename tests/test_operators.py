@@ -1359,6 +1359,29 @@ def test_avi_video_decode_and_frame_sampling(spark):
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
 
 
+def test_riff_odd_length_chunk_padding():
+    """RIFF chunks pad to even length (the spec's easy-to-miss rule,
+    shared by the WAV and AVI walkers via _riff_chunks): an odd-length
+    JUNK chunk injected before the payload chunks must be skipped with
+    its pad byte, leaving the decode identical."""
+    import struct as st
+
+    junk = b"JUNK" + st.pack("<I", 5) + b"abcde" + b"\x00"  # odd body + pad
+
+    g = M.synth_avi_bytes(7)
+    i = g.find(b"movi") - 8  # LIST header start
+    assert g[i : i + 4] == b"LIST"
+    patched = g[:i] + junk + g[i:]
+    patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
+    assert M._decode_avi(patched) == M._decode_avi(g)
+
+    wv = M.synth_wav_bytes(8)
+    j = wv.find(b"data")
+    wpat = wv[:j] + junk + wv[j:]
+    wpat = b"RIFF" + st.pack("<I", len(wpat) - 8) + wpat[8:]
+    assert M._decode_wav(wpat) == M._decode_wav(wv)
+
+
 def test_ann_kernels_all_null_batch_and_string_ids(spark):
     """r10 (advisor, low x2): (a) an Arrow batch whose embeddings are
     ALL null degrades to zero vectors (NULL-sim contract: cell =
