@@ -67,6 +67,15 @@ def foreach_batch_upsert(
     does transactionally; on raw parquet the full-table rewrite is the
     documented cost of having no table format, and the per-batch plan
     (anti-join + union, one keyed shuffle) is identical.
+
+    ``batch_shuffle_partitions`` mutates the SESSION-scoped
+    ``spark.sql.shuffle.partitions`` for the duration of each batch
+    apply (set/restore). That is safe for this sink's own serial
+    foreachBatch applies, but it assumes NO CONCURRENT queries share
+    the SparkSession: a second streaming query or ad-hoc job running
+    in parallel can observe the narrowed width (or restore a stale
+    one). Run concurrent workloads on separate sessions
+    (``spark.newSession()``), or leave the knob ``None``.
     """
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
@@ -155,6 +164,15 @@ def foreach_batch_scd2(
     target table is bound to one checkpoint lineage, and re-pointing
     it requires deleting the marker (accepting that the new query must
     not re-deliver already-applied rows).
+
+    ``batch_shuffle_partitions`` mutates the SESSION-scoped
+    ``spark.sql.shuffle.partitions`` for the duration of each batch
+    apply (set/restore). That is safe for this sink's own serial
+    foreachBatch applies, but it assumes NO CONCURRENT queries share
+    the SparkSession: a second streaming query or ad-hoc job running
+    in parallel can observe the narrowed width (or restore a stale
+    one). Run concurrent workloads on separate sessions
+    (``spark.newSession()``), or leave the knob ``None``.
     """
     from bigdata_foundation_spark.operators.relational import scd2_apply_batch
 

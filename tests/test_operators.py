@@ -6,6 +6,7 @@ planted near-duplicates must be found, unrelated docs must not pair,
 approximate search is measured against the exact baseline.
 """
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -1000,7 +1001,14 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
         [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
     ]
     bmp = _bmp_bytes(3, bmp_px)
-    assert M._decode_bmp(bmp) == (3, 2, [p for row in bmp_px for p in row])
+
+    def same(got, w, h, px_rows):
+        gw, gh, gp = got
+        return (gw, gh) == (w, h) and np.array_equal(
+            gp, np.asarray([p for row in px_rows for p in row])
+        )
+
+    assert same(M._decode_bmp(bmp), 3, 2, bmp_px)
 
     png_px = [
         [(10, 20, 30), (40, 50, 60), (200, 150, 100)],
@@ -1010,16 +1018,16 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
         [(100, 100, 100), (101, 99, 98), (102, 103, 97)],
     ]
     png = _png_bytes(3, png_px, filters=[0, 1, 2, 3, 4])
-    assert M._decode_png(png) == (3, 5, [p for row in png_px for p in row])
+    assert same(M._decode_png(png), 3, 5, png_px)
 
     gray = _png_bytes(2, [[7, 250], [128, 0]], filters=[0, 2], color_type=0)
-    assert M._decode_png(gray) == (2, 2, [(7, 7, 7), (250, 250, 250), (128, 128, 128), (0, 0, 0)])
+    assert same(M._decode_png(gray), 2, 2, [[(7, 7, 7), (250, 250, 250)], [(128, 128, 128), (0, 0, 0)]])
 
     rgba = _png_bytes(
         2, [[(1, 2, 3, 255), (4, 5, 6, 0)], [(7, 8, 9, 10), (10, 11, 12, 200)]],
         filters=[0, 4], color_type=6,
     )
-    assert M._decode_png(rgba) == (2, 2, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)])
+    assert same(M._decode_png(rgba), 2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
 
     # full engine path: mapInPandas over a mixed-format media table
     corrupt = b"BM" + b"\x01" * 80  # bad header -> stub fallback
@@ -1041,7 +1049,7 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
     # --- baseline JPEG (r9 — r8 verdict task 5) ---------------------
     # flat 8x8 gray: DC-only block, quant all-ones -> decode is EXACT
     flat = _jpeg_bytes(8, 8, [[77] * 8 for _ in range(8)], gray=True)
-    assert M._decode_jpeg(flat) == (8, 8, [(77, 77, 77)] * 64)
+    assert same(M._decode_jpeg(flat), 8, 8, [[(77, 77, 77)] * 8] * 8)
 
     # solid color 16x16 with 4:2:0 subsampling + restart markers:
     # solid chroma averages to itself -> decode is EXACT (each channel
@@ -1050,7 +1058,7 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
     sj = _jpeg_bytes(16, 16, solid, subsample=True, dri=1)
     wj, hj, pj = M._decode_jpeg(sj)
     assert (wj, hj) == (16, 16)
-    assert all(max(abs(a - b) for a, b in zip(px, (200, 40, 90))) <= 1 for px in pj)
+    assert np.abs(pj.astype(int) - np.array([200, 40, 90])).max() <= 1
 
     # structured 16x8 gray gradient+checker: round-trip within the
     # all-ones-quant bound (DCT coefficient rounding only)
@@ -1058,7 +1066,7 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
     gj = _jpeg_bytes(16, 8, grad, gray=True)
     wj, hj, pj = M._decode_jpeg(gj)
     assert (wj, hj) == (16, 8)
-    worst = max(abs(pj[y * 16 + x][0] - grad[y][x]) for y in range(8) for x in range(16))
+    worst = max(abs(int(pj[y * 16 + x][0]) - grad[y][x]) for y in range(8) for x in range(16))
     assert worst <= 2, worst
 
     # 4:4:4 color with a REAL quant table (coarse) still lands within
@@ -1070,7 +1078,7 @@ def test_multimodal_real_bmp_png_jpeg_decode(spark):
     wj, hj, pj = M._decode_jpeg(cj)
     assert (wj, hj) == (8, 8)
     worst = max(
-        abs(pj[y * 8 + x][ci] - cimg[y][x][ci]) for y in range(8) for x in range(8) for ci in range(3)
+        abs(int(pj[y * 8 + x][ci]) - cimg[y][x][ci]) for y in range(8) for x in range(8) for ci in range(3)
     )
     assert worst <= 40, worst  # coarse quant, bounded distortion
     got_j = {
@@ -1138,18 +1146,21 @@ def test_progressive_jpeg_decode(spark):
     PIXEL. Covers gray, 4:4:4 color with a coarse quant table, and
     4:2:0 subsampling with padding blocks + non-interleaved used-grid
     AC scans; arithmetic JPEG still falls back to the stub."""
+    def eq(a, b):
+        return a[0] == b[0] and a[1] == b[1] and np.array_equal(a[2], b[2])
+
     # gray gradient+checker 16x8
     grad = [[(x * 16 + (8 if (x + y) % 2 else 0)) % 256 for x in range(16)] for y in range(8)]
     base = M._decode_jpeg(_jpeg_bytes(16, 8, grad, gray=True))
     prog = M._decode_jpeg(_jpeg_progressive_bytes(16, 8, grad, gray=True))
-    assert prog == base
+    assert eq(prog, base)
 
     # 4:4:4 color with a coarse quant table (nonzero AC spread)
     q2 = [16] + [8] * 63
     cimg = [[(10 * x, 20 * y % 256, (x * y) % 256) for x in range(8)] for y in range(8)]
     base = M._decode_jpeg(_jpeg_bytes(8, 8, cimg, quant=q2))
     prog = M._decode_jpeg(_jpeg_progressive_bytes(8, 8, cimg, quant=q2))
-    assert prog == base
+    assert eq(prog, base)
 
     # 4:2:0 with structure: 32x16 -> luma used-grid 4x2 blocks inside a
     # 4x2 MCU grid; chroma 2x1 blocks; multiple EOB runs
@@ -1159,13 +1170,13 @@ def test_progressive_jpeg_decode(spark):
     ]
     base = M._decode_jpeg(_jpeg_bytes(32, 16, big, subsample=True))
     prog = M._decode_jpeg(_jpeg_progressive_bytes(32, 16, big, subsample=True))
-    assert prog == base
+    assert eq(prog, base)
 
     # flat image: DC-only blocks, long EOB runs through every AC scan
     flat = [[(77, 77, 77)] * 16 for _ in range(16)]
     base = M._decode_jpeg(_jpeg_bytes(16, 16, flat))
     prog = M._decode_jpeg(_jpeg_progressive_bytes(16, 16, flat))
-    assert prog == base
+    assert eq(prog, base)
 
     # restart markers INSIDE a progressive scan (DRI on the interleaved
     # DC-first scan, redefined to 0 before the AC scans): pred resets
@@ -1173,10 +1184,10 @@ def test_progressive_jpeg_decode(spark):
     wide = [[(x * 16 + (8 if (x + y) % 2 else 0)) % 256 for x in range(32)] for y in range(16)]
     base = M._decode_jpeg(_jpeg_bytes(32, 16, wide, gray=True))
     prog = M._decode_jpeg(_jpeg_progressive_bytes(32, 16, wide, gray=True, dri=2))
-    assert prog == base
+    assert eq(prog, base)
     base = M._decode_jpeg(_jpeg_bytes(32, 16, big, subsample=True))
     prog = M._decode_jpeg(_jpeg_progressive_bytes(32, 16, big, subsample=True, dri=1))
-    assert prog == base
+    assert eq(prog, base)
 
     # through the sniffing decode + full engine path
     pj = _jpeg_progressive_bytes(16, 8, grad, gray=True)
@@ -1240,9 +1251,12 @@ def test_wav_pcm_decode(spark):
     """r10 (r9 verdict task 6): WAV/PCM decodes REAL bytes stdlib-only
     — byte-exact fixtures: hand-built 16-bit stereo and 8-bit mono
     WAVs decode to known frame/channel counts and hand-computed
-    features; corrupt/unsupported audio (float PCM, truncated RIFF,
-    zero data) falls back to the stub; the synth payload round-trips
-    through the full Arrow engine path."""
+    features; corrupt/unsupported audio (16-bit float — an invalid
+    format-3 width, truncated RIFF, zero data) falls back to the
+    stub; r11: 32-bit IEEE-float PCM (format code 3) decodes REAL
+    values incl. out-of-range clipping; the synth payload (incl. the
+    d % 7 == 5 float branch) round-trips through the full Arrow
+    engine path."""
     import struct as st
 
     def wav(n_ch, bits, rate, frames):  # frames = list of per-channel tuples
@@ -1278,14 +1292,27 @@ def test_wav_pcm_decode(spark):
     # through the sniffing decode
     assert M._decode_payload(w16) == (3, 2, feat)
 
-    # corrupt / unsupported -> stub
-    float_pcm = w16.replace(st.pack("<HH", 1, 2), st.pack("<HH", 3, 2), 1)
+    # r11: 32-bit IEEE-float PCM (format 3) decodes real values; the
+    # 1.5 sample exercises the nominal-full-scale clip to [-1, 1]
+    fvals = [0.25, -0.5, 1.5, -1.0]
+    fdata = st.pack("<4f", *fvals)
+    ffmt = st.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    fbody = b"WAVE" + b"fmt " + st.pack("<I", len(ffmt)) + ffmt
+    fbody += b"data" + st.pack("<I", len(fdata)) + fdata
+    wf = b"RIFF" + st.pack("<I", len(fbody)) + fbody
+    nf, nc, featf = M._decode_wav(wf)
+    assert (nf, nc) == (4, 1)
+    assert featf == pytest.approx(M._audio_feature([0.25, -0.5, 1.0, -1.0], 44100), abs=0)
+
+    # corrupt / unsupported -> stub (format 3 is only valid at 32 bits)
+    float16_pcm = w16.replace(st.pack("<HH", 1, 2), st.pack("<HH", 3, 2), 1)
     truncated = w16[:20]
     no_data = wav(1, 16, 8000, [(0,)])[: 12 + 8 + 16]  # fmt only, data chunk cut
-    for bad in (float_pcm, truncated, no_data):
+    for bad in (float16_pcm, truncated, no_data):
         assert M._decode_payload(bad) == M._fake_decode(bad)
 
     # synth payloads: engine mapInPandas end to end, real decode
+    # (d = 12 hits the d % 7 == 5 float32 branch)
     ids = spark.range(10, 16).withColumnRenamed("id", "doc_id")
     media = M.synth_wav_table(ids)
     got = {r["media_id"]: r for r in M.decode_features(media).collect()}
@@ -1314,7 +1341,7 @@ def test_avi_video_decode_and_frame_sampling(spark):
 
         for f in (0, len(frames) - 1):
             for y, x in ((0, 0), (h - 1, w - 1), (1, 2)):
-                assert frames[f][y * w + x] == (px(f, y, x, 0), px(f, y, x, 1), px(f, y, x, 2))
+                assert tuple(frames[f][y * w + x]) == (px(f, y, x, 0), px(f, y, x, 1), px(f, y, x, 2))
         # sniffing decode = first-frame thumbnail
         assert M._decode_payload(p) == (w, h, M._pixel_feature(frames[0]))
 
@@ -1373,13 +1400,104 @@ def test_riff_odd_length_chunk_padding():
     assert g[i : i + 4] == b"LIST"
     patched = g[:i] + junk + g[i:]
     patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
-    assert M._decode_avi(patched) == M._decode_avi(g)
+    wp, hp, fp = M._decode_avi(patched)
+    wg, hg, fg = M._decode_avi(g)
+    assert (wp, hp) == (wg, hg) and len(fp) == len(fg)
+    assert all(np.array_equal(a, b) for a, b in zip(fp, fg))
 
     wv = M.synth_wav_bytes(8)
     j = wv.find(b"data")
     wpat = wv[:j] + junk + wv[j:]
     wpat = b"RIFF" + st.pack("<I", len(wpat) - 8) + wpat[8:]
     assert M._decode_wav(wpat) == M._decode_wav(wv)
+
+
+def test_avi_truncated_mid_movi_and_audio_strf(spark):
+    """r11 (advisor, medium + low): (a) an AVI whose headers are
+    intact but whose movi payload is cut mid-frame must raise
+    ValueError in _avi_frame_chunks (chunk-length FIELD alone is not
+    proof the body exists) so the ingest contract holds — the frame
+    table emits NO rows and the sniffing decode stubs, instead of an
+    IndexError failing the whole Arrow task; (b) an AVI that also
+    carries an audio stream whose strf is exactly 40 bytes
+    (WAVEFORMATEXTENSIBLE) must not be misread as a BITMAPINFOHEADER
+    and reject the decodable video."""
+    import struct as st
+
+    good = M.synth_avi_bytes(4)
+    cut = good[:-50]  # advisor repro: headers intact, movi truncated
+    with pytest.raises(ValueError):
+        M._avi_frame_chunks(cut)
+    assert M._decode_payload(cut) == M._fake_decode(cut)
+
+    # full engine path: the truncated payload emits NO rows, the task
+    # survives, and the good payload still decodes
+    media = spark.createDataFrame(
+        [(1, good, "video/x-msvideo", len(good)), (2, cut, "video/x-msvideo", len(cut))],
+        M.MEDIA_SCHEMA,
+    )
+    got_ids = {r["media_id"] for r in M.video_frame_table(media).collect()}
+    assert got_ids == {1}
+
+    # (b) inject an audio strl (strh fccType 'auds' + 40-byte strf)
+    # BEFORE the video strl inside hdrl
+    def chunk(tag, body):
+        return tag + st.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    # WAVEFORMATEXTENSIBLE: 40 bytes, nonzero fields everywhere a
+    # BITMAPINFOHEADER misread would see biSize/biBitCount/biCompression
+    wfx = st.pack("<HHIIHH", 0xFFFE, 2, 48000, 48000 * 8, 8, 32) + b"\x16\x00" + b"\x03" * 22
+    assert len(wfx) == 40
+    astrh = b"auds" + b"\x00" * 52
+    audio_strl = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", wfx))
+    i = good.find(b"LIST", 12)
+    hdrl_ln = st.unpack_from("<I", good, i + 4)[0]
+    # splice the audio strl at the end of hdrl's body
+    end = i + 8 + hdrl_ln
+    patched = good[:end] + audio_strl + good[end:]
+    patched = patched[: i + 4] + st.pack("<I", hdrl_ln + len(audio_strl)) + patched[i + 8 :]
+    patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
+    wp, hp, fp = M._decode_avi(patched)
+    wg, hg, fg = M._decode_avi(good)
+    assert (wp, hp) == (wg, hg) and len(fp) == len(fg)
+    assert all(np.array_equal(a, b) for a, b in zip(fp, fg))
+
+
+def test_jpeg_fill_bytes_between_scans():
+    """r11 (advisor, low): repeated 0xFF fill padding before a marker
+    is legal (T.81 §B.1.1.2) — the post-scan resync must skip it
+    rather than parse the second 0xFF as a marker id. Inject fill
+    bytes before EOI (baseline) and before every post-scan marker of
+    a progressive stream; decodes must be identical to the unpadded
+    bytes."""
+    grad = [[(x * 16 + (8 if (x + y) % 2 else 0)) % 256 for x in range(16)] for y in range(8)]
+
+    def eq(a, b):
+        return a[0] == b[0] and a[1] == b[1] and np.array_equal(a[2], b[2])
+
+    base = _jpeg_bytes(16, 8, grad, gray=True)
+    eoi = base.rfind(b"\xff\xd9")
+    padded = base[:eoi] + b"\xff" * 3 + base[eoi:]
+    assert eq(M._decode_jpeg(padded), M._decode_jpeg(base))
+
+    prog = _jpeg_progressive_bytes(16, 8, grad, gray=True)
+    # pad before every marker segment that FOLLOWS a scan (DHT/SOS/EOI)
+    out = bytearray()
+    i = 0
+    seen_sos = False
+    while i < len(prog) - 1:
+        if prog[i] == 0xFF and prog[i + 1] in (0xC4, 0xDA, 0xD9) and seen_sos:
+            out += b"\xff\xff"
+        if prog[i] == 0xFF and prog[i + 1] == 0xDA:
+            seen_sos = True
+            # skip past the entropy data wholesale: copy to next DHT/EOI
+        out.append(prog[i])
+        i += 1
+    out.append(prog[-1])
+    assert eq(M._decode_jpeg(bytes(out)), M._decode_jpeg(prog))
 
 
 def test_ann_kernels_all_null_batch_and_string_ids(spark):

@@ -173,14 +173,19 @@ def minhash_golden(
 
 def audio_golden(docs):
     """Replays the synth-WAV contract (the integer-hash PCM samples
-    documented at multimodal.synth_wav_table) plus the WAV decode
-    normalization and the audio feature formulas, independently of
-    engine code: build the integer samples per doc_id, normalize
-    exactly as the PCM spec (16-bit signed/32768, 8-bit
-    (unsigned-128)/128), compute RMS and zero-crossing fraction in
-    the same sequential formula order, narrow to float32 (the engine
+    documented at multimodal.synth_wav_table — r11 adds the
+    d % 7 == 5 float32-PCM branch) plus the WAV decode normalization
+    and the audio feature formulas, independently of engine code:
+    build the integer samples per doc_id, normalize exactly as the
+    PCM spec (16-bit signed/32768, 8-bit (unsigned-128)/128, float32
+    value clipped to [-1, 1]), compute RMS and zero-crossing fraction
+    with the SAME numpy reductions on the SAME-layout float64 array
+    as the engine's vectorized _audio_feature (r11 — pairwise
+    summation must match bit-for-bit), narrow to float32 (the engine
     feature column is array<float>), 6-dp round."""
     import struct as st
+
+    import numpy as np
 
     def f32(x: float) -> float:
         return st.unpack("<f", st.pack("<f", x))[0]
@@ -189,22 +194,29 @@ def audio_golden(docs):
     for doc_id, _text in docs:
         d = doc_id
         n_ch = 1 + d % 2
-        bits = 8 if d % 3 == 0 else 16
+        is_float = d % 7 == 5
+        bits = 32 if is_float else (8 if d % 3 == 0 else 16)
         n_frames = 64 + d % 129
-        vals = [
-            ((d * 31 + i * 17 + c * 7) * 2654435761) % 65536
-            for i in range(n_frames)
-            for c in range(n_ch)
-        ]
-        if bits == 16:
-            samples = [(v - 32768) / 32768.0 for v in vals]
+        i_ = np.arange(n_frames, dtype=np.int64)[:, None]
+        c_ = np.arange(n_ch, dtype=np.int64)[None, :]
+        vals = (((d * 31 + i_ * 17 + c_ * 7) * 2654435761) % 65536).reshape(-1)
+        if is_float:
+            samples = np.clip(
+                ((vals - 32768) / 32768.0).astype("<f4").astype(np.float64),
+                -1.0,
+                1.0,
+            )
+        elif bits == 16:
+            samples = (vals - 32768).astype("<i2").astype(np.float64) / 32768.0
         else:
-            samples = [((v >> 8) - 128) / 128.0 for v in vals]
-        n = len(samples)
-        rms = math.sqrt(sum(v * v for v in samples) / n)
-        zc = sum(
-            1 for i in range(1, n) if (samples[i - 1] < 0.0) != (samples[i] < 0.0)
-        ) / max(n - 1, 1)
+            samples = (
+                (vals >> 8).astype(np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        s = np.ascontiguousarray(samples)
+        n = s.shape[0]
+        rms = math.sqrt((s * s).mean())
+        neg = s < 0.0
+        zc = float(np.count_nonzero(neg[1:] != neg[:-1]) / max(n - 1, 1))
         out.append((d, n_frames, n_ch, r6(f32(rms)), r6(f32(zc))))
     return values_sql(
         [
@@ -225,10 +237,13 @@ def video_golden(docs, every_n=2, max_frames=4):
     documented at multimodal.synth_avi_table) plus the frame sampler
     and the pixel feature, independently of engine code: rebuild each
     sampled frame's RGB pixels from the hash, compute the gray
-    mean/stddev in the same sequential formula order as the engine's
-    pixel feature, narrow to float32 (the feature column is
-    array<float>), 6-dp round."""
+    mean/stddev with the SAME numpy reductions on the SAME-layout
+    float64 (n, 3) array as the engine's vectorized _pixel_feature
+    (r11 — pairwise summation must match bit-for-bit), narrow to
+    float32 (the feature column is array<float>), 6-dp round."""
     import struct as st
+
+    import numpy as np
 
     def f32(x: float) -> float:
         return st.unpack("<f", st.pack("<f", x))[0]
@@ -239,19 +254,24 @@ def video_golden(docs, every_n=2, max_frames=4):
         w = 8 + (d % 3) * 4
         h = 6 + (d % 2) * 2
         n_frames = 3 + d % 6
+        y_ = np.arange(h, dtype=np.int64)[:, None, None]
+        x_ = np.arange(w, dtype=np.int64)[None, :, None]
+        c_ = np.arange(3, dtype=np.int64)[None, None, :]
         for k, fi in enumerate(range(0, n_frames, every_n)):
             if k >= max_frames:
                 break
-            pix = [
-                tuple(((d * 13 + fi * 7 + y * 5 + x * 3 + c) * 2654435761) % 256 for c in range(3))
-                for y in range(h)
-                for x in range(w)
-            ]
-            n = len(pix)
-            gray = [(q[0] + q[1] + q[2]) / 3.0 for q in pix]
-            mgray = sum(gray) / (255.0 * n)
-            var = sum((g / 255.0 - mgray) ** 2 for g in gray) / n
-            out.append((d, fi, w, h, r6(f32(mgray)), r6(f32(math.sqrt(var)))))
+            pixv = ((d * 13 + fi * 7 + y_ * 5 + x_ * 3 + c_) * 2654435761) % 256
+            a = pixv.reshape(-1, 3).astype(np.uint8).astype(np.float64)
+            a = np.ascontiguousarray(a)
+            n = a.shape[0]
+            r = a[:, 0].copy()
+            g = a[:, 1].copy()
+            b = a[:, 2].copy()
+            gray = (r + g + b) / 3.0
+            mgray = gray.mean() / 255.0
+            dev = gray / 255.0 - mgray
+            gray_std = math.sqrt((dev * dev).mean())
+            out.append((d, fi, w, h, r6(f32(mgray)), r6(f32(gray_std))))
     return values_sql(
         [
             ("media_id", "BIGINT"),
