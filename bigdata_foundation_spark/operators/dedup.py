@@ -326,6 +326,75 @@ def _bucket_pairs(
     )
 
 
+def _bucket_pairs_est(
+    buckets: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int,
+    num_hashes: int,
+    est_floor: float,
+) -> DataFrame:
+    """Candidate pairs with the signature-agreement prune FUSED into
+    pair generation (r11 — the r10 verdict's minhash task): ``buckets``
+    carries ``_sig`` beside the id, the per-bucket explode emits each
+    pair WITH its agreement count, and the estimate filter runs
+    scan-side on the exploded rows — so the ``distinct`` exchange and
+    everything downstream (the exact-Jaccard verify joins) only ever
+    see est-survivors, instead of distinct-ing ~300× over-generated
+    raw candidates and joining signatures back post-hoc (the r5–r10
+    shape: two extra joins, a candidate cache, and a semi-join).
+
+    The trade, named: the one bucket-key exchange now carries
+    ``bands × num_hashes`` longs per doc instead of bare keys (~16×
+    the shuffle bytes at the default 64/16). What it buys: the
+    raw-candidate ``distinct`` (the pair multiset is bands-fold
+    over-generated AND ~300×/true-pair on clustered corpora) and two
+    signature joins over that multiset disappear. ``max_bucket`` still
+    bounds per-bucket state BEFORE the aggregate accumulates, so the
+    window's spilling sort is the only place degenerate keys park
+    their (now wider) rows. Estimate arithmetic is bit-identical to
+    :func:`minhash_jaccard_est` (double division, same comparison),
+    so the surviving pair set — and the golden — is unchanged."""
+    w = Window.partitionBy(*bucket_cols)
+    grouped = (
+        buckets.withColumn("_bsize", F.count("*").over(w))
+        .filter((F.col("_bsize") >= 2) & (F.col("_bsize") <= max_bucket))
+        .groupBy(*bucket_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_sig").alias("s")))
+            ).alias("_rows")
+        )
+    )
+    agree = lambda x, y: F.size(  # noqa: E731
+        F.filter(F.zip_with(x["s"], y["s"], lambda a, b: a == b), lambda v: v)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_rows",
+                    lambda x, i: F.transform(
+                        F.slice("_rows", i + F.lit(2), F.size("_rows")),
+                        lambda y: F.struct(
+                            x["i"].alias("id_a"),
+                            y["i"].alias("id_b"),
+                            agree(x, y).alias("_agree"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p._agree")
+    return (
+        pairs.filter(
+            F.col("_agree") / F.lit(float(num_hashes)) >= F.lit(est_floor)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def bucket_drop_stats(
     buckets: DataFrame,
     bucket_cols: list[str],
@@ -402,12 +471,16 @@ def minhash_lsh_pairs(
     the shingle explosion.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a <
-    id_b. Pipeline (r10): ONE fused Arrow kernel pass over the corpus
+    id_b. Pipeline (r11): ONE fused Arrow kernel pass over the corpus
     (:func:`_minhash_doc_table` — signature + band keys + shingle-hash
     set per doc, no explode, no aggregate shuffle; cached, one narrow
-    row per doc) → explode the 16 band keys → bucket-join candidates →
-    signature-agreement prune → exact-Jaccard verify on the kernel's
-    shingle-hash sets.
+    row per doc) → explode the 16 band keys WITH the signature →
+    bucket-join candidates with the agreement estimate computed AT
+    pair-generation time (:func:`_bucket_pairs_est` — the r10
+    verdict's fusion: the distinct and everything downstream see only
+    est-survivors; the r10 shape distinct-ed the raw multiset and
+    joined signatures back post-hoc) → exact-Jaccard verify on the
+    kernel's shingle-hash sets.
 
     Banding with r=4 over-generates mid-Jaccard candidates (~300× the
     true pairs on a clustered corpus), so candidates are pruned by the
@@ -417,45 +490,49 @@ def minhash_lsh_pairs(
     banding miss rate itself — the output contract (exact Jaccard on
     survivors, up to 64-bit hash collisions) is unchanged.
 
-    Join strategies are left to AQE: at gate scale every signature/
-    shingle join broadcasts from runtime stats; at corpus scale the
-    signature table is |docs|·64 longs — far past broadcast — and the
+    Join strategies are left to AQE: at gate scale the survivor/
+    shingle joins broadcast from runtime stats; at corpus scale the
     same plan degrades to keyed shuffles, which is the correct 100 TB
     shape. The cached kernel row carries the shingle-hash SET (≈ the
-    text's size in longs) — the same bytes the r9 exploded-postings
-    cache held, one row per doc instead of one per shingle."""
+    text's size in longs) — those bytes ride only the two verify
+    joins, never the band exchange; the band exchange instead carries
+    the 64-long signature per (doc, band), the measured-cheaper side
+    of the trade (see _bucket_pairs_est)."""
     tbl = tracked_cache(
         _minhash_doc_table(
             df, text_col, id_col, num_hashes, bands, shingle_k, with_shingles=True
         )
     )
-    banded = tbl.select(id_col, F.posexplode("_bands").alias("band", "key"))
+    banded = tbl.select(id_col, "_sig", F.posexplode("_bands").alias("band", "key"))
 
     blocks = list(block_cols or [])
     if blocks:
         banded = banded.join(df.select(id_col, *blocks), id_col)
 
-    raw_cand = _bucket_pairs(banded, id_col, ["band", "key", *blocks], max_bucket)
-    est = minhash_jaccard_est(F.col("_sig_a"), F.col("_sig_b"), num_hashes)
-    ssel = tbl.select(id_col, "_sig")
-    cand = (
-        raw_cand.join(ssel.withColumnsRenamed({id_col: "id_a", "_sig": "_sig_a"}), "id_a")
-        .join(ssel.withColumnsRenamed({id_col: "id_b", "_sig": "_sig_b"}), "id_b")
-        .filter(est >= F.lit(max(threshold - 0.15, 0.0)))
-        .select("id_a", "id_b")
+    cand = _bucket_pairs_est(
+        banded,
+        id_col,
+        ["band", "key", *blocks],
+        max_bucket,
+        num_hashes,
+        max(threshold - 0.15, 0.0),
     )
+
+    # Materialize the survivors before the verify joins: cand has ONE
+    # consumer, but without a materialization boundary AQE plans the
+    # verify joins blind to the (tiny) survivor count and the measured
+    # sf1 wall-clock swings 7.3–10.7s run-to-run (sort-merge draws);
+    # with it, the verify stage sees exact stats, broadcasts the
+    # survivors, and the line is a stable ~7.5s (r11 A/B).
     cand = tracked_cache(cand)
 
     # Exact verify from the kernel's sorted hash sets: set
     # intersection/union on long arrays — no second pass over the
     # text, no collect_set aggregate (the kernel already emitted the
-    # per-doc set).
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = tbl.select(id_col, "_sh").join(cand_ids, id_col, "left_semi")
+    # per-doc set). The r10 cand-id semi-join prune of sh is gone for
+    # good: at sf1 two thirds of all docs appear in some survivor, so
+    # the prune saved nothing (measured r11: 1.6s semi vs 1.3s full).
+    sh = tbl.select(id_col, "_sh")
     return (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_sh_b"}), "id_b")

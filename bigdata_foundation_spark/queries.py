@@ -76,79 +76,75 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The driver gates the FIRST 50 registry keys each round. r10 order:
-# (a) this round's debut (WAV/PCM audio decode) and every entry whose
-# code path changed this round — the MinHash/SimHash Arrow kernel
-# migration and its consumers (byte-identical golden regen, like r9's
-# ANN migration), the perplexity_buckets approx-mode addition (exact
-# gate path untouched but same function), the streaming sinks'
-# micro-batch shuffle-width knob, the advisor hardening of the ANN
-# kernels (dim/id-dtype) and the multimodal fallback, and graph_sssp
-# (edge_storage_level knob on the BSP kernel); then (b) the
-# OLDEST-GATED rotation: the FULL r5 block (19 entries — after this
-# round no entry's latest gate is older than r6) plus the first 14 of
-# the r6 block in name order (the remaining 15 r6 entries head the
-# r11 rotation; staleness computed from the union of
-# CORRECTNESS_r01–r09.json).
-# Totals: 2 debuts + 15 changed + 19 r5 + 14 r6 = 50.
+# The driver gates the FIRST 50 registry keys each round. r11 order:
+# (a) every entry whose code path changed this round — the media
+# decode/feature numpy vectorization (audio golden re-pinned for the
+# 24 float-PCM debut rows; video golden regen byte-identical) and the
+# MinHash est-prune fusion (_bucket_pairs_est: pair generation emits
+# the agreement estimate, distinct + verify see only survivors;
+# golden unchanged); then (b) the OLDEST-GATED rotation: the FULL
+# remaining r6 block (15 entries — after this round no entry's latest
+# gate is older than r7) plus the first 30 of the r7 block in name
+# order (the remaining 7 r7 entries head the r12 rotation; staleness
+# computed from the union of CORRECTNESS_r01–r10.json).
+# Totals: 5 changed + 15 r6 + 30 r7 = 50.
 # The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r10.md. Entries not listed
+# via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a0) round-10 debuts — value-gate first
-    "multimodal_audio_decode",  # NEW r10 (stdlib WAV/PCM decode, pinned golden)
-    "multimodal_video_frames",  # NEW r10 (uncompressed-AVI decode + frame sample, pinned golden)
-    # (a) changed since the r9 judged tree
-    "dedup_minhash_lsh",  # fused Arrow MinHash kernel (also r6-stale)
-    "dedup_minhash_blocked",  # same kernel + equality blocking
-    "dedup_simhash",  # Arrow SimHash kernel
-    "streaming_corpus_dedup",  # rides the kernel through the incremental index (also r6-stale)
-    "perplexity_buckets",  # exact=False mode added (gated path is exact=True)
-    "streaming_scd2",  # micro-batch shuffle-width knob
-    "streaming_upsert_sink",  # same knob
-    "multimodal_decode",  # WAV sniff added to the format dispatch + fallback widening
-    "ann_pq_topk",  # advisor hardening: dim/id-dtype in the Arrow kernels
-    "ann_ivf_topk",  # same
-    "ann_ivf_pq_topk",  # same
-    "ann_ivf_pq_refine",  # same
-    "semantic_dedup",  # same + pair-sweep id dtype
-    "embedding_kmeans",  # rides _with_cell_np
-    "graph_sssp",  # edge_storage_level knob on the BSP kernel (default unchanged)
-    # (b) oldest-gated rotation — the FULL r5 block
-    "events_hourly",  # last gated r5
-    "events_json_parse",  # last gated r5
-    "events_kv_extract",  # last gated r5
-    "graph_degree_distribution",  # last gated r5
-    "graph_k_hop",  # last gated r5
-    "graph_triangles",  # last gated r5
-    "hash_sample_orders",  # last gated r5
-    "orders_by_year",  # last gated r5
-    "orders_topk",  # last gated r5
-    "pivot_priority_by_year",  # last gated r5
-    "point_lookup_customer",  # last gated r5
-    "q9_product_profit",  # last gated r5
-    "rollup_order_stats",  # last gated r5
-    "setop_repeat_customers",  # last gated r5
-    "stats_agg_lineitem",  # last gated r5
-    "string_funcs_customer",  # last gated r5
-    "top_docs_per_group",  # last gated r5
-    "union_all_keys",  # last gated r5
-    "value_percentiles",  # last gated r5
-    # (b) oldest-gated rotation — first 15 of the r6 block (name order)
-    "bm25_rank",  # last gated r6
-    "chunk_documents",  # last gated r6
-    "contamination_check",  # last gated r6
-    "corpus_profile",  # last gated r6
-    "dedup_cluster_canonical",  # last gated r6
-    "dedup_cluster_keep_best",  # last gated r6
-    "dedup_exact",  # last gated r6
-    "dsir_scores",  # last gated r6
-    "fuzzy_name_match",  # last gated r6
-    "gopher_quality",  # last gated r6
-    "graph_articulation",  # last gated r6
-    "graph_bridges",  # last gated r6
-    "graph_dijkstra_agg",  # last gated r6
-    "graph_edges",  # last gated r6
+    # (a) changed since the r10 judged tree
+    "multimodal_audio_decode",  # vectorized WAV decode/features + float-PCM debut (golden re-pinned)
+    "multimodal_video_frames",  # vectorized AVI frame decode + pixel features (golden regen byte-identical)
+    "multimodal_decode",  # all decoders return numpy; fill-byte/strf/truncation hardening
+    "dedup_minhash_lsh",  # est-prune fused into pair generation (_bucket_pairs_est)
+    "dedup_minhash_blocked",  # same fusion + equality blocking
+    # (b) oldest-gated rotation — the FULL remaining r6 block
+    "graph_ingest_limit",  # last gated r6
+    "graph_nodes",  # last gated r6
+    "graph_random_walks",  # last gated r6
+    "graph_sssp_slice",  # last gated r6
+    "graph_writeback",  # last gated r6
+    "line_dedup_gate",  # last gated r6
+    "multimodal_ingest",  # last gated r6
+    "ngram_counts_top",  # last gated r6
+    "normalize_documents",  # last gated r6
+    "text_quality",  # last gated r6
+    "text_redact_pii",  # last gated r6
+    "text_repetition",  # last gated r6
+    "text_stats",  # last gated r6
+    "tfidf_top_terms",  # last gated r6
+    "unigram_perplexity",  # last gated r6
+    # (b) oldest-gated rotation — first 30 of the r7 block (name order)
+    "bloom_dedup_probe",  # last gated r7
+    "bpe_fertility",  # last gated r7
+    "bpe_tokenize",  # last gated r7
+    "corpus_drift",  # last gated r7
+    "dataset_diff",  # last gated r7
+    "exact_substring_spans",  # last gated r7
+    "funnel_stages",  # last gated r7
+    "graph_assortativity",  # last gated r7
+    "graph_astar",  # last gated r7
+    "graph_betweenness",  # last gated r7
+    "graph_closeness",  # last gated r7
+    "graph_clustering_coeff",  # last gated r7
+    "graph_components",  # last gated r7
+    "graph_dijkstra",  # last gated r7
+    "graph_eccentricity",  # last gated r7
+    "graph_eigenvector",  # last gated r7
+    "graph_harmonic",  # last gated r7
+    "graph_hits",  # last gated r7
+    "graph_hyperball",  # last gated r7
+    "graph_kcore",  # last gated r7
+    "graph_ktruss",  # last gated r7
+    "graph_label_propagation",  # last gated r7
+    "graph_louvain",  # last gated r7
+    "graph_modularity",  # last gated r7
+    "graph_msf",  # last gated r7
+    "graph_node_similarity",  # last gated r7
+    "graph_pagerank",  # last gated r7
+    "graph_ppr",  # last gated r7
+    "graph_scc",  # last gated r7
+    "graph_yens_postprocess",  # last gated r7
 ]
 
 
