@@ -5,33 +5,35 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` transforms, so each executor processes whole record
 batches without JVM↔Python per-row overhead.
 
-Codec status (r11): BMP (24-bpp BI_RGB), PNG (8-bit gray/RGB/RGBA,
-non-interlaced, all five scanline filters), JPEG — BASELINE (ITU
-T.81 SOF0 sequential DCT) AND PROGRESSIVE (SOF2, full spectral
-selection + successive approximation) — 8-bit gray/YCbCr, any
-sampling factors, restart markers; WAV (RIFF, 8/16-bit integer PCM
-and 32-bit IEEE-float PCM, any channel count); and uncompressed AVI
-(RIFF 'AVI ', 24-bpp DIB frames) all DECODE REAL BYTES with
-stdlib+numpy-only parsing (``struct`` + ``zlib`` + the vectorized
-IDCT below — no image/audio/video libraries in this container),
-producing true dimensions / frame counts and pixel/sample-derived
-features. r11: the pixel/sample hot paths (frame decode, JPEG
-render, feature reductions) are numpy-vectorized — per-byte Python
+Codec status (r11): BMP (24-bpp BI_RGB); PNG (gray 1/2/4/8/16-bit,
+RGB 8/16, palette 1/2/4/8, RGBA 8/16 — non-interlaced AND Adam7,
+all five scanline filters; 16-bit narrows to the high byte); JPEG —
+BASELINE (ITU T.81 SOF0 sequential DCT) AND PROGRESSIVE (SOF2, full
+spectral selection + successive approximation) — 8-bit gray/YCbCr,
+any sampling factors, restart markers, fill bytes; WAV (RIFF,
+8/16/24-bit integer PCM and 32-bit IEEE-float PCM, any channel
+count); and uncompressed AVI (RIFF 'AVI ', 24-bpp DIB frames) all
+DECODE REAL BYTES with stdlib+numpy-only parsing (``struct`` +
+``zlib`` + the vectorized IDCT below — no image/audio/video
+libraries in this container), producing true dimensions / frame
+counts and pixel/sample-derived features. r11: the pixel/sample hot
+paths (frame decode, JPEG render, feature reductions, sub-byte
+unpack, palette lookup) are numpy-vectorized — per-byte Python
 loops remain only where the format is inherently sequential
 (huffman entropy decode, PNG filters with intra-row dependencies).
 
 PERMANENT STUB BOUNDARY (terminal under the stdlib+numpy-only
 constraint, mirroring COVERAGE.md's "permanently rows-only" sketch
 precedent): arithmetic-coded (SOF9-SOFB), hierarchical (SOF5-7,
-SOFD-F) and 12-bit JPEG; palette/16-bit/interlaced PNG; MP3/AAC and
-every other compressed audio codec; H.264/VP9 and every other
-compressed video codec. These require either entire published
-coding systems (MDCT psychoacoustics, CABAC, motion compensation)
-or patent-encumbered arithmetic coders — not a struct-parse away.
-They route to the deterministic ``_fake_decode`` (clearly marked
-below); a real deployment swaps that ONE function for PIL/libav
-while everything around it — Arrow batching, schemas, partitioning,
-UDF signatures — is already the production plumbing.
+SOFD-F) and 12-bit JPEG; MP3/AAC and every other compressed audio
+codec; H.264/VP9 and every other compressed video codec. These
+require entire published coding systems (MDCT psychoacoustics,
+CABAC, motion compensation) or patent-encumbered arithmetic coders
+— not a struct-parse away. They route to the deterministic
+``_fake_decode`` (clearly marked below); a real deployment swaps
+that ONE function for PIL/libav while everything around it — Arrow
+batching, schemas, partitioning, UDF signatures — is already the
+production plumbing.
 """
 
 from __future__ import annotations
@@ -123,82 +125,146 @@ def _decode_bmp(p: bytes) -> tuple[int, int, "np.ndarray"]:
     return w, ah, np.ascontiguousarray(pix).reshape(-1, 3)
 
 
+_ADAM7 = [  # (x0, y0, dx, dy) per pass — PNG spec §8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _decode_png(p: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Stdlib+numpy PNG decode — 8-bit grayscale/RGB/RGBA,
-    non-interlaced: chunk walk, zlib-inflate the IDAT stream
-    (``zlib`` IS the PNG compression), undo the five scanline filters
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Alpha is dropped; gray
-    expands to RGB. Filters Sub/Average/Paeth keep their scalar loop
-    (each byte depends on the previous RECONSTRUCTED byte — inherent
-    serial chain); None/Up and the final pixel assembly are numpy
-    (r11). Returns (width, height, row-major RGB uint8 (h·w, 3));
-    raises ValueError on unsupported shapes (16-bit, palette,
-    interlaced)."""
+    """Stdlib+numpy PNG decode — r11 widens coverage to the full
+    practical PNG matrix: grayscale (bit depths 1/2/4/8/16), RGB
+    (8/16), palette (1/2/4/8, PLTE lookup), RGBA (8/16), BOTH
+    non-interlaced and Adam7-interlaced. Chunk walk, zlib-inflate the
+    IDAT stream (``zlib`` IS the PNG compression), undo the five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) — per
+    Adam7 pass when interlaced (each pass filters as an independent
+    image; deinterlace is a numpy strided scatter). Alpha is dropped;
+    gray expands to RGB scaled to full range (×255/(2^bd−1), exact in
+    integers); 16-bit narrows to the high byte (the standard 8-bit
+    display convention — documented lossy narrowing, like JFIF's
+    full-range YCbCr). Filters Sub/Average/Paeth keep their scalar
+    loop (each byte depends on the previous RECONSTRUCTED byte —
+    inherent serial chain); None/Up, sub-byte unpack (unpackbits),
+    palette lookup and assembly are numpy. Returns (width, height,
+    row-major RGB uint8 (h·w, 3)); raises ValueError on malformed
+    structure (caller falls back to the stub)."""
     if not p.startswith(_PNG_MAGIC):
         raise ValueError("not PNG")
     off = 8
     idat = b""
-    w = h = ch = None
+    plte = None
+    w = h = None
+    bd = ct = inter = 0
     while off + 8 <= len(p):
         ln, typ = struct.unpack_from(">I4s", p, off)
         data = p[off + 8 : off + 8 + ln]
         if typ == b"IHDR":
             w, h, bd, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
-            if bd != 8 or ct not in (0, 2, 6) or comp or filt or inter:
-                raise ValueError("only 8-bit gray/RGB/RGBA non-interlaced")
-            ch = {0: 1, 2: 3, 6: 4}[ct]
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 6: (8, 16)}
+            if ct not in legal or bd not in legal[ct] or comp or filt or inter > 1:
+                raise ValueError("png: illegal IHDR combination")
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("png: bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
         off += 12 + ln
-    if not (w and h and ch and idat):
+    if not (w and h and idat):
         raise ValueError("missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
+    bpp_bits = bd * channels
+    fbpp = max(1, bpp_bits // 8)  # filter byte offset (spec: floor, min 1)
     raw = zlib.decompress(idat)
-    stride = w * ch
-    if len(raw) < (stride + 1) * h:
-        raise ValueError("truncated scanlines")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = bytearray(stride)
-    pos = 0
-    for r in range(h):
-        ft = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos : pos + stride])
-        pos += stride
-        if ft == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ft == 2:  # Up — no intra-row dependency: vectorized
-            np.add(
-                np.frombuffer(bytes(line), dtype=np.uint8),
-                out[r - 1] if r else np.zeros(stride, dtype=np.uint8),
-                out=out[r],
-            )
-            prev = bytearray(out[r].tobytes())
-            continue
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad filter byte {ft}")
-        prev = line
-        out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
-    if ch == 1:
-        pix = np.repeat(out[:, :w, None], 3, axis=2)
-    elif ch == 3:
-        pix = out.reshape(h, w, 3)
+
+    def unfilter(off: int, wpx: int, hpx: int) -> tuple["np.ndarray", int]:
+        """Undo filters for one (sub-)image of wpx × hpx; returns the
+        reconstructed byte matrix and the new offset into ``raw``."""
+        stride = (wpx * bpp_bits + 7) // 8
+        if len(raw) - off < (stride + 1) * hpx:
+            raise ValueError("truncated scanlines")
+        out = np.empty((hpx, stride), dtype=np.uint8)
+        prev = bytearray(stride)
+        pos = off
+        for r in range(hpx):
+            ft = raw[pos]
+            pos += 1
+            line = bytearray(raw[pos : pos + stride])
+            pos += stride
+            if ft == 1:  # Sub
+                for i in range(fbpp, stride):
+                    line[i] = (line[i] + line[i - fbpp]) & 0xFF
+            elif ft == 2:  # Up — no intra-row dependency: vectorized
+                np.add(
+                    np.frombuffer(bytes(line), dtype=np.uint8),
+                    out[r - 1] if r else np.zeros(stride, dtype=np.uint8),
+                    out=out[r],
+                )
+                prev = bytearray(out[r].tobytes())
+                continue
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    a = line[i - fbpp] if i >= fbpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - fbpp] if i >= fbpp else 0
+                    b = prev[i]
+                    c = prev[i - fbpp] if i >= fbpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pr) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad filter byte {ft}")
+            prev = line
+            out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
+        return out, pos
+
+    def samples(block: "np.ndarray", wpx: int, hpx: int) -> "np.ndarray":
+        """Byte matrix → (hpx, wpx, channels) uint8 sample grid."""
+        if bd == 8:
+            return block[:, : wpx * channels].reshape(hpx, wpx, channels)
+        if bd == 16:  # high-byte narrowing (documented)
+            return block[:, : wpx * channels * 2].reshape(hpx, wpx, channels, 2)[
+                :, :, :, 0
+            ]
+        bits = np.unpackbits(block, axis=1)[:, : wpx * bd].reshape(hpx, wpx, bd)
+        weights = (1 << np.arange(bd - 1, -1, -1)).astype(np.uint8)
+        return (bits * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+
+    if inter == 0:
+        block, _pos = unfilter(0, w, h)
+        img = samples(block, w, h)
+    else:  # Adam7: seven independently-filtered passes, strided scatter
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            block, pos = unfilter(pos, pw, ph)
+            img[y0::dy, x0::dx] = samples(block, pw, ph)
+
+    if ct == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        idx = img[:, :, 0]
+        if int(idx.max()) >= plte.shape[0]:
+            raise ValueError("png: palette index out of range")
+        pix = plte[idx]
+    elif ct == 0:
+        v = img[:, :, 0]
+        if bd < 8:  # scale to full range: 255/(2^bd - 1) is an exact int
+            v = (v.astype(np.uint16) * (255 // ((1 << bd) - 1))).astype(np.uint8)
+        pix = np.repeat(v[:, :, None], 3, axis=2)
+    elif ct == 2:
+        pix = img
     else:
-        pix = out.reshape(h, w, 4)[:, :, :3]
+        pix = img[:, :, :3]
     return w, h, np.ascontiguousarray(pix).reshape(-1, 3)
 
 
@@ -674,13 +740,14 @@ def _pixel_feature(pix) -> list[float]:
 
 def _decode_wav(p: bytes) -> tuple[int, int, list[float]]:
     """Stdlib+numpy WAV/PCM decode (r10 — the audio analog of r8's
-    BMP; r11 adds 32-bit IEEE-float PCM and vectorizes the sample
-    path): RIFF chunk walk, ``fmt `` must be integer PCM (format
-    code 1) at 8 or 16 bits or IEEE-float PCM (format code 3) at 32
-    bits; ``data`` decodes to normalized samples in [-1, 1] (16-bit:
-    signed LE / 32768; 8-bit: (unsigned - 128) / 128 — the WAV spec's
-    two integer conventions; float: the stored value, clipped to the
-    nominal [-1, 1] full-scale range). Returns
+    BMP; r11 adds 24-bit integer and 32-bit IEEE-float PCM and
+    vectorizes the sample path): RIFF chunk walk, ``fmt `` must be
+    integer PCM (format code 1) at 8, 16 or 24 bits or IEEE-float PCM
+    (format code 3) at 32 bits; ``data`` decodes to normalized
+    samples in [-1, 1] (16-bit: signed LE / 32768; 24-bit: signed LE
+    / 2^23 via top-lane int32 widening; 8-bit: (unsigned - 128) / 128
+    — the WAV spec's integer conventions; float: the stored value,
+    clipped to the nominal [-1, 1] full-scale range). Returns
     (n_frames, n_channels, feature) through the format-agnostic
     DECODED_SCHEMA: width = frames per channel, height = channels.
     Raises ValueError on anything else (caller falls back to the
@@ -702,9 +769,9 @@ def _decode_wav(p: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("wav: missing fmt/data")
     code, n_ch, rate, _byte_rate, block_align, bits = fmt
     if not (
-        (code == 1 and bits in (8, 16)) or (code == 3 and bits == 32)
+        (code == 1 and bits in (8, 16, 24)) or (code == 3 and bits == 32)
     ) or n_ch < 1 or rate < 1:
-        raise ValueError("wav: only 8/16-bit integer or 32-bit float PCM")
+        raise ValueError("wav: only 8/16/24-bit integer or 32-bit float PCM")
     bytes_per = bits // 8
     if block_align != n_ch * bytes_per:
         raise ValueError("wav: bad block align")
@@ -716,6 +783,13 @@ def _decode_wav(p: bytes) -> tuple[int, int, list[float]]:
         samples = np.clip(
             np.frombuffer(data, dtype="<f4").astype(np.float64), -1.0, 1.0
         )
+    elif bits == 24:
+        # r11: 3-byte little-endian signed — widen to int32 by placing
+        # the bytes in the top 3 lanes (sign-correct), then /2^31
+        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        i32 = np.zeros((b3.shape[0], 4), dtype=np.uint8)
+        i32[:, 1:] = b3
+        samples = i32.view("<i4").reshape(-1).astype(np.float64) / 2147483648.0
     elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     else:

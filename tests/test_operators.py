@@ -985,6 +985,176 @@ def _png_bytes(width, rows_rgb, filters, color_type=2):
     )
 
 
+def _png_bytes_ex(w, h, get_sample, bd, ct, interlace=0, palette=None, filt_cycle=(0, 1, 2, 3, 4)):
+    """Hand-built PNG across the full decoder matrix (r11): any legal
+    (bit-depth, color-type), optional Adam7 interlacing, optional
+    PLTE — an INDEPENDENT test-side serializer: it forward-filters
+    known samples (cycling through the five filters) and splits the
+    Adam7 passes itself, so the decoder's unfilter/deinterlace/
+    unpack logic is genuinely exercised. ``get_sample(x, y)`` returns
+    the channel tuple (each value < 2^bd)."""
+    import struct as _s
+    import zlib as _z
+
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
+    fbpp = max(1, bd * channels // 8)
+
+    def pack_line(coords):
+        # pack one scanline's samples: sub-byte MSB-first, 16-bit MSB-first
+        if bd == 16:
+            return b"".join(
+                _s.pack(">H", v) for (x, y) in coords for v in get_sample(x, y)
+            )
+        if bd == 8:
+            return bytes(v for (x, y) in coords for v in get_sample(x, y))
+        bits = "".join(
+            format(v, f"0{bd}b") for (x, y) in coords for v in get_sample(x, y)
+        )
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    def filt_img(rows):
+        out = b""
+        prev = bytes(len(rows[0])) if rows else b""
+        for r, line in enumerate(rows):
+            ft = filt_cycle[r % len(filt_cycle)]
+            enc = bytearray(len(line))
+            for i in range(len(line)):
+                a = line[i - fbpp] if i >= fbpp else 0
+                b = prev[i]
+                c = prev[i - fbpp] if i >= fbpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+            out += bytes([ft]) + bytes(enc)
+            prev = line
+        return out
+
+    raw = b""
+    if interlace == 0:
+        raw = filt_img([pack_line([(x, y) for x in range(w)]) for y in range(h)])
+    else:
+        adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        for x0, y0, dx, dy in adam7:
+            xs = list(range(x0, w, dx))
+            ys = list(range(y0, h, dy))
+            if not xs or not ys:
+                continue
+            raw += filt_img([pack_line([(x, y) for x in xs]) for y in ys])
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, bd, ct, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    return out + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_full_matrix_decode():
+    """r11: the PNG decoder covers the practical format matrix —
+    palette (8-bit and sub-byte), gray at every legal depth (1-bit
+    scaling to full range, 16-bit narrowing to the high byte), RGB(A)
+    16-bit, and Adam7 interlacing — each pinned against the
+    independent serializer's known pixels; interlaced == straight."""
+    rng_px = lambda x, y: ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x * 11 + y) % 256)
+
+    # palette 8-bit, all five filters
+    pal = [(10, 20, 30), (200, 100, 50), (0, 0, 0), (255, 255, 255), (5, 250, 125)]
+    idx = lambda x, y: ((x + 2 * y) % len(pal),)
+    png = _png_bytes_ex(7, 6, idx, bd=8, ct=3, palette=pal)
+    w, h, pix = M._decode_png(png)
+    want = np.array([pal[idx(x, y)[0]] for y in range(6) for x in range(7)])
+    assert (w, h) == (7, 6) and np.array_equal(pix, want)
+
+    # palette 4-bit (sub-byte unpack, odd width -> padded bits)
+    png = _png_bytes_ex(5, 4, idx, bd=4, ct=3, palette=pal, filt_cycle=(0, 2))
+    w, h, pix = M._decode_png(png)
+    want = np.array([pal[idx(x, y)[0]] for y in range(4) for x in range(5)])
+    assert (w, h) == (5, 4) and np.array_equal(pix, want)
+
+    # gray 1-bit: checkerboard scales 0/1 -> 0/255
+    bit = lambda x, y: ((x + y) % 2,)
+    png = _png_bytes_ex(10, 3, bit, bd=1, ct=0)
+    w, h, pix = M._decode_png(png)
+    want = np.array([[255 * ((x + y) % 2)] * 3 for y in range(3) for x in range(10)])
+    assert (w, h) == (10, 3) and np.array_equal(pix, want)
+
+    # gray 2-bit: values 0..3 scale by 85
+    g2 = lambda x, y: ((x + y) % 4,)
+    png = _png_bytes_ex(6, 5, g2, bd=2, ct=0, filt_cycle=(0,))
+    w, h, pix = M._decode_png(png)
+    want = np.array([[85 * ((x + y) % 4)] * 3 for y in range(5) for x in range(6)])
+    assert np.array_equal(pix, want)
+
+    # gray 16-bit: high-byte narrowing
+    g16 = lambda x, y: ((x * 4096 + y * 257) % 65536,)
+    png = _png_bytes_ex(5, 5, g16, bd=16, ct=0, filt_cycle=(0, 1, 2, 3, 4))
+    w, h, pix = M._decode_png(png)
+    want = np.array([[g16(x, y)[0] >> 8] * 3 for y in range(5) for x in range(5)])
+    assert np.array_equal(pix, want)
+
+    # RGBA 16-bit: alpha dropped, high bytes kept
+    rgba16 = lambda x, y: tuple(v * 257 for v in rng_px(x, y)) + (65535,)
+    png = _png_bytes_ex(4, 4, rgba16, bd=16, ct=6)
+    w, h, pix = M._decode_png(png)
+    want = np.array([rng_px(x, y) for y in range(4) for x in range(4)])
+    assert np.array_equal(pix, want)
+
+    # Adam7 RGB 8-bit == the same image non-interlaced (sizes that
+    # exercise partial/empty passes: 9x7 and tiny 2x2 / 1x1)
+    for (w0, h0) in ((9, 7), (2, 2), (1, 1), (8, 1), (1, 9)):
+        straight = _png_bytes_ex(w0, h0, rng_px, bd=8, ct=2)
+        inter = _png_bytes_ex(w0, h0, rng_px, bd=8, ct=2, interlace=1)
+        ws, hs, ps = M._decode_png(straight)
+        wi, hi, pi = M._decode_png(inter)
+        assert (ws, hs) == (wi, hi) == (w0, h0)
+        assert np.array_equal(ps, pi)
+        want = np.array([rng_px(x, y) for y in range(h0) for x in range(w0)])
+        assert np.array_equal(ps, want)
+
+    # Adam7 palette sub-byte: interlace x bit-unpack composed
+    png = _png_bytes_ex(9, 7, idx, bd=4, ct=3, palette=pal, interlace=1)
+    w, h, pix = M._decode_png(png)
+    want = np.array([pal[idx(x, y)[0]] for y in range(7) for x in range(9)])
+    assert np.array_equal(pix, want)
+
+    # malformed: palette image without PLTE / index past palette -> stub
+    no_plte = _png_bytes_ex(3, 3, idx, bd=8, ct=3, palette=None)
+    assert M._decode_payload(no_plte) == M._fake_decode(no_plte)
+    short_pal = _png_bytes_ex(3, 3, lambda x, y: (4,), bd=8, ct=3, palette=pal[:2])
+    assert M._decode_payload(short_pal) == M._fake_decode(short_pal)
+
+
+def test_wav_24bit_pcm_decode():
+    """r11: 24-bit integer PCM (the pro-audio default) decodes real
+    values — hand-packed 3-byte LE samples incl. negative and
+    full-scale, against hand-computed /2^23 normalization."""
+    import struct as st
+
+    vals = [0, 1, -1, 8388607, -8388608, 4242424]  # 24-bit signed range
+    data = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    fmt = st.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(data)) + data
+    wv = b"RIFF" + st.pack("<I", len(body)) + body
+    nf, nc, feat = M._decode_wav(wv)
+    assert (nf, nc) == (6, 1)
+    want = M._audio_feature([v / 8388608.0 for v in vals], 48000)
+    assert feat == pytest.approx(want, abs=0)
+
+
 def test_multimodal_real_bmp_png_jpeg_decode(spark):
     """r8 (r7 verdict item 7) + r9 (r8 verdict task 5): BMP, PNG and
     baseline-JPEG payloads decode REAL bytes with stdlib-only codecs
