@@ -148,6 +148,10 @@ PICKS = [
     "dedup_simhash",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    # r11 additions (r10 verdict task 6): two one-pass r6-block shapes
+    # that had never appeared in a sweep column
+    "line_dedup_gate",
+    "normalize_documents",
 ]
 
 
