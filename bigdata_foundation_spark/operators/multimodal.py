@@ -5,7 +5,8 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` transforms, so each executor processes whole record
 batches without JVM↔Python per-row overhead.
 
-Codec status (r11): BMP (24-bpp BI_RGB); PNG (gray 1/2/4/8/16-bit,
+Codec status (r11): BMP (uncompressed 24/32-bpp BI_RGB and 8-bpp
+palette); PNG (gray 1/2/4/8/16-bit,
 RGB 8/16, palette 1/2/4/8, RGBA 8/16 — non-interlaced AND Adam7,
 all five scanline filters; 16-bit narrows to the high byte); JPEG —
 BASELINE (ITU T.81 SOF0 sequential DCT) AND PROGRESSIVE (SOF2, full
@@ -93,13 +94,14 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_bmp(p: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Stdlib+numpy BMP decode — 24-bpp uncompressed BI_RGB with a
-    BITMAPINFOHEADER, the format every screenshot tool and the
-    reference's own .bmp artifacts use. Returns (width, height,
-    row-major top-down RGB pixels as a uint8 (h·w, 3) array — r11:
-    one ``frombuffer``/reshape/stride-slice, no per-pixel Python).
-    Raises ValueError on anything else (caller falls back to the
-    stub)."""
+    """Stdlib+numpy BMP decode — BITMAPINFOHEADER, uncompressed:
+    24-bpp BI_RGB (the screenshot default and the reference's own
+    .bmp artifacts), plus r11: 32-bpp BI_RGB (BGRX, alpha lane
+    dropped) and 8-bpp palette (BGRX color-table lookup). Returns
+    (width, height, row-major top-down RGB pixels as a uint8 (h·w, 3)
+    array — one ``frombuffer``/reshape/stride-slice, no per-pixel
+    Python). Raises ValueError on anything else (caller falls back to
+    the stub)."""
     if len(p) < 54 or p[:2] != b"BM":
         raise ValueError("not BMP")
     data_off = struct.unpack_from("<I", p, 10)[0]
@@ -110,18 +112,32 @@ def _decode_bmp(p: bytes) -> tuple[int, int, "np.ndarray"]:
     planes = struct.unpack_from("<H", p, 26)[0]
     bpp = struct.unpack_from("<H", p, 28)[0]
     comp = struct.unpack_from("<I", p, 30)[0]
-    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
-        raise ValueError("only 24-bpp BI_RGB")
+    clr_used = struct.unpack_from("<I", p, 46)[0]
+    if planes != 1 or bpp not in (8, 24, 32) or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 8/24/32-bpp BI_RGB")
     flip = h > 0  # positive height = bottom-up row order
     ah = abs(h)
-    row_sz = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    bypp = bpp // 8
+    row_sz = (w * bypp + 3) & ~3  # rows pad to 4 bytes
     if data_off + row_sz * ah > len(p):
         raise ValueError("truncated pixel data")
     rows = np.frombuffer(p, dtype=np.uint8, count=row_sz * ah, offset=data_off)
     rows = rows.reshape(ah, row_sz)
     if flip:
         rows = rows[::-1]
-    pix = rows[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bpp == 8:
+        n_colors = clr_used or 256
+        pal_off = 14 + 40  # color table follows the BITMAPINFOHEADER
+        if pal_off + 4 * n_colors > data_off or pal_off + 4 * n_colors > len(p):
+            raise ValueError("bmp: truncated color table")
+        pal = np.frombuffer(p, dtype=np.uint8, count=4 * n_colors, offset=pal_off)
+        pal = pal.reshape(-1, 4)[:, 2::-1]  # BGRX → RGB
+        idx = rows[:, :w]
+        if int(idx.max()) >= n_colors:
+            raise ValueError("bmp: palette index out of range")
+        pix = pal[idx]
+    else:
+        pix = rows[:, : w * bypp].reshape(ah, w, bypp)[:, :, 2::-1]  # BGR(X) → RGB
     return w, ah, np.ascontiguousarray(pix).reshape(-1, 3)
 
 

@@ -1137,6 +1137,51 @@ def test_png_full_matrix_decode():
     assert M._decode_payload(short_pal) == M._fake_decode(short_pal)
 
 
+def test_bmp_32bpp_and_palette_decode():
+    """r11: 32-bpp BGRX (alpha lane dropped) and 8-bpp palette BMPs
+    decode against hand-built fixtures; truncated color tables and
+    out-of-range palette indices fall back to the stub."""
+    import struct as st
+
+    def bmp(w, h, bpp, body, palette=b"", clr_used=0):
+        hdr_sz = 14 + 40 + len(palette)
+        info = st.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 0, 0, clr_used, 0)
+        return (
+            b"BM" + st.pack("<IHHI", hdr_sz + len(body), 0, 0, hdr_sz) + info + palette + body
+        )
+
+    # 32-bpp 2x2 bottom-up: BGRX quads, no row padding needed
+    px = {(0, 0): (1, 2, 3), (1, 0): (4, 5, 6), (0, 1): (7, 8, 9), (1, 1): (10, 11, 12)}
+    rows = []
+    for y in (1, 0):  # bottom-up
+        row = b""
+        for x in (0, 1):
+            r, g, b = px[(x, y)]
+            row += bytes([b, g, r, 0xAA])
+        rows.append(row)
+    p32 = bmp(2, 2, 32, b"".join(rows))
+    w, h, pix = M._decode_bmp(p32)
+    want = np.array([px[(x, y)] for y in range(2) for x in range(2)])
+    assert (w, h) == (2, 2) and np.array_equal(pix, want)
+
+    # 8-bpp palette 3x2 bottom-up with row padding (3 -> 4 bytes)
+    pal_rgb = [(250, 10, 20), (30, 40, 50), (60, 70, 80)]
+    palette = b"".join(bytes([b, g, r, 0]) for r, g, b in pal_rgb)
+    idx = [[0, 1, 2], [2, 1, 0]]  # top-down rows
+    body = b"".join(bytes(idx[y]) + b"\x00" for y in (1, 0))  # bottom-up + pad
+    p8 = bmp(3, 2, 8, body, palette, clr_used=3)
+    w, h, pix = M._decode_bmp(p8)
+    want = np.array([pal_rgb[i] for row in idx for i in row])
+    assert (w, h) == (3, 2) and np.array_equal(pix, want)
+
+    # palette index beyond the color table -> stub
+    bad = bmp(3, 2, 8, b"".join(bytes([0, 1, 7]) + b"\x00" for _ in range(2)), palette, clr_used=3)
+    assert M._decode_payload(bad) == M._fake_decode(bad)
+    # declared 256 colors but table truncated (data_off too close) -> stub
+    bad2 = bmp(3, 2, 8, body, palette, clr_used=0)
+    assert M._decode_payload(bad2) == M._fake_decode(bad2)
+
+
 def test_wav_24bit_pcm_decode():
     """r11: 24-bit integer PCM (the pro-audio default) decodes real
     values — hand-packed 3-byte LE samples incl. negative and
