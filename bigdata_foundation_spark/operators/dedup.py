@@ -388,7 +388,13 @@ def _bucket_pairs_est(
     ).select("p.id_a", "p.id_b", "p._agree")
     return (
         pairs.filter(
-            F.col("_agree") / F.lit(float(num_hashes)) >= F.lit(est_floor)
+            (F.col("id_a") != F.col("id_b"))
+            # collect_list (unlike the old _bucket_pairs' collect_set)
+            # would pair a duplicate id with itself at agree ==
+            # num_hashes; callers guarantee id-uniqueness per bucket,
+            # but the invariant is one scan-side comparison to keep
+            # (r11 review finding)
+            & (F.col("_agree") / F.lit(float(num_hashes)) >= F.lit(est_floor))
         )
         .select("id_a", "id_b")
         .distinct()

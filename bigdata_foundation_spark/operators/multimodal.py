@@ -373,7 +373,7 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_jpeg(p: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+def _decode_jpeg(p: bytes) -> tuple[int, int, "np.ndarray"]:
     """Stdlib JPEG decode (ITU T.81) — BASELINE (SOF0, sequential DCT)
     and PROGRESSIVE (SOF2, r10: full spectral selection AND successive
     approximation, interleaved DC / non-interleaved AC scans, EOB runs,
@@ -796,9 +796,14 @@ def _decode_wav(p: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("wav: empty data")
     data = data[: n_frames * block_align]
     if code == 3:
-        samples = np.clip(
-            np.frombuffer(data, dtype="<f4").astype(np.float64), -1.0, 1.0
-        )
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if not np.isfinite(samples).all():
+            # NaN samples (real DAW exports can contain them) would
+            # ride through np.clip and poison every feature reduction
+            # with NaN, violating the [0, 1] feature contract — treat
+            # the file as corrupt (r11 review finding)
+            raise ValueError("wav: non-finite float samples")
+        samples = np.clip(samples, -1.0, 1.0)
     elif bits == 24:
         # r11: 3-byte little-endian signed — widen to int32 by placing
         # the bytes in the top 3 lanes (sign-correct), then /2^31
@@ -1166,11 +1171,13 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
         # → struct.error, bad IDAT stream → zlib.error, semantic
         # violations → ValueError, short filtered scanlines →
         # IndexError, a JPEG scan referencing an undefined quant/
-        # huffman table or SOS component id → KeyError, and any
-        # zero-pixel decode that slips past the dimension checks →
-        # ZeroDivisionError in _pixel_feature.  All must fall through
-        # to the stub so one bad file can't fail a corpus-scale
-        # ingest task.
+        # huffman table or SOS component id → KeyError, and a
+        # zero-pixel decode that slips past the dimension checks
+        # surfaces as ValueError from the numpy reductions (r11 — the
+        # scalar feature path raised ZeroDivisionError, kept in the
+        # tuple for any remaining /n arithmetic). All must fall
+        # through to the stub so one bad file can't fail a
+        # corpus-scale ingest task.
         pass
     return _fake_decode(p)
 

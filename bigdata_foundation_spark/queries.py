@@ -84,10 +84,10 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # the agreement estimate, distinct + verify see only survivors;
 # golden unchanged); then (b) the OLDEST-GATED rotation: the FULL
 # remaining r6 block (15 entries — after this round no entry's latest
-# gate is older than r7) plus the first 30 of the r7 block in name
-# order (the remaining 7 r7 entries head the r12 rotation; staleness
+# gate is older than r7) plus the first 29 of the r7 block in name
+# order (the remaining 8 r7 entries head the r12 rotation; staleness
 # computed from the union of CORRECTNESS_r01–r10.json).
-# Totals: 5 changed + 15 r6 + 30 r7 = 50.
+# Totals: 6 changed + 15 r6 + 29 r7 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
 # keep registration order after these.
@@ -98,6 +98,7 @@ GATE_ORDER: list[str] = [
     "multimodal_decode",  # all decoders return numpy; fill-byte/strf/truncation hardening
     "dedup_minhash_lsh",  # est-prune fused into pair generation (_bucket_pairs_est)
     "dedup_minhash_blocked",  # same fusion + equality blocking
+    "streaming_corpus_dedup",  # dedup_batch_within rides minhash_lsh_pairs (r11 review finding)
     # (b) oldest-gated rotation — the FULL remaining r6 block
     "graph_ingest_limit",  # last gated r6
     "graph_nodes",  # last gated r6
@@ -114,7 +115,7 @@ GATE_ORDER: list[str] = [
     "text_stats",  # last gated r6
     "tfidf_top_terms",  # last gated r6
     "unigram_perplexity",  # last gated r6
-    # (b) oldest-gated rotation — first 30 of the r7 block (name order)
+    # (b) oldest-gated rotation — first 29 of the r7 block (name order)
     "bloom_dedup_probe",  # last gated r7
     "bpe_fertility",  # last gated r7
     "bpe_tokenize",  # last gated r7
@@ -144,7 +145,6 @@ GATE_ORDER: list[str] = [
     "graph_pagerank",  # last gated r7
     "graph_ppr",  # last gated r7
     "graph_scc",  # last gated r7
-    "graph_yens_postprocess",  # last gated r7
 ]
 
 

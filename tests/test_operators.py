@@ -1137,6 +1137,39 @@ def test_png_full_matrix_decode():
     assert M._decode_payload(short_pal) == M._fake_decode(short_pal)
 
 
+def test_wav_float_nan_falls_back_to_stub():
+    """r11 (review finding): a float-PCM WAV containing a NaN sample
+    (real DAW exports can) must stub out, not emit NaN features that
+    ride through np.clip and poison the [0, 1] feature contract."""
+    import struct as st
+
+    vals = st.pack("<3f", 0.25, float("nan"), -0.5)
+    fmt = st.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(vals)) + vals
+    wv = b"RIFF" + st.pack("<I", len(body)) + body
+    assert M._decode_payload(wv) == M._fake_decode(wv)
+    inf = st.pack("<3f", 0.25, float("inf"), -0.5)
+    wv2 = wv.replace(vals, inf)
+    assert M._decode_payload(wv2) == M._fake_decode(wv2)
+
+
+def test_minhash_duplicate_id_no_self_pairs(spark):
+    """r11 (review finding): _bucket_pairs_est's collect_list (vs the
+    old collect_set) would pair a duplicate id with itself at full
+    agreement — the scan-side id_a != id_b guard must keep the old
+    set-semantics invariant even when the input carries duplicate
+    ids."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 5)] * 2 + [
+        (2, "the quick brown fox jumps over the lazy dog " * 5),
+        (3, "completely different text about something else entirely " * 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = D.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert all(r["id_a"] != r["id_b"] for r in got)
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
 def test_bmp_32bpp_and_palette_decode():
     """r11: 32-bpp BGRX (alpha lane dropped) and 8-bpp palette BMPs
     decode against hand-built fixtures; truncated color tables and
