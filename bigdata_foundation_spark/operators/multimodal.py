@@ -11,7 +11,9 @@ RGB 8/16, palette 1/2/4/8, RGBA 8/16 — non-interlaced AND Adam7,
 all five scanline filters; 16-bit narrows to the high byte); JPEG —
 BASELINE (ITU T.81 SOF0 sequential DCT) AND PROGRESSIVE (SOF2, full
 spectral selection + successive approximation) — 8-bit gray/YCbCr,
-any sampling factors, restart markers, fill bytes; WAV (RIFF,
+any sampling factors, restart markers, fill bytes; GIF (87a/89a,
+real LZW, global/local color tables, interlacing, transparency,
+region-frame compositing, animation frame sampling); WAV (RIFF,
 8/16/24-bit integer PCM and 32-bit IEEE-float PCM, any channel
 count); and uncompressed AVI (RIFF 'AVI ', 24-bpp DIB frames) all
 DECODE REAL BYTES with stdlib+numpy-only parsing (``struct`` +
@@ -1140,6 +1142,394 @@ def synth_avi_bytes(d: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# ============================== GIF ==================================
+# r11: GIF87a/89a decode — the one remaining stdlib-feasible image
+# container (LZW is a dictionary coder, not an entropy-coding system;
+# the Unisys patents expired in 2004). Covers: global/local color
+# tables at every size, interlacing, transparency, region frames
+# composited onto the logical-screen canvas, 87a and 89a, animation
+# frame sampling. The LZW code loop is per-CODE Python (inherently
+# sequential, like huffman entropy decode — the module-header
+# exception); everything around it (palette lookup, deinterlace,
+# compositing, features) is numpy.
+
+GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> "np.ndarray":
+    """GIF variable-width LSB-first LZW → uint8 index array of length
+    ``npix``. Implements the spec's table-growth convention: code
+    width bumps when the table reaches 2^width (cap 12); a clear code
+    resets table and width. Raises ValueError on malformed streams
+    (out-of-range code, reference to a reserved slot, exhaustion
+    before npix indices)."""
+    if not (2 <= min_code <= 8):
+        raise ValueError("gif: bad LZW min code size")
+    clear = 1 << min_code
+    end = clear + 1
+    # one big little-endian int = the whole bitstream; Python bigint
+    # shifts beat a per-byte bit cursor and keep the loop per-CODE
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    prev = None
+    out = bytearray()
+    while len(out) < npix:
+        if pos + width > nbits:
+            raise ValueError("gif: LZW stream exhausted")
+        code = (big >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise ValueError("gif: reference to reserved code")
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < npix:
+        raise ValueError("gif: short pixel data")
+    return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
+    """GIF LZW encoder — the synth/test twin of :func:`_gif_lzw_decode`
+    (real dictionary compression, so synth payloads exercise the full
+    decoder: table growth, width bumps, the 4096 clear-reset). Fuzzed
+    against the decoder as an identity in tests."""
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits = bytearray()
+    acc = 0
+    accn = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accn
+        acc |= code << accn
+        accn += width
+        while accn >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            accn -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for px in indices.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if accn:
+        out_bits.append(acc & 0xFF)
+    return bytes(out_bits)
+
+
+def _gif_deinterlace(idx: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Reorder GIF interlaced rows (four passes: 0::8, 4::8, 2::4,
+    1::2) to natural order — one numpy scatter per pass."""
+    rows = idx.reshape(h, w)
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in GIF_INTERLACE_PASSES:
+        n = len(range(start, h, step))
+        out[start::step] = rows[src : src + n]
+        src += n
+    return out.reshape(-1)
+
+
+def _gif_frames(
+    p: bytes, max_frames: int | None = None
+) -> tuple[int, int, list["np.ndarray"]]:
+    """Parse a GIF87a/89a payload → (width, height, frames), each
+    frame a FULL-CANVAS (h, w, 3) uint8 RGB array: image blocks are
+    composited onto the logical screen at their (left, top) region,
+    transparent pixels (GCE flag) show the previous canvas through.
+    Disposal is treated as leave-in-place (the dominant web-GIF
+    convention; 'restore to background' animations composite
+    progressively — documented deviation, pixel-identical for
+    full-frame and accumulate-style GIFs). ``max_frames`` stops
+    decoding early — compositing forces sequential decode up to the
+    last SAMPLED frame, but never past it. Raises ValueError on
+    malformed payloads (the stub-fallback contract upstream)."""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", p, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("gif: zero logical screen")
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(p[off : off + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("gif: short global color table")
+        gct = gct.reshape(n, 3)
+        off += 3 * n
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:, :] = gct[0]
+    frames: list[np.ndarray] = []
+    transparent = None
+    while off < len(p):
+        b = p[off]
+        off += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + length-prefixed sub-blocks
+            if off >= len(p):
+                raise ValueError("gif: truncated extension")
+            label = p[off]
+            off += 1
+            first_sub = off
+            while True:
+                if off >= len(p):
+                    raise ValueError("gif: truncated sub-blocks")
+                ln = p[off]
+                off += 1
+                if ln == 0:
+                    break
+                if label == 0xF9 and off == first_sub + 1 and ln == 4:
+                    flags = p[off]
+                    transparent = p[off + 3] if flags & 0x01 else None
+                off += ln
+            continue
+        if b != 0x2C:
+            raise ValueError("gif: unknown block 0x%02x" % b)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", p, off)
+        off += 9
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("gif: image block out of bounds")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(p[off : off + 3 * n], dtype=np.uint8)
+            if pal.size != 3 * n:
+                raise ValueError("gif: short local color table")
+            pal = pal.reshape(n, 3)
+            off += 3 * n
+        if pal is None:
+            raise ValueError("gif: no color table")
+        if off >= len(p):
+            raise ValueError("gif: missing LZW min code size")
+        min_code = p[off]
+        off += 1
+        parts = []
+        while True:
+            if off >= len(p):
+                raise ValueError("gif: truncated image data")
+            ln = p[off]
+            off += 1
+            if ln == 0:
+                break
+            parts.append(p[off : off + ln])
+            if len(parts[-1]) != ln:
+                raise ValueError("gif: truncated image data")
+            off += ln
+        idx = _gif_lzw_decode(b"".join(parts), min_code, w * h)
+        if ipacked & 0x40:
+            idx = _gif_deinterlace(idx, w, h)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("gif: palette index out of range")
+        rgb = pal[idx].reshape(h, w, 3)
+        region = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            rgb = np.where((idx.reshape(h, w) == transparent)[:, :, None], region, rgb)
+        canvas = canvas.copy()  # each emitted frame is an independent array
+        canvas[top : top + h, left : left + w] = rgb
+        frames.append(canvas)
+        transparent = None  # a GCE governs exactly one following image
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("gif: no image blocks")
+    return sw, sh, frames
+
+
+def _decode_gif(p: bytes) -> tuple[int, int, "np.ndarray"]:
+    """First-frame GIF decode for the thumbnail/feature path: logical
+    screen dimensions + the first composited frame's (n, 3) pixels."""
+    w, h, frames = _gif_frames(p, max_frames=1)
+    return w, h, frames[0].reshape(-1, 3)
+
+
+def gif_frame_table(
+    media: DataFrame, every_n: int = 1, max_frames: int = 8
+) -> DataFrame:
+    """Animated-GIF frame sampling — the GIF twin of
+    :func:`video_frame_table`: decode each payload's composited
+    frames, keep every ``every_n``-th up to ``max_frames``, one row
+    per sampled frame with true dimensions and the pixel feature.
+    Compositing forces sequential decode UP TO the last sampled frame
+    (unlike AVI's random-access chunks) — but never past it. Payloads
+    that are not well-formed GIFs emit NO rows (the corpus-ingest
+    contract video_frame_table documents)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", media.schema["media_id"].dataType),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+    step = max(every_n, 1)
+    last_needed = (max_frames - 1) * step + 1 if max_frames > 0 else 0
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, ws, hs, feats = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, frames = _gif_frames(raw, max_frames=last_needed)
+                except (ValueError, struct.error, IndexError):
+                    continue
+                for k, fi in enumerate(range(0, len(frames), step)):
+                    if k >= max_frames:
+                        break
+                    ids.append(mid)
+                    fnos.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    feats.append(_pixel_feature(frames[fi].reshape(-1, 3)))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_no": fnos,
+                        "width": ws,
+                        "height": hs,
+                        "feature": feats,
+                    }
+                )
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
+
+
+def synth_gif_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF payloads from an id column (the image twin of
+    synth_wav_table / synth_avi_table), replayed independently by
+    tools/gen_pipeline_goldens._gif_replay_frames. Per id d:
+    width = 10 + (d % 5)·3, height = 8 + (d % 4)·3,
+    n_frames = 1 + d % 4 (ids with d % 4 ≥ 1 are ANIMATED);
+    16-entry palette: color (j, channel c) =
+    ``(d·29 + j·97 + c·53 + salt)·2654435761 mod 256`` with salt = 71
+    on frame 1 of d % 3 == 0 ids (those carry a LOCAL color table);
+    pixel index (frame f, y, x) = ``(d·13 + f·7 + y·5 + x·3)·
+    2654435761 mod 16``. Frame 0 is INTERLACED when d % 2 == 1;
+    frames ≥ 1 of d % 4 == 3 ids are REGION frames at (2, 1) sized
+    (w−4, h−2); frames ≥ 1 of d % 5 == 2 ids carry a transparency GCE
+    (index 3 shows the previous canvas through). Integer arithmetic
+    end to end; payloads go through the REAL LZW encoder, so the
+    decoder's dictionary growth is exercised on every id."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            payloads = [synth_gif_bytes(int(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["image/gif"] * len(ids),
+                    "byte_len": [len(b) for b in payloads],
+                }
+            )
+
+    from bigdata_foundation_spark.operators.dedup import spread
+
+    return spread(df.select(id_col), id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _synth_gif_palette(d: int, f: int) -> "np.ndarray":
+    j = np.arange(16, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    salt = 71 * f if (f == 1 and d % 3 == 0) else 0
+    return (((d * 29 + j * 97 + c * 53 + salt) * 2654435761) % 256).astype(np.uint8)
+
+
+def _synth_gif_indices(d: int, f: int, w: int, h: int) -> "np.ndarray":
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    return (((d * 13 + f * 7 + y * 5 + x * 3) * 2654435761) % 16).astype(np.uint8)
+
+
+def synth_gif_bytes(d: int) -> bytes:
+    """The deterministic GIF payload for id ``d`` (see
+    synth_gif_table). Module-level so tests can call it directly."""
+    w = 10 + (d % 5) * 3
+    h = 8 + (d % 4) * 3
+    n_frames = 1 + d % 4
+    gct = _synth_gif_palette(d, 0)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)  # GCT, 16 entries
+    out += gct.tobytes()
+    for f in range(n_frames):
+        region = f >= 1 and d % 4 == 3
+        lf, tf = (2, 1) if region else (0, 0)
+        wf, hf = (w - 4, h - 2) if region else (w, h)
+        if f >= 1 and d % 5 == 2:  # transparency GCE, index 3
+            out += b"\x21\xf9\x04" + bytes([0x01, 0, 0, 3]) + b"\x00"
+        local = f == 1 and d % 3 == 0
+        interlace = f == 0 and d % 2 == 1
+        ipacked = (0x80 | 0x03 if local else 0) | (0x40 if interlace else 0)
+        out += b"\x2c" + struct.pack("<HHHHB", lf, tf, wf, hf, ipacked)
+        if local:
+            out += _synth_gif_palette(d, f).tobytes()
+        idx = _synth_gif_indices(d, f, wf, hf)
+        flat = idx.reshape(-1)
+        if interlace:
+            rows = idx.reshape(hf, wf)
+            flat = np.concatenate(
+                [rows[s::st].reshape(-1) for s, st in GIF_INTERLACE_PASSES]
+            )
+        data = _gif_lzw_encode(flat, 4)
+        out += bytes([4])
+        for i in range(0, len(data), 255):
+            blk = data[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
     """Format-sniffing decode: REAL stdlib decode for BMP/PNG/baseline-
     JPEG/PCM-WAV/uncompressed-AVI magic bytes (a UTF-8 text payload
@@ -1152,6 +1542,9 @@ def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
     pixel feature (the thumbnail convention); per-frame work goes
     through :func:`video_frame_table`."""
     try:
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, pix = _decode_gif(p)
+            return w, h, _pixel_feature(pix)
         if p[:2] == b"BM":
             w, h, pix = _decode_bmp(p)
             return w, h, _pixel_feature(pix)

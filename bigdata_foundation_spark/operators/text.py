@@ -854,6 +854,142 @@ def bigram_logprob_score(
     )
 
 
+def stupid_backoff_score(
+    documents: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    k_smoothing: float = 0.5,
+) -> DataFrame:
+    """Stupid Backoff TRIGRAM LM scoring (Brants et al. 2007 §4 — the
+    scheme Google used for its distributed web-scale 5-gram LMs,
+    built for exactly this engine's regime: counts-only training, no
+    discounting pass, scores that need one keyed join per order):
+
+      S(w3 | w1 w2) = c(w1 w2 w3)/c(w1 w2)          if c(w1 w2 w3)>0
+                    = α · c(w2 w3)/c(w2)             elif c(w2 w3)>0
+                    = α² · (c(w3)+k)/(N+k·V)         otherwise
+
+    with α = 0.4 (the paper's constant). S is a relative score, not a
+    normalized probability — the paper's point is that at web scale
+    the ranking quality matches Katz/KN backoff at a fraction of the
+    training cost. The unigram floor adds the repo's standard add-k
+    smoothing (Brants assumes a closed vocabulary; a scored document
+    may contain words the training slice never saw, and α²·0 would
+    make −log2 infinite).
+
+    TRAIN and SCORE corpora are separate inputs (unlike the unigram/
+    bigram scorers, which self-score): train on a reference slice
+    (e.g. the target language / a curated subset), score everything —
+    the CCNet/DSIR selection pattern. Self-scored documents never back
+    off (their trigrams are in the counts by construction); documents
+    OUTSIDE the training slice exercise all three tiers.
+
+    Tokens: lowercase, whitespace-split, empties dropped. Scored
+    positions are i ≥ 3 only (no boundary padding — the first two
+    tokens have no trigram context); documents with fewer than three
+    tokens are ABSENT from the output.
+
+    Scale shape: three map-side-combined count aggregates over the
+    TRAIN slice (tri/bi/uni — the bigram and unigram tables also serve
+    as the backoff denominators), two broadcast scalars (N, V), then
+    scoring = one scan-side trigram explode of the SCORED corpus +
+    five LEFT keyed joins (tri, bi₁₂, bi₂₃, uni₂, uni₃) + one per-doc
+    avg. Text shuffles once per join key — never re-tokenized.
+    Returns (id, n_tokens, nll_per_token) with nll the RAW double
+    (the family's compare-time rounding contract)."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+    def tri_explode(df: DataFrame, cols: list):
+        return df.select(
+            *cols,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_ts"), 1, F.size("_ts") - 2).alias("w1"),
+                    F.slice(F.col("_ts"), 2, F.size("_ts") - 2).alias("w2"),
+                    F.slice(F.col("_ts"), 3, F.size("_ts") - 2).alias("w3"),
+                )
+            ).alias("g"),
+        ).select(
+            *cols,
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+
+    tbase = train.select(toks_arr.alias("_ts")).filter(F.size("_ts") > 0)
+    uni = (
+        tbase.select(F.explode("_ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+    )
+    scalars = uni.agg(F.sum("cu").alias("_N"), F.count("*").alias("_V"))
+    bi = (
+        tbase.filter(F.size("_ts") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_ts"), 1, F.size("_ts") - 1).alias("a"),
+                    F.slice(F.col("_ts"), 2, F.size("_ts") - 1).alias("b"),
+                )
+            ).alias("g")
+        )
+        .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .agg(F.count("*").alias("cb"))
+    )
+    tri = (
+        tri_explode(tbase.filter(F.size("_ts") >= 3), [])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("ct"))
+    )
+
+    base = documents.select(F.col(id_col), toks_arr.alias("_ts")).filter(
+        F.size("_ts") >= 3
+    )
+    pos = tri_explode(base, [F.col(id_col)])
+    k, a = float(k_smoothing), float(alpha)
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("cb").alias("cb12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("cb").alias("cb23")),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2")), ["w2"], "left")
+        .join(uni.select(F.col("tok").alias("w3"), F.col("cu").alias("cu3")), ["w3"], "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            (
+                -F.log2(
+                    F.when(F.col("ct").isNotNull(), F.col("ct") / F.col("cb12"))
+                    .when(
+                        F.col("cb23").isNotNull(),
+                        F.lit(a) * F.col("cb23") / F.col("cu2"),
+                    )
+                    .otherwise(
+                        F.lit(a * a)
+                        * (F.coalesce(F.col("cu3"), F.lit(0)) + F.lit(k))
+                        / (F.col("_N") + F.lit(k) * F.col("_V"))
+                    )
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.avg("_nll").alias("nll_per_token"),
+    )
+
+
 def bm25_scores(
     documents: DataFrame,
     query_terms: list[str],

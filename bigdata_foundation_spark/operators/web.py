@@ -1,0 +1,132 @@
+"""Web/URL curation primitives — the pre-crawl-text half of a
+training-data pipeline (C4, RefinedWeb, Dolma all start here): URL
+normalization for exact URL-level dedup, registered-domain extraction
+for per-domain statistics / caps, and domain blocklist filtering.
+
+Every operator here is a pure scan-side JVM expression tree (regexp
+extract/replace + string ops) — zero shuffle, zero Python — so URL
+normalization of a 100 TB crawl runs at scan speed inside whole-stage
+codegen, and the DuckDB oracle replays the identical regex pipeline
+(all patterns are RE2-safe: no lookarounds, no backreferences in the
+MATCH; only $n/\\n group substitutions, where a non-participating
+group substitutes the empty string in BOTH engines).
+
+Reference scope note: the reference repo has no web/URL surface —
+this module is north-star LLM-pipeline coverage (SURVEY.md §2.4),
+like the dedup/ANN families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking parameters stripped by normalize_url. The alternation is
+# shared verbatim with the SQL oracle — extend both together.
+TRACKING_PARAM_RE = r"(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)"
+
+# Multi-label public suffixes recognized by registered_domain. A real
+# deployment swaps in the full Mozilla Public Suffix List (a data
+# file, not a code change); the operator's shape — longest-suffix
+# match, then one extra label — is the PSL algorithm.
+MULTI_SUFFIX_RE = r"\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|br|in|cn|nz|za)$"
+
+_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL form for exact URL-level dedup. Steps (order
+    matters and is shared with the SQL oracle):
+
+    1. drop the fragment (``#...`` — never sent to the server);
+    2. strip tracking query parameters (``utm_*``, ``fbclid``,
+       ``gclid``, ``msclkid``, ``ref``) wherever they sit in the
+       query string, keeping the relative order of the survivors
+       (a now-empty query loses its ``?`` too);
+    3. lowercase the scheme and authority (host names are
+       case-insensitive; paths are NOT touched — they are
+       case-sensitive by spec);
+    4. strip the default port (``:443`` for https, ``:80`` for http).
+
+    Pure codegen expression — normalizing URLs never shuffles."""
+    u = _c(url)
+    # 1. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. tracking params: one repeated group eats a RUN of them (a
+    # two-step strip misses consecutive params — global replace
+    # consumes the following '&', hiding the next run member), keeping
+    # the ?/& that introduced the run for any survivor that follows…
+    u = F.regexp_replace(
+        u, r"([?&])(" + TRACKING_PARAM_RE + r"=[^&]*(&|$))+", r"$1"
+    )
+    # …then drop the introducer if nothing survived behind it
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # 3. lowercase scheme://authority, keep the rest byte-identical
+    u = F.concat(
+        F.lower(F.regexp_extract(u, _PREFIX_RE, 0)),
+        F.regexp_replace(u, _PREFIX_RE, ""),
+    )
+    # 4. default ports (after lowercasing, so the scheme test is clean)
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?].*)?$", r"$1$2")
+    return u
+
+
+def url_host(url: Column | str) -> Column:
+    """Authority host of a URL (port excluded), lowercased."""
+    return F.lower(
+        F.regexp_extract(_c(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
+def registered_domain(url: Column | str) -> Column:
+    """eTLD+1 (the per-site aggregation key for domain caps and
+    blocklists): host, minus a leading ``www.``, cut to the public
+    suffix plus one label. Suffix set: all two-label combinations in
+    MULTI_SUFFIX_RE take three labels, everything else two."""
+    host = F.regexp_replace(url_host(_c(url)), r"^www\.", "")
+    return F.when(
+        host.rlike(MULTI_SUFFIX_RE),
+        F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1),
+    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", out_domain: str = "domain"
+) -> DataFrame:
+    """Per-registered-domain crawl statistics: page count and count of
+    DISTINCT normalized URLs (the URL-level dedup denominator — their
+    gap is the exact-duplicate-URL rate). ONE map-side-combined
+    aggregate keyed on the domain; the normalization itself is
+    scan-side, so nothing shuffles except (domain, url) pairs."""
+    return (
+        df.select(
+            registered_domain(F.col(url_col)).alias(out_domain),
+            normalize_url(F.col(url_col)).alias("_norm"),
+        )
+        .groupBy(out_domain)
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("_norm").cast("bigint").alias("n_unique"),
+        )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, blocked_domains: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose registered domain is on the blocklist. The
+    blocklist ships as a broadcast literal set inside ONE codegen
+    isin — filtering 100 TB costs a scan, never a join. For
+    million-entry blocklists swap isin for a broadcast left-anti
+    join; the call site contract (domain-keyed exclusion) is the
+    same."""
+    if not blocked_domains:
+        return df
+    return df.filter(
+        ~registered_domain(F.col(url_col)).isin([d.lower() for d in blocked_domains])
+    )

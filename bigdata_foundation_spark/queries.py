@@ -31,6 +31,7 @@ from bigdata_foundation_spark.operators import multimodal as M
 from bigdata_foundation_spark.operators import relational as R
 from bigdata_foundation_spark.operators import similarity as S
 from bigdata_foundation_spark.operators import text as TX
+from bigdata_foundation_spark.operators import web as W
 from bigdata_foundation_spark.graph_goldens import GOLDEN_SQL
 from bigdata_foundation_spark.pipeline_goldens import PIPELINE_GOLDEN_SQL
 
@@ -79,15 +80,20 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # The driver gates the FIRST 50 registry keys each round. r11 order:
 # (a) every entry whose code path changed this round — the media
 # decode/feature numpy vectorization (audio golden re-pinned for the
-# 24 float-PCM debut rows; video golden regen byte-identical) and the
+# 24 float-PCM debut rows; video golden regen byte-identical), the
 # MinHash est-prune fusion (_bucket_pairs_est: pair generation emits
 # the agreement estimate, distinct + verify see only survivors;
-# golden unchanged); then (b) the OLDEST-GATED rotation: the FULL
-# remaining r6 block (15 entries — after this round no entry's latest
-# gate is older than r7) plus the first 29 of the r7 block in name
-# order (the remaining 8 r7 entries head the r12 rotation; staleness
+# golden unchanged), and the FOUR r11 debuts (GIF decode + animation
+# frames, URL curation, Stupid Backoff LM — debuts are value-gated on
+# arrival); then (b) the OLDEST-GATED rotation: the FULL remaining r6
+# block (15 entries — after this round no entry's latest gate is
+# older than r7) plus the first 25 of the r7 block in name order (the
+# remaining 12 r7 entries head the r12 rotation: graph_node_similarity,
+# graph_pagerank, graph_ppr, graph_scc, graph_yens_postprocess,
+# hard_negatives, hybrid_rank_rrf, pmi_collocations, retention_cohorts,
+# rfm_segmentation, sessionize_events, temperature_mixture; staleness
 # computed from the union of CORRECTNESS_r01–r10.json).
-# Totals: 6 changed + 15 r6 + 29 r7 = 50.
+# Totals: 6 changed + 4 debuts + 15 r6 + 25 r7 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
 # keep registration order after these.
@@ -99,6 +105,10 @@ GATE_ORDER: list[str] = [
     "dedup_minhash_lsh",  # est-prune fused into pair generation (_bucket_pairs_est)
     "dedup_minhash_blocked",  # same fusion + equality blocking
     "streaming_corpus_dedup",  # dedup_batch_within rides minhash_lsh_pairs (r11 review finding)
+    "multimodal_gif_decode",  # r11 debut: real GIF87a/89a decode (LZW/palettes/interlace)
+    "multimodal_gif_frames",  # r11 debut: animated-GIF compositing + frame sampling
+    "url_normalize_stats",  # r11 debut: URL normalization + registered-domain stats
+    "stupid_backoff_lm",  # r11 debut: Stupid Backoff trigram LM (Brants 2007)
     # (b) oldest-gated rotation — the FULL remaining r6 block
     "graph_ingest_limit",  # last gated r6
     "graph_nodes",  # last gated r6
@@ -141,10 +151,6 @@ GATE_ORDER: list[str] = [
     "graph_louvain",  # last gated r7
     "graph_modularity",  # last gated r7
     "graph_msf",  # last gated r7
-    "graph_node_similarity",  # last gated r7
-    "graph_pagerank",  # last gated r7
-    "graph_ppr",  # last gated r7
-    "graph_scc",  # last gated r7
 ]
 
 
@@ -5208,3 +5214,243 @@ def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_foundation_spark.operators.text import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Web/URL curation (r11)
+# ===========================================================================
+
+# The synthetic URL derivation is shared VERBATIM between the Spark
+# expression below and the oracle's SQL — both build the same raw URL
+# per doc_id, then the engine normalizes with operators.web and the
+# oracle replays the identical RE2-safe regex pipeline.
+
+def _synth_url(d):
+    """Deterministic raw URL per doc_id, covering the whole
+    normalization matrix: mixed-case schemes/hosts, default and
+    non-default ports, tracking params (leading/trailing/consecutive/
+    mid-query), fragments, four host families incl. a multi-label
+    public suffix."""
+    s = F.col(d) if isinstance(d, str) else d
+    sch = (
+        F.when(s % 3 == 0, F.lit("https"))
+        .when(s % 3 == 1, F.lit("HTTP"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    host = (
+        F.when(s % 4 == 0, F.concat(F.lit("WWW.Example"), (s % 20).cast("string"), F.lit(".COM")))
+        .when(s % 4 == 1, F.concat(F.lit("news.site"), (s % 10).cast("string"), F.lit(".co.uk")))
+        .when(s % 4 == 2, F.concat(F.lit("Blog"), (s % 15).cast("string"), F.lit(".ORG")))
+        .otherwise(F.concat(F.lit("cdn.media"), (s % 5).cast("string"), F.lit(".net")))
+    )
+    port = (
+        F.when(s % 5 == 0, F.lit(":443"))
+        .when(s % 5 == 1, F.lit(":80"))
+        .when(s % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/Articles/"), (s % 25).cast("string"))
+    qry = (
+        F.when(s % 6 == 0, F.concat(F.lit("?utm_source=feed&id="), s.cast("string")))
+        .when(s % 6 == 1, F.concat(F.lit("?id="), s.cast("string"), F.lit("&utm_campaign=q"), (s % 3).cast("string")))
+        .when(s % 6 == 2, F.lit("?utm_medium=m&utm_term=t"))
+        .when(s % 6 == 3, F.lit("?a=1&ref=rss&b=2"))
+        .when(s % 6 == 4, F.concat(F.lit("?p="), (s % 9).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(s % 2 == 0, F.concat(F.lit("#sec"), (s % 4).cast("string"))).otherwise(F.lit(""))
+    return F.concat(sch, F.lit("://"), host, port, path, qry, frag)
+
+
+_SYNTH_URL_SQL = """
+      CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' ELSE 'HTTPS' END
+      || '://' ||
+      CASE doc_id % 4
+        WHEN 0 THEN 'WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
+        WHEN 1 THEN 'news.site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
+        WHEN 2 THEN 'Blog' || CAST(doc_id % 15 AS VARCHAR) || '.ORG'
+        ELSE 'cdn.media' || CAST(doc_id % 5 AS VARCHAR) || '.net' END
+      ||
+      CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END
+      || '/Articles/' || CAST(doc_id % 25 AS VARCHAR) ||
+      CASE doc_id % 6
+        WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=q' || CAST(doc_id % 3 AS VARCHAR)
+        WHEN 2 THEN '?utm_medium=m&utm_term=t'
+        WHEN 3 THEN '?a=1&ref=rss&b=2'
+        WHEN 4 THEN '?p=' || CAST(doc_id % 9 AS VARCHAR)
+        ELSE '' END
+      ||
+      CASE doc_id % 2 WHEN 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END
+"""
+
+URL_STATS_ORACLE = f"""
+    WITH u AS (
+      SELECT {_SYNTH_URL_SQL} AS url FROM documents
+    ), n1 AS (
+      SELECT url, regexp_replace(url, '#.*$', '', 'g') AS x FROM u
+    ), n2 AS (
+      SELECT url, regexp_replace(x,
+        '([?&])((utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*(&|$))+',
+        '\\1', 'g') AS x FROM n1
+    ), n3 AS (
+      SELECT url, regexp_replace(x, '[?&]$', '', 'g') AS x FROM n2
+    ), n4 AS (
+      SELECT url,
+             lower(regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+             || regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS x
+      FROM n3
+    ), n5 AS (
+      SELECT url, regexp_replace(regexp_replace(x,
+               '^(https://[^/:?#]+):443([/?].*)?$', '\\1\\2', 'g'),
+               '^(http://[^/:?#]+):80([/?].*)?$', '\\1\\2', 'g') AS norm
+      FROM n4
+    ), hosts AS (
+      SELECT norm,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '^www\\.', '', 'g') AS hostn
+      FROM n5
+    ), doms AS (
+      SELECT norm,
+             CASE WHEN regexp_matches(hostn,
+                    '\\.(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|br|in|cn|nz|za)$')
+                  THEN regexp_extract(hostn, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                  ELSE regexp_extract(hostn, '([^.]+\\.[^.]+)$', 1) END AS domain
+      FROM hosts
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_unique
+    FROM doms GROUP BY domain
+"""
+
+
+@q(
+    "url_normalize_stats",
+    URL_STATS_ORACLE,
+    "URL curation front door (C4/RefinedWeb pattern): normalize "
+    "(fragment/tracking-param/default-port strip, case-fold "
+    "scheme+authority), extract the registered domain (eTLD+1), "
+    "aggregate page count + distinct-normalized-URL count per domain "
+    "- the URL-level dedup denominator and the per-domain cap key. "
+    "All scan-side regexp codegen; the oracle replays the identical "
+    "RE2-safe regex pipeline over the same synthesized URL matrix. "
+    "Full SQL oracle",
+)
+def url_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(_synth_url("doc_id").alias("url"))
+    return W.domain_stats(urls).orderBy("domain")
+
+
+# ===========================================================================
+# Stupid Backoff trigram LM (r11)
+# ===========================================================================
+
+STUPID_BACKOFF_ORACLE = r"""
+    WITH tb AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents WHERE lang = 'en'
+        AND len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) > 0
+    ), uni AS (
+      SELECT tok, COUNT(*) AS cu FROM (SELECT unnest(ts) AS tok FROM tb) GROUP BY tok
+    ), scal AS (
+      SELECT SUM(cu) AS n_total, COUNT(*) AS v FROM uni
+    ), bi AS (
+      SELECT b[1] AS a, b[2] AS b2, COUNT(*) AS cb
+      FROM (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS b
+            FROM tb WHERE len(ts) >= 2)
+      GROUP BY 1, 2
+    ), tri AS (
+      SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS ct
+      FROM (SELECT unnest(list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1], ts[3:len(ts)])) AS g
+            FROM tb WHERE len(ts) >= 3)
+      GROUP BY 1, 2, 3
+    ), sb AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3
+      FROM (SELECT doc_id, unnest(list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1], ts[3:len(ts)])) AS g
+            FROM sb WHERE len(ts) >= 3)
+    ), sc AS (
+      SELECT pos.doc_id,
+             -log2(CASE
+               WHEN tri.ct IS NOT NULL THEN tri.ct / b12.cb
+               WHEN b23.cb IS NOT NULL THEN 0.4 * b23.cb / u2.cu
+               ELSE 0.4 * 0.4 * (COALESCE(u3.cu, 0) + 0.5)
+                    / (scal.n_total + 0.5 * scal.v)
+             END) AS nll
+      FROM pos
+      LEFT JOIN tri ON tri.w1 = pos.w1 AND tri.w2 = pos.w2 AND tri.w3 = pos.w3
+      LEFT JOIN bi b12 ON b12.a = pos.w1 AND b12.b2 = pos.w2
+      LEFT JOIN bi b23 ON b23.a = pos.w2 AND b23.b2 = pos.w3
+      LEFT JOIN uni u2 ON u2.tok = pos.w2
+      LEFT JOIN uni u3 ON u3.tok = pos.w3
+      CROSS JOIN scal
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(nll) AS nll_per_token
+    FROM sc GROUP BY doc_id
+"""
+
+
+@q(
+    "stupid_backoff_lm",
+    STUPID_BACKOFF_ORACLE,
+    "Stupid Backoff trigram LM scoring (Brants et al. 2007 - the "
+    "web-scale counts-only LM scheme): train tri/bi/unigram counts on "
+    "the lang='en' slice, score EVERY document by mean -log2 of the "
+    "backoff score (alpha=0.4, add-k unigram floor for OOV) - "
+    "non-English documents exercise all three backoff tiers. "
+    "Full SQL oracle",
+)
+def stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("lang") == "en")
+    return TX.stupid_backoff_score(docs, train).orderBy("doc_id")
+
+
+# ===========================================================================
+# GIF decode entries (r11)
+# ===========================================================================
+
+@q(
+    "multimodal_gif_decode",
+    PIPELINE_GOLDEN_SQL["multimodal_gif_decode"],
+    "REAL stdlib GIF87a/89a decode (r11 debut): deterministic synth "
+    "payloads -> LZW decompress (real dictionary compression, not the "
+    "clear-code trick), global/local palettes, interlacing, first-frame "
+    "composite, pixel features; pinned golden from the bytes-free "
+    "replay (tools/gen_pipeline_goldens._gif_replay_frames - any codec "
+    "bug breaks the equality)",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    dec = M.decode_features(M.synth_gif_table(d))
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("feature")[3].cast("double"), 6).alias("gray_mean"),
+        F.round(F.col("feature")[7].cast("double"), 6).alias("gray_std"),
+    )
+
+
+@q(
+    "multimodal_gif_frames",
+    PIPELINE_GOLDEN_SQL["multimodal_gif_frames"],
+    "animated-GIF frame sampling (r11 debut): composited full-canvas "
+    "frames (region placement + transparency), every-2nd-frame sample, "
+    "per-frame pixel features; pinned golden from the bytes-free replay",
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = M.gif_frame_table(M.synth_gif_table(d), every_n=2, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "width",
+        "height",
+        F.round(F.col("feature")[3].cast("double"), 6).alias("gray_mean"),
+        F.round(F.col("feature")[7].cast("double"), 6).alias("gray_std"),
+    )
+

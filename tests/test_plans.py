@@ -54,6 +54,8 @@ def test_topk_never_global_sorts(spark):
         "bm25_rank",
         "dsir_scores",
         "corpus_drift",
+        "url_normalize_stats",
+        "stupid_backoff_lm",
     ],
 )
 def test_no_python_in_hot_path(spark, name):
@@ -385,3 +387,24 @@ def test_bloom_probe_scan_side_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_normalize_scan_side_single_agg_exchange(spark):
+    """URL normalization + domain extraction must be pure scan-side
+    regexp codegen — the only shuffles are the domain aggregate's
+    (count-distinct rides the same keyed agg). No joins, no Python."""
+    plan = plan_of(spark, "url_normalize_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # one keyed agg (+ its distinct expand) — never a per-URL join
+    assert plan.count("Exchange") <= 3
+
+
+def test_stupid_backoff_keyed_joins_no_cartesian(spark):
+    """Stupid Backoff scoring: count tables join the position table on
+    their n-gram keys; the two scalars arrive via ONE broadcast
+    nested-loop (1-row build side). Never a cartesian, never Python."""
+    plan = plan_of(spark, "stupid_backoff_lm")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

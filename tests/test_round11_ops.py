@@ -1,0 +1,207 @@
+"""Round-11 additions: GIF codec, URL curation, Stupid Backoff LM."""
+
+import math
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.operators import multimodal as M
+from bigdata_foundation_spark.operators import web as W
+from bigdata_foundation_spark.operators.text import stupid_backoff_score
+
+
+# ------------------------------ GIF ----------------------------------
+
+def test_gif_lzw_roundtrip_fuzz():
+    """encode∘decode == identity across alphabet sizes, lengths, and
+    across the 4096-entry clear-reset."""
+    rng = np.random.RandomState(7)
+    for trial in range(120):
+        n = int(rng.randint(1, 700))
+        ncol = int(rng.choice([2, 4, 16, 256]))
+        idx = rng.randint(0, ncol, n).astype(np.uint8)
+        min_code = max(2, int(ncol - 1).bit_length())
+        enc = M._gif_lzw_encode(idx, min_code)
+        dec = M._gif_lzw_decode(enc, min_code, n)
+        assert np.array_equal(dec, idx)
+    big = rng.randint(0, 256, 120_000).astype(np.uint8)
+    assert np.array_equal(
+        M._gif_lzw_decode(M._gif_lzw_encode(big, 8), 8, len(big)), big
+    )
+
+
+def test_gif_decode_matches_bytes_free_replay():
+    """The decoder applied to the REAL encoded payload equals the
+    bytes-free replay of the synth rule (tools/gen_pipeline_goldens)
+    for ids covering every matrix cell: interlace (odd d), local
+    palette (d%3==0, ≥2 frames), region frames (d%4==3), transparency
+    (d%5==2, ≥2 frames)."""
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_pipeline_goldens import _gif_replay_frames
+
+    for d in [0, 1, 2, 3, 6, 7, 12, 17, 22, 27, 57, 102]:
+        w1, h1, fr1 = M._gif_frames(M.synth_gif_bytes(d))
+        w2, h2, fr2 = _gif_replay_frames(d)
+        assert (w1, h1, len(fr1)) == (w2, h2, len(fr2)), d
+        for a, b in zip(fr1, fr2):
+            assert np.array_equal(a, b), d
+
+
+def test_gif_87a_and_spec_conventions():
+    """87a header decodes; transparency composites the PREVIOUS canvas
+    through; a region frame leaves the border untouched."""
+    # 87a: rewrite the version bytes of a synth payload
+    p = bytearray(M.synth_gif_bytes(4))
+    p[3:6] = b"87a"
+    w, h, frames = M._gif_frames(bytes(p))
+    assert (w, h) == (10 + 4 % 5 * 3, 8 + 4 % 4 * 3) and len(frames) == 1
+    # transparency: d=2 -> n_frames=3, d%5==2 -> frames>=1 carry GCE
+    # idx 3, full-frame (d%4==2, no region offset)
+    w, h, frames = M._gif_frames(M.synth_gif_bytes(2))
+    idx1 = M._synth_gif_indices(2, 1, w, h)
+    mask = idx1 == 3
+    assert mask.any()  # the matrix cell is actually exercised
+    assert np.array_equal(frames[1][mask], frames[0][mask])
+    assert not np.array_equal(frames[1][~mask], frames[0][~mask])
+    # region frames: d=3 -> frames>=1 sit at (2,1) sized (w-4, h-2)
+    w, h, frames = M._gif_frames(M.synth_gif_bytes(3))
+    assert np.array_equal(frames[1][:1, :], frames[0][:1, :])  # top row untouched
+    assert np.array_equal(frames[1][:, :2], frames[0][:, :2])  # left cols untouched
+
+
+def test_gif_malformed_payloads():
+    """Truncated/garbage payloads raise inside _gif_frames (and thus
+    stub-fallback in decode_features / emit no rows in the frame
+    table) — the corpus-ingest total-function contract."""
+    good = M.synth_gif_bytes(5)
+    for p in [b"GIF89a", good[:-10], good[:20], b"GIF89a" + b"\x00" * 7 + b"\x3b"]:
+        with pytest.raises((ValueError, struct.error, IndexError)):
+            M._gif_frames(p)
+    # undefined: palette index out of a SHORT local table -> ValueError
+    # (decoder validates idx.max() < len(pal))
+
+
+def test_gif_frame_table_and_decode_features(spark):
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    media = M.synth_gif_table(ids)
+    dec = M.decode_features(media).orderBy("media_id").collect()
+    assert len(dec) == 24
+    for r in dec:
+        d = r["media_id"]
+        assert r["width"] == 10 + (d % 5) * 3
+        assert r["height"] == 8 + (d % 4) * 3
+        assert len(r["feature"]) == 8
+    frames = M.gif_frame_table(media, every_n=2, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_no"])
+    for d in range(24):
+        n = 1 + d % 4
+        expect = [fi for k, fi in enumerate(range(0, n, 2)) if k < 4]
+        assert sorted(by_id[d]) == expect, d
+    # non-GIF payloads emit no frame rows
+    junk = media.withColumn("payload", F.lit(b"not a gif at all"))
+    assert M.gif_frame_table(junk).count() == 0
+
+
+# ------------------------------ URL ----------------------------------
+
+def test_normalize_url_semantics(spark):
+    cases = [
+        # consecutive tracking params collapse, survivor keeps its '?'
+        ("https://A.com/p?utm_a=1&utm_b=2&id=3", "https://a.com/p?id=3"),
+        # tracking-only query loses the '?'
+        ("https://a.com/p?utm_medium=m&utm_term=t", "https://a.com/p"),
+        # mid-query tracking, fragment, default port
+        ("HTTPS://WWW.Ex.COM:443/Path?a=1&ref=rss&b=2#frag",
+         "https://www.ex.com/Path?a=1&b=2"),
+        # :80 is default for http only
+        ("HTTP://h.org:80/x", "http://h.org/x"),
+        ("https://h.org:80/x", "https://h.org:80/x"),
+        ("https://h.org:8080/x?gclid=z", "https://h.org:8080/x"),
+        # path case preserved; no query/fragment untouched
+        ("https://CDN.net/CaseSensitive", "https://cdn.net/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(W.normalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_registered_domain_and_blocklist(spark):
+    cases = [
+        ("https://www.example.com/a", "example.com"),
+        ("https://news.site3.co.uk:8080/b", "site3.co.uk"),
+        ("https://a.b.c.deep.org/c", "deep.org"),
+        ("https://cdn.media2.net/d", "media2.net"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(W.registered_domain("url")).collect()]
+    assert got == [want for _, want in cases]
+    kept = W.blocklist_filter(df, ["Example.COM", "deep.org"]).collect()
+    assert sorted(r["url"] for r in kept) == sorted(
+        [cases[1][0], cases[3][0]]
+    )
+    assert W.blocklist_filter(df, []).count() == 4
+
+
+def test_domain_stats_counts(spark):
+    rows = [
+        ("https://a.com/x?utm_a=1",),   # -> https://a.com/x
+        ("https://A.com:443/x",),       # -> https://a.com/x (same)
+        ("https://a.com/y",),
+        ("https://b.co.uk/z",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {
+        r["domain"]: (r["n_urls"], r["n_unique"])
+        for r in W.domain_stats(df).collect()
+    }
+    assert got == {"a.com": (3, 2), "b.co.uk": (1, 1)}
+
+
+# --------------------------- Stupid Backoff ---------------------------
+
+def test_stupid_backoff_tiers_exact(spark):
+    """Each backoff tier produces the closed-form value."""
+    train = spark.createDataFrame(
+        [("a b c",), ("a b d",)], ["text"]
+    )
+    # train counts: uni a:2 b:2 c:1 d:1 (N=6, V=4); bi ab:2 bc:1 bd:1;
+    # tri abc:1 abd:1
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),      # tri tier: S = c(abc)/c(ab) = 1/2
+            (2, "x b c"),      # tri miss, bi(b,c)=1, c(b)=2 -> 0.4*1/2
+            (3, "x y c"),      # all miss -> 0.16*(c(c)+0.5)/(N+0.5V)
+            (4, "a b"),        # <3 tokens: absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_per_token"])
+        for r in stupid_backoff_score(docs, train).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 1 and got[1][1] == pytest.approx(-math.log2(0.5), abs=1e-12)
+    assert got[2][1] == pytest.approx(-math.log2(0.4 * 1 / 2), abs=1e-12)
+    floor = 0.4 * 0.4 * (1 + 0.5) / (6 + 0.5 * 4)
+    assert got[3][1] == pytest.approx(-math.log2(floor), abs=1e-12)
+
+
+def test_stupid_backoff_self_scoring_never_backs_off(spark):
+    """Scoring the training slice itself: every trigram is in the
+    counts, so tier 1 always fires and nll <= -log2 of the smallest
+    trigram ratio (sanity: finite, non-negative)."""
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    out = stupid_backoff_score(corpus, corpus).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_tokens"] == 7
+        assert 0.0 <= r["nll_per_token"] < 50

@@ -285,6 +285,116 @@ def video_golden(docs, every_n=2, max_frames=4):
     )
 
 
+# --- multimodal_gif_decode / multimodal_gif_frames --------------------------
+
+def _gif_replay_frames(d: int):
+    """Bytes-free replay of the synth-GIF contract (the deterministic
+    rule documented at multimodal.synth_gif_table): palette lookups,
+    region placement, transparency compositing — WITHOUT the GIF
+    encoder/decoder pair, so any LZW/interlace/palette codec bug
+    breaks the golden equality. Returns (w, h, [full-canvas RGB
+    uint8 arrays])."""
+    import numpy as np
+
+    w = 10 + (d % 5) * 3
+    h = 8 + (d % 4) * 3
+    n_frames = 1 + d % 4
+
+    def palette(f: int):
+        j = np.arange(16, dtype=np.int64)[:, None]
+        c = np.arange(3, dtype=np.int64)[None, :]
+        salt = 71 * f if (f == 1 and d % 3 == 0) else 0
+        return (((d * 29 + j * 97 + c * 53 + salt) * 2654435761) % 256).astype(
+            np.uint8
+        )
+
+    gct = palette(0)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas[:, :] = gct[0]
+    frames = []
+    for f in range(n_frames):
+        region = f >= 1 and d % 4 == 3
+        lf, tf = (2, 1) if region else (0, 0)
+        wf, hf = (w - 4, h - 2) if region else (w, h)
+        pal = palette(f) if (f == 1 and d % 3 == 0) else gct
+        y = np.arange(hf, dtype=np.int64)[:, None]
+        x = np.arange(wf, dtype=np.int64)[None, :]
+        idx = (((d * 13 + f * 7 + y * 5 + x * 3) * 2654435761) % 16).astype(np.uint8)
+        rgb = pal[idx.reshape(-1)].reshape(hf, wf, 3)
+        if f >= 1 and d % 5 == 2:
+            prev = canvas[tf : tf + hf, lf : lf + wf]
+            rgb = np.where((idx == 3)[:, :, None], prev, rgb)
+        canvas = canvas.copy()
+        canvas[tf : tf + hf, lf : lf + wf] = rgb
+        frames.append(canvas)
+    return w, h, frames
+
+
+def _gif_feature_pair(frame):
+    """gray mean/std with the engine's _pixel_feature numpy ops on the
+    same-layout float64 (n, 3) array (the r11 bit-for-bit mirror
+    discipline), float32-narrowed, 6-dp rounded."""
+    import struct as st
+
+    import numpy as np
+
+    def f32(x: float) -> float:
+        return st.unpack("<f", st.pack("<f", x))[0]
+
+    a = np.ascontiguousarray(frame.reshape(-1, 3).astype(np.float64))
+    r = a[:, 0].copy()
+    g = a[:, 1].copy()
+    b = a[:, 2].copy()
+    gray = (r + g + b) / 3.0
+    mgray = gray.mean() / 255.0
+    dev = gray / 255.0 - mgray
+    gray_std = math.sqrt((dev * dev).mean())
+    return r6(f32(mgray)), r6(f32(gray_std))
+
+
+def gif_decode_golden(docs):
+    """Replays synth-GIF FIRST-frame decode + pixel feature."""
+    out = []
+    for doc_id, _text in docs:
+        w, h, frames = _gif_replay_frames(doc_id)
+        gm, gs = _gif_feature_pair(frames[0])
+        out.append((doc_id, w, h, gm, gs))
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("width", "INTEGER"),
+            ("height", "INTEGER"),
+            ("gray_mean", "DOUBLE"),
+            ("gray_std", "DOUBLE"),
+        ],
+        out,
+    )
+
+
+def gif_frames_golden(docs, every_n=2, max_frames=4):
+    """Replays synth-GIF animation frame sampling (composited
+    full-canvas frames) + pixel features."""
+    out = []
+    for doc_id, _text in docs:
+        w, h, frames = _gif_replay_frames(doc_id)
+        for k, fi in enumerate(range(0, len(frames), every_n)):
+            if k >= max_frames:
+                break
+            gm, gs = _gif_feature_pair(frames[fi])
+            out.append((doc_id, fi, w, h, gm, gs))
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("frame_no", "INTEGER"),
+            ("width", "INTEGER"),
+            ("height", "INTEGER"),
+            ("gray_mean", "DOUBLE"),
+            ("gray_std", "DOUBLE"),
+        ],
+        out,
+    )
+
+
 # --- streaming_corpus_dedup ------------------------------------------------
 
 def corpus_stream_golden(
@@ -899,6 +1009,8 @@ def main() -> None:
         "cms_heavy_hitters": cms_golden(docs),
         "multimodal_audio_decode": audio_golden(docs),
         "multimodal_video_frames": video_golden(docs),
+        "multimodal_gif_decode": gif_decode_golden(docs),
+        "multimodal_gif_frames": gif_frames_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"
