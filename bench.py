@@ -75,6 +75,12 @@ HEADLINE = [
     # sampling over synth payloads
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    # Round-11 debuts: real GIF decode + animation frame sampling,
+    # scan-side URL curation, Stupid Backoff trigram LM
+    "multimodal_gif_decode",
+    "multimodal_gif_frames",
+    "url_normalize_stats",
+    "stupid_backoff_lm",
 ]
 
 
