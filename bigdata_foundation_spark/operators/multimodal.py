@@ -14,8 +14,9 @@ spectral selection + successive approximation) — 8-bit gray/YCbCr,
 any sampling factors, restart markers, fill bytes; GIF (87a/89a,
 real LZW, global/local color tables, interlacing, transparency,
 region-frame compositing, animation frame sampling); WAV (RIFF,
-8/16/24-bit integer PCM and 32-bit IEEE-float PCM, any channel
-count); and uncompressed AVI (RIFF 'AVI ', 24-bpp DIB frames) all
+8/16/24-bit integer PCM, 32-bit IEEE-float PCM, and IMA ADPCM —
+format 17, a real compressed-audio codec — any channel count); and
+uncompressed AVI (RIFF 'AVI ', 24-bpp DIB frames) all
 DECODE REAL BYTES with stdlib+numpy-only parsing (``struct`` +
 ``zlib`` + the vectorized IDCT below — no image/audio/video
 libraries in this container), producing true dimensions / frame
@@ -28,8 +29,10 @@ loops remain only where the format is inherently sequential
 PERMANENT STUB BOUNDARY (terminal under the stdlib+numpy-only
 constraint, mirroring COVERAGE.md's "permanently rows-only" sketch
 precedent): arithmetic-coded (SOF9-SOFB), hierarchical (SOF5-7,
-SOFD-F) and 12-bit JPEG; MP3/AAC and every other compressed audio
-codec; H.264/VP9 and every other compressed video codec. These
+SOFD-F) and 12-bit JPEG; perceptual/entropy-coded audio (MP3/AAC —
+IMA ADPCM, a plain differential quantizer over public tables, is
+IMPLEMENTED, r11); H.264/VP9 and every other compressed video
+codec. These
 require entire published coding systems (MDCT psychoacoustics,
 CABAC, motion compensation) or patent-encumbered arithmetic coders
 — not a struct-parse away. They route to the deterministic
@@ -756,40 +759,188 @@ def _pixel_feature(pix) -> list[float]:
     ]
 
 
+# IMA ADPCM (WAV format 17) — r11: a REAL compressed-audio codec
+# inside the stdlib boundary (4-bit differential quantization over
+# public step tables — no psychoacoustics, no entropy coding). The
+# per-nibble recurrence is inherently sequential (each step's
+# quantizer state depends on the last), the module-header exception;
+# synth sizes keep the loop cheap and the fact-chunk frame count
+# bounds the work.
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(n: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step: nibble + state -> (sample,
+    next index). Integer-exact per the IMA spec's bit-shift ladder."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    if n & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    return predictor, max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
+
+
+def _decode_ima_adpcm(
+    data: bytes, n_ch: int, block_align: int, n_frames: int
+) -> "np.ndarray":
+    """IMA-in-WAV block decode -> interleaved int samples (length
+    n_frames*n_ch). Block layout: per-channel 4-byte header
+    (predictor int16 LE = the block's first output sample, step index
+    uint8, reserved), then alternating per-channel 4-byte nibble
+    groups, 8 samples each, low nibble first."""
+    if block_align <= 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError("adpcm: bad block align")
+    groups = (block_align - 4 * n_ch) // (4 * n_ch)
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    off = 0
+    while off + block_align <= len(data) and len(chans[0]) < n_frames:
+        preds, idxs = [], []
+        for c in range(n_ch):
+            p, idx, _r = struct.unpack_from("<hBB", data, off)
+            off += 4
+            if idx > 88:
+                raise ValueError("adpcm: bad step index")
+            preds.append(p)
+            idxs.append(idx)
+            chans[c].append(p)
+        for _g in range(groups):
+            for c in range(n_ch):
+                four = int.from_bytes(data[off : off + 4], "little")
+                off += 4
+                pr, ix = preds[c], idxs[c]
+                ch = chans[c]
+                for k in range(8):
+                    pr, ix = _ima_step((four >> (4 * k)) & 0xF, pr, ix)
+                    ch.append(pr)
+                preds[c], idxs[c] = pr, ix
+    if len(chans[0]) < n_frames:
+        raise ValueError("adpcm: short data")
+    out = np.empty(n_frames * n_ch, dtype=np.int64)
+    for c in range(n_ch):
+        out[c::n_ch] = chans[c][:n_frames]
+    return out
+
+
+def _encode_ima_adpcm(channels: list[list[int]], groups_per_block: int) -> bytes:
+    """IMA ADPCM encoder — the synth/test twin of
+    :func:`_decode_ima_adpcm` (the encoder runs the decoder's
+    reconstruction for its predictor state, the standard design, so
+    state never drifts; the independent golden replay implements BOTH
+    sides again from the spec)."""
+    n_ch = len(channels)
+    n = len(channels[0])
+    spb = 1 + groups_per_block * 8
+    idxs = [0] * n_ch
+    out = bytearray()
+    for start in range(0, n, spb):
+        preds = []
+        for c in range(n_ch):
+            p = channels[c][start]
+            preds.append(p)
+            out += struct.pack("<hBB", p, idxs[c], 0)
+        for g in range(groups_per_block):
+            for c in range(n_ch):
+                four = 0
+                pr, ix = preds[c], idxs[c]
+                for k in range(8):
+                    pos = start + 1 + g * 8 + k
+                    s = channels[c][pos] if pos < n else 0
+                    step = _IMA_STEP_TABLE[ix]
+                    delta = s - pr
+                    nib = 0
+                    if delta < 0:
+                        nib = 8
+                        delta = -delta
+                    if delta >= step:
+                        nib |= 4
+                        delta -= step
+                    if delta >= step >> 1:
+                        nib |= 2
+                        delta -= step >> 1
+                    if delta >= step >> 2:
+                        nib |= 1
+                    pr, ix = _ima_step(nib, pr, ix)
+                    four |= nib << (4 * k)
+                preds[c], idxs[c] = pr, ix
+                out += four.to_bytes(4, "little")
+    return bytes(out)
+
+
 def _decode_wav(p: bytes) -> tuple[int, int, list[float]]:
     """Stdlib+numpy WAV/PCM decode (r10 — the audio analog of r8's
-    BMP; r11 adds 24-bit integer and 32-bit IEEE-float PCM and
-    vectorizes the sample path): RIFF chunk walk, ``fmt `` must be
-    integer PCM (format code 1) at 8, 16 or 24 bits or IEEE-float PCM
-    (format code 3) at 32 bits; ``data`` decodes to normalized
-    samples in [-1, 1] (16-bit: signed LE / 32768; 24-bit: signed LE
-    / 2^23 via top-lane int32 widening; 8-bit: (unsigned - 128) / 128
-    — the WAV spec's integer conventions; float: the stored value,
-    clipped to the nominal [-1, 1] full-scale range). Returns
+    BMP; r11 adds 24-bit integer and 32-bit IEEE-float PCM,
+    vectorizes the sample path, and adds IMA ADPCM): RIFF chunk walk,
+    ``fmt `` must be integer PCM (format code 1) at 8, 16 or 24 bits,
+    IEEE-float PCM (format code 3) at 32 bits, or IMA ADPCM (format
+    code 17) at 4 bits; ``data`` decodes to normalized samples in
+    [-1, 1] (16-bit: signed LE / 32768; 24-bit: signed LE / 2^23 via
+    top-lane int32 widening; 8-bit: (unsigned - 128) / 128 — the WAV
+    spec's integer conventions; float: the stored value, clipped to
+    the nominal [-1, 1] full-scale range; ADPCM: reconstructed int16
+    / 32768, frame count bounded by the ``fact`` chunk). Returns
     (n_frames, n_channels, feature) through the format-agnostic
     DECODED_SCHEMA: width = frames per channel, height = channels.
     Raises ValueError on anything else (caller falls back to the
-    stub — MP3/AAC and other compressed audio is a PERMANENT stub,
-    see the module header)."""
+    stub — perceptual/entropy-coded audio like MP3/AAC is a PERMANENT
+    stub, see the module header)."""
     if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise ValueError("not WAV")
     fmt = None
     data = None
+    fact_frames = None
     for tag, body_off, ln in _riff_chunks(p, 12, len(p)):
         body = p[body_off : body_off + ln]
         if tag == b"fmt ":
             if len(body) < 16:
                 raise ValueError("wav: short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"fact" and len(body) >= 4:
+            # compressed formats record the true frame count here
+            fact_frames = struct.unpack_from("<I", body, 0)[0]
         elif tag == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("wav: missing fmt/data")
     code, n_ch, rate, _byte_rate, block_align, bits = fmt
     if not (
-        (code == 1 and bits in (8, 16, 24)) or (code == 3 and bits == 32)
+        (code == 1 and bits in (8, 16, 24))
+        or (code == 3 and bits == 32)
+        or (code == 17 and bits == 4)
     ) or n_ch < 1 or rate < 1:
-        raise ValueError("wav: only 8/16/24-bit integer or 32-bit float PCM")
+        raise ValueError(
+            "wav: only 8/16/24-bit integer, 32-bit float, or IMA ADPCM PCM"
+        )
+    if code == 17:
+        # r11: IMA ADPCM — the fact chunk bounds the decode (the last
+        # block's tail nibbles are encoder padding, not samples)
+        if block_align <= 4 * n_ch:
+            raise ValueError("adpcm: bad block align")
+        samples_per_block = 1 + (block_align - 4 * n_ch) * 2 // n_ch
+        max_frames = (len(data) // block_align) * samples_per_block
+        n_frames = fact_frames if fact_frames is not None else max_frames
+        if n_frames == 0 or n_frames > max_frames:
+            raise ValueError("adpcm: frame count out of range")
+        ints = _decode_ima_adpcm(data, n_ch, block_align, n_frames)
+        samples = ints.astype(np.float64) / 32768.0
+        return n_frames, n_ch, _audio_feature(samples, rate)
     bytes_per = bits // 8
     if block_align != n_ch * bytes_per:
         raise ValueError("wav: bad block align")
@@ -850,7 +1001,9 @@ def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     table an audio-bearing parquet would give, used by the
     multimodal_audio_decode gate entry (and replayed independently by
     tools/gen_pipeline_goldens.audio_golden). Per id d:
-    channels = 1 + d % 2; format = 32-bit IEEE-float PCM when
+    channels = 1 + d % 2; format = IMA ADPCM when d % 11 == 7 (r11 —
+    the lossy format-17 path, encoder + decoder both replayed
+    independently in the golden), else 32-bit IEEE-float PCM when
     d % 7 == 5 (r11 — exercises the format-3 decode path), else
     integer PCM at bits = 8 if d % 3 == 0 else 16;
     n_frames = 64 + d % 129, rate = 8000; interleaved sample value
@@ -886,15 +1039,39 @@ def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def synth_wav_bytes(d: int) -> bytes:
     """The deterministic WAV payload for id ``d`` (see
-    synth_wav_table). Module-level so tests can call it directly."""
+    synth_wav_table). Module-level so tests can call it directly.
+    r11: ids with d % 11 == 7 take the IMA ADPCM branch (format 17,
+    2 nibble groups per block = 17 samples/block/channel, fact chunk
+    carries the true frame count) — the LOSSY branch, so the golden
+    replay re-implements encoder AND decoder from the spec."""
     n_ch = 1 + d % 2
-    is_float = d % 7 == 5
-    bits = 32 if is_float else (8 if d % 3 == 0 else 16)
+    is_adpcm = d % 11 == 7
+    is_float = not is_adpcm and d % 7 == 5
+    bits = 4 if is_adpcm else (32 if is_float else (8 if d % 3 == 0 else 16))
     n_frames = 64 + d % 129
     rate = 8000
     i_ = np.arange(n_frames, dtype=np.int64)[:, None]
     c_ = np.arange(n_ch, dtype=np.int64)[None, :]
-    vals = (((d * 31 + i_ * 17 + c_ * 7) * 2654435761) % 65536).reshape(-1)
+    vals_2d = ((d * 31 + i_ * 17 + c_ * 7) * 2654435761) % 65536
+    vals = vals_2d.reshape(-1)
+    if is_adpcm:
+        groups = 2
+        chans = [(vals_2d[:, c] - 32768).tolist() for c in range(n_ch)]
+        data = _encode_ima_adpcm(chans, groups)
+        block_align = 4 * n_ch + groups * 4 * n_ch
+        fmt = struct.pack(
+            "<HHIIHHHH",
+            17, n_ch, rate,
+            rate * block_align // (1 + groups * 8),  # nominal byte rate
+            block_align, 4,
+            2, 1 + groups * 8,  # cbSize, wSamplesPerBlock
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"fact" + struct.pack("<II", 4, n_frames)[:8]
+        body += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     if is_float:
         code = 3
         data = ((vals - 32768) / 32768.0).astype("<f4").tobytes()

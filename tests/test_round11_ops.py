@@ -205,3 +205,55 @@ def test_stupid_backoff_self_scoring_never_backs_off(spark):
     for r in out:
         assert r["n_tokens"] == 7
         assert 0.0 <= r["nll_per_token"] < 50
+
+
+# ------------------------------ ADPCM --------------------------------
+
+def test_ima_adpcm_block_exact_and_tracking():
+    """Every block's header sample reconstructs EXACTLY; a smooth
+    signal tracks within the quantizer's error envelope."""
+    n = 500
+    sig = [int(9000 * math.sin(i / 15)) for i in range(n)]
+    enc = M._encode_ima_adpcm([sig], 2)
+    dec = M._decode_ima_adpcm(enc, 1, 4 + 8, n)
+    spb = 17
+    for blk in range(0, n, spb):
+        assert dec[blk] == sig[blk]
+    err = np.abs(np.array(sig) - np.asarray(dec))
+    assert err.mean() < 300
+
+
+def test_ima_adpcm_wav_decode_stereo_fact_bound():
+    """The format-17 WAV path: stereo interleave is channel-faithful
+    and the fact chunk bounds frames below the padded block count."""
+    d = 7  # synth ADPCM id, stereo (1 + 7 % 2 == 2)
+    p = M.synth_wav_bytes(d)
+    n_frames, n_ch, feat = M._decode_wav(p)
+    assert (n_frames, n_ch) == (64 + 7 % 129, 2)
+    assert len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
+    # engine decode == the independent scalar replay in the goldens tool
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_pipeline_goldens import _ima_replay_decoded
+
+    vals = ((7 * 31 + np.arange(n_frames)[:, None] * 17
+             + np.arange(2)[None, :] * 7) * 2654435761) % 65536
+    chans = [(vals[:, c] - 32768).tolist() for c in range(2)]
+    dec_replay = _ima_replay_decoded(chans, 2)
+    inter = np.empty(n_frames * 2, dtype=np.int64)
+    for c in range(2):
+        inter[c::2] = dec_replay[c]
+    want = M._audio_feature(inter.astype(np.float64) / 32768.0, 8000)
+    assert feat == want
+
+
+def test_ima_adpcm_malformed_falls_to_stub():
+    p = bytearray(M.synth_wav_bytes(18))  # mono ADPCM id
+    # corrupt a header step index past 88 -> ValueError -> stub upstream
+    data_at = bytes(p).find(b"data") + 8
+    p[data_at + 2] = 200
+    with pytest.raises(ValueError):
+        M._decode_wav(bytes(p))
+    # truncated mid-data: fact frames exceed what the blocks carry
+    with pytest.raises(ValueError):
+        M._decode_wav(bytes(M.synth_wav_bytes(18))[:-40])

@@ -171,10 +171,78 @@ def minhash_golden(
 
 # --- multimodal_audio_decode -------------------------------------------------
 
+# --- IMA ADPCM scalar replay (independent of engine code) -------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_reconstruct(nib, pred, idx):
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    return pred, max(0, min(88, idx + _IMA_IDX[nib & 7]))
+
+
+def _ima_replay_decoded(chans, groups_per_block):
+    """Spec replay of the synth ADPCM path: quantize each channel with
+    the standard IMA encoder (block headers carry the first sample and
+    the running step index), reconstruct decoder-side, return the
+    per-channel DECODED int16 sample lists. Independent scalar code —
+    the engine's encoder/decoder pair must land on exactly these
+    values for the golden to match."""
+    n = len(chans[0])
+    spb = 1 + groups_per_block * 8
+    out = []
+    for ch in chans:
+        idx = 0
+        dec = []
+        for start in range(0, n, spb):
+            pred = ch[start]
+            dec.append(pred)
+            for g in range(groups_per_block):
+                for k in range(8):
+                    pos = start + 1 + g * 8 + k
+                    s = ch[pos] if pos < n else 0
+                    step = _IMA_STEPS[idx]
+                    delta = s - pred
+                    nib = 8 if delta < 0 else 0
+                    if delta < 0:
+                        delta = -delta
+                    if delta >= step:
+                        nib |= 4
+                        delta -= step
+                    if delta >= step >> 1:
+                        nib |= 2
+                        delta -= step >> 1
+                    if delta >= step >> 2:
+                        nib |= 1
+                    pred, idx = _ima_reconstruct(nib, pred, idx)
+                    dec.append(pred)
+        out.append(dec[:n])
+    return out
+
+
 def audio_golden(docs):
     """Replays the synth-WAV contract (the integer-hash PCM samples
     documented at multimodal.synth_wav_table — r11 adds the
-    d % 7 == 5 float32-PCM branch) plus the WAV decode normalization
+    d % 7 == 5 float32-PCM branch and the d % 11 == 7 IMA ADPCM
+    branch, replayed with an independent scalar encoder+decoder) plus the WAV decode normalization
     and the audio feature formulas, independently of engine code:
     build the integer samples per doc_id, normalize exactly as the
     PCM spec (16-bit signed/32768, 8-bit (unsigned-128)/128, float32
@@ -194,13 +262,22 @@ def audio_golden(docs):
     for doc_id, _text in docs:
         d = doc_id
         n_ch = 1 + d % 2
-        is_float = d % 7 == 5
-        bits = 32 if is_float else (8 if d % 3 == 0 else 16)
+        is_adpcm = d % 11 == 7
+        is_float = not is_adpcm and d % 7 == 5
+        bits = 4 if is_adpcm else (32 if is_float else (8 if d % 3 == 0 else 16))
         n_frames = 64 + d % 129
         i_ = np.arange(n_frames, dtype=np.int64)[:, None]
         c_ = np.arange(n_ch, dtype=np.int64)[None, :]
-        vals = (((d * 31 + i_ * 17 + c_ * 7) * 2654435761) % 65536).reshape(-1)
-        if is_float:
+        vals2 = ((d * 31 + i_ * 17 + c_ * 7) * 2654435761) % 65536
+        vals = vals2.reshape(-1)
+        if is_adpcm:
+            chans = [(vals2[:, c] - 32768).tolist() for c in range(n_ch)]
+            dec = _ima_replay_decoded(chans, 2)
+            inter = np.empty(n_frames * n_ch, dtype=np.int64)
+            for c in range(n_ch):
+                inter[c::n_ch] = dec[c]
+            samples = inter.astype(np.float64) / 32768.0
+        elif is_float:
             samples = np.clip(
                 ((vals - 32768) / 32768.0).astype("<f4").astype(np.float64),
                 -1.0,
