@@ -93,7 +93,8 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # hard_negatives, hybrid_rank_rrf, pmi_collocations, retention_cohorts,
 # rfm_segmentation, sessionize_events, temperature_mixture; staleness
 # computed from the union of CORRECTNESS_r01–r10.json).
-# Totals: 6 changed + 4 debuts + 15 r6 + 25 r7 = 50.
+# Totals: 6 changed + 5 debuts + 15 r6 + 24 r7 = 50 (graph_msf joins
+# the r12 rotation head with the 12 listed above).
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
 # keep registration order after these.
@@ -109,6 +110,7 @@ GATE_ORDER: list[str] = [
     "multimodal_gif_frames",  # r11 debut: animated-GIF compositing + frame sampling
     "url_normalize_stats",  # r11 debut: URL normalization + registered-domain stats
     "stupid_backoff_lm",  # r11 debut: Stupid Backoff trigram LM (Brants 2007)
+    "events_xml_parse",  # r11 debut: native from_xml round-trip parse
     # (b) oldest-gated rotation — the FULL remaining r6 block
     "graph_ingest_limit",  # last gated r6
     "graph_nodes",  # last gated r6
@@ -150,7 +152,6 @@ GATE_ORDER: list[str] = [
     "graph_label_propagation",  # last gated r7
     "graph_louvain",  # last gated r7
     "graph_modularity",  # last gated r7
-    "graph_msf",  # last gated r7
 ]
 
 
@@ -411,6 +412,41 @@ def events_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_k"),
         F.max("k").cast("bigint").alias("max_k"),
         F.count("k").cast("bigint").alias("n_k"),
+    )
+
+
+@q(
+    "events_xml_parse",
+    """
+    SELECT event_type,
+           CAST(MIN(user_id) AS BIGINT) AS min_u,
+           CAST(MAX(user_id) AS BIGINT) AS max_u,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    "native XML parsing (r11 — from_xml -> typed struct, the Spark 4 "
+    "sibling of events_json_parse): an XML payload synthesized "
+    "scan-side from the base columns round-trips through the REAL XML "
+    "parser back to typed fields; the oracle re-derives the aggregate "
+    "from the base columns directly, so any parse defect (dropped "
+    "rows, mistyped fields, entity mishandling) breaks the match",
+)
+def events_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<ev><t>"),
+        F.col("event_type"),
+        F.lit("</t><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u></ev>"),
+    )
+    parsed = ev.select(F.from_xml(xml, "t STRING, u BIGINT").alias("_x")).select(
+        F.col("_x.t").alias("event_type"), F.col("_x.u").alias("u")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.min("u").cast("bigint").alias("min_u"),
+        F.max("u").cast("bigint").alias("max_u"),
+        F.count("*").cast("bigint").alias("n"),
     )
 
 
