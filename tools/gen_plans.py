@@ -177,6 +177,21 @@ PICKS = [
         "few by construction) — one cumsum Exchange, never a row-level "
         "cross product",
     ),
+    (
+        "url_normalize_stats",
+        "URL curation (NEW r11): normalization + registered-domain "
+        "extraction are pure scan-side regexp codegen — no join, no "
+        "Python; the only shuffles belong to the per-domain aggregate "
+        "(count-distinct Expand rides the same keyed agg)",
+    ),
+    (
+        "stupid_backoff_lm",
+        "Stupid Backoff trigram LM (NEW r11): three map-side count "
+        "aggregates train the LM on the reference slice; scoring is one "
+        "scan-side trigram explode + five LEFT keyed joins + a per-doc "
+        "avg — the two scalars ride ONE broadcast nested-loop (1-row "
+        "build side), never a cartesian",
+    ),
 ]
 
 

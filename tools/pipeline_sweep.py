@@ -152,6 +152,13 @@ PICKS = [
     # that had never appeared in a sweep column
     "line_dedup_gate",
     "normalize_documents",
+    # r11 debuts: GIF codec (decode + animation frames), URL curation,
+    # Stupid Backoff trigram LM, native XML parse
+    "multimodal_gif_decode",
+    "multimodal_gif_frames",
+    "url_normalize_stats",
+    "stupid_backoff_lm",
+    "events_xml_parse",
 ]
 
 
