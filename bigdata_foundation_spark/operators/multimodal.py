@@ -1463,7 +1463,7 @@ def _gif_frames(
     malformed payloads (the stub-fallback contract upstream)."""
     if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not GIF")
-    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", p, 6)
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", p, 6)
     if sw == 0 or sh == 0:
         raise ValueError("gif: zero logical screen")
     off = 13
@@ -1477,7 +1477,10 @@ def _gif_frames(
         off += 3 * n
     canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     if gct is not None:
-        canvas[:, :] = gct[0]
+        # the logical screen fills with the BACKGROUND index (r11
+        # review finding — entry 0 is only correct when bg == 0);
+        # an out-of-table index falls back to 0 per common practice
+        canvas[:, :] = gct[bg if bg < len(gct) else 0]
     frames: list[np.ndarray] = []
     transparent = None
     while off < len(p):
@@ -1708,8 +1711,9 @@ def synth_gif_bytes(d: int) -> bytes:
 
 
 def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
-    """Format-sniffing decode: REAL stdlib decode for BMP/PNG/baseline-
-    JPEG/PCM-WAV/uncompressed-AVI magic bytes (a UTF-8 text payload
+    """Format-sniffing decode: REAL stdlib decode for BMP/PNG/GIF/
+    baseline-and-progressive-JPEG/PCM-and-ADPCM-WAV/uncompressed-AVI
+    magic bytes (a UTF-8 text payload
     can never false-positive — all parsers require NUL-bearing or
     marker-bearing headers), deterministic stub for everything else
     (arithmetic JPEG / compressed audio / compressed video — honestly

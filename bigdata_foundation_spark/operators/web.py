@@ -44,42 +44,59 @@ def normalize_url(url: Column | str) -> Column:
 
     1. drop the fragment (``#...`` — never sent to the server);
     2. strip tracking query parameters (``utm_*``, ``fbclid``,
-       ``gclid``, ``msclkid``, ``ref``) wherever they sit in the
-       query string, keeping the relative order of the survivors
-       (a now-empty query loses its ``?`` too);
+       ``gclid``, ``msclkid``, ``ref``) from the QUERY STRING ONLY
+       (the strip runs on the part after the first ``?``, so a
+       literal ``&ref=`` inside a path or userinfo is never touched —
+       r11 review finding), keeping the relative order of the
+       survivors (a now-empty query loses its ``?`` too);
     3. lowercase the scheme and authority (host names are
        case-insensitive; paths are NOT touched — they are
        case-sensitive by spec);
-    4. strip the default port (``:443`` for https, ``:80`` for http).
+    4. strip the default port (``:443`` for https, ``:80`` for http —
+       userinfo-bearing authorities included).
 
     Pure codegen expression — normalizing URLs never shuffles."""
     u = _c(url)
     # 1. fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # 2. tracking params: one repeated group eats a RUN of them (a
-    # two-step strip misses consecutive params — global replace
-    # consumes the following '&', hiding the next run member), keeping
-    # the ?/& that introduced the run for any survivor that follows…
-    u = F.regexp_replace(
-        u, r"([?&])(" + TRACKING_PARAM_RE + r"=[^&]*(&|$))+", r"$1"
+    # 2. tracking params, QUERY PART ONLY: split at the first '?',
+    # strip runs there, reassemble. One repeated group eats a RUN of
+    # params (a two-step strip misses consecutive params — global
+    # replace consumes the following '&', hiding the next run member),
+    # keeping the ?/& that introduced the run for any survivor…
+    base = F.regexp_extract(u, r"^[^?]*", 0)
+    qry = F.regexp_replace(u, r"^[^?]*", "")
+    qry = F.regexp_replace(
+        qry, r"([?&])(" + TRACKING_PARAM_RE + r"=[^&]*(&|$))+", r"$1"
     )
     # …then drop the introducer if nothing survived behind it
-    u = F.regexp_replace(u, r"[?&]$", "")
+    qry = F.regexp_replace(qry, r"[?&]$", "")
+    u = F.concat(base, qry)
     # 3. lowercase scheme://authority, keep the rest byte-identical
     u = F.concat(
         F.lower(F.regexp_extract(u, _PREFIX_RE, 0)),
         F.regexp_replace(u, _PREFIX_RE, ""),
     )
-    # 4. default ports (after lowercasing, so the scheme test is clean)
-    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?].*)?$", r"$1$2")
-    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?].*)?$", r"$1$2")
+    # 4. default ports (after lowercasing, so the scheme test is
+    # clean; [^/?#]+ keeps userinfo ':' inside the group so the
+    # pattern anchors on the trailing port)
+    u = F.regexp_replace(u, r"^(https://[^/?#]+):443([/?].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/?#]+):80([/?].*)?$", r"$1$2")
     return u
 
 
 def url_host(url: Column | str) -> Column:
-    """Authority host of a URL (port excluded), lowercased."""
+    """Authority host of a URL (userinfo and port excluded),
+    lowercased. The optional ``user[:pass]@`` runs to the LAST ``@``
+    in the authority (hostnames cannot contain ``@``) — r11 review
+    finding: without this, ``https://x@blocked.com/`` computed a
+    userinfo-polluted domain and slipped past blocklists."""
     return F.lower(
-        F.regexp_extract(_c(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+        F.regexp_extract(
+            _c(url),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)",
+            1,
+        )
     )
 
 
@@ -124,9 +141,13 @@ def blocklist_filter(
     isin — filtering 100 TB costs a scan, never a join. For
     million-entry blocklists swap isin for a broadcast left-anti
     join; the call site contract (domain-keyed exclusion) is the
-    same."""
+    same. Rows whose url is NULL (or whose domain cannot be
+    extracted) are KEPT — this filter only removes confirmed
+    blocklist hits (r11 review finding: a bare ``~isin`` drops
+    NULL-url rows through three-valued logic)."""
     if not blocked_domains:
         return df
+    dom = registered_domain(F.col(url_col))
     return df.filter(
-        ~registered_domain(F.col(url_col)).isin([d.lower() for d in blocked_domains])
+        dom.isNull() | ~dom.isin([d.lower() for d in blocked_domains])
     )

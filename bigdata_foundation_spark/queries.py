@@ -83,18 +83,18 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # 24 float-PCM debut rows; video golden regen byte-identical), the
 # MinHash est-prune fusion (_bucket_pairs_est: pair generation emits
 # the agreement estimate, distinct + verify see only survivors;
-# golden unchanged), and the FOUR r11 debuts (GIF decode + animation
-# frames, URL curation, Stupid Backoff LM — debuts are value-gated on
-# arrival); then (b) the OLDEST-GATED rotation: the FULL remaining r6
-# block (15 entries — after this round no entry's latest gate is
-# older than r7) plus the first 25 of the r7 block in name order (the
-# remaining 12 r7 entries head the r12 rotation: graph_node_similarity,
-# graph_pagerank, graph_ppr, graph_scc, graph_yens_postprocess,
-# hard_negatives, hybrid_rank_rrf, pmi_collocations, retention_cohorts,
-# rfm_segmentation, sessionize_events, temperature_mixture; staleness
-# computed from the union of CORRECTNESS_r01–r10.json).
-# Totals: 6 changed + 5 debuts + 15 r6 + 24 r7 = 50 (graph_msf joins
-# the r12 rotation head with the 12 listed above).
+# golden unchanged), and the FIVE r11 debuts (GIF decode + animation
+# frames, URL curation, Stupid Backoff LM, XML parse — debuts are
+# value-gated on arrival); then (b) the OLDEST-GATED rotation: the
+# FULL remaining r6 block (15 entries — after this round no entry's
+# latest gate is older than r7) plus the first 24 of the r7 block in
+# name order (the remaining 13 r7 entries head the r12 rotation:
+# graph_msf, graph_node_similarity, graph_pagerank, graph_ppr,
+# graph_scc, graph_yens_postprocess, hard_negatives, hybrid_rank_rrf,
+# pmi_collocations, retention_cohorts, rfm_segmentation,
+# sessionize_events, temperature_mixture; staleness computed from the
+# union of CORRECTNESS_r01–r10.json).
+# Totals: 6 changed + 5 debuts + 15 r6 + 24 r7 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
 # keep registration order after these.
@@ -5279,13 +5279,21 @@ def _synth_url(d):
         .when(s % 4 == 2, F.concat(F.lit("Blog"), (s % 15).cast("string"), F.lit(".ORG")))
         .otherwise(F.concat(F.lit("cdn.media"), (s % 5).cast("string"), F.lit(".net")))
     )
+    # userinfo on some ids (r11 review: host/domain extraction must
+    # skip user[:pass]@ — hostnames cannot contain '@')
+    host = F.when(s % 8 == 5, F.concat(F.lit("u"), (s % 3).cast("string"), F.lit(":Pw@"), host)).otherwise(host)
     port = (
         F.when(s % 5 == 0, F.lit(":443"))
         .when(s % 5 == 1, F.lit(":80"))
         .when(s % 5 == 2, F.lit(":8080"))
         .otherwise(F.lit(""))
     )
-    path = F.concat(F.lit("/Articles/"), (s % 25).cast("string"))
+    # some paths carry a LITERAL '&ref=' (r11 review: the tracking
+    # strip must be anchored to the query string, never the path)
+    path = F.when(
+        s % 7 == 3,
+        F.concat(F.lit("/price&ref=sidebar/"), (s % 25).cast("string")),
+    ).otherwise(F.concat(F.lit("/Articles/"), (s % 25).cast("string")))
     qry = (
         F.when(s % 6 == 0, F.concat(F.lit("?utm_source=feed&id="), s.cast("string")))
         .when(s % 6 == 1, F.concat(F.lit("?id="), s.cast("string"), F.lit("&utm_campaign=q"), (s % 3).cast("string")))
@@ -5301,6 +5309,8 @@ def _synth_url(d):
 _SYNTH_URL_SQL = """
       CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' ELSE 'HTTPS' END
       || '://' ||
+      CASE WHEN doc_id % 8 = 5 THEN 'u' || CAST(doc_id % 3 AS VARCHAR) || ':Pw@' ELSE '' END
+      ||
       CASE doc_id % 4
         WHEN 0 THEN 'WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
         WHEN 1 THEN 'news.site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
@@ -5308,7 +5318,9 @@ _SYNTH_URL_SQL = """
         ELSE 'cdn.media' || CAST(doc_id % 5 AS VARCHAR) || '.net' END
       ||
       CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END
-      || '/Articles/' || CAST(doc_id % 25 AS VARCHAR) ||
+      ||
+      CASE WHEN doc_id % 7 = 3 THEN '/price&ref=sidebar/' ELSE '/Articles/' END
+      || CAST(doc_id % 25 AS VARCHAR) ||
       CASE doc_id % 6
         WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
         WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=q' || CAST(doc_id % 3 AS VARCHAR)
@@ -5326,9 +5338,12 @@ URL_STATS_ORACLE = f"""
     ), n1 AS (
       SELECT url, regexp_replace(url, '#.*$', '', 'g') AS x FROM u
     ), n2 AS (
-      SELECT url, regexp_replace(x,
-        '([?&])((utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*(&|$))+',
-        '\\1', 'g') AS x FROM n1
+      SELECT url,
+             regexp_extract(x, '^[^?]*')
+             || regexp_replace(regexp_replace(x, '^[^?]*', '', 'g'),
+                  '([?&])((utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*(&|$))+',
+                  '\\1', 'g') AS x
+      FROM n1
     ), n3 AS (
       SELECT url, regexp_replace(x, '[?&]$', '', 'g') AS x FROM n2
     ), n4 AS (
@@ -5338,13 +5353,13 @@ URL_STATS_ORACLE = f"""
       FROM n3
     ), n5 AS (
       SELECT url, regexp_replace(regexp_replace(x,
-               '^(https://[^/:?#]+):443([/?].*)?$', '\\1\\2', 'g'),
-               '^(http://[^/:?#]+):80([/?].*)?$', '\\1\\2', 'g') AS norm
+               '^(https://[^/?#]+):443([/?].*)?$', '\\1\\2', 'g'),
+               '^(http://[^/?#]+):80([/?].*)?$', '\\1\\2', 'g') AS norm
       FROM n4
     ), hosts AS (
       SELECT norm,
              regexp_replace(lower(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '^www\\.', '', 'g') AS hostn
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)), '^www\\.', '', 'g') AS hostn
       FROM n5
     ), doms AS (
       SELECT norm,

@@ -257,3 +257,51 @@ def test_ima_adpcm_malformed_falls_to_stub():
     # truncated mid-data: fact frames exceed what the blocks carry
     with pytest.raises(ValueError):
         M._decode_wav(bytes(M.synth_wav_bytes(18))[:-40])
+
+
+# --------------------- r11 review-finding regressions -----------------
+
+def test_normalize_url_query_anchored_and_userinfo(spark):
+    """Review findings: a literal '&ref=' in the PATH or userinfo must
+    survive normalization; userinfo never pollutes host/domain; the
+    default port strips through a userinfo authority."""
+    cases = [
+        ("https://a.com/price&ref=sidebar/page?x=1",
+         "https://a.com/price&ref=sidebar/page?x=1"),
+        ("https://user&ref=c@h.com/p", "https://user&ref=c@h.com/p"),
+        ("HTTPS://u:Pw@H.com:443/p?ref=x&a=1", "https://u:pw@h.com/p?a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(W.normalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+    doms = [r[0] for r in df.select(W.registered_domain("url")).collect()]
+    assert doms == ["a.com", "h.com", "h.com"]
+
+
+def test_blocklist_userinfo_bypass_and_null_urls(spark):
+    """Review findings: 'https://x@blocked.com/' must NOT bypass the
+    blocklist; NULL-url rows must be KEPT (the filter only removes
+    confirmed hits)."""
+    rows = [("https://x@blocked.com/page",), ("https://ok.org/a",), (None,)]
+    df = spark.createDataFrame(rows, "url string")
+    kept = W.blocklist_filter(df, ["blocked.com"]).collect()
+    assert sorted(str(r["url"]) for r in kept) == ["None", "https://ok.org/a"]
+
+
+def test_gif_background_index_fills_canvas():
+    """Review finding: the logical-screen background uses the header's
+    bg INDEX, not palette entry 0 — visible where a region first frame
+    leaves border pixels showing the background."""
+    d = 3  # region frames from f>=1; frame 0 full — so craft a custom GIF
+    pal = M._synth_gif_palette(d, 0)
+    idx = M._synth_gif_indices(d, 0, 4, 3)
+    data = M._gif_lzw_encode(idx.reshape(-1), 4)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 8, 6, 0x80 | 0x03, 2, 0)  # bg=2
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 1, 1, 4, 3, 0)  # region frame
+    out += bytes([4]) + bytes([len(data)]) + data + b"\x00\x3b"
+    w, h, frames = M._gif_frames(bytes(out))
+    assert (w, h) == (8, 6)
+    assert np.array_equal(frames[0][0, 0], pal[2])  # border = bg color
+    assert np.array_equal(frames[0][1:4, 1:5], pal[idx.reshape(-1)].reshape(3, 4, 3))
