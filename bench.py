@@ -81,6 +81,8 @@ HEADLINE = [
     "multimodal_gif_frames",
     "url_normalize_stats",
     "stupid_backoff_lm",
+    "html_extract_text",
+    "domain_cap_sample",
 ]
 
 

@@ -151,3 +151,47 @@ def blocklist_filter(
     return df.filter(
         dom.isNull() | ~dom.isin([d.lower() for d in blocked_domains])
     )
+
+
+# Block-level elements whose open/close tags become newlines in
+# html_to_text. Shared verbatim with the SQL oracle.
+_BLOCK_TAG_RE = r"(?i)</?(?:p|br|div|li|ul|ol|tr|table|h[1-6])\b[^>]*>"
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Crawl-side HTML → text extraction (the step every web corpus —
+    C4, RefinedWeb, Dolma — runs before any text operator), as a pure
+    codegen regexp chain. DOCUMENTED SIMPLIFIED CONTRACT (a real
+    deployment swaps in a DOM/boilerplate extractor; this operator is
+    the scan-speed scaffold with the same signature):
+
+    1. drop ``<script>``/``<style>`` elements WITH their content and
+       HTML comments (non-greedy, case-insensitive, dot-matches-all);
+    2. block-level tags (p/br/div/li/ul/ol/tr/table/h1–h6) become
+       newlines; every other tag is deleted;
+    3. the five predefined entities plus ``&#39;`` and ``&nbsp;``
+       decode (``&amp;`` LAST — the classic double-decode pitfall);
+    4. whitespace normalizes: runs of spaces/tabs collapse to one
+       space, spaces around newlines drop, newline runs collapse to
+       one, ends trimmed.
+
+    All patterns are RE2-safe and replayed verbatim by the oracle."""
+    t = _c(html)
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+    t = F.regexp_replace(t, _BLOCK_TAG_RE, "\n")
+    t = F.regexp_replace(t, r"<[^>]*>", "")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # LAST, so '&amp;lt;' decodes to '&lt;' not '<'
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    return F.btrim(t, F.lit(" \n"))

@@ -83,18 +83,19 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # 24 float-PCM debut rows; video golden regen byte-identical), the
 # MinHash est-prune fusion (_bucket_pairs_est: pair generation emits
 # the agreement estimate, distinct + verify see only survivors;
-# golden unchanged), and the FIVE r11 debuts (GIF decode + animation
-# frames, URL curation, Stupid Backoff LM, XML parse — debuts are
-# value-gated on arrival); then (b) the OLDEST-GATED rotation: the
-# FULL remaining r6 block (15 entries — after this round no entry's
-# latest gate is older than r7) plus the first 24 of the r7 block in
-# name order (the remaining 13 r7 entries head the r12 rotation:
-# graph_msf, graph_node_similarity, graph_pagerank, graph_ppr,
-# graph_scc, graph_yens_postprocess, hard_negatives, hybrid_rank_rrf,
+# golden unchanged), and the SEVEN r11 debuts (GIF decode + animation
+# frames, URL curation, Stupid Backoff LM, XML parse, HTML extraction,
+# domain-cap sampling — debuts are value-gated on arrival); then (b)
+# the OLDEST-GATED rotation: the FULL remaining r6 block (15 entries —
+# after this round no entry's latest gate is older than r7) plus the
+# first 22 of the r7 block in name order (the remaining 15 r7 entries
+# head the r12 rotation: graph_louvain, graph_modularity, graph_msf,
+# graph_node_similarity, graph_pagerank, graph_ppr, graph_scc,
+# graph_yens_postprocess, hard_negatives, hybrid_rank_rrf,
 # pmi_collocations, retention_cohorts, rfm_segmentation,
 # sessionize_events, temperature_mixture; staleness computed from the
 # union of CORRECTNESS_r01–r10.json).
-# Totals: 6 changed + 5 debuts + 15 r6 + 24 r7 = 50.
+# Totals: 6 changed + 7 debuts + 15 r6 + 22 r7 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
 # keep registration order after these.
@@ -111,6 +112,8 @@ GATE_ORDER: list[str] = [
     "url_normalize_stats",  # r11 debut: URL normalization + registered-domain stats
     "stupid_backoff_lm",  # r11 debut: Stupid Backoff trigram LM (Brants 2007)
     "events_xml_parse",  # r11 debut: native from_xml round-trip parse
+    "html_extract_text",  # r11 debut: HTML -> text extraction chain
+    "domain_cap_sample",  # r11 debut: per-domain page cap composition
     # (b) oldest-gated rotation — the FULL remaining r6 block
     "graph_ingest_limit",  # last gated r6
     "graph_nodes",  # last gated r6
@@ -150,8 +153,6 @@ GATE_ORDER: list[str] = [
     "graph_kcore",  # last gated r7
     "graph_ktruss",  # last gated r7
     "graph_label_propagation",  # last gated r7
-    "graph_louvain",  # last gated r7
-    "graph_modularity",  # last gated r7
 ]
 
 
@@ -5504,4 +5505,107 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("feature")[3].cast("double"), 6).alias("gray_mean"),
         F.round(F.col("feature")[7].cast("double"), 6).alias("gray_std"),
     )
+
+_SYNTH_HTML_SQL = """
+      '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+      || '</title><style>p{color:red}</style>'
+      || '<script type="text/javascript">if (x &amp;&amp; y) { f(); }</script>'
+      || '</head><body><!-- c' || CAST(doc_id % 5 AS VARCHAR) || ' -->'
+      || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+      || '</p><div>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>'
+      || '<TABLE><tr><td>cell' || CAST(doc_id % 3 AS VARCHAR)
+      || '</td></tr></TABLE></body></html>'
+"""
+
+HTML_EXTRACT_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+               '(?s)<!--.*?-->', '', 'g') AS t
+      FROM h
+    ), s2 AS (
+      SELECT doc_id, regexp_replace(regexp_replace(t,
+               '(?i)</?(?:p|br|div|li|ul|ol|tr|table|h[1-6])\\b[^>]*>', chr(10), 'g'),
+               '<[^>]*>', '', 'g') AS t
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(t,
+               '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+               '\n+', chr(10), 'g'), ' ' || chr(10)) AS extracted
+      FROM s3
+    )
+    SELECT doc_id, extracted FROM s4
+"""
+
+
+@q(
+    "html_extract_text",
+    HTML_EXTRACT_ORACLE,
+    "crawl-side HTML -> text extraction (r11 - the step every web "
+    "corpus runs first): script/style/comment removal, block tags -> "
+    "newlines, entity decode, whitespace normalization - one codegen "
+    "regexp chain, byte-exact against the oracle's replay of the same "
+    "pipeline over the same synthesized HTML. Full SQL oracle",
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>D"), did.cast("string"),
+        F.lit("</title><style>p{color:red}</style>"),
+        F.lit('<script type="text/javascript">if (x &amp;&amp; y) { f(); }</script>'),
+        F.lit("</head><body><!-- c"), (did % 5).cast("string"), F.lit(" -->"),
+        F.lit("<h1>Doc "), did.cast("string"), F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>"),
+        F.lit("<TABLE><tr><td>cell"), (did % 3).cast("string"),
+        F.lit("</td></tr></TABLE></body></html>"),
+    )
+    return d.select("doc_id", W.html_to_text(html).alias("extracted"))
+
+
+@q(
+    "domain_cap_sample",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+    ), hosts AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)), '^www\\.', '', 'g') AS hostn
+      FROM u
+    ), doms AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(hostn,
+                    '\\.(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|br|in|cn|nz|za)$')
+                  THEN regexp_extract(hostn, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                  ELSE regexp_extract(hostn, '([^.]+\\.[^.]+)$', 1) END AS domain
+      FROM hosts
+    )
+    SELECT doc_id, domain FROM (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain
+                                ORDER BY md5('domain_cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM doms) t
+    WHERE rn <= 5
+    """,
+    "per-domain page cap (r11 - the RefinedWeb anti-spam composition: "
+    "registered_domain + the deterministic md5-ordered per-group "
+    "downsample): keep at most 5 pages per eTLD+1, reproducible across "
+    "runs/engines. Full SQL oracle",
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select("doc_id", _synth_url("doc_id").alias("url"))
+    with_dom = urls.select("doc_id", W.registered_domain("url").alias("domain"))
+    return R.balanced_sample(with_dom, "domain", "doc_id", 5, salt="domain_cap")
 

@@ -408,3 +408,20 @@ def test_stupid_backoff_keyed_joins_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_html_extract_scan_side_zero_exchange(spark):
+    """HTML -> text is one codegen regexp chain over the scan: no
+    shuffle, no join, no Python anywhere in the plan."""
+    plan = plan_of(spark, "html_extract_text")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan.replace("AQEShuffleRead", "")
+
+
+def test_domain_cap_single_window_shuffle(spark):
+    """The per-domain cap is ONE hash-partition exchange on the domain
+    + a bounded window — the same shape as any per-group top-k."""
+    plan = plan_of(spark, "domain_cap_sample")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -305,3 +305,30 @@ def test_gif_background_index_fills_canvas():
     assert (w, h) == (8, 6)
     assert np.array_equal(frames[0][0, 0], pal[2])  # border = bg color
     assert np.array_equal(frames[0][1:4, 1:5], pal[idx.reshape(-1)].reshape(3, 4, 3))
+
+
+# ------------------------- HTML extraction ---------------------------
+
+def test_html_to_text_semantics(spark):
+    html = (
+        '<html><head><STYLE media="x">body{}</STYLE>'
+        "<script>var a = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden -->"
+        "<h1>Title</h1><p>Hello <b>bold</b> world</p>"
+        "<div>A &amp; B &amp;lt; C&nbsp;D &#39;q&#39;</div>"
+        "<ul><li>one</li><li>two</li></ul>   trailing</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], ["h"])
+    got = df.select(W.html_to_text("h").alias("t")).collect()[0]["t"]
+    assert got == (
+        "Title\nHello bold world\nA & B &lt; C D 'q'\none\ntwo\ntrailing"
+    )
+
+
+def test_domain_cap_sample_caps_every_domain(spark):
+    from bigdata_foundation_spark.queries import registry
+
+    out = registry()["domain_cap_sample"].fn(spark, "/root/testdata/sf0.01")
+    counts = out.groupBy("domain").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+    assert sum(r["count"] for r in counts) == out.count()

@@ -185,6 +185,12 @@ PICKS = [
         "(count-distinct Expand rides the same keyed agg)",
     ),
     (
+        "html_extract_text",
+        "HTML -> text (NEW r11): ONE codegen regexp chain over the scan "
+        "- zero Exchange, zero Python, zero joins; extracting 100 TB of "
+        "crawl HTML costs exactly a scan",
+    ),
+    (
         "stupid_backoff_lm",
         "Stupid Backoff trigram LM (NEW r11): three map-side count "
         "aggregates train the LM on the reference slice; scoring is one "

@@ -159,6 +159,8 @@ PICKS = [
     "url_normalize_stats",
     "stupid_backoff_lm",
     "events_xml_parse",
+    "html_extract_text",
+    "domain_cap_sample",
 ]
 
 
