@@ -83,6 +83,8 @@ HEADLINE = [
     "stupid_backoff_lm",
     "html_extract_text",
     "domain_cap_sample",
+    "dedup_image_phash",
+    "fixed_width_parse",
 ]
 
 

@@ -940,6 +940,55 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hash64_neardup_pairs(
+    table: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs on ANY precomputed 64-bit fingerprint column —
+    the pigeonhole machinery of :func:`simhash_pairs` factored over a
+    generic hash table (r11: serves image dHash; any 64-bit LSH-able
+    fingerprint fits). Split the 64 bits into ``chunks`` pieces: a
+    pair within Hamming distance < chunks agrees on at least one
+    piece, so bucket-join per piece (bucket-capped, like every LSH
+    path here) then verify exactly with bit_count(xor). Requires
+    max_hamming < chunks for the pigeonhole recall guarantee."""
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole recall needs max_hamming < chunks")
+    base = tracked_cache(table.select(id_col, F.col(hash_col).alias("_h64")))
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("_h64", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.chunk").alias("chunk"), F.col("p.key").alias("key"))
+
+    cand = _bucket_pairs(pieces, id_col, ["chunk", "key"], max_bucket)
+    h = base.select(F.col(id_col), F.col("_h64"))
+    return (
+        cand.join(h.withColumnsRenamed({id_col: "id_a", "_h64": "_a"}), "id_a")
+        .join(h.withColumnsRenamed({id_col: "id_b", "_h64": "_b"}), "id_b")
+        .withColumn("hamming", hamming64(F.col("_a"), F.col("_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

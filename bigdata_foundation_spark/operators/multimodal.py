@@ -1710,6 +1710,160 @@ def synth_gif_bytes(d: int) -> bytes:
     return bytes(out)
 
 
+# ===================== Image perceptual hashing ======================
+# r11: dHash (difference hash, the standard cheap perceptual
+# fingerprint — Krawetz 2013 "Kind of Like That") over REAL decoded
+# pixels: sample a 9×8 grayscale grid (nearest-neighbor — integer
+# arithmetic end to end, so the golden replay is bit-exact), emit 64
+# bits of horizontal gradient sign. Near-duplicate IMAGES then reduce
+# to the SimHash pigeonhole machinery on the 64-bit hash
+# (dedup.hash64_neardup_pairs) — the image sibling of text SimHash.
+
+
+def _dhash64(pix: "np.ndarray") -> int:
+    """64-bit dHash of an (h, w, 3) uint8 RGB array, as a SIGNED
+    int64 (Spark LongType two's-complement). Integer-exact: gray =
+    (r+g+b)//3; grid row y samples source row y·h//8, columns x·w//9;
+    bit (y·8+x) = grid[y][x+1] > grid[y][x]."""
+    h, w = pix.shape[0], pix.shape[1]
+    if h < 1 or w < 2:
+        raise ValueError("dhash: image too small")
+    gray = pix.astype(np.int64).sum(axis=2) // 3
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(9, dtype=np.int64) * w) // 9
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    val = 0
+    for i in range(64):
+        if bits[i]:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def _decode_pixels(p: bytes) -> "np.ndarray":
+    """Format-sniffing decode to an (h, w, 3) uint8 RGB array — the
+    pixel-level sibling of _decode_payload (which reduces to
+    features). Raises on undecodable payloads; perceptual hashing has
+    no meaningful stub (a hash of fake pixels would create FALSE
+    near-dup pairs, which is worse than dropping the file)."""
+    if p[:2] == b"BM":
+        w, h, pix = _decode_bmp(p)
+        return pix.reshape(h, w, 3)
+    if p.startswith(_PNG_MAGIC):
+        w, h, pix = _decode_png(p)
+        return pix.reshape(h, w, 3)
+    if p[:3] == b"\xff\xd8\xff":
+        w, h, pix = _decode_jpeg(p)
+        return pix.reshape(h, w, 3)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, frames = _gif_frames(p, max_frames=1)
+        return frames[0]
+    raise ValueError("no pixel decoder for payload")
+
+
+def image_dhash_table(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, dhash) for every DECODABLE image payload — Arrow-batched
+    mapInPandas, partitioning preserved, one row per decodable image
+    (undecodable payloads emit NO rows; see _decode_pixels)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, media.schema[id_col].dataType),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    pix = _decode_pixels(raw)
+                    hashes.append(_dhash64(pix))
+                    ids.append(mid)
+                except (ValueError, struct.error, IndexError, zlib.error, KeyError):
+                    continue
+            if ids:
+                yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return media.select(id_col, "payload").mapInPandas(gen, schema)
+
+
+def _synth_image_pixels(d: int, n_base: int = 250) -> "np.ndarray":
+    """Deterministic RGB pixels for the planted near-dup image corpus:
+    ids d and d + n_base share base = d % n_base; the second copy
+    perturbs a 3×3 block at a base-dependent position (+40 mod 256) —
+    a small local edit, the classic near-duplicate image."""
+    base = d % n_base
+    rep = d // n_base
+    w = 24 + (base % 5) * 4
+    h = 16 + (base % 3) * 4
+    y = np.arange(h, dtype=np.uint64)[:, None, None]
+    x = np.arange(w, dtype=np.uint64)[None, :, None]
+    c = np.arange(3, dtype=np.uint64)[None, None, :]
+    # real 64-bit mix, HIGH bits taken: a linear rule mod 256 makes
+    # distinct bases mere constant offsets of one another (the whole
+    # corpus collapses to ~256·15 distinct images at scale and the
+    # true pair count goes quadratic); the xorshift-multiply breaks
+    # the linearity so every base is a genuinely distinct image
+    t = np.uint64(base) * np.uint64(2654435761) + y * np.uint64(97) + x * np.uint64(89) + c * np.uint64(83)
+    t = (t ^ (t >> np.uint64(13))) * np.uint64(1274126177)
+    pix = ((t >> np.uint64(24)) % np.uint64(256)).astype(np.int64)
+    if rep:
+        by = (base * 7) % (h - 3)
+        bx = (base * 11) % (w - 3)
+        pix[by : by + 3, bx : bx + 3, :] = (pix[by : by + 3, bx : bx + 3, :] + 40) % 256
+    return pix.astype(np.uint8)
+
+
+def synth_bmp_bytes(pix: "np.ndarray") -> bytes:
+    """24-bpp BI_RGB BMP encoder for an (h, w, 3) uint8 RGB array —
+    the synth/test twin of _decode_bmp (bottom-up BGR rows, 4-byte
+    padding)."""
+    h, w = pix.shape[0], pix.shape[1]
+    row_sz = (w * 3 + 3) & ~3
+    rows = pix[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    if row_sz != w * 3:
+        rows = np.concatenate(
+            [rows, np.zeros((h, row_sz - w * 3), dtype=np.uint8)], axis=1
+        )
+    data = rows.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return hdr + info + data
+
+
+def synth_image_pair_table(
+    df: DataFrame, id_col: str = "doc_id", n_base: int = 250
+) -> DataFrame:
+    """Deterministic BMP payloads with PLANTED near-duplicate pairs
+    (see _synth_image_pixels) — the image-dedup twin of the documents
+    table's planted text near-dups. Replayed bytes-free by
+    tools/gen_pipeline_goldens.image_phash_golden."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            payloads = [synth_bmp_bytes(_synth_image_pixels(int(d), n_base)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["image/bmp"] * len(ids),
+                    "byte_len": [len(b) for b in payloads],
+                }
+            )
+
+    from bigdata_foundation_spark.operators.dedup import spread
+
+    return spread(df.select(id_col), id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _decode_payload(p: bytes) -> tuple[int, int, list[float]]:
     """Format-sniffing decode: REAL stdlib decode for BMP/PNG/GIF/
     baseline-and-progressive-JPEG/PCM-and-ADPCM-WAV/uncompressed-AVI

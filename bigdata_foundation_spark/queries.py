@@ -83,19 +83,21 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # 24 float-PCM debut rows; video golden regen byte-identical), the
 # MinHash est-prune fusion (_bucket_pairs_est: pair generation emits
 # the agreement estimate, distinct + verify see only survivors;
-# golden unchanged), and the SEVEN r11 debuts (GIF decode + animation
+# golden unchanged), and the NINE r11 debuts (GIF decode + animation
 # frames, URL curation, Stupid Backoff LM, XML parse, HTML extraction,
-# domain-cap sampling — debuts are value-gated on arrival); then (b)
-# the OLDEST-GATED rotation: the FULL remaining r6 block (15 entries —
-# after this round no entry's latest gate is older than r7) plus the
-# first 22 of the r7 block in name order (the remaining 15 r7 entries
-# head the r12 rotation: graph_louvain, graph_modularity, graph_msf,
-# graph_node_similarity, graph_pagerank, graph_ppr, graph_scc,
-# graph_yens_postprocess, hard_negatives, hybrid_rank_rrf,
-# pmi_collocations, retention_cohorts, rfm_segmentation,
-# sessionize_events, temperature_mixture; staleness computed from the
-# union of CORRECTNESS_r01–r10.json).
-# Totals: 6 changed + 7 debuts + 15 r6 + 22 r7 = 50.
+# domain-cap sampling, image dHash near-dup, fixed-width parse —
+# debuts are value-gated
+# on arrival); then (b) the OLDEST-GATED rotation: the FULL remaining
+# r6 block (15 entries — after this round no entry's latest gate is
+# older than r7) plus the first 21 of the r7 block in name order (the
+# remaining 16 r7 entries head the r12 rotation: graph_label_propagation,
+# graph_louvain, graph_modularity, graph_msf, graph_node_similarity,
+# graph_pagerank, graph_ppr, graph_scc, graph_yens_postprocess,
+# hard_negatives, hybrid_rank_rrf, pmi_collocations, retention_cohorts,
+# rfm_segmentation, sessionize_events, temperature_mixture; staleness
+# computed from the union of CORRECTNESS_r01–r10.json).
+# Totals: 6 changed + 9 debuts + 15 r6 + 20 r7 = 50 (graph_ktruss
+# also joins the r12 rotation head).
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
 # keep registration order after these.
@@ -114,6 +116,8 @@ GATE_ORDER: list[str] = [
     "events_xml_parse",  # r11 debut: native from_xml round-trip parse
     "html_extract_text",  # r11 debut: HTML -> text extraction chain
     "domain_cap_sample",  # r11 debut: per-domain page cap composition
+    "dedup_image_phash",  # r11 debut: image dHash near-dup pairs
+    "fixed_width_parse",  # r11 debut: fixed-width feed-file parse round-trip
     # (b) oldest-gated rotation — the FULL remaining r6 block
     "graph_ingest_limit",  # last gated r6
     "graph_nodes",  # last gated r6
@@ -151,8 +155,6 @@ GATE_ORDER: list[str] = [
     "graph_hits",  # last gated r7
     "graph_hyperball",  # last gated r7
     "graph_kcore",  # last gated r7
-    "graph_ktruss",  # last gated r7
-    "graph_label_propagation",  # last gated r7
 ]
 
 
@@ -5608,4 +5610,72 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = d.select("doc_id", _synth_url("doc_id").alias("url"))
     with_dom = urls.select("doc_id", W.registered_domain("url").alias("domain"))
     return R.balanced_sample(with_dom, "domain", "doc_id", 5, salt="domain_cap")
+
+@q(
+    "dedup_image_phash",
+    PIPELINE_GOLDEN_SQL["dedup_image_phash"],
+    "IMAGE near-duplicate detection (r11 - the image sibling of text "
+    "SimHash): real BMP decode -> 64-bit dHash perceptual fingerprint "
+    "(integer nearest-neighbor 9x8 gradient grid) -> pigeonhole "
+    "Hamming pairs over a corpus with PLANTED near-dup images (local "
+    "3x3 edits). Pinned golden from the bytes-free replay with an "
+    "independent scalar dHash - the encode/decode/hash path must land "
+    "on exactly these pairs",
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # n_base = half the corpus keeps the planted structure
+    # scale-invariant (exactly one near-dup partner per base) — a
+    # fixed n_base degenerates at 10x scale into 20-member identical
+    # groups and the TRUE pair count goes quadratic (output-bound,
+    # like the simhash sf1 cell). At the gate scale (500 docs) this
+    # is the golden's n_base = 250.
+    n_base = max(1, d.count() // 2)
+    media = M.synth_image_pair_table(d, n_base=n_base)
+    hashes = M.image_dhash_table(media)
+    pairs = D.hash64_neardup_pairs(hashes, id_col="media_id", hash_col="dhash")
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+@q(
+    "fixed_width_parse",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_date,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "fixed-width feed-file parsing (r11 - the COBOL-copybook source "
+    "format, io.parse_fixed_width): a fixed-width line synthesized "
+    "scan-side from the base columns round-trips through the real "
+    "substring/trim/cast parser back to typed fields; the oracle "
+    "re-derives the aggregate from the base columns directly, so any "
+    "offset/trim/cast defect breaks the match. Full SQL oracle",
+)
+def fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.io import parse_fixed_width
+
+    o = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, " "),
+        F.lpad(F.col("o_custkey").cast("string"), 10, " "),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+        F.rpad(F.col("o_orderdate").cast("string"), 10, " "),
+    )
+    lines = o.select(line.alias("line"))
+    parsed = parse_fixed_width(
+        lines,
+        "line",
+        [
+            ("orderkey", 1, 10, "bigint"),
+            ("custkey", 11, 10, "bigint"),
+            ("priority", 21, 15, "string"),
+            ("orderdate", 36, 10, "date"),
+        ],
+    )
+    return parsed.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("orderdate").cast("string").alias("first_date"),
+        F.max("custkey").cast("bigint").alias("max_cust"),
+    )
 

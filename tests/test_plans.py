@@ -425,3 +425,23 @@ def test_domain_cap_single_window_shuffle(spark):
     plan = plan_of(spark, "domain_cap_sample")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_image_phash_arrow_no_cartesian(spark):
+    """Image dHash near-dup: decode/hash are Arrow MapInPandas stages;
+    candidates come from the pigeonhole bucket join — never a
+    cartesian, never row-at-a-time Python."""
+    plan = plan_of(spark, "dedup_image_phash")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fixed_width_scan_side_partial_agg(spark):
+    """Fixed-width parsing is substring/trim/cast codegen over the
+    scan; the only shuffle belongs to the aggregate, combined
+    map-side."""
+    plan = plan_of(spark, "fixed_width_parse")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_min" in plan

@@ -332,3 +332,68 @@ def test_domain_cap_sample_caps_every_domain(spark):
     counts = out.groupBy("domain").count().collect()
     assert all(r["count"] <= 5 for r in counts)
     assert sum(r["count"] for r in counts) == out.count()
+
+
+# --------------------------- image dHash ------------------------------
+
+def test_dhash_known_values_and_planted_pairs(spark):
+    # monotone horizontal gradient -> every gradient bit set -> -1
+    grad = np.tile(np.arange(36, dtype=np.uint8) * 7, (16, 1))
+    pix = np.stack([grad] * 3, axis=2)
+    assert M._dhash64(pix) == -1
+    # flat image -> no bits set
+    assert M._dhash64(np.full((16, 36, 3), 9, dtype=np.uint8)) == 0
+    # planted near-dup corpus: engine pipeline finds the (d, d+250)
+    # pairs whose local 3x3 edit stays within hamming 3
+    ids = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    media = M.synth_image_pair_table(ids)
+    hashes = M.image_dhash_table(media)
+    assert hashes.count() == 500  # every BMP decodable
+    from bigdata_foundation_spark.operators.dedup import hash64_neardup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in hash64_neardup_pairs(hashes).collect()}
+    planted = [(d, d + 250) for d in range(250)]
+    found = [p for p in planted if p in pairs]
+    assert len(found) >= 0.8 * len(planted)  # a few edits cross the threshold
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_image_dhash_table_drops_undecodable(spark):
+    ids = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    media = M.synth_image_pair_table(ids).withColumn(
+        "payload", F.lit(b"not an image")
+    )
+    assert M.image_dhash_table(media).count() == 0
+
+
+def test_hash64_pairs_pigeonhole_guard(spark):
+    from bigdata_foundation_spark.operators.dedup import hash64_neardup_pairs
+
+    df = spark.createDataFrame([(1, 0)], ["media_id", "dhash"])
+    with pytest.raises(ValueError):
+        hash64_neardup_pairs(df, max_hamming=4, chunks=4)
+
+
+# --------------------------- fixed width ------------------------------
+
+def test_parse_fixed_width_offsets_trim_casts(spark):
+    from bigdata_foundation_spark.io import parse_fixed_width
+
+    rows = [("        42    -7   hello world  2020-02-29",)]
+    df = spark.createDataFrame(rows, ["line"])
+    got = parse_fixed_width(
+        df,
+        "line",
+        [
+            ("a", 1, 10, "bigint"),
+            ("b", 11, 6, "int"),
+            ("c", 17, 14, "string"),
+            ("d", 31, 13, "date"),
+        ],
+    ).collect()[0]
+    import datetime
+
+    assert got["a"] == 42 and got["b"] == -7
+    assert got["c"] == "hello world"
+    assert got["d"] == datetime.date(2020, 2, 29)

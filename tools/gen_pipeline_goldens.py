@@ -472,6 +472,70 @@ def gif_frames_golden(docs, every_n=2, max_frames=4):
     )
 
 
+# --- dedup_image_phash -------------------------------------------------------
+
+def image_phash_golden(docs, n_base=250, max_hamming=3):
+    """Replays the planted near-dup image corpus (the deterministic
+    pixel rule documented at multimodal.synth_image_pair_table) +
+    dHash + the Hamming pair sweep, bytes-free and with an
+    independent SCALAR dHash implementation — the engine's
+    BMP encode -> decode -> numpy dHash path must land on exactly
+    these pairs."""
+    import numpy as np
+
+    def pixels(d):
+        base = d % n_base
+        rep = d // n_base
+        w = 24 + (base % 5) * 4
+        h = 16 + (base % 3) * 4
+        M64 = (1 << 64) - 1
+
+        def px(y, x, c):
+            t = (base * 2654435761 + y * 97 + x * 89 + c * 83) & M64
+            t = ((t ^ (t >> 13)) * 1274126177) & M64
+            return (t >> 24) % 256
+
+        pix = [[[px(y, x, c) for c in range(3)] for x in range(w)] for y in range(h)]
+        if rep:
+            by = (base * 7) % (h - 3)
+            bx = (base * 11) % (w - 3)
+            for y in range(by, by + 3):
+                for x in range(bx, bx + 3):
+                    for c in range(3):
+                        pix[y][x][c] = (pix[y][x][c] + 40) % 256
+        return pix, w, h
+
+    def dhash(pix, w, h):
+        gray = [[sum(pix[y][x]) // 3 for x in range(w)] for y in range(h)]
+        val = 0
+        for gy in range(8):
+            sy = (gy * h) // 8
+            for gx in range(8):
+                a = gray[sy][(gx * w) // 9]
+                b = gray[sy][((gx + 1) * w) // 9]
+                if b > a:
+                    val |= 1 << (gy * 8 + gx)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        return val
+
+    hashes = {}
+    for doc_id, _text in docs:
+        pix, w, h = pixels(doc_id)
+        hashes[doc_id] = dhash(pix, w, h)
+    ids = sorted(hashes)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if hd <= max_hamming:
+                out.append((a, b, hd))
+    return values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")],
+        out,
+    )
+
+
 # --- streaming_corpus_dedup ------------------------------------------------
 
 def corpus_stream_golden(
@@ -1088,6 +1152,7 @@ def main() -> None:
         "multimodal_video_frames": video_golden(docs),
         "multimodal_gif_decode": gif_decode_golden(docs),
         "multimodal_gif_frames": gif_frames_golden(docs),
+        "dedup_image_phash": image_phash_golden(docs),
     }
 
     out = "/root/repo/bigdata_foundation_spark/pipeline_goldens.py"

@@ -161,6 +161,8 @@ PICKS = [
     "events_xml_parse",
     "html_extract_text",
     "domain_cap_sample",
+    "dedup_image_phash",
+    "fixed_width_parse",
 ]
 
 
