@@ -947,19 +947,26 @@ def hash64_neardup_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = 1000,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs on ANY precomputed 64-bit fingerprint column —
-    the pigeonhole machinery of :func:`simhash_pairs` factored over a
-    generic hash table (r11: serves image dHash; any 64-bit LSH-able
-    fingerprint fits). Split the 64 bits into ``chunks`` pieces: a
-    pair within Hamming distance < chunks agrees on at least one
-    piece, so bucket-join per piece (bucket-capped, like every LSH
-    path here) then verify exactly with bit_count(xor). Requires
-    max_hamming < chunks for the pigeonhole recall guarantee."""
+    """Near-dup pairs on ANY precomputed <=64-bit fingerprint column —
+    the pigeonhole machinery shared by image dHash (64 bits) and
+    :func:`simhash_pairs` (60 bits — r11 review: the SimHash chain
+    now DELEGATES here instead of carrying a verbatim copy). Split
+    the fingerprint into ``chunks`` pieces: a pair within Hamming
+    distance < chunks agrees on at least one piece, so bucket-join
+    per piece (bucket-capped, like every LSH path here) then verify
+    exactly with bit_count(xor). Requires max_hamming < chunks for
+    the pigeonhole recall guarantee.
+
+    ``base`` is cached: one narrow row per id, read by both sides of
+    the bucket self-join and the verify join — without it the
+    fingerprinting (the pipeline's expensive stage) runs three
+    times."""
     if max_hamming >= chunks:
         raise ValueError("pigeonhole recall needs max_hamming < chunks")
     base = tracked_cache(table.select(id_col, F.col(hash_col).alias("_h64")))
-    width = 64 // chunks
+    width = bits // chunks
     mask = (1 << width) - 1
     pieces = base.select(
         id_col,
@@ -1000,43 +1007,18 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming on SimHash.
 
-    Candidates via the pigeonhole trick: split the fingerprint into
-    ``chunks`` pieces — any pair within distance < chunks agrees on at
-    least one piece, so bucket-join per piece then verify exactly.
-
-    ``base`` is cached: one narrow row per doc, read by both sides of
-    the bucket self-join and the verify join — without it the vote
-    aggregation (the pipeline's expensive stage) runs three times."""
-    base = tracked_cache(
-        simhash_table(df, text_col, id_col, bits)
-        .withColumnRenamed("simhash", "_sh64")
-    )
-    width = bits // chunks
-    mask = (1 << width) - 1
-    pieces = base.select(
-        id_col,
-        "_sh64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("_sh64", i * width).bitwiseAND(F.lit(mask)).alias("key"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("p"),
-    ).select(id_col, "_sh64", F.col("p.chunk").alias("chunk"), F.col("p.key").alias("key"))
-
-    cand = _bucket_pairs(pieces, id_col, ["chunk", "key"], max_bucket)
-    h = base.select(F.col(id_col), F.col("_sh64"))
-    return (
-        cand.join(h.withColumnsRenamed({id_col: "id_a", "_sh64": "_a"}), "id_a")
-        .join(h.withColumnsRenamed({id_col: "id_b", "_sh64": "_b"}), "id_b")
-        .withColumn("hamming", hamming64(F.col("_a"), F.col("_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    Candidate generation and exact verify delegate to
+    :func:`hash64_neardup_pairs` (the shared pigeonhole machinery —
+    r11 review: previously a verbatim copy lived here and every fix
+    had to land twice)."""
+    return hash64_neardup_pairs(
+        simhash_table(df, text_col, id_col, bits),
+        id_col=id_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket=max_bucket,
+        bits=bits,
     )
 
 

@@ -1726,8 +1726,12 @@ def _dhash64(pix: "np.ndarray") -> int:
     (r+g+b)//3; grid row y samples source row y·h//8, columns x·w//9;
     bit (y·8+x) = grid[y][x+1] > grid[y][x]."""
     h, w = pix.shape[0], pix.shape[1]
-    if h < 1 or w < 2:
-        raise ValueError("dhash: image too small")
+    if h < 8 or w < 9:
+        # below the 9x8 sample grid the hash degenerates (duplicate
+        # sample columns force most gradient bits to 0) and UNRELATED
+        # tiny images collide within the Hamming threshold — false
+        # near-dup pairs are worse than dropping the file (r11 review)
+        raise ValueError("dhash: image smaller than the 9x8 sample grid")
     gray = pix.astype(np.int64).sum(axis=2) // 3
     ys = (np.arange(8, dtype=np.int64) * h) // 8
     xs = (np.arange(9, dtype=np.int64) * w) // 9
@@ -1785,7 +1789,14 @@ def image_dhash_table(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     pix = _decode_pixels(raw)
                     hashes.append(_dhash64(pix))
                     ids.append(mid)
-                except (ValueError, struct.error, IndexError, zlib.error, KeyError):
+                except (
+                    ValueError,
+                    struct.error,
+                    IndexError,
+                    zlib.error,
+                    KeyError,
+                    ZeroDivisionError,  # zero JPEG sampling factors
+                ):
                     continue
             if ids:
                 yield pd.DataFrame({id_col: ids, "dhash": hashes})

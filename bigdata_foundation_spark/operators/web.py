@@ -171,9 +171,10 @@ def html_to_text(html: Column | str) -> Column:
        newlines; every other tag is deleted;
     3. the five predefined entities plus ``&#39;`` and ``&nbsp;``
        decode (``&amp;`` LAST — the classic double-decode pitfall);
-    4. whitespace normalizes: runs of spaces/tabs collapse to one
-       space, spaces around newlines drop, newline runs collapse to
-       one, ends trimmed.
+    4. whitespace normalizes: CR/CRLF fold to LF first (the dominant
+       real-world line ending — r11 review), runs of spaces/tabs
+       collapse to one space, spaces around newlines drop, newline
+       runs collapse to one, ends trimmed.
 
     All patterns are RE2-safe and replayed verbatim by the oracle."""
     t = _c(html)
@@ -191,6 +192,7 @@ def html_to_text(html: Column | str) -> Column:
         ("&amp;", "&"),  # LAST, so '&amp;lt;' decodes to '&lt;' not '<'
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"\r\n?", "\n")
     t = F.regexp_replace(t, r"[ \t]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n+", "\n")

@@ -89,7 +89,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # debuts are value-gated
 # on arrival); then (b) the OLDEST-GATED rotation: the FULL remaining
 # r6 block (15 entries — after this round no entry's latest gate is
-# older than r7) plus the first 21 of the r7 block in name order (the
+# older than r7) plus the first 20 of the r7 block in name order (the
 # remaining 16 r7 entries head the r12 rotation: graph_label_propagation,
 # graph_louvain, graph_modularity, graph_msf, graph_node_similarity,
 # graph_pagerank, graph_ppr, graph_scc, graph_yens_postprocess,
@@ -5541,7 +5541,8 @@ HTML_EXTRACT_ORACLE = f"""
       FROM s2
     ), s4 AS (
       SELECT doc_id,
-             trim(regexp_replace(regexp_replace(regexp_replace(t,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(t, '\r\n?', chr(10), 'g'),
                '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
                '\n+', chr(10), 'g'), ' ' || chr(10)) AS extracted
       FROM s3

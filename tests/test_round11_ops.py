@@ -397,3 +397,26 @@ def test_parse_fixed_width_offsets_trim_casts(spark):
     assert got["a"] == 42 and got["b"] == -7
     assert got["c"] == "hello world"
     assert got["d"] == datetime.date(2020, 2, 29)
+
+
+def test_review2_regressions(spark):
+    """Second review pass: corrupt-JPEG ZeroDivisionError skipped (not
+    task-fatal), CRLF folds to LF in html_to_text, sub-grid images
+    rejected by dHash."""
+    # malformed JPEG: zero sampling factors -> ZeroDivisionError inside
+    # the decoder must SKIP the row, not fail the Arrow task
+    bad_jpeg = (
+        b"\xff\xd8\xff" + b"\xc0\x00\x11\x08\x00\x10\x00\x10\x03"
+        + b"\x01\x00\x00\x02\x00\x01\x03\x00\x01"  # component with 0x00 factors
+    )
+    ids = spark.range(0, 2).withColumnRenamed("id", "doc_id")
+    media = M.synth_image_pair_table(ids).withColumn("payload", F.lit(bytes(bad_jpeg)))
+    assert M.image_dhash_table(media).count() == 0
+    # CRLF normalization
+    df = spark.createDataFrame([("<p>a\r\nb</p><div>c\rd</div>",)], ["h"])
+    got = df.select(W.html_to_text("h").alias("t")).collect()[0]["t"]
+    assert got == "a\nb\nc\nd"
+    # sub-grid image -> ValueError (false near-dup pairs are worse
+    # than dropping the file)
+    with pytest.raises(ValueError):
+        M._dhash64(np.zeros((4, 4, 3), dtype=np.uint8))
