@@ -956,15 +956,16 @@ def hash64_neardup_pairs(
     the fingerprint into ``chunks`` pieces: a pair within Hamming
     distance < chunks agrees on at least one piece, so bucket-join
     per piece (bucket-capped, like every LSH path here) then verify
-    exactly with bit_count(xor). Requires max_hamming < chunks for
-    the pigeonhole recall guarantee.
+    exactly with bit_count(xor). The FULL recall guarantee holds iff
+    max_hamming < chunks; larger thresholds are accepted with
+    BEST-EFFORT recall (candidates still need one agreeing piece —
+    the legacy simhash_pairs semantics, useful when a caller loosens
+    the verify threshold without re-bucketing).
 
     ``base`` is cached: one narrow row per id, read by both sides of
     the bucket self-join and the verify join — without it the
     fingerprinting (the pipeline's expensive stage) runs three
     times."""
-    if max_hamming >= chunks:
-        raise ValueError("pigeonhole recall needs max_hamming < chunks")
     base = tracked_cache(table.select(id_col, F.col(hash_col).alias("_h64")))
     width = bits // chunks
     mask = (1 << width) - 1

@@ -367,12 +367,19 @@ def test_image_dhash_table_drops_undecodable(spark):
     assert M.image_dhash_table(media).count() == 0
 
 
-def test_hash64_pairs_pigeonhole_guard(spark):
+def test_hash64_pairs_loose_threshold_best_effort(spark):
+    """max_hamming >= chunks is ACCEPTED with best-effort recall (the
+    legacy simhash_pairs contract — the full-battery run caught an
+    earlier draft raising here and breaking simhash_pairs
+    max_hamming=5): pairs within chunk agreement still verify."""
     from bigdata_foundation_spark.operators.dedup import hash64_neardup_pairs
 
-    df = spark.createDataFrame([(1, 0)], ["media_id", "dhash"])
-    with pytest.raises(ValueError):
-        hash64_neardup_pairs(df, max_hamming=4, chunks=4)
+    rows = [(1, 0), (2, 0b11111), (3, 0)]  # 1~3 identical; 2 differs in 5 bits
+    df = spark.createDataFrame(rows, ["media_id", "dhash"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hash64_neardup_pairs(df, max_hamming=5, chunks=4).collect()}
+    assert got[(1, 3)] == 0
+    assert got[(1, 2)] == 5  # shares 3 of 4 chunks -> candidate found
 
 
 # --------------------------- fixed width ------------------------------
