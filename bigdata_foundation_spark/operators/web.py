@@ -21,9 +21,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tracking parameters stripped by normalize_url. The alternation is
-# shared verbatim with the SQL oracle — extend both together.
-TRACKING_PARAM_RE = r"(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)"
+# Tracking param=value alternation stripped by normalize_url; shared
+# verbatim with the SQL oracle — extend both together. utm_*/fbclid/
+# gclid/msclkid strip regardless of value; ``ref`` strips ONLY for a
+# closed set of referral slugs (r11 advice: ``ref`` is commonly a
+# meaningful param — refinements/pagination — so a blanket strip
+# conflates genuinely distinct pages and inflates the URL-level
+# exact-duplicate rate). The run-consuming outer pattern appends
+# (&|$), so the ref slugs are value-EXACT: ``ref=rss2`` survives.
+TRACKING_PARAM_RE = (
+    r"(?:utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&]*"
+    r"|ref=(?:rss|feed|share|social|twitter|facebook|newsletter|email)"
+)
 
 # Multi-label public suffixes recognized by registered_domain. A real
 # deployment swaps in the full Mozilla Public Suffix List (a data
@@ -44,7 +53,9 @@ def normalize_url(url: Column | str) -> Column:
 
     1. drop the fragment (``#...`` — never sent to the server);
     2. strip tracking query parameters (``utm_*``, ``fbclid``,
-       ``gclid``, ``msclkid``, ``ref``) from the QUERY STRING ONLY
+       ``gclid``, ``msclkid``, and ``ref`` with a value-exact
+       referral slug — see TRACKING_PARAM_RE) from the QUERY STRING
+       ONLY
        (the strip runs on the part after the first ``?``, so a
        literal ``&ref=`` inside a path or userinfo is never touched —
        r11 review finding), keeping the relative order of the
@@ -67,7 +78,7 @@ def normalize_url(url: Column | str) -> Column:
     base = F.regexp_extract(u, r"^[^?]*", 0)
     qry = F.regexp_replace(u, r"^[^?]*", "")
     qry = F.regexp_replace(
-        qry, r"([?&])(" + TRACKING_PARAM_RE + r"=[^&]*(&|$))+", r"$1"
+        qry, r"([?&])(?:(?:" + TRACKING_PARAM_RE + r")(?:&|$))+", r"$1"
     )
     # …then drop the introducer if nothing survived behind it
     qry = F.regexp_replace(qry, r"[?&]$", "")
@@ -85,28 +96,42 @@ def normalize_url(url: Column | str) -> Column:
     return u
 
 
+# IPv4 literal host (r12 advice fix: IP hosts have no label
+# structure to cut, so registered_domain must keep them whole).
+# Shared verbatim with the SQL oracle.
+IPV4_HOST_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+
+
 def url_host(url: Column | str) -> Column:
-    """Authority host of a URL (userinfo and port excluded),
-    lowercased. The optional ``user[:pass]@`` runs to the LAST ``@``
-    in the authority (hostnames cannot contain ``@``) — r11 review
-    finding: without this, ``https://x@blocked.com/`` computed a
-    userinfo-polluted domain and slipped past blocklists."""
-    return F.lower(
-        F.regexp_extract(
-            _c(url),
-            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)",
-            1,
-        )
+    """Authority host of a URL (userinfo, port, and IPv6 brackets
+    excluded), lowercased. The optional ``user[:pass]@`` runs to the
+    LAST ``@`` in the authority (hostnames cannot contain ``@``) —
+    r11 review finding: without this, ``https://x@blocked.com/``
+    computed a userinfo-polluted domain and slipped past blocklists.
+    A bracketed IPv6 literal (``https://[::1]/``) is matched FIRST
+    (the bare-host alternative would stop at its ':') and returned
+    without the brackets (r12 advice fix)."""
+    raw = F.regexp_extract(
+        _c(url),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/:?#@]+)",
+        1,
     )
+    return F.lower(F.regexp_replace(raw, r"^\[|\]$", ""))
 
 
 def registered_domain(url: Column | str) -> Column:
     """eTLD+1 (the per-site aggregation key for domain caps and
     blocklists): host, minus a leading ``www.``, cut to the public
     suffix plus one label. Suffix set: all two-label combinations in
-    MULTI_SUFFIX_RE take three labels, everything else two."""
+    MULTI_SUFFIX_RE take three labels, everything else two. IP-hosted
+    URLs (dotted-quad IPv4, or IPv6 — any host containing ':' after
+    bracket strip) have no label structure to cut: the full host IS
+    the registered domain (r12 advice fix — previously
+    ``https://1.2.3.4/`` bucketed as the pseudo-domain ``3.4``)."""
     host = F.regexp_replace(url_host(_c(url)), r"^www\.", "")
     return F.when(
+        host.rlike(IPV4_HOST_RE) | host.contains(":"), host
+    ).when(
         host.rlike(MULTI_SUFFIX_RE),
         F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1),
     ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))

@@ -436,9 +436,17 @@ def events_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # Escape the embedded column before concat (r12 advice fix: an
+    # event_type containing '&' or '<' would otherwise produce
+    # malformed XML that from_xml silently nulls). '&' FIRST so the
+    # other escapes aren't double-escaped; from_xml decodes the
+    # entities back, so the round-trip stays the identity.
+    et = F.col("event_type")
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        et = F.replace(et, F.lit(ch), F.lit(ent))
     xml = F.concat(
         F.lit("<ev><t>"),
-        F.col("event_type"),
+        et,
         F.lit("</t><u>"),
         F.col("user_id").cast("string"),
         F.lit("</u></ev>"),
@@ -5277,10 +5285,14 @@ def _synth_url(d):
         .otherwise(F.lit("HTTPS"))
     )
     host = (
-        F.when(s % 4 == 0, F.concat(F.lit("WWW.Example"), (s % 20).cast("string"), F.lit(".COM")))
-        .when(s % 4 == 1, F.concat(F.lit("news.site"), (s % 10).cast("string"), F.lit(".co.uk")))
-        .when(s % 4 == 2, F.concat(F.lit("Blog"), (s % 15).cast("string"), F.lit(".ORG")))
-        .otherwise(F.concat(F.lit("cdn.media"), (s % 5).cast("string"), F.lit(".net")))
+        F.when(s % 6 == 0, F.concat(F.lit("WWW.Example"), (s % 20).cast("string"), F.lit(".COM")))
+        .when(s % 6 == 1, F.concat(F.lit("news.site"), (s % 10).cast("string"), F.lit(".co.uk")))
+        .when(s % 6 == 2, F.concat(F.lit("Blog"), (s % 15).cast("string"), F.lit(".ORG")))
+        .when(s % 6 == 3, F.concat(F.lit("cdn.media"), (s % 5).cast("string"), F.lit(".net")))
+        # IP-hosted families (r12 advice fix: the full IP host IS the
+        # registered domain — no label cutting, no '3.4' pseudo-domain)
+        .when(s % 6 == 4, F.concat(F.lit("203.0.113."), (s % 4).cast("string")))
+        .otherwise(F.concat(F.lit("[2001:DB8::"), (s % 3).cast("string"), F.lit("]")))
     )
     # userinfo on some ids (r11 review: host/domain extraction must
     # skip user[:pass]@ — hostnames cannot contain '@')
@@ -5302,7 +5314,9 @@ def _synth_url(d):
         .when(s % 6 == 1, F.concat(F.lit("?id="), s.cast("string"), F.lit("&utm_campaign=q"), (s % 3).cast("string")))
         .when(s % 6 == 2, F.lit("?utm_medium=m&utm_term=t"))
         .when(s % 6 == 3, F.lit("?a=1&ref=rss&b=2"))
-        .when(s % 6 == 4, F.concat(F.lit("?p="), (s % 9).cast("string")))
+        # '&ref=p2' is NOT a referral slug and must SURVIVE (r12
+        # advice fix: 'ref' strips value-exact, not blanket)
+        .when(s % 6 == 4, F.concat(F.lit("?p="), (s % 9).cast("string"), F.lit("&ref=p2")))
         .otherwise(F.lit(""))
     )
     frag = F.when(s % 2 == 0, F.concat(F.lit("#sec"), (s % 4).cast("string"))).otherwise(F.lit(""))
@@ -5314,11 +5328,13 @@ _SYNTH_URL_SQL = """
       || '://' ||
       CASE WHEN doc_id % 8 = 5 THEN 'u' || CAST(doc_id % 3 AS VARCHAR) || ':Pw@' ELSE '' END
       ||
-      CASE doc_id % 4
+      CASE doc_id % 6
         WHEN 0 THEN 'WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
         WHEN 1 THEN 'news.site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
         WHEN 2 THEN 'Blog' || CAST(doc_id % 15 AS VARCHAR) || '.ORG'
-        ELSE 'cdn.media' || CAST(doc_id % 5 AS VARCHAR) || '.net' END
+        WHEN 3 THEN 'cdn.media' || CAST(doc_id % 5 AS VARCHAR) || '.net'
+        WHEN 4 THEN '203.0.113.' || CAST(doc_id % 4 AS VARCHAR)
+        ELSE '[2001:DB8::' || CAST(doc_id % 3 AS VARCHAR) || ']' END
       ||
       CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END
       ||
@@ -5329,7 +5345,7 @@ _SYNTH_URL_SQL = """
         WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=q' || CAST(doc_id % 3 AS VARCHAR)
         WHEN 2 THEN '?utm_medium=m&utm_term=t'
         WHEN 3 THEN '?a=1&ref=rss&b=2'
-        WHEN 4 THEN '?p=' || CAST(doc_id % 9 AS VARCHAR)
+        WHEN 4 THEN '?p=' || CAST(doc_id % 9 AS VARCHAR) || '&ref=p2'
         ELSE '' END
       ||
       CASE doc_id % 2 WHEN 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END
@@ -5344,7 +5360,7 @@ URL_STATS_ORACLE = f"""
       SELECT url,
              regexp_extract(x, '^[^?]*')
              || regexp_replace(regexp_replace(x, '^[^?]*', '', 'g'),
-                  '([?&])((utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*(&|$))+',
+                  '([?&])(?:(?:(?:utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&]*|ref=(?:rss|feed|share|social|twitter|facebook|newsletter|email))(?:&|$))+',
                   '\\1', 'g') AS x
       FROM n1
     ), n3 AS (
@@ -5361,12 +5377,16 @@ URL_STATS_ORACLE = f"""
       FROM n4
     ), hosts AS (
       SELECT norm,
-             regexp_replace(lower(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)), '^www\\.', '', 'g') AS hostn
+             regexp_replace(regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#@]+)', 1)),
+               '^\\[|\\]$', '', 'g'), '^www\\.', '', 'g') AS hostn
       FROM n5
     ), doms AS (
       SELECT norm,
-             CASE WHEN regexp_matches(hostn,
+             CASE WHEN regexp_matches(hostn, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+                       OR contains(hostn, ':')
+                  THEN hostn
+                  WHEN regexp_matches(hostn,
                     '\\.(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|br|in|cn|nz|za)$')
                   THEN regexp_extract(hostn, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
                   ELSE regexp_extract(hostn, '([^.]+\\.[^.]+)$', 1) END AS domain
@@ -5583,12 +5603,16 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
     ), hosts AS (
       SELECT doc_id,
-             regexp_replace(lower(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)), '^www\\.', '', 'g') AS hostn
+             regexp_replace(regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#@]+)', 1)),
+               '^\\[|\\]$', '', 'g'), '^www\\.', '', 'g') AS hostn
       FROM u
     ), doms AS (
       SELECT doc_id,
-             CASE WHEN regexp_matches(hostn,
+             CASE WHEN regexp_matches(hostn, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+                       OR contains(hostn, ':')
+                  THEN hostn
+                  WHEN regexp_matches(hostn,
                     '\\.(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|br|in|cn|nz|za)$')
                   THEN regexp_extract(hostn, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
                   ELSE regexp_extract(hostn, '([^.]+\\.[^.]+)$', 1) END AS domain
@@ -5630,8 +5654,19 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed n_base degenerates at 10x scale into 20-member identical
     # groups and the TRUE pair count goes quadratic (output-bound,
     # like the simhash sf1 cell). At the gate scale (500 docs) this
-    # is the golden's n_base = 250.
-    n_base = max(1, d.count() // 2)
+    # is the golden's n_base = 250. Read the row count from the
+    # parquet FOOTER, driver-side (r12 advice fix: an eager
+    # d.count() here ran a full Spark job at DataFrame-BUILD time,
+    # so even plan-only/explain paths paid a scan); fall back to
+    # the Spark count only if the footer is unreadable (e.g. a
+    # non-file source in tests).
+    try:
+        import pyarrow.parquet as _pq
+
+        n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        n_docs = d.count()
+    n_base = max(1, n_docs // 2)
     media = M.synth_image_pair_table(d, n_base=n_base)
     hashes = M.image_dhash_table(media)
     pairs = D.hash64_neardup_pairs(hashes, id_col="media_id", hash_col="dhash")

@@ -269,13 +269,57 @@ def test_normalize_url_query_anchored_and_userinfo(spark):
         ("https://a.com/price&ref=sidebar/page?x=1",
          "https://a.com/price&ref=sidebar/page?x=1"),
         ("https://user&ref=c@h.com/p", "https://user&ref=c@h.com/p"),
-        ("HTTPS://u:Pw@H.com:443/p?ref=x&a=1", "https://u:pw@h.com/p?a=1"),
+        ("HTTPS://u:Pw@H.com:443/p?ref=rss&a=1", "https://u:pw@h.com/p?a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r[0] for r in df.select(W.normalize_url("url")).collect()]
     assert got == [want for _, want in cases]
     doms = [r[0] for r in df.select(W.registered_domain("url")).collect()]
     assert doms == ["a.com", "h.com", "h.com"]
+
+
+def test_url_ip_hosts_and_ref_value_exact(spark):
+    """r12 advice fixes: (a) IP-hosted URLs — bracketed IPv6 and
+    dotted-quad IPv4 — extract the full host and use it whole as the
+    registered domain (previously 'https://1.2.3.4/' bucketed as the
+    pseudo-domain '3.4' and '[::1]' extracted '[' as the host);
+    (b) 'ref' strips only for value-exact referral slugs — a
+    meaningful 'ref' (refinement/pagination) survives normalization."""
+    cases = [
+        ("https://[::1]/p", "::1", "::1"),
+        ("HTTPS://[2001:DB8::7]:443/x?utm_a=1", "2001:db8::7", "2001:db8::7"),
+        ("https://1.2.3.4/q", "1.2.3.4", "1.2.3.4"),
+        ("http://203.0.113.9:8080/r", "203.0.113.9", "203.0.113.9"),
+        ("https://u:p@[2001:db8::2]/s", "2001:db8::2", "2001:db8::2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    hosts = [r[0] for r in df.select(W.url_host("url")).collect()]
+    assert hosts == [h for _, h, _ in cases]
+    doms = [r[0] for r in df.select(W.registered_domain("url")).collect()]
+    assert doms == [d for _, _, d in cases]
+    # IPv6 default-port strip + normalization end-to-end
+    norm = [
+        r[0]
+        for r in spark.createDataFrame(
+            [("HTTPS://[2001:DB8::7]:443/x?utm_a=1",)], ["url"]
+        )
+        .select(W.normalize_url("url"))
+        .collect()
+    ]
+    assert norm == ["https://[2001:db8::7]/x"]
+    # ref value-exactness: slug strips, non-slug and prefixed survive
+    ref_cases = [
+        ("https://a.com/p?ref=rss", "https://a.com/p"),
+        ("https://a.com/p?ref=rss2", "https://a.com/p?ref=rss2"),
+        ("https://a.com/p?ref=p2&x=1", "https://a.com/p?ref=p2&x=1"),
+        ("https://a.com/p?x=1&ref=share", "https://a.com/p?x=1"),
+    ]
+    df2 = spark.createDataFrame([(u,) for u, _ in ref_cases], ["url"])
+    got = [r[0] for r in df2.select(W.normalize_url("url")).collect()]
+    assert got == [want for _, want in ref_cases]
+    # blocklisting an IP-hosted domain works
+    kept = W.blocklist_filter(df, ["1.2.3.4", "2001:db8::7"]).collect()
+    assert len(kept) == 3
 
 
 def test_blocklist_userinfo_bypass_and_null_urls(spark):
