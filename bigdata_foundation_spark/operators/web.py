@@ -179,8 +179,26 @@ def blocklist_filter(
 
 
 # Block-level elements whose open/close tags become newlines in
-# html_to_text. Shared verbatim with the SQL oracle.
+# html_to_text (and block boundaries in html_main_content). Shared
+# verbatim with the SQL oracle.
 _BLOCK_TAG_RE = r"(?i)</?(?:p|br|div|li|ul|ol|tr|table|h[1-6])\b[^>]*>"
+
+# Anchor ELEMENTS (with their text) — the link-density numerator of
+# html_main_content. Inline by the HTML content model, so an anchor
+# almost never crosses a block boundary; one that does (malformed
+# markup) counts as body text in that block — documented contract.
+_ANCHOR_RE = r"(?is)<a\b[^>]*>.*?</a>"
+
+# Entity decode pairs, '&amp;' LAST (the classic double-decode
+# pitfall). Shared by html_to_text and html_main_content.
+_ENTITY_PAIRS = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
 
 
 def html_to_text(html: Column | str) -> Column:
@@ -202,23 +220,89 @@ def html_to_text(html: Column | str) -> Column:
        runs collapse to one, ends trimmed.
 
     All patterns are RE2-safe and replayed verbatim by the oracle."""
-    t = _c(html)
-    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", "")
-    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", "")
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+    t = _strip_scaffolding(html)
     t = F.regexp_replace(t, _BLOCK_TAG_RE, "\n")
     t = F.regexp_replace(t, r"<[^>]*>", "")
-    for ent, rep in (
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", "\""),
-        ("&#39;", "'"),
-        ("&nbsp;", " "),
-        ("&amp;", "&"),  # LAST, so '&amp;lt;' decodes to '&lt;' not '<'
-    ):
+    for ent, rep in _ENTITY_PAIRS:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"\r\n?", "\n")
     t = F.regexp_replace(t, r"[ \t]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n+", "\n")
     return F.btrim(t, F.lit(" \n"))
+
+
+def _strip_scaffolding(html: Column | str) -> Column:
+    """script/style elements (with content) and comments removed —
+    the shared front of html_to_text and html_main_content."""
+    t = _c(html)
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", "")
+    return F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+
+
+def _block_plain_text(b: Column) -> Column:
+    """One block's visible text: inline tags stripped, entities
+    decoded, whitespace collapsed to single spaces, ends trimmed."""
+    t = F.regexp_replace(b, r"<[^>]*>", "")
+    for ent, rep in _ENTITY_PAIRS:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t\r\n]+", " ")
+    return F.btrim(t, F.lit(" "))
+
+
+def html_main_content(
+    html: Column | str,
+    min_words: int = 8,
+    max_link_density: float = 0.34,
+) -> Column:
+    """Boilerplate-removing main-content extraction (the step that
+    separates C4-grade corpora from tag-stripped soup): a
+    Kohlschütter-style (WSDM 2010 boilerplate detection) per-block
+    shallow-text-feature classifier, as a PURE codegen expression —
+    zero Python, zero shuffle, so it runs at scan speed over a 100 TB
+    crawl exactly like html_to_text.
+
+    Method: after script/style/comment removal the page splits into
+    blocks at the block-level tags ``_BLOCK_TAG_RE`` recognizes
+    (p/br/div/li/ul/ol/tr/table/h1–h6 — nav bars, cookie banners,
+    footers, and related-link lists are block elements in any real
+    page). Each block gets two shallow features:
+
+    - word count of its visible text (Kohlschütter's strongest single
+      feature: boilerplate blocks are short);
+    - link density = fraction of visible characters contributed by
+      anchor ``<a>…</a>`` elements (navigation is nearly all links).
+
+    A block is KEPT iff it has at least ``min_words`` words AND link
+    density at most ``max_link_density`` (the published decision-tree
+    thresholds sit near 1/3); survivors reassemble in document order
+    joined by newlines. Headings shorter than ``min_words`` are
+    dropped with the boilerplate — the known trade of the word-count
+    rule; callers wanting headlines lower ``min_words``.
+
+    The whole computation is array ops over the split blocks
+    (transform/filter/array_join) — per-row, order-preserving, no
+    explode, no shuffle — and every pattern is RE2-safe so the DuckDB
+    oracle replays it verbatim with list lambdas."""
+    t = _strip_scaffolding(html)
+    blocks = F.split(t, _BLOCK_TAG_RE)
+    feats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_plain_text(b).alias("txt"),
+            _block_plain_text(
+                F.regexp_replace(b, _ANCHOR_RE, "")
+            ).alias("na"),
+        ),
+    )
+    kept = F.filter(
+        feats,
+        lambda s: (s["txt"] != F.lit(""))
+        & (F.size(F.split(s["txt"], " ")) >= F.lit(min_words))
+        & (
+            (F.length(s["txt"]) - F.length(s["na"])).cast("double")
+            <= F.lit(float(max_link_density)) * F.length(s["txt"]).cast("double")
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")

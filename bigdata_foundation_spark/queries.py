@@ -5596,6 +5596,126 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", W.html_to_text(html).alias("extracted"))
 
 
+# --- html_main_content (r12): boilerplate-removing extraction -------------
+#
+# The synthesized page plants REAL boilerplate shapes around the
+# document text: a nav bar (link-dense), a cookie banner (short), a
+# headline (short), share/related link rows (link-dense), a footer
+# (link-dense) — and, for doc_id % 10 == 0, a SECOND genuine body
+# paragraph, so the gate proves the classifier keeps multi-block
+# content and not just "the one <p>".
+
+_SYNTH_MAIN_HTML_SQL = (
+    "'<html><head><title>D' || CAST(doc_id AS VARCHAR)"
+    " || '</title><style>p{color:red}</style>'"
+    " || '<script>if (a<b && c>d) { f(); }</script></head><body>'"
+    " || '<div><a href=\"/\">Home</a> <a href=\"/s' || CAST(doc_id % 4 AS VARCHAR)"
+    " || '\">Section</a> <a href=\"/tag\">Tags</a> <a href=\"/login\">Log in</a></div>'"
+    " || '<div>We use cookies. <a href=\"#a\">Accept</a> <a href=\"#r\">Reject</a></div>'"
+    " || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'"
+    " || CASE WHEN doc_id % 10 = 0 THEN '<p>Documents divisible by ten carry this"
+    " second body paragraph with comfortably more than eight words.</p>' ELSE '' END"
+    " || '<p>Share: <a href=\"/tw\">Tweet</a> <a href=\"/fb\">Share</a>"
+    " <a href=\"/ln\">Post</a></p>'"
+    " || '<ul><li><a href=\"/rel' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '\">Related article</a></li><li><a href=\"/more\">More stories</a></li></ul>'"
+    " || '<div>Copyright Site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '. <a href=\"/p\">Privacy policy</a> <a href=\"/t\">Terms of use</a>"
+    " <a href=\"/c\">Contact</a></div></body></html>'"
+)
+
+
+def _block_txt_sql(inner: str) -> str:
+    """DuckDB replay of web._block_plain_text: inline tags stripped,
+    entities decoded ('&amp;' LAST), whitespace collapsed, trimmed."""
+    return (
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace("
+        + "regexp_replace(" + inner + ", '<[^>]*>', '', 'g'),"
+        + " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)),"
+        + " '&nbsp;', ' '), '&amp;', '&'),"
+        + " '[ \\t\\r\\n]+', ' ', 'g'))"
+    )
+
+
+HTML_MAIN_ORACLE = (
+    """
+    WITH h AS (
+      SELECT doc_id, """ + _SYNTH_MAIN_HTML_SQL + """ AS html FROM documents
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+               '(?s)<!--.*?-->', '', 'g') AS t
+      FROM h
+    ), b AS (
+      SELECT doc_id, string_split_regex(t,
+               '(?i)</?(?:p|br|div|li|ul|ol|tr|table|h[1-6])\\b[^>]*>') AS blocks
+      FROM s1
+    ), f AS (
+      SELECT doc_id, list_transform(blocks, x -> struct_pack(
+               txt := """ + _block_txt_sql("x") + """,
+               na := """
+    + _block_txt_sql("regexp_replace(x, '(?is)<a\\b[^>]*>.*?</a>', '', 'g')")
+    + """)) AS feats
+      FROM b
+    ), k AS (
+      SELECT doc_id, list_filter(feats, s -> s.txt <> ''
+               AND len(string_split(s.txt, ' ')) >= 8
+               AND CAST(length(s.txt) - length(s.na) AS DOUBLE)
+                   <= 0.34 * CAST(length(s.txt) AS DOUBLE)) AS kept
+      FROM f
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(kept, s -> s.txt), chr(10)) AS main_text
+    FROM k
+"""
+)
+
+
+@q(
+    "html_main_content",
+    HTML_MAIN_ORACLE,
+    "boilerplate-removing main-content extraction (r12 - the "
+    "Kohlschuetter WSDM'10 shallow-text-feature classifier the r11 "
+    "verdict named as the biggest real-user gap): block-split at the "
+    "block-level tags, per-block word count + link density, "
+    "threshold keep/drop, reassemble in document order - pure "
+    "array-op codegen (transform/filter/array_join), zero Python, "
+    "zero shuffle. The synthesized pages plant nav bars, cookie "
+    "banners, share/related link rows, and footers around the real "
+    "document text (plus a second genuine paragraph for every 10th "
+    "doc); the oracle replays the identical classifier with DuckDB "
+    "list lambdas. Full SQL oracle",
+)
+def html_main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>D"), did.cast("string"),
+        F.lit("</title><style>p{color:red}</style>"),
+        F.lit("<script>if (a<b && c>d) { f(); }</script></head><body>"),
+        F.lit('<div><a href="/">Home</a> <a href="/s'), (did % 4).cast("string"),
+        F.lit('">Section</a> <a href="/tag">Tags</a> <a href="/login">Log in</a></div>'),
+        F.lit('<div>We use cookies. <a href="#a">Accept</a> <a href="#r">Reject</a></div>'),
+        F.lit("<h1>Doc "), did.cast("string"), F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.when(
+            did % 10 == 0,
+            F.lit(
+                "<p>Documents divisible by ten carry this"
+                " second body paragraph with comfortably more than eight words.</p>"
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<p>Share: <a href="/tw">Tweet</a> <a href="/fb">Share</a>'),
+        F.lit(' <a href="/ln">Post</a></p>'),
+        F.lit('<ul><li><a href="/rel'), (did % 7).cast("string"),
+        F.lit('">Related article</a></li><li><a href="/more">More stories</a></li></ul>'),
+        F.lit("<div>Copyright Site"), (did % 5).cast("string"),
+        F.lit('. <a href="/p">Privacy policy</a> <a href="/t">Terms of use</a>'),
+        F.lit(' <a href="/c">Contact</a></div></body></html>'),
+    )
+    return d.select("doc_id", W.html_main_content(html).alias("main_text"))
+
+
 @q(
     "domain_cap_sample",
     f"""

@@ -419,6 +419,17 @@ def test_html_extract_scan_side_zero_exchange(spark):
     assert "Exchange" not in plan.replace("AQEShuffleRead", "")
 
 
+def test_html_main_content_scan_side_zero_exchange(spark):
+    """Main-content extraction (r12) is per-row array-op codegen over
+    the scan — block split, per-block features, filter, rejoin — with
+    no shuffle, no join, no explode, and no Python anywhere."""
+    plan = plan_of(spark, "html_main_content")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode — arrays stay per-row
+    assert "Exchange" not in plan.replace("AQEShuffleRead", "")
+
+
 def test_domain_cap_single_window_shuffle(spark):
     """The per-domain cap is ONE hash-partition exchange on the domain
     + a bounded window — the same shape as any per-group top-k."""
