@@ -1617,6 +1617,58 @@ def dataset_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "snapshot_time_travel",
+    """
+    SELECT CAST(1 AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT CAST(2 AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    ORDER BY version
+    """,
+    "versioned corpus snapshots (r12 - manifest-committed time "
+    "travel, io.write_snapshot/read_at_version): commit v1 = 2/3 of "
+    "orders, append v2 = the rest, REPLAY the v2 commit with the "
+    "same commit_id (must be a no-op - a duplicate append would "
+    "double v2's rows and break the match), then read BOTH versions "
+    "back through their manifests and aggregate. The oracle "
+    "re-derives each version's rows from the base table, so any "
+    "manifest defect - append not carrying parent files, time "
+    "travel seeing later commits, non-idempotent replay - breaks "
+    "the value match. Full SQL oracle",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import read_at_version, write_snapshot
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_tt_")
+    k = F.col("o_orderkey")
+    v1 = write_snapshot(orders.filter(k % 3 != 0), tdir, mode="overwrite", commit_id="c1")
+    v2 = write_snapshot(orders.filter(k % 3 == 0), tdir, mode="append", commit_id="c2")
+    # retry replay: same commit_id must return the same version
+    # without writing anything (the idempotent-sink contract)
+    v2 = write_snapshot(orders.filter(k % 3 == 0), tdir, mode="append", commit_id="c2")
+
+    def _summ(v: int) -> DataFrame:
+        return (
+            read_at_version(spark, tdir, v)
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit(v).cast("int").alias("version"), "n", "total")
+        )
+
+    return _summ(v1).unionByName(_summ(v2)).orderBy("version")
+
+
+@q(
     "temperature_mixture",
     r"""
     WITH g AS (

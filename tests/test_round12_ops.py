@@ -88,3 +88,68 @@ def test_main_content_multi_block_order(spark):
     out = _extract(spark, "".join(paras))
     nums = [int(line.split()[2]) for line in out.split("\n")]
     assert nums == [0, 1, 2, 3, 4]
+
+
+# ---------------------- versioned snapshots ---------------------------
+
+def test_snapshot_lifecycle(spark, tmp_path):
+    from bigdata_foundation_spark.io import (
+        read_at_version,
+        snapshot_vacuum,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert snapshot_versions(tdir) == []
+
+    v1 = write_snapshot(df.filter("k < 5"), tdir, mode="overwrite")
+    v2 = write_snapshot(df.filter("k >= 5"), tdir, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert sorted(r["k"] for r in read_at_version(spark, tdir, 1).collect()) == list(range(5))
+    assert sorted(r["k"] for r in read_at_version(spark, tdir, 2).collect()) == list(range(10))
+    # head read = latest version
+    assert read_at_version(spark, tdir).count() == 10
+
+    # overwrite starts the file set fresh; older versions still read
+    v3 = write_snapshot(df.filter("k = 7"), tdir, mode="overwrite")
+    assert v3 == 3
+    assert [r["k"] for r in read_at_version(spark, tdir).collect()] == [7]
+    assert read_at_version(spark, tdir, 2).count() == 10
+
+    # idempotent re-commit: same commit_id is a no-op at the head
+    v4 = write_snapshot(df.filter("k = 1"), tdir, mode="append", commit_id="job-42")
+    v4b = write_snapshot(df.filter("k = 1"), tdir, mode="append", commit_id="job-42")
+    assert v4 == v4b == 4
+    assert read_at_version(spark, tdir).count() == 2  # 7 and 1, once
+
+    # vacuum keeps the head, sweeps old files AND old manifests
+    deleted = snapshot_vacuum(tdir, keep_last=1)
+    assert deleted > 0
+    assert snapshot_versions(tdir) == [4]
+    assert read_at_version(spark, tdir).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_at_version(spark, tdir, 2)
+
+
+def test_snapshot_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from bigdata_foundation_spark.io import (
+        read_at_version,
+        snapshot_vacuum,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "none")
+    with _pytest.raises(FileNotFoundError):
+        read_at_version(spark, tdir)
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        write_snapshot(df, tdir, mode="replace")
+    write_snapshot(df, tdir)
+    with _pytest.raises(ValueError):
+        snapshot_vacuum(tdir, keep_last=0)
