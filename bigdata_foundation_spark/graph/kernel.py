@@ -212,6 +212,74 @@ class Projection:
         self._esrc = None
 
 
+# ---------------------------------------------------------------------------
+# File-spilled projection (r12) — the past-broadcast multi-source tier
+# ---------------------------------------------------------------------------
+#
+# Spark broadcast ships ONE pickle per Python worker PROCESS: at
+# local[32] (or 32 worker processes per executor host anywhere), a
+# 25M-edge / 400 MB projection becomes 32 resident copies — that
+# per-process multiplication, not the 8 GB broadcast cap, is what
+# BROADCAST_EDGE_LIMIT is actually sized against. Spilling the CSR
+# arrays to .npy files on shared storage and mmap-loading them in the
+# task turns per-PROCESS copies into per-HOST page-cache pages: all
+# workers on a host share one resident copy, so the same kernel-tier
+# per-source search (the shape GDS runs) survives to CSRs the size of
+# host memory instead of host-memory/32. This is the r12 answer to
+# the standing "multi-source past broadcast scale" gap — measured
+# against the superstep tier in KERNEL_BENCH §r12.
+
+_SPILL_CACHE: dict[str, Projection] = {}
+
+
+def spill_projection(proj: Projection, out_dir: str) -> str:
+    """Write ``proj``'s CSR arrays as individually mmap-loadable .npy
+    files under ``out_dir`` (driver-side, once per projection). node
+    ids are stored as a fixed-width unicode array — also mmap-able,
+    so executor tasks emitting string ids never materialize the id
+    list either. coords are intentionally NOT spilled: the file tier
+    serves the distance kernels (multi-source SSSP / APSP); A* stays
+    on the broadcast tier."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "indptr.npy"), np.asarray(proj.indptr, dtype=np.int64))
+    np.save(os.path.join(out_dir, "adj_v.npy"), np.asarray(proj.adj_v, dtype=np.int32))
+    np.save(os.path.join(out_dir, "adj_w.npy"), np.asarray(proj.adj_w, dtype=np.float64))
+    np.save(os.path.join(out_dir, "adj_e.npy"), np.asarray(proj.adj_e, dtype=np.int32))
+    np.save(os.path.join(out_dir, "ids.npy"), np.asarray(proj.ids, dtype=np.str_))
+    return out_dir
+
+
+def load_spilled_projection(path: str) -> Projection:
+    """mmap-load a spilled projection, cached per process. The
+    returned object carries numpy (memory-mapped) CSR arrays and a
+    LAZY index: ``index`` is None until a kernel actually needs the
+    string→int map (the wave drivers pass precomputed int indices
+    instead, so the per-process dict — the one structure mmap cannot
+    share — is never built on the hot path)."""
+    proj = _SPILL_CACHE.get(path)
+    if proj is not None:
+        return proj
+    import os
+
+    proj = Projection.__new__(Projection)
+    proj.indptr = np.load(os.path.join(path, "indptr.npy"), mmap_mode="r")
+    proj.adj_v = np.load(os.path.join(path, "adj_v.npy"), mmap_mode="r")
+    proj.adj_w = np.load(os.path.join(path, "adj_w.npy"), mmap_mode="r")
+    proj.ids = np.load(os.path.join(path, "ids.npy"), mmap_mode="r")
+    proj.index = None
+    proj.adj_e = np.load(os.path.join(path, "adj_e.npy"), mmap_mode="r")
+    proj.coords = None
+    proj.n_edges = int(len(proj.adj_v))
+    proj._hot = None
+    proj._rhot = None
+    proj._rnp = None
+    proj._esrc = None
+    _SPILL_CACHE[path] = proj
+    return proj
+
+
 def _heuristic_array(proj: Projection, t: int) -> list[float] | None:
     """Admissible Euclidean heuristic on the planar projected-meter
     coordinates, precomputed per node. NOTE semantic contract
@@ -564,7 +632,10 @@ def yens_k(proj: Projection, source: str, target: str, k: int) -> list[tuple[lis
 
 
 def per_source_longest(
-    proj: Projection, sources: Sequence[str], topk: int
+    proj: Projection,
+    sources: Sequence[str],
+    topk: int,
+    indices: Sequence[int] | None = None,
 ) -> list[tuple[str, str, float]]:
     """For each source, the ``topk`` largest finite shortest-path
     distances (self-pairs excluded). Used by the distributed APSP:
@@ -573,12 +644,17 @@ def per_source_longest(
     (map-side top-k; neo4j-code.txt:56–77 post-pipeline).
 
     Tie-break matches the global ORDER BY distance DESC, source ASC,
-    target ASC — among equal distances keep smallest target ids."""
+    target ASC — among equal distances keep smallest target ids.
+
+    ``indices`` optionally supplies the int node index of each source
+    (parallel to ``sources``): the file-spilled tier's wave drivers
+    precompute them so a spilled projection never has to build its
+    per-process string→int dict (``load_spilled_projection``)."""
     ids = proj.ids
     out: list[tuple[str, str, float]] = []
     use_np = proj.n_edges >= _NUMPY_DIST_EDGE_THRESHOLD
-    for src in sources:
-        s = proj.index.get(src)
+    for j, src in enumerate(sources):
+        s = indices[j] if indices is not None else proj.index.get(src)
         if s is None:
             continue
         if use_np:
@@ -594,12 +670,12 @@ def per_source_longest(
                 # (-d, id) sort apply the deterministic tie-break.
                 kth = np.partition(d, finite.size - topk)[finite.size - topk]
                 finite = finite[d >= kth]
-            best = sorted((-float(dist_np[i]), ids[i]) for i in finite)[:topk]
+            best = sorted((-float(dist_np[i]), str(ids[i])) for i in finite)[:topk]
         else:
             dist = _dijkstra_dist(proj, s)
             # k-heap instead of a full sort: O(V log k) per source.
             best = heapq.nsmallest(
-                topk, ((-d, ids[i]) for i, d in enumerate(dist) if d != _INF and i != s)
+                topk, ((-d, str(ids[i])) for i, d in enumerate(dist) if d != _INF and i != s)
             )
         out.extend((src, t, -negd) for negd, t in best)
     return out

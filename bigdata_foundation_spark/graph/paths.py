@@ -46,6 +46,15 @@ from bigdata_foundation_spark.graph import kernel as _k
 # kernels instead.
 BROADCAST_EDGE_LIMIT = 25_000_000
 
+# Ceiling of the r12 file-spilled kernel tier (apsp_topk strategy
+# 'file'): the CSR arrays are mmap-loaded from shared storage and the
+# pages are shared host-wide through the page cache, so the per-HOST
+# resident cost is ONE ~16 B/edge copy instead of broadcast's
+# per-worker-PROCESS pickles — 500M edges ≈ 8 GB of shared pages, a
+# mid-size executor host. Past this the superstep BSP tier is
+# terminal (KERNEL_BENCH §r12 records both crossover sides).
+FILE_KERNEL_EDGE_LIMIT = 500_000_000
+
 _PATH_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("NodeId", T.StringType(), False),
@@ -89,6 +98,27 @@ _COUNT_MEMO: dict[str, int] = {}
 _COUNT_MEMO_MAX = 256
 
 
+def _resolve_edge_count(roads: DataFrame) -> int:
+    """Edge count for auto-strategy dispatch, memoized on the logical
+    plan (see _COUNT_MEMO contract above)."""
+    try:
+        key = roads._jdf.queryExecution().logical().semanticHash()
+        key = f"{roads.sparkSession.sparkContext.applicationId}:{key}"
+    except Exception:
+        # semanticHash is a stable but semi-internal JVM surface;
+        # if it's ever unavailable, fall back to counting each time
+        # rather than failing the query.
+        key = None
+    edge_count = _COUNT_MEMO.get(key) if key is not None else None
+    if edge_count is None:
+        edge_count = roads.count()
+        if key is not None:
+            if len(_COUNT_MEMO) >= _COUNT_MEMO_MAX:
+                _COUNT_MEMO.clear()
+            _COUNT_MEMO[key] = edge_count
+    return edge_count
+
+
 def _resolve_strategy(roads: DataFrame, strategy: str, edge_count: int | None = None) -> str:
     """Pick broadcast vs bsp. ``edge_count`` is an optional caller hint
     (e.g. from an already-known table size) that skips the count job
@@ -98,21 +128,7 @@ def _resolve_strategy(roads: DataFrame, strategy: str, edge_count: int | None = 
     if strategy != "auto":
         raise ValueError(f"unknown strategy {strategy!r}")
     if edge_count is None:
-        try:
-            key = roads._jdf.queryExecution().logical().semanticHash()
-            key = f"{roads.sparkSession.sparkContext.applicationId}:{key}"
-        except Exception:
-            # semanticHash is a stable but semi-internal JVM surface;
-            # if it's ever unavailable, fall back to counting each time
-            # rather than failing the query.
-            key = None
-        edge_count = _COUNT_MEMO.get(key) if key is not None else None
-        if edge_count is None:
-            edge_count = roads.count()
-            if key is not None:
-                if len(_COUNT_MEMO) >= _COUNT_MEMO_MAX:
-                    _COUNT_MEMO.clear()
-                _COUNT_MEMO[key] = edge_count
+        edge_count = _resolve_edge_count(roads)
     return "broadcast" if edge_count <= BROADCAST_EDGE_LIMIT else "bsp"
 
 
@@ -493,6 +509,7 @@ def apsp_topk(
     landmark_pruning: bool = True,
     strategy: str = "auto",
     bsp_wave_size: int = 256,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """The 10 longest finite shortest paths (G3, neo4j-code.txt:56–77):
     finite only, source <> target, ORDER BY distance DESC, source ASC,
@@ -500,10 +517,21 @@ def apsp_topk(
 
     ``strategy``: 'broadcast' (default resolution below the edge
     limit) distributes exact per-source heap SSSP over the broadcast
-    projection; 'bsp' survives past broadcast scale by running
-    wave-batched multi-source BSP relaxation (``bsp.bsp_multi_sssp``:
-    state keyed by (source, node), |wave| sources per pass, so G3 no
-    longer dies at BROADCAST_EDGE_LIMIT). 'auto' picks by edge count.
+    projection; 'file' (r12 — default resolution between
+    BROADCAST_EDGE_LIMIT and FILE_KERNEL_EDGE_LIMIT) runs the SAME
+    per-source kernel waves against an mmap-loaded file-spilled CSR
+    (``kernel.spill_projection``): broadcast ships one pickle per
+    Python worker PROCESS, so its ceiling is host-memory/n_workers,
+    while page-cache-shared mmap raises the kernel tier's ceiling to
+    ~host memory — measured against the superstep tier on the r9
+    64-source expander (KERNEL_BENCH §r12); 'bsp' survives past
+    executor memory by wave-batched BSP relaxation
+    (``bsp.bsp_multi_sssp``: state keyed by (source, node)) — the
+    superstep tier is TERMINAL there (both crossover sides measured,
+    KERNEL_BENCH §r9/r12). 'auto' picks by edge count. ``spill_dir``
+    overrides where the file tier writes the CSR (REQUIRED to be
+    shared storage on a multi-host cluster; defaults to a local temp
+    dir, correct for local mode).
 
     Distribution: sources are partitioned into waves across all
     executors; each task runs exact SSSP per source over the broadcast
@@ -520,16 +548,43 @@ def apsp_topk(
     this turns |V| SSSP runs into a few thousand. Sources that cannot
     reach the hub get an infinite bound (never pruned) — correctness
     does not depend on connectivity."""
-    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
-        return _apsp_topk_bsp(spark, roads, k, wave_size=bsp_wave_size)
+    use_file = strategy == "file"
+    if projection is None and strategy in ("auto", "bsp"):
+        if _resolve_strategy(roads, strategy) == "bsp":
+            if strategy == "bsp":
+                return _apsp_topk_bsp(spark, roads, k, wave_size=bsp_wave_size)
+            # auto past broadcast: the file tier keeps the per-source
+            # kernel alive up to ~host memory; only beyond that does
+            # the (terminal) superstep tier take over.
+            n_edges = _resolve_edge_count(roads)
+            if n_edges <= FILE_KERNEL_EDGE_LIMIT:
+                use_file = True
+            else:
+                return _apsp_topk_bsp(spark, roads, k, wave_size=bsp_wave_size)
     proj = projection or build_projection(roads)
     sc = spark.sparkContext
-    proj_b = _get_broadcast(spark, proj)
+    if use_file:
+        import tempfile
+
+        spill = _k.spill_projection(
+            proj, spill_dir or tempfile.mkdtemp(prefix="apsp_spill_")
+        )
+
+        def _task_proj() -> _k.Projection:
+            return _k.load_spilled_projection(spill)
+
+    else:
+        proj_b = _get_broadcast(spark, proj)
+
+        def _task_proj() -> _k.Projection:
+            return proj_b.value
+
     sources = sorted(
         proj.ids[i] for i in range(len(proj.ids)) if proj.indptr[i + 1] > proj.indptr[i]
     )
 
     inf = float("inf")
+    index = proj.index
     bounds: dict[str, float] = {}
     if landmark_pruning and sources:
         # Multi-landmark ALT bounds: for each hub h, ecc(s) <= d(s,h) +
@@ -538,7 +593,6 @@ def apsp_topk(
         # forward AND reverse distance). Sources outside every hub's
         # SCC keep an infinite bound and are never pruned, so pruning
         # is provably exact on any digraph.
-        index = proj.index
         n_src = len(sources)
         # Spaced positional hub POOL, min-folded: upper bounds want
         # CENTRAL hubs (small ecc), but no positional pick can
@@ -578,7 +632,7 @@ def apsp_topk(
         hub_tasks = [(hi, d) for hi in hub_idxs for d in (0, 1)]
 
         def _hub_task(it):
-            p = proj_b.value
+            p = _task_proj()
             for hi, d in it:
                 arr = _k._dijkstra_dist(p, hi) if d == 0 else _k.reverse_dist_to(p, hi)
                 yield (hi, d, list(arr))
@@ -620,14 +674,24 @@ def apsp_topk(
     def _wave(batch: list[str]) -> list[tuple[str, str, float]]:
         # Small (ramp) waves still spread across every core — capping
         # slices at len//sources_per_task would run a 256-source wave
-        # as 4 fat tasks on a 32-core cluster.
+        # as 4 fat tasks on a 32-core cluster. Source indices ride
+        # along from the driver's index so a file-tier task never has
+        # to build the spilled projection's string→int dict.
         n_slices = min(len(batch), max(len(batch) // sources_per_task, min(par, len(batch))))
+        pairs = [(s, index[s]) for s in batch]
 
-        def _task(it: Iterator[str]):
+        def _task(it: "Iterator[tuple[str, int]]"):
             b = list(it)
-            return iter(_k.per_source_longest(proj_b.value, b, k)) if b else iter(())
+            if not b:
+                return iter(())
+            p = _task_proj()
+            return iter(
+                _k.per_source_longest(
+                    p, [s for s, _ in b], k, indices=[i for _, i in b]
+                )
+            )
 
-        return sc.parallelize(batch, n_slices).mapPartitions(_task).collect()
+        return sc.parallelize(pairs, n_slices).mapPartitions(_task).collect()
 
     # Driver state is a running top-k under the output's total order
     # (distance DESC, source, target) — NEVER the |sources|×k union

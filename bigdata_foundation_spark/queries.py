@@ -77,84 +77,85 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The driver gates the FIRST 50 registry keys each round. r11 order:
-# (a) every entry whose code path changed this round — the media
-# decode/feature numpy vectorization (audio golden re-pinned for the
-# 24 float-PCM debut rows; video golden regen byte-identical), the
-# MinHash est-prune fusion (_bucket_pairs_est: pair generation emits
-# the agreement estimate, distinct + verify see only survivors;
-# golden unchanged), and the NINE r11 debuts (GIF decode + animation
-# frames, URL curation, Stupid Backoff LM, XML parse, HTML extraction,
-# domain-cap sampling, image dHash near-dup, fixed-width parse —
-# debuts are value-gated
-# on arrival); then (b) the OLDEST-GATED rotation: the FULL remaining
-# r6 block (15 entries — after this round no entry's latest gate is
-# older than r7) plus the first 20 of the r7 block in name order (the
-# remaining 16 r7 entries head the r12 rotation: graph_label_propagation,
-# graph_louvain, graph_modularity, graph_msf, graph_node_similarity,
-# graph_pagerank, graph_ppr, graph_scc, graph_yens_postprocess,
-# hard_negatives, hybrid_rank_rrf, pmi_collocations, retention_cohorts,
-# rfm_segmentation, sessionize_events, temperature_mixture; staleness
-# computed from the union of CORRECTNESS_r01–r10.json).
-# Totals: 6 changed + 9 debuts + 15 r6 + 20 r7 = 50 (graph_ktruss
-# also joins the r12 rotation head).
+# The driver gates the FIRST 50 registry keys each round. r12 order:
+# (a) every entry whose code path changed this round — the web.py
+# advice fixes (IP hosts, value-exact 'ref' strip: url_normalize_stats
+# + domain_cap_sample re-derive their synth matrix and oracles in
+# lockstep), the XML-escape fix (events_xml_parse), the lazy-n_base
+# fix (dedup_image_phash), the hashed_keys parameterization
+# (stupid_backoff_lm — default plan unchanged, code touched), the
+# apsp wave-task restructure for the r12 file-spilled kernel tier
+# (graph_apsp_top10) — plus the TWO r12 debuts, value-gated on
+# arrival: html_main_content (Kohlschütter boilerplate removal) and
+# snapshot_time_travel (manifest-committed versioned reads); then
+# (b) the OLDEST-GATED rotation: the FULL remaining r7 block (17
+# entries — after this round no entry's latest gate is older than r8)
+# plus the first 25 of the r8 block in name order (the remaining 14
+# r8 entries head the r13 rotation: q1_pricing_summary,
+# q20_excess_suppliers, q21_waiting_suppliers, q22_idle_customers,
+# quality_classifier, scd2_user_history, split_train_val_test,
+# sql_q6_revenue, streaming_dedup, streaming_hourly,
+# streaming_sessionize, streaming_sliding, token_totals_by_source,
+# unimax_mixture; staleness computed from the union of
+# CORRECTNESS_r01–r11.json).
+# Totals: 6 changed + 2 debuts + 17 r7 + 25 r8 = 50.
 # The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r11.md. Entries not listed
+# via tools/check_oracles.py — see ORACLES_r12.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) changed since the r10 judged tree
-    "multimodal_audio_decode",  # vectorized WAV decode/features + float-PCM debut (golden re-pinned)
-    "multimodal_video_frames",  # vectorized AVI frame decode + pixel features (golden regen byte-identical)
-    "multimodal_decode",  # all decoders return numpy; fill-byte/strf/truncation hardening
-    "dedup_minhash_lsh",  # est-prune fused into pair generation (_bucket_pairs_est)
-    "dedup_minhash_blocked",  # same fusion + equality blocking
-    "streaming_corpus_dedup",  # dedup_batch_within rides minhash_lsh_pairs (r11 review finding)
-    "multimodal_gif_decode",  # r11 debut: real GIF87a/89a decode (LZW/palettes/interlace)
-    "multimodal_gif_frames",  # r11 debut: animated-GIF compositing + frame sampling
-    "url_normalize_stats",  # r11 debut: URL normalization + registered-domain stats
-    "stupid_backoff_lm",  # r11 debut: Stupid Backoff trigram LM (Brants 2007)
-    "events_xml_parse",  # r11 debut: native from_xml round-trip parse
-    "html_extract_text",  # r11 debut: HTML -> text extraction chain
-    "domain_cap_sample",  # r11 debut: per-domain page cap composition
-    "dedup_image_phash",  # r11 debut: image dHash near-dup pairs
-    "fixed_width_parse",  # r11 debut: fixed-width feed-file parse round-trip
-    # (b) oldest-gated rotation — the FULL remaining r6 block
-    "graph_ingest_limit",  # last gated r6
-    "graph_nodes",  # last gated r6
-    "graph_random_walks",  # last gated r6
-    "graph_sssp_slice",  # last gated r6
-    "graph_writeback",  # last gated r6
-    "line_dedup_gate",  # last gated r6
-    "multimodal_ingest",  # last gated r6
-    "ngram_counts_top",  # last gated r6
-    "normalize_documents",  # last gated r6
-    "text_quality",  # last gated r6
-    "text_redact_pii",  # last gated r6
-    "text_repetition",  # last gated r6
-    "text_stats",  # last gated r6
-    "tfidf_top_terms",  # last gated r6
-    "unigram_perplexity",  # last gated r6
-    # (b) oldest-gated rotation — first 29 of the r7 block (name order)
-    "bloom_dedup_probe",  # last gated r7
-    "bpe_fertility",  # last gated r7
-    "bpe_tokenize",  # last gated r7
-    "corpus_drift",  # last gated r7
-    "dataset_diff",  # last gated r7
-    "exact_substring_spans",  # last gated r7
-    "funnel_stages",  # last gated r7
-    "graph_assortativity",  # last gated r7
-    "graph_astar",  # last gated r7
-    "graph_betweenness",  # last gated r7
-    "graph_closeness",  # last gated r7
-    "graph_clustering_coeff",  # last gated r7
-    "graph_components",  # last gated r7
-    "graph_dijkstra",  # last gated r7
-    "graph_eccentricity",  # last gated r7
-    "graph_eigenvector",  # last gated r7
-    "graph_harmonic",  # last gated r7
-    "graph_hits",  # last gated r7
-    "graph_hyperball",  # last gated r7
-    "graph_kcore",  # last gated r7
+    # (a) changed since the r11 judged tree + r12 debuts
+    "url_normalize_stats",  # r12: IP-host + value-exact ref fixes (synth matrix + oracle in lockstep)
+    "domain_cap_sample",  # r12: registered_domain IP-host fix
+    "events_xml_parse",  # r12: embedded-column XML escaping
+    "dedup_image_phash",  # r12: n_base from parquet footer (no eager count)
+    "stupid_backoff_lm",  # r12: hashed_keys A/B parameterization (string default shipped)
+    "graph_apsp_top10",  # r12: wave task passes (src, idx) pairs for the file tier
+    "html_main_content",  # r12 DEBUT: Kohlschütter boilerplate-removing extraction
+    "snapshot_time_travel",  # r12 DEBUT: manifest-committed versioned snapshot reads
+    # (b) oldest-gated rotation — the FULL remaining r7 block
+    "graph_ktruss",  # last gated r7
+    "graph_label_propagation",  # last gated r7
+    "graph_louvain",  # last gated r7
+    "graph_modularity",  # last gated r7
+    "graph_msf",  # last gated r7
+    "graph_node_similarity",  # last gated r7
+    "graph_pagerank",  # last gated r7
+    "graph_ppr",  # last gated r7
+    "graph_scc",  # last gated r7
+    "graph_yens_postprocess",  # last gated r7
+    "hard_negatives",  # last gated r7
+    "hybrid_rank_rrf",  # last gated r7
+    "pmi_collocations",  # last gated r7
+    "retention_cohorts",  # last gated r7
+    "rfm_segmentation",  # last gated r7
+    "sessionize_events",  # last gated r7
+    "temperature_mixture",  # last gated r7
+    # (b) oldest-gated rotation — first 25 of the r8 block (name order)
+    "argmin_supplier_per_nation",  # last gated r8
+    "asof_join_attribution",  # last gated r8
+    "bigram_perplexity",  # last gated r8
+    "cms_heavy_hitters",  # last gated r8
+    "embedding_pca",  # last gated r8
+    "events_gapfill",  # last gated r8
+    "graph_yens_k3",  # last gated r8
+    "grouping_sets_orders",  # last gated r8
+    "having_large_orders",  # last gated r8
+    "ks_drift",  # last gated r8
+    "left_join_order_counts",  # last gated r8
+    "mixture_sample_sources",  # last gated r8
+    "order_count_histogram",  # last gated r8
+    "pack_sequences_summary",  # last gated r8
+    "posexplode_leading_tokens",  # last gated r8
+    "profile_orders",  # last gated r8
+    "q10_returned_revenue",  # last gated r8
+    "q11_important_stock",  # last gated r8
+    "q12_priority_by_flag",  # last gated r8
+    "q14_promo_revenue",  # last gated r8
+    "q15_top_supplier",  # last gated r8
+    "q16_supplier_part_count",  # last gated r8
+    "q17_small_quantity_revenue",  # last gated r8
+    "q18_large_volume_customers",  # last gated r8
+    "q19_disjunctive_predicates",  # last gated r8
 ]
 
 

@@ -180,3 +180,57 @@ def test_stupid_backoff_arms_equal(spark):
     for k in a:
         assert a[k][0] == b[k][0], k
         assert abs(a[k][1] - b[k][1]) <= 1e-12 * max(1.0, abs(a[k][1])), k
+
+
+# ------------------ file-spilled projection tier ----------------------
+
+def test_apsp_file_tier_matches_broadcast(spark, tmp_path):
+    """strategy='file' (mmap file-spilled CSR, r12) must reproduce the
+    broadcast tier's APSP top-k bit-for-bit — same kernels, different
+    projection transport."""
+    import random
+
+    from bigdata_foundation_spark.graph import paths as P
+
+    random.seed(11)
+    rows = [
+        (f"n{random.randrange(300)}", f"n{random.randrange(300)}",
+         float(random.randrange(1, 9)))
+        for _ in range(2000)
+    ]
+    roads = spark.createDataFrame(rows, ["src", "dst", "cost"])
+    a = [tuple(r) for r in P.apsp_topk(spark, roads, k=10, strategy="broadcast").collect()]
+    b = [tuple(r) for r in P.apsp_topk(
+        spark, roads, k=10, strategy="file", spill_dir=str(tmp_path / "spill")
+    ).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_spilled_projection_roundtrip(tmp_path):
+    """spill → mmap load preserves the CSR arrays, the id mapping, and
+    the per-source distance kernel results; the loaded projection has
+    NO eager string→int index (the per-process dict the file tier
+    avoids)."""
+    import numpy as np
+
+    from bigdata_foundation_spark.graph import kernel as K
+
+    proj = K.Projection(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0), ("c", "d", 1.0)]
+    )
+    path = K.spill_projection(proj, str(tmp_path / "p"))
+    K._SPILL_CACHE.clear()
+    loaded = K.load_spilled_projection(path)
+    assert loaded.index is None
+    assert list(loaded.indptr) == list(proj.indptr)
+    assert list(loaded.adj_v) == list(proj.adj_v)
+    assert [str(x) for x in loaded.ids] == list(proj.ids)
+    d0 = K._delta_dist_numpy(proj, 0)
+    d1 = K._delta_dist_numpy(loaded, 0)
+    assert np.array_equal(d0, d1, equal_nan=True)
+    # indices= path (no index dict needed)
+    got = K.per_source_longest(loaded, ["a"], 2, indices=[0])
+    want = K.per_source_longest(proj, ["a"], 2)
+    assert got == want
+    # cache: second load is the same object
+    assert K.load_spilled_projection(path) is loaded

@@ -163,6 +163,9 @@ PICKS = [
     "domain_cap_sample",
     "dedup_image_phash",
     "fixed_width_parse",
+    # r12 debuts: boilerplate-removing extraction, versioned snapshots
+    "html_main_content",
+    "snapshot_time_travel",
 ]
 
 
