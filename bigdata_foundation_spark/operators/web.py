@@ -306,3 +306,89 @@ def html_main_content(
         ),
     )
     return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+
+
+def robots_rules(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-domain robots.txt content into (domain, prefix)
+    disallow rules for the wildcard agent — the crawl-politeness
+    filter every responsible corpus applies before fetching (and
+    re-applies when re-filtering an existing crawl).
+
+    SIMPLIFIED CONTRACT (documented, shared with the SQL oracle):
+    a ``Disallow:`` line belongs to the most recent ``User-agent:``
+    line above it (consecutive user-agent lines are NOT grouped — the
+    second overrides), and only sections for agent ``*`` emit rules;
+    prefixes are literal (no ``*``/``$`` wildcard extensions);
+    ``Disallow:`` with an empty value allows everything (emits no
+    rule). Comments (``#…``) and surrounding whitespace are stripped.
+
+    Shape: one scan-side line explode + ONE domain-keyed window (the
+    running "current section" is last_value(ignorenulls) over line
+    position) + a filter — robots files are KB-sized, so the window
+    state per domain is trivial and the output rule table is small
+    enough to broadcast into :func:`robots_filter`."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(
+            F.split(F.col(robots_col), r"\r?\n")
+        ).alias("_pos", "_line"),
+    ).select(
+        "domain",
+        "_pos",
+        F.btrim(F.regexp_replace(F.col("_line"), r"#.*$", "")).alias("_line"),
+    )
+    ua = F.regexp_extract(F.col("_line"), r"(?i)^user-agent:\s*(\S+)\s*$", 1)
+    dis = F.regexp_extract(F.col("_line"), r"(?i)^disallow:\s*(\S*)\s*$", 1)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lines.select(
+        "domain",
+        "_pos",
+        F.last(F.when(ua != "", ua), ignorenulls=True).over(w).alias("_ua"),
+        dis.alias("_dis"),
+        F.col("_line").rlike(r"(?i)^disallow:").alias("_is_dis"),
+    )
+    return (
+        tagged.filter((F.col("_ua") == "*") & F.col("_is_dis") & (F.col("_dis") != ""))
+        .select("domain", F.col("_dis").alias("prefix"))
+        .distinct()
+    )
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component of a URL ('/' when absent) — the robots.txt
+    match subject."""
+    p = F.regexp_extract(
+        _c(url), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop URLs whose path starts with a disallowed prefix for their
+    registered domain. ONE broadcast left-anti join keyed on the
+    domain with a startswith residual — the rule table is per-domain
+    KBs, so filtering 100 TB of URLs never shuffles the URL side.
+    URLs with no parseable domain are KEPT (same NULL contract as
+    blocklist_filter)."""
+    u = urls.withColumn("_dom", registered_domain(F.col(url_col))).withColumn(
+        "_path", url_path(F.col(url_col))
+    )
+    r = F.broadcast(rules.select(F.col("domain").alias("_rdom"), "prefix"))
+    out = u.join(
+        r,
+        (F.col("_dom") == F.col("_rdom")) & F.col("_path").startswith(F.col("prefix")),
+        "left_anti",
+    )
+    return out.drop("_dom", "_path")

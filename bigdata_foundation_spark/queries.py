@@ -85,20 +85,23 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # fix (dedup_image_phash), the hashed_keys parameterization
 # (stupid_backoff_lm — default plan unchanged, code touched), the
 # apsp wave-task restructure for the r12 file-spilled kernel tier
-# (graph_apsp_top10) — plus the TWO r12 debuts, value-gated on
-# arrival: html_main_content (Kohlschütter boilerplate removal) and
-# snapshot_time_travel (manifest-committed versioned reads); then
+# (graph_apsp_top10) — plus the FOUR r12 debuts, value-gated on
+# arrival: html_main_content (Kohlschütter boilerplate removal),
+# snapshot_time_travel (manifest-committed versioned reads),
+# warc_parse (Common Crawl source format), robots_filter_stats
+# (crawl politeness); then
 # (b) the OLDEST-GATED rotation: the FULL remaining r7 block (17
 # entries — after this round no entry's latest gate is older than r8)
-# plus the first 25 of the r8 block in name order (the remaining 14
-# r8 entries head the r13 rotation: q1_pricing_summary,
+# plus the first 23 of the r8 block in name order (the remaining 16
+# r8 entries head the r13 rotation: q18_large_volume_customers,
+# q19_disjunctive_predicates, q1_pricing_summary,
 # q20_excess_suppliers, q21_waiting_suppliers, q22_idle_customers,
 # quality_classifier, scd2_user_history, split_train_val_test,
 # sql_q6_revenue, streaming_dedup, streaming_hourly,
 # streaming_sessionize, streaming_sliding, token_totals_by_source,
 # unimax_mixture; staleness computed from the union of
 # CORRECTNESS_r01–r11.json).
-# Totals: 6 changed + 2 debuts + 17 r7 + 25 r8 = 50.
+# Totals: 6 changed + 4 debuts + 17 r7 + 23 r8 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r12.md. Entries not listed
 # keep registration order after these.
@@ -112,6 +115,8 @@ GATE_ORDER: list[str] = [
     "graph_apsp_top10",  # r12: wave task passes (src, idx) pairs for the file tier
     "html_main_content",  # r12 DEBUT: Kohlschütter boilerplate-removing extraction
     "snapshot_time_travel",  # r12 DEBUT: manifest-committed versioned snapshot reads
+    "warc_parse",  # r12 DEBUT: WARC web-archive record parsing round-trip
+    "robots_filter_stats",  # r12 DEBUT: robots.txt rules + politeness filter
     # (b) oldest-gated rotation — the FULL remaining r7 block
     "graph_ktruss",  # last gated r7
     "graph_label_propagation",  # last gated r7
@@ -154,8 +159,6 @@ GATE_ORDER: list[str] = [
     "q15_top_supplier",  # last gated r8
     "q16_supplier_part_count",  # last gated r8
     "q17_small_quantity_revenue",  # last gated r8
-    "q18_large_volume_customers",  # last gated r8
-    "q19_disjunctive_predicates",  # last gated r8
 ]
 
 
@@ -5767,6 +5770,177 @@ def html_main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(' <a href="/c">Contact</a></div></body></html>'),
     )
     return d.select("doc_id", W.html_main_content(html).alias("main_text"))
+
+
+# --- WARC parse (r12): the crawl-archive source format --------------------
+
+@q(
+    "warc_parse",
+    """
+    SELECT CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN length('not found')
+                         ELSE length('<html><body><p>' || text || '</p></body></html>')
+                    END) AS BIGINT) AS body_bytes,
+           CAST(COUNT(DISTINCT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_uris
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    "WARC web-archive record parsing (r12 - the Common Crawl source "
+    "format, io.parse_warc): a full WARC response record (WARC "
+    "headers + HTTP status/headers + HTML body) is synthesized "
+    "scan-side per document and round-trips through the real parser "
+    "back to typed fields (type, target URI, status, media type, "
+    "body); the oracle re-derives the aggregate from the base "
+    "columns, so any header-regex/body-split defect breaks the "
+    "match. Full SQL oracle",
+)
+def warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.io import parse_warc
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is404 = did % 5 == 0
+    body = F.when(is404, F.lit("not found")).otherwise(
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"))
+    )
+    http = F.concat(
+        F.when(is404, F.lit("HTTP/1.1 404 Not Found\r\n")).otherwise(
+            F.lit("HTTP/1.1 200 OK\r\n")
+        ),
+        F.when(is404, F.lit("Content-Type: text/plain\r\n")).otherwise(
+            F.lit("Content-Type: text/html; charset=utf-8\r\n")
+        ),
+        F.lit("Server: synth\r\n\r\n"),
+        body,
+    )
+    record = F.concat(
+        F.lit("WARC-Type: response\r\nWARC-Target-URI: https://site"),
+        (did % 7).cast("string"),
+        F.lit(".com/p/"),
+        did.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    parsed = parse_warc(d.select(record.alias("record")))
+    return (
+        parsed.groupBy("http_status", "content_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("body")).cast("bigint").alias("body_bytes"),
+            F.countDistinct("target_uri").cast("bigint").alias("n_uris"),
+        )
+    )
+
+
+# --- robots.txt rules + filter (r12): crawl politeness --------------------
+
+_ROBOTS_TXT_SQL = """
+      'User-agent: google' || chr(10) || 'Disallow: /g' || chr(10) ||
+      CASE di % 3
+        WHEN 0 THEN 'User-agent: *' || chr(10) || '# private areas' || chr(10)
+                    || 'Disallow: /private' || chr(10) || 'Disallow: /tmp/' || chr(10)
+                    || 'Disallow:' || chr(10)
+        WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+        ELSE 'User-agent: onlybot' || chr(10) || 'Disallow: /z' || chr(10) END
+      || 'User-agent: bing' || chr(10) || 'Disallow: /b'
+"""
+
+
+@q(
+    "robots_filter_stats",
+    f"""
+    WITH doms AS (
+      SELECT DISTINCT doc_id % 6 AS di FROM documents
+    ), rules AS (
+      SELECT di, line, pos,
+             last_value(CASE WHEN regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)\\s*$', 1) <> ''
+                             THEN regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)\\s*$', 1) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY di ORDER BY pos ROWS UNBOUNDED PRECEDING) AS ua
+      FROM (
+        SELECT di,
+               trim(regexp_replace(unnest(string_split({_ROBOTS_TXT_SQL}, chr(10))), '#.*$', '', 'g')) AS line,
+               generate_subscripts(string_split({_ROBOTS_TXT_SQL}, chr(10)), 1) AS pos
+        FROM doms)
+    ), dis AS (
+      SELECT DISTINCT di, regexp_extract(line, '(?i)^disallow:\\s*(\\S*)\\s*$', 1) AS prefix
+      FROM rules
+      WHERE ua = '*' AND regexp_matches(line, '(?i)^disallow:')
+        AND regexp_extract(line, '(?i)^disallow:\\s*(\\S*)\\s*$', 1) <> ''
+    ), urls AS (
+      SELECT doc_id, doc_id % 6 AS di,
+             CASE doc_id % 4
+               WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tmp/x'
+               ELSE '/articles/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    )
+    SELECT 'site' || CAST(u.di AS VARCHAR) || '.com' AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM urls u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM dis r WHERE r.di = u.di AND starts_with(u.path, r.prefix))
+    GROUP BY 1
+    """,
+    "robots.txt crawl-politeness filtering (r12 - web.robots_rules + "
+    "web.robots_filter): per-domain robots.txt content is synthesized "
+    "scan-side (wildcard sections with multiple/empty disallows, "
+    "specific-agent sections that must NOT emit rules, comments), "
+    "parsed into (domain, prefix) rules via one line explode + one "
+    "domain-keyed last_value window, then URLs are filtered by ONE "
+    "broadcast left-anti join (domain equi-key + startswith "
+    "residual); the oracle replays rule extraction AND filtering "
+    "with the identical window/NOT EXISTS semantics. Full SQL oracle",
+)
+def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    di = (did % 6).cast("bigint")
+    _dv = F.col("_di")
+    robots = (
+        d.select(di.alias("_di"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), _dv.cast("string"), F.lit(".com")).alias("domain"),
+            F.concat(
+                F.lit("User-agent: google\nDisallow: /g\n"),
+                F.when(
+                    _dv % 3 == 0,
+                    F.lit(
+                        "User-agent: *\n# private areas\nDisallow: /private\n"
+                        "Disallow: /tmp/\nDisallow:\n"
+                    ),
+                )
+                .when(_dv % 3 == 1, F.lit("User-agent: *\nDisallow: /\n"))
+                .otherwise(F.lit("User-agent: onlybot\nDisallow: /z\n")),
+                F.lit("User-agent: bing\nDisallow: /b"),
+            ).alias("robots_txt"),
+        )
+    )
+    rules = W.robots_rules(robots)
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/private/p"), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("/public/p"), did.cast("string")))
+        .when(did % 4 == 2, F.lit("/tmp/x"))
+        .otherwise(F.concat(F.lit("/articles/"), did.cast("string")))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://site"), di.cast("string"), F.lit(".com"), path
+        ).alias("url")
+    )
+    kept = W.robots_filter(urls, rules)
+    return (
+        kept.select(W.registered_domain("url").alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
 
 
 @q(

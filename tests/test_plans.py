@@ -456,3 +456,26 @@ def test_fixed_width_scan_side_partial_agg(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_warc_parse_scan_side_partial_agg(spark):
+    """WARC parsing is scan-side codegen: no Python, no Join; the
+    only exchange is the aggregate's."""
+    plan = plan_of(spark, "warc_parse")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # two hash exchanges: the grouped agg + countDistinct's two-phase
+    # expand — both keyed, both map-side-combined; parsing itself
+    # contributes none
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_robots_filter_broadcast_anti_no_url_shuffle(spark):
+    """The politeness filter is ONE broadcast left-anti join: the URL
+    side must never hash-exchange (rules broadcast; the only
+    hash exchanges allowed are the rule-side window + final agg)."""
+    plan = plan_of(spark, "robots_filter_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

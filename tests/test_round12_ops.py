@@ -234,3 +234,106 @@ def test_spilled_projection_roundtrip(tmp_path):
     assert got == want
     # cache: second load is the same object
     assert K.load_spilled_projection(path) is loaded
+
+
+# ---------------------------- WARC ------------------------------------
+
+def test_warc_read_parse_roundtrip(spark, tmp_path):
+    """A real multi-record .warc file on disk: read_warc splits it
+    into records distributively (lineSep scan), parse_warc recovers
+    the typed fields — incl. the archive-final record's trailing
+    separator CRLFs, non-HTTP payloads, and absent headers."""
+    from bigdata_foundation_spark.io import parse_warc, read_warc
+
+    body1 = "<html><body><p>hello page one</p></body></html>"
+    http1 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+             f"X-Other: y\r\n\r\n{body1}")
+    rec1 = ("WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://a.com/x\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(http1)}\r\n\r\n{http1}")
+    http2 = "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnope"
+    rec2 = ("WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://b.co.uk/y\r\n"
+            f"Content-Length: {len(http2)}\r\n\r\n{http2}")
+    rec3 = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n\r\nabc"
+    path = str(tmp_path / "t.warc")
+    with open(path, "w", newline="") as f:
+        f.write("\r\n\r\n".join([rec1, rec2, rec3]) + "\r\n\r\n")
+    rows = {r["target_uri"]: r.asDict()
+            for r in parse_warc(read_warc(spark, path)).collect()}
+    assert len(rows) == 3
+    a = rows["https://a.com/x"]
+    assert (a["warc_type"], a["http_status"], a["content_type"], a["body"]) == (
+        "response", 200, "text/html", body1)
+    assert a["warc_date"] == "2026-01-01T00:00:00Z"
+    assert a["content_length"] == len(http1)
+    b = rows["https://b.co.uk/y"]
+    assert (b["http_status"], b["content_type"], b["body"]) == (404, "text/plain", "nope")
+    w = rows[""]
+    assert (w["warc_type"], w["http_status"], w["content_type"], w["body"]) == (
+        "warcinfo", None, None, "abc")
+
+
+def test_warc_to_main_content_composes(spark, tmp_path):
+    """The C4 front door end-to-end: WARC -> parse -> html filter ->
+    main-content extraction."""
+    from bigdata_foundation_spark.io import parse_warc, read_warc
+
+    body = ("<html><body><div><a href='/'>Home</a> <a href='/n'>News</a>"
+            " <a href='/c'>More</a> <a href='/d'>Links</a></div>"
+            "<p>the actual article body has plenty of words to keep"
+            " for the corpus downstream</p></body></html>")
+    http = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{body}"
+    rec = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: https://a.com/art\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n{http}")
+    path = str(tmp_path / "c.warc")
+    with open(path, "w", newline="") as f:
+        f.write(rec + "\r\n\r\n")
+    parsed = parse_warc(read_warc(spark, path))
+    html_pages = parsed.filter("content_type = 'text/html' AND http_status = 200")
+    out = html_pages.select(W.html_main_content(F.col("body")).alias("t")).first()["t"]
+    assert out.startswith("the actual article body")
+    assert "Home" not in out
+
+
+# --------------------------- robots.txt -------------------------------
+
+def test_robots_rules_semantics(spark):
+    """Sections bind Disallow lines to the most recent User-agent;
+    only '*' sections emit rules; empty Disallow allows; comments and
+    whitespace strip; rules are distinct."""
+    txt = ("# top comment\n"
+           "User-agent: google\nDisallow: /g\n\n"
+           "User-agent: *\n"
+           "Disallow: /private   # trailing comment\n"
+           "Disallow: /tmp/\n"
+           "Disallow:\n"
+           "Disallow: /private\n\n"
+           "User-agent: bing\nDisallow: /b\n")
+    robots = spark.createDataFrame([("a.com", txt)], ["domain", "robots_txt"])
+    rules = sorted(
+        (r["domain"], r["prefix"]) for r in W.robots_rules(robots).collect()
+    )
+    assert rules == [("a.com", "/private"), ("a.com", "/tmp/")]
+
+
+def test_robots_filter_semantics(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\nDisallow: /tmp/"),
+         ("b.co.uk", "User-agent: *\nDisallow: /")],
+        ["domain", "robots_txt"],
+    )
+    rules = W.robots_rules(robots)
+    urls = spark.createDataFrame(
+        [("https://a.com/private/x",), ("https://a.com/privateer",),
+         ("https://WWW.A.com/tmp/f",), ("https://a.com/ok",),
+         ("https://b.co.uk/anything",), ("https://c.org/free",), (None,)],
+        "url string",
+    )
+    kept = sorted(str(r["url"]) for r in W.robots_filter(urls, rules).collect())
+    # literal-prefix contract: '/privateer' matches prefix '/private'
+    # (documented simplification); www/case-folded hosts match; NULL
+    # urls are KEPT; unlisted domains pass
+    assert kept == ["None", "https://a.com/ok", "https://c.org/free"]

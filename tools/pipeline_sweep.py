@@ -163,9 +163,12 @@ PICKS = [
     "domain_cap_sample",
     "dedup_image_phash",
     "fixed_width_parse",
-    # r12 debuts: boilerplate-removing extraction, versioned snapshots
+    # r12 debuts: boilerplate-removing extraction, versioned snapshots,
+    # WARC parsing, robots.txt politeness
     "html_main_content",
     "snapshot_time_travel",
+    "warc_parse",
+    "robots_filter_stats",
 ]
 
 
