@@ -392,3 +392,70 @@ def robots_filter(
         "left_anti",
     )
     return out.drop("_dom", "_path")
+
+
+def html_title(html: Column | str) -> Column:
+    """<title> text (first occurrence), entities decoded, whitespace
+    collapsed — NULL-free: pages without a title yield ''."""
+    t = F.regexp_extract(
+        _strip_scaffolding(html), r"(?is)<title\b[^>]*>(.*?)</title>", 1
+    )
+    return _block_plain_text(t)
+
+
+def html_meta(
+    df: DataFrame, html_col: str = "html", keep: list[str] | None = None
+) -> DataFrame:
+    """Page-level metadata columns every corpus keeps alongside the
+    text (C4/Dolma provenance fields): ``title``, ``meta_description``
+    (name= or property=og:description, first hit wins per attribute
+    order), ``canonical_url`` (<link rel=canonical>), and ``lang``
+    (the <html lang=...> attribute, lowercased) — appended to ``df``
+    as pure codegen regexp extraction, zero shuffle. Attribute-order
+    variants are matched for the common layouts (name before content
+    and content before name); exotic orderings degrade to '' rather
+    than mis-extracting. ``keep`` restricts which of the four columns
+    are added (all by default) — unreferenced extractions are pruned
+    by Catalyst anyway; the knob just keeps schemas tidy."""
+    h = _strip_scaffolding(F.col(html_col))
+    cols = {
+        "title": html_title(F.col(html_col)),
+        "meta_description": F.coalesce(
+            F.nullif(
+                _block_plain_text(
+                    F.regexp_extract(
+                        h,
+                        r"(?is)<meta\b[^>]*name\s*=\s*[\"']description[\"'][^>]*"
+                        r"content\s*=\s*[\"']([^\"']*)[\"']",
+                        1,
+                    )
+                ),
+                F.lit(""),
+            ),
+            F.nullif(
+                _block_plain_text(
+                    F.regexp_extract(
+                        h,
+                        r"(?is)<meta\b[^>]*content\s*=\s*[\"']([^\"']*)[\"'][^>]*"
+                        r"name\s*=\s*[\"']description[\"']",
+                        1,
+                    )
+                ),
+                F.lit(""),
+            ),
+            F.lit(""),
+        ),
+        "canonical_url": F.regexp_extract(
+            h,
+            r"(?is)<link\b[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
+            r"href\s*=\s*[\"']([^\"']*)[\"']",
+            1,
+        ),
+        "lang": F.lower(
+            F.regexp_extract(h, r"(?is)<html\b[^>]*\blang\s*=\s*[\"']([^\"']*)[\"']", 1)
+        ),
+    }
+    out = df
+    for name in keep or list(cols):
+        out = out.withColumn(name, cols[name])
+    return out

@@ -85,15 +85,17 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # fix (dedup_image_phash), the hashed_keys parameterization
 # (stupid_backoff_lm — default plan unchanged, code touched), the
 # apsp wave-task restructure for the r12 file-spilled kernel tier
-# (graph_apsp_top10) — plus the FOUR r12 debuts, value-gated on
+# (graph_apsp_top10) — plus the SIX r12 debuts, value-gated on
 # arrival: html_main_content (Kohlschütter boilerplate removal),
 # snapshot_time_travel (manifest-committed versioned reads),
 # warc_parse (Common Crawl source format), robots_filter_stats
-# (crawl politeness); then
+# (crawl politeness), html_meta_extract (page provenance fields),
+# streaming_snapshot_sink (versioned-append streaming writer); then
 # (b) the OLDEST-GATED rotation: the FULL remaining r7 block (17
 # entries — after this round no entry's latest gate is older than r8)
-# plus the first 23 of the r8 block in name order (the remaining 16
-# r8 entries head the r13 rotation: q18_large_volume_customers,
+# plus the first 21 of the r8 block in name order (the remaining 18
+# r8 entries head the r13 rotation: q16_supplier_part_count,
+# q17_small_quantity_revenue, q18_large_volume_customers,
 # q19_disjunctive_predicates, q1_pricing_summary,
 # q20_excess_suppliers, q21_waiting_suppliers, q22_idle_customers,
 # quality_classifier, scd2_user_history, split_train_val_test,
@@ -101,7 +103,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # streaming_sessionize, streaming_sliding, token_totals_by_source,
 # unimax_mixture; staleness computed from the union of
 # CORRECTNESS_r01–r11.json).
-# Totals: 6 changed + 4 debuts + 17 r7 + 23 r8 = 50.
+# Totals: 6 changed + 6 debuts + 17 r7 + 21 r8 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r12.md. Entries not listed
 # keep registration order after these.
@@ -117,6 +119,8 @@ GATE_ORDER: list[str] = [
     "snapshot_time_travel",  # r12 DEBUT: manifest-committed versioned snapshot reads
     "warc_parse",  # r12 DEBUT: WARC web-archive record parsing round-trip
     "robots_filter_stats",  # r12 DEBUT: robots.txt rules + politeness filter
+    "html_meta_extract",  # r12 DEBUT: page metadata (title/description/canonical/lang)
+    "streaming_snapshot_sink",  # r12 DEBUT: versioned-append streaming sink (idempotent replay)
     # (b) oldest-gated rotation — the FULL remaining r7 block
     "graph_ktruss",  # last gated r7
     "graph_label_propagation",  # last gated r7
@@ -157,8 +161,6 @@ GATE_ORDER: list[str] = [
     "q12_priority_by_flag",  # last gated r8
     "q14_promo_revenue",  # last gated r8
     "q15_top_supplier",  # last gated r8
-    "q16_supplier_part_count",  # last gated r8
-    "q17_small_quantity_revenue",  # last gated r8
 ]
 
 
@@ -4377,6 +4379,40 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_snapshot_sink",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "foreachBatch VERSIONED-SNAPSHOT sink (r12 - the streaming writer "
+    "of the time-travel layer): stream events as per-micro-batch "
+    "append commits with commit_id = batch id (checkpoint replays "
+    "are no-ops - the idempotent-commit contract under at-least-once "
+    "delivery), then aggregate the HEAD snapshot through its "
+    "manifest; equals a direct aggregate of the source iff no batch "
+    "was dropped or double-committed. Full SQL oracle",
+)
+def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import read_at_version
+    from bigdata_foundation_spark.streaming import read_events_stream
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot
+
+    target = tempfile.mkdtemp(prefix="q_snapshot_sink_") + "/events"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    foreach_batch_snapshot(ev, target, batch_shuffle_partitions=8)
+    return (
+        read_at_version(spark, target)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
     "rfm_segmentation",
     r"""
     WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
@@ -5770,6 +5806,84 @@ def html_main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(' <a href="/c">Contact</a></div></body></html>'),
     )
     return d.select("doc_id", W.html_main_content(html).alias("main_text"))
+
+
+# --- HTML page metadata (r12): title/description/canonical/lang -----------
+
+_SYNTH_META_HTML_SQL = """
+      '<html' || CASE WHEN doc_id % 3 = 0 THEN ' lang="EN-us"' ELSE '' END || '><head>'
+      || '<title>  Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; more  </title>'
+      || CASE doc_id % 4
+           WHEN 0 THEN '<meta name="description" content="summary ' || CAST(doc_id % 9 AS VARCHAR) || '">'
+           WHEN 1 THEN '<meta content="alt summary ' || CAST(doc_id % 9 AS VARCHAR) || '" name="description">'
+           WHEN 2 THEN '<meta name="keywords" content="k1,k2">'
+           ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN '<link rel="canonical" href="https://canon.site/' || CAST(doc_id AS VARCHAR) || '">'
+              ELSE '' END
+      || '</head><body><p>' || text || '</p></body></html>'
+"""
+
+HTML_META_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, {_SYNTH_META_HTML_SQL} AS html FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(replace(
+             regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)</title>', 1),
+             '&amp;', '&'), '[ \t\r\n]+', ' ', 'g')) AS title,
+           CASE doc_id % 4
+             WHEN 0 THEN 'summary ' || CAST(doc_id % 9 AS VARCHAR)
+             WHEN 1 THEN 'alt summary ' || CAST(doc_id % 9 AS VARCHAR)
+             ELSE '' END AS meta_description,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'https://canon.site/' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS canonical_url,
+           CASE WHEN doc_id % 3 = 0 THEN 'en-us' ELSE '' END AS lang
+    FROM h
+"""
+
+
+@q(
+    "html_meta_extract",
+    HTML_META_ORACLE,
+    "page-level metadata extraction (r12 - the provenance fields "
+    "C4/Dolma keep alongside the text): title (entity-decoded, "
+    "whitespace-collapsed), meta description (both attribute "
+    "orders), canonical link, html lang - pure codegen regexp "
+    "extraction over the scan, zero shuffle. The oracle replays the "
+    "title regex verbatim and re-derives the other fields from the "
+    "synthesis rule, so a mis-extraction on either path breaks the "
+    "match. Full SQL oracle",
+)
+def html_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html"),
+        F.when(did % 3 == 0, F.lit(' lang="EN-us"')).otherwise(F.lit("")),
+        F.lit("><head><title>  Doc "), did.cast("string"),
+        F.lit(" &amp; more  </title>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit('<meta name="description" content="summary '),
+                     (did % 9).cast("string"), F.lit('">')),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit('<meta content="alt summary '),
+                     (did % 9).cast("string"), F.lit('" name="description">')),
+        )
+        .when(did % 4 == 2, F.lit('<meta name="keywords" content="k1,k2">'))
+        .otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://canon.site/'),
+                     did.cast("string"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return W.html_meta(d.select("doc_id", html.alias("html"))).drop("html")
 
 
 # --- WARC parse (r12): the crawl-archive source format --------------------

@@ -259,3 +259,55 @@ def foreach_batch_scd2(
     finally:
         if own_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def foreach_batch_snapshot(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str | None = None,
+    batch_shuffle_partitions: int | None = None,
+) -> list[int]:
+    """Run ``stream_df`` to completion (Trigger.AvailableNow),
+    committing every micro-batch as a VERSIONED APPEND snapshot
+    (``io.write_snapshot``) — the streaming writer for the r12
+    time-travel layer, and the sink where its idempotent-replay
+    contract earns its keep: ``commit_id = "stream-batch-<id>"``, so
+    a checkpoint replay of an already-committed batch is a NO-OP
+    instead of a duplicate append (exactly-once TABLE STATE from
+    at-least-once delivery — same end-to-end argument as the upsert
+    sink, but via the manifest log instead of a table rewrite: each
+    batch costs ONE append commit, never a full-table rewrite, and
+    every batch boundary stays readable forever via
+    ``read_at_version`` until vacuumed).
+
+    Returns the committed version numbers in batch order."""
+    from bigdata_foundation_spark.io import write_snapshot
+
+    versions: list[int] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with _batch_shuffle(spark, batch_shuffle_partitions):
+            versions.append(
+                write_snapshot(
+                    batch_df,
+                    table_dir,
+                    mode="append",
+                    commit_id=f"stream-batch-{batch_id}",
+                )
+            )
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="snapshot_ckpt_")
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return versions

@@ -337,3 +337,62 @@ def test_robots_filter_semantics(spark):
     # (documented simplification); www/case-folded hosts match; NULL
     # urls are KEPT; unlisted domains pass
     assert kept == ["None", "https://a.com/ok", "https://c.org/free"]
+
+
+# --------------------------- html_meta --------------------------------
+
+def test_html_meta_extraction(spark):
+    page = ('<html LANG="PT-br"><head><title> A &amp; B  site </title>'
+            '<style>t{}</style>'
+            '<meta content="from content-first" name="description">'
+            '<link rel="canonical" href="https://x.org/canon">'
+            '</head><body><p>b</p></body></html>')
+    df = spark.createDataFrame([(page,)], ["html"])
+    r = W.html_meta(df).drop("html").first().asDict()
+    assert r == {
+        "title": "A & B site",
+        "meta_description": "from content-first",
+        "canonical_url": "https://x.org/canon",
+        "lang": "pt-br",
+    }
+    # absent fields degrade to '' (never NULL, never mis-extract)
+    bare = spark.createDataFrame([("<html><body>x</body></html>",)], ["html"])
+    r2 = W.html_meta(bare).drop("html").first().asDict()
+    assert r2 == {"title": "", "meta_description": "", "canonical_url": "", "lang": ""}
+    # keep= restricts the added columns
+    assert W.html_meta(df, keep=["title"]).columns == ["html", "title"]
+
+
+# --------------------- streaming snapshot sink ------------------------
+
+def test_streaming_snapshot_sink_replay_idempotent(spark, tmp_path):
+    """Each micro-batch commits one append version; re-running the
+    same stream with the SAME batch ids (fresh checkpoint, same
+    source) must not duplicate rows — commit_id makes the replay a
+    no-op per batch. Every batch boundary stays readable."""
+    from bigdata_foundation_spark.io import read_at_version, snapshot_versions
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot
+
+    src = str(tmp_path / "src")
+    spark.range(20).selectExpr("id AS k", "id * 2 AS v").write.parquet(src)
+    stream = (
+        spark.readStream.schema("k bigint, v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    tdir = str(tmp_path / "tbl")
+    versions = foreach_batch_snapshot(stream, tdir, batch_shuffle_partitions=4)
+    assert versions == snapshot_versions(tdir)
+    assert read_at_version(spark, tdir).count() == 20
+    # replay: same source, fresh checkpoint -> same batch ids -> no-ops
+    stream2 = (
+        spark.readStream.schema("k bigint, v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    v2 = foreach_batch_snapshot(stream2, tdir, batch_shuffle_partitions=4)
+    assert v2 == versions  # every commit recognized, none re-applied
+    assert read_at_version(spark, tdir).count() == 20
+    # intermediate batch boundaries are time-travelable
+    if len(versions) > 1:
+        assert read_at_version(spark, tdir, versions[0]).count() < 20

@@ -169,6 +169,8 @@ PICKS = [
     "snapshot_time_travel",
     "warc_parse",
     "robots_filter_stats",
+    "html_meta_extract",
+    "streaming_snapshot_sink",
 ]
 
 
