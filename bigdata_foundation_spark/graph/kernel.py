@@ -143,6 +143,17 @@ class Projection:
         else:
             self.coords = None
 
+    def index_map(self) -> dict:
+        """string→int node map, built on demand: a spilled projection
+        loads with ``index = None`` (the one structure mmap cannot
+        share across processes), and callers that cannot pass
+        precomputed indices build it here exactly once per process
+        (r12 review finding: the previous 'lazy' index was never
+        built at all, so such callers crashed on None)."""
+        if self.index is None:
+            self.index = {str(s): i for i, s in enumerate(self.ids)}
+        return self.index
+
     def hot(self) -> tuple[list, list, list, list]:
         """(indptr, adj_v, adj_w, adj_e) as Python lists — cached per
         process; the heap kernels' fast path."""
@@ -243,6 +254,16 @@ def spill_projection(proj: Projection, out_dir: str) -> str:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(os.path.join(out_dir, "indptr.npy")):
+        # Overwriting a live spill in place would poison the
+        # executors' per-path mmap cache (long-lived workers keep
+        # serving the OLD graph) and corrupt in-flight mmap reads —
+        # every spill gets its own directory (r12 review finding;
+        # apsp_topk already allocates a unique subdir per projection).
+        raise FileExistsError(
+            f"spill_projection: {out_dir!r} already holds a spilled "
+            "projection — spill each projection into its own directory"
+        )
     np.save(os.path.join(out_dir, "indptr.npy"), np.asarray(proj.indptr, dtype=np.int64))
     np.save(os.path.join(out_dir, "adj_v.npy"), np.asarray(proj.adj_v, dtype=np.int32))
     np.save(os.path.join(out_dir, "adj_w.npy"), np.asarray(proj.adj_w, dtype=np.float64))
@@ -254,10 +275,10 @@ def spill_projection(proj: Projection, out_dir: str) -> str:
 def load_spilled_projection(path: str) -> Projection:
     """mmap-load a spilled projection, cached per process. The
     returned object carries numpy (memory-mapped) CSR arrays and a
-    LAZY index: ``index`` is None until a kernel actually needs the
-    string→int map (the wave drivers pass precomputed int indices
-    instead, so the per-process dict — the one structure mmap cannot
-    share — is never built on the hot path)."""
+    LAZY index: ``index`` loads as None and is built on first
+    ``index_map()`` call (the wave drivers pass precomputed int
+    indices instead, so the per-process dict — the one structure
+    mmap cannot share — is never built on the hot path)."""
     proj = _SPILL_CACHE.get(path)
     if proj is not None:
         return proj
@@ -653,8 +674,9 @@ def per_source_longest(
     ids = proj.ids
     out: list[tuple[str, str, float]] = []
     use_np = proj.n_edges >= _NUMPY_DIST_EDGE_THRESHOLD
+    idx_map = None if indices is not None else proj.index_map()
     for j, src in enumerate(sources):
-        s = indices[j] if indices is not None else proj.index.get(src)
+        s = indices[j] if indices is not None else idx_map.get(src)
         if s is None:
             continue
         if use_np:

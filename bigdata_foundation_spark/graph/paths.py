@@ -185,6 +185,35 @@ def _get_broadcast(spark: SparkSession, proj: _k.Projection):
     return bc
 
 
+# One spill per projection per session, mirroring _BC_CACHE: repeated
+# file-tier queries against the same projection reuse the .npy files
+# instead of rewriting gigabytes per call. Each spill lands in a
+# UNIQUE subdir (uuid) of the caller's spill_dir — a reused shared
+# directory therefore never aliases two different graphs under one
+# path, which would poison the executors' per-path mmap cache (r12
+# review findings). Default-tempdir spills are removed when the
+# projection is garbage-collected.
+_SPILL_DIRS: "weakref.WeakKeyDictionary[_k.Projection, str]" = weakref.WeakKeyDictionary()
+
+
+def _get_spill_dir(proj: _k.Projection, spill_dir: str | None) -> str:
+    spill = _SPILL_DIRS.get(proj)
+    if spill is not None:
+        return spill
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    own_tmp = spill_dir is None
+    base = spill_dir or tempfile.mkdtemp(prefix="apsp_spill_")
+    spill = _k.spill_projection(proj, os.path.join(base, f"g{uuid.uuid4().hex[:12]}"))
+    _SPILL_DIRS[proj] = spill
+    if own_tmp:
+        weakref.finalize(proj, shutil.rmtree, base, True)
+    return spill
+
+
 def _run_on_executor(spark: SparkSession, proj: _k.Projection, fn):
     """Run ``fn(proj) -> list[Row-tuples]`` inside a single executor
     task against the broadcast projection (keeps the compute off the
@@ -548,6 +577,12 @@ def apsp_topk(
     this turns |V| SSSP runs into a few thousand. Sources that cannot
     reach the hub get an infinite bound (never pruned) — correctness
     does not depend on connectivity."""
+    if strategy not in ("auto", "broadcast", "file", "bsp"):
+        # validate HERE — the 3-way dispatch below no longer routes
+        # every value through _resolve_strategy (r12 review finding:
+        # a typo'd strategy silently ran the broadcast tier, the one
+        # tier guaranteed to OOM at the scale 'file'/'bsp' exist for)
+        raise ValueError(f"unknown strategy {strategy!r}")
     use_file = strategy == "file"
     if projection is None and strategy in ("auto", "bsp"):
         if _resolve_strategy(roads, strategy) == "bsp":
@@ -564,11 +599,7 @@ def apsp_topk(
     proj = projection or build_projection(roads)
     sc = spark.sparkContext
     if use_file:
-        import tempfile
-
-        spill = _k.spill_projection(
-            proj, spill_dir or tempfile.mkdtemp(prefix="apsp_spill_")
-        )
+        spill = _get_spill_dir(proj, spill_dir)
 
         def _task_proj() -> _k.Projection:
             return _k.load_spilled_projection(spill)
@@ -584,7 +615,7 @@ def apsp_topk(
     )
 
     inf = float("inf")
-    index = proj.index
+    index = proj.index_map()
     bounds: dict[str, float] = {}
     if landmark_pruning and sources:
         # Multi-landmark ALT bounds: for each hub h, ecc(s) <= d(s,h) +

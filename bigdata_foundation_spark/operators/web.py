@@ -456,6 +456,6 @@ def html_meta(
         ),
     }
     out = df
-    for name in keep or list(cols):
+    for name in (list(cols) if keep is None else keep):
         out = out.withColumn(name, cols[name])
     return out

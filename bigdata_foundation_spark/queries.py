@@ -139,7 +139,7 @@ GATE_ORDER: list[str] = [
     "rfm_segmentation",  # last gated r7
     "sessionize_events",  # last gated r7
     "temperature_mixture",  # last gated r7
-    # (b) oldest-gated rotation — first 25 of the r8 block (name order)
+    # (b) oldest-gated rotation — first 21 of the r8 block (name order)
     "argmin_supplier_per_nation",  # last gated r8
     "asof_join_attribution",  # last gated r8
     "bigram_perplexity",  # last gated r8
@@ -4386,9 +4386,10 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "foreachBatch VERSIONED-SNAPSHOT sink (r12 - the streaming writer "
     "of the time-travel layer): stream events as per-micro-batch "
-    "append commits with commit_id = batch id (checkpoint replays "
-    "are no-ops - the idempotent-commit contract under at-least-once "
-    "delivery), then aggregate the HEAD snapshot through its "
+    "append commits into a FRESH table (ephemeral-checkpoint mode - "
+    "with a persistent checkpoint the sink commits with commit_id = "
+    "batch id so foreachBatch retries are no-ops; pytest covers that "
+    "contract), then aggregate the HEAD snapshot through its "
     "manifest; equals a direct aggregate of the source iff no batch "
     "was dropped or double-committed. Full SQL oracle",
 )

@@ -270,20 +270,31 @@ def foreach_batch_snapshot(
     """Run ``stream_df`` to completion (Trigger.AvailableNow),
     committing every micro-batch as a VERSIONED APPEND snapshot
     (``io.write_snapshot``) — the streaming writer for the r12
-    time-travel layer, and the sink where its idempotent-replay
-    contract earns its keep: ``commit_id = "stream-batch-<id>"``, so
-    a checkpoint replay of an already-committed batch is a NO-OP
-    instead of a duplicate append (exactly-once TABLE STATE from
-    at-least-once delivery — same end-to-end argument as the upsert
-    sink, but via the manifest log instead of a table rewrite: each
-    batch costs ONE append commit, never a full-table rewrite, and
-    every batch boundary stays readable forever via
-    ``read_at_version`` until vacuumed).
+    time-travel layer. With a PERSISTENT ``checkpoint_dir`` the
+    batch-id commit contract earns its keep: ``commit_id =
+    "stream-batch-<id>"``, so a foreachBatch retry of an
+    already-committed batch (crash between apply and checkpoint
+    commit) is a NO-OP instead of a duplicate append — exactly-once
+    TABLE STATE from at-least-once delivery, via the manifest log
+    instead of a table rewrite: each batch costs ONE append commit,
+    and every batch boundary stays readable via ``read_at_version``
+    until vacuumed.
+
+    WITHOUT a caller checkpoint (ephemeral temp checkpoint), batch
+    ids restart at 0 every run while the SOURCE may have grown — a
+    replayed id can cover a different file set, so batch-id commit
+    ids would silently DROP the new rows (r12 review finding). The
+    sink therefore commits with ``commit_id=None`` in that mode:
+    every run is an intentional full reprocess that appends
+    unconditionally — point it at a fresh table_dir, or pass a
+    persistent checkpoint for incremental exactly-once appends.
 
     Returns the committed version numbers in batch order."""
     from bigdata_foundation_spark.io import write_snapshot
 
     versions: list[int] = []
+
+    durable_ckpt = checkpoint_dir is not None
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -293,7 +304,9 @@ def foreach_batch_snapshot(
                     batch_df,
                     table_dir,
                     mode="append",
-                    commit_id=f"stream-batch-{batch_id}",
+                    commit_id=(
+                        f"stream-batch-{batch_id}" if durable_ckpt else None
+                    ),
                 )
             )
 

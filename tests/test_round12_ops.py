@@ -125,7 +125,8 @@ def test_snapshot_lifecycle(spark, tmp_path):
     assert read_at_version(spark, tdir).count() == 2  # 7 and 1, once
 
     # vacuum keeps the head, sweeps old files AND old manifests
-    deleted = snapshot_vacuum(tdir, keep_last=1)
+    # (min_age_sec=0: no concurrent writers in a test)
+    deleted = snapshot_vacuum(tdir, keep_last=1, min_age_sec=0)
     assert deleted > 0
     assert snapshot_versions(tdir) == [4]
     assert read_at_version(spark, tdir).count() == 2
@@ -365,34 +366,55 @@ def test_html_meta_extraction(spark):
 
 # --------------------- streaming snapshot sink ------------------------
 
-def test_streaming_snapshot_sink_replay_idempotent(spark, tmp_path):
-    """Each micro-batch commits one append version; re-running the
-    same stream with the SAME batch ids (fresh checkpoint, same
-    source) must not duplicate rows — commit_id makes the replay a
-    no-op per batch. Every batch boundary stays readable."""
-    from bigdata_foundation_spark.io import read_at_version, snapshot_versions
+def test_streaming_snapshot_sink_incremental_and_retry(spark, tmp_path):
+    """With a PERSISTENT checkpoint: each micro-batch commits one
+    append version; rerunning over an unchanged source adds nothing;
+    new source files append incrementally with fresh batch ids; a
+    foreachBatch RETRY of an already-committed batch (same commit_id)
+    is a no-op. Every batch boundary stays readable."""
+    from bigdata_foundation_spark.io import (
+        read_at_version,
+        snapshot_versions,
+        write_snapshot,
+    )
     from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot
 
     src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
     spark.range(20).selectExpr("id AS k", "id * 2 AS v").write.parquet(src)
-    stream = (
-        spark.readStream.schema("k bigint, v bigint")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
+
+    def _stream():
+        return (
+            spark.readStream.schema("k bigint, v bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
     tdir = str(tmp_path / "tbl")
-    versions = foreach_batch_snapshot(stream, tdir, batch_shuffle_partitions=4)
+    versions = foreach_batch_snapshot(_stream(), tdir, checkpoint_dir=ckpt,
+                                      batch_shuffle_partitions=4)
     assert versions == snapshot_versions(tdir)
     assert read_at_version(spark, tdir).count() == 20
-    # replay: same source, fresh checkpoint -> same batch ids -> no-ops
-    stream2 = (
-        spark.readStream.schema("k bigint, v bigint")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    # rerun, same checkpoint, unchanged source: nothing new to commit
+    v2 = foreach_batch_snapshot(_stream(), tdir, checkpoint_dir=ckpt,
+                                batch_shuffle_partitions=4)
+    assert v2 == [] and snapshot_versions(tdir) == versions
+    # foreachBatch retry simulation: re-commit the last batch id
+    head = snapshot_versions(tdir)[-1]
+    retry = write_snapshot(
+        spark.range(5).selectExpr("id AS k", "id AS v"), tdir,
+        mode="append", commit_id=f"stream-batch-{len(versions) - 1}",
     )
-    v2 = foreach_batch_snapshot(stream2, tdir, batch_shuffle_partitions=4)
-    assert v2 == versions  # every commit recognized, none re-applied
+    assert retry == versions[-1] and snapshot_versions(tdir)[-1] == head
     assert read_at_version(spark, tdir).count() == 20
+    # source grows: incremental run appends ONLY the new rows
+    spark.range(20, 30).selectExpr("id AS k", "id * 2 AS v").write.mode(
+        "append"
+    ).parquet(src)
+    v3 = foreach_batch_snapshot(_stream(), tdir, checkpoint_dir=ckpt,
+                                batch_shuffle_partitions=4)
+    assert len(v3) >= 1
+    assert read_at_version(spark, tdir).count() == 30
     # intermediate batch boundaries are time-travelable
     if len(versions) > 1:
         assert read_at_version(spark, tdir, versions[0]).count() < 20
