@@ -418,3 +418,30 @@ def test_streaming_snapshot_sink_incremental_and_retry(spark, tmp_path):
     # intermediate batch boundaries are time-travelable
     if len(versions) > 1:
         assert read_at_version(spark, tdir, versions[0]).count() < 20
+
+
+def test_snapshot_compact(spark, tmp_path):
+    """Compaction commits a NEW version whose rows equal the head's;
+    older versions keep reading their original files; vacuum then
+    reclaims the pre-compaction small files."""
+    from bigdata_foundation_spark.io import (
+        read_at_version,
+        snapshot_compact,
+        snapshot_vacuum,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    for lo in range(0, 20, 5):  # four tiny append commits
+        write_snapshot(
+            spark.range(lo, lo + 5).withColumnRenamed("id", "k"), tdir
+        )
+    assert snapshot_versions(tdir) == [1, 2, 3, 4]
+    v5 = snapshot_compact(spark, tdir)
+    assert v5 == 5
+    assert sorted(r["k"] for r in read_at_version(spark, tdir).collect()) == list(range(20))
+    assert read_at_version(spark, tdir, 2).count() == 10  # history intact
+    deleted = snapshot_vacuum(tdir, keep_last=1, min_age_sec=0)
+    assert deleted >= 4
+    assert sorted(r["k"] for r in read_at_version(spark, tdir).collect()) == list(range(20))
