@@ -85,6 +85,15 @@ HEADLINE = [
     "domain_cap_sample",
     "dedup_image_phash",
     "fixed_width_parse",
+    # Round-12 debuts: boilerplate-removing main-content extraction,
+    # versioned snapshot time travel (batch + streaming sink), WARC
+    # parsing, robots.txt politeness, page metadata
+    "html_main_content",
+    "snapshot_time_travel",
+    "warc_parse",
+    "robots_filter_stats",
+    "html_meta_extract",
+    "streaming_snapshot_sink",
 ]
 
 
