@@ -590,12 +590,15 @@ def sssp(proj: Projection, source: str) -> dict[str, float]:
     """Single-source distances to every reachable node (G2 semantics;
     delta-stepping's ``delta`` is a scheduling knob with no effect on
     results — SURVEY.md §2.2 G2)."""
-    s = proj.index.get(source)
+    s = proj.index_map().get(source)
     if s is None:
         return {}
     dist = _dijkstra_dist(proj, s)
     ids = proj.ids
-    return {ids[i]: d for i, d in enumerate(dist) if d != _INF}
+    # str() coerces the spilled projection's numpy unicode ids to
+    # plain str (JVM-side unpickling rejects numpy scalars); no-op
+    # for the broadcast tier's Python-list ids
+    return {str(ids[i]): d for i, d in enumerate(dist) if d != _INF}
 
 
 def yens_k(proj: Projection, source: str, target: str, k: int) -> list[tuple[list[str], list[float]]]:

@@ -191,8 +191,10 @@ def _get_broadcast(spark: SparkSession, proj: _k.Projection):
 # UNIQUE subdir (uuid) of the caller's spill_dir — a reused shared
 # directory therefore never aliases two different graphs under one
 # path, which would poison the executors' per-path mmap cache (r12
-# review findings). Default-tempdir spills are removed when the
-# projection is garbage-collected.
+# review findings). Default-tempdir spills are removed at interpreter
+# EXIT, not at projection GC: file-tier queries can return LAZY
+# DataFrames that read the spill long after the driver-side
+# projection object goes out of scope.
 _SPILL_DIRS: "weakref.WeakKeyDictionary[_k.Projection, str]" = weakref.WeakKeyDictionary()
 
 
@@ -210,7 +212,9 @@ def _get_spill_dir(proj: _k.Projection, spill_dir: str | None) -> str:
     spill = _k.spill_projection(proj, os.path.join(base, f"g{uuid.uuid4().hex[:12]}"))
     _SPILL_DIRS[proj] = spill
     if own_tmp:
-        weakref.finalize(proj, shutil.rmtree, base, True)
+        import atexit
+
+        atexit.register(shutil.rmtree, base, True)
     return spill
 
 
@@ -263,6 +267,7 @@ def sssp(
     strategy: str = "auto",
     projection: _k.Projection | None = None,
     delta: float | None = None,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """All shortest distances from ``source`` (G2, neo4j-code.txt:39–54).
 
@@ -271,11 +276,38 @@ def sssp(
     gds.alpha.shortestPath.deltaStepping (neo4j-code.txt:51) and
     ignored: it is a bucket-scheduling knob with no effect on results
     (SURVEY.md §2.2 G2) — the BSP strategy already relaxes the whole
-    frontier per superstep, and the exact kernel needs no buckets."""
-    if projection is None and _resolve_strategy(roads, strategy) == "bsp":
-        res = _bsp.bsp_sssp(spark, roads, source)
-        return res.select(F.col("node").alias("NodeId"), F.col("dist").alias("distance"))
+    frontier per superstep, and the exact kernel needs no buckets.
+
+    Strategy tiers mirror :func:`apsp_topk` (r12): 'broadcast' below
+    BROADCAST_EDGE_LIMIT, 'file' (mmap file-spilled CSR — the
+    distance kernel is pure numpy, so it runs mmap-backed; 27.6×
+    the superstep tier on the r9 expander, KERNEL_BENCH §r12) up to
+    FILE_KERNEL_EDGE_LIMIT, 'bsp' supersteps past that (terminal).
+    Point-to-point :func:`dijkstra`/:func:`astar` do NOT get a file
+    tier: their parent-tracking heap kernel needs the per-process
+    list views (~90 B/edge), which defeats mmap sharing at exactly
+    the scale the tier exists for."""
+    if strategy not in ("auto", "broadcast", "file", "bsp"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    use_file = strategy == "file"
+    if projection is None and strategy in ("auto", "bsp"):
+        if _resolve_strategy(roads, strategy) == "bsp":
+            if strategy == "bsp" or _resolve_edge_count(roads) > FILE_KERNEL_EDGE_LIMIT:
+                res = _bsp.bsp_sssp(spark, roads, source)
+                return res.select(F.col("node").alias("NodeId"), F.col("dist").alias("distance"))
+            use_file = True
     proj = projection or build_projection(roads)
+    if use_file:
+        spill = _get_spill_dir(proj, spill_dir)
+
+        def _task(_it):
+            p = _k.load_spilled_projection(spill)
+            return iter(sorted(_k.sssp(p, source).items()))
+
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize([0], 1).mapPartitions(_task),
+            _SSSP_SCHEMA,
+        )
     return _run_on_executor_df(
         spark, proj, lambda p: sorted(_k.sssp(p, source).items()), _SSSP_SCHEMA
     )

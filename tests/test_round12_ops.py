@@ -445,3 +445,28 @@ def test_snapshot_compact(spark, tmp_path):
     deleted = snapshot_vacuum(tdir, keep_last=1, min_age_sec=0)
     assert deleted >= 4
     assert sorted(r["k"] for r in read_at_version(spark, tdir).collect()) == list(range(20))
+
+
+def test_sssp_file_tier_matches_broadcast(spark, tmp_path):
+    """sssp strategy='file' (mmap file-spilled CSR) reproduces the
+    broadcast tier's distances exactly — including through the LAZY
+    returned DataFrame (the spill must outlive the builder scope)."""
+    import random
+
+    from bigdata_foundation_spark.graph import paths as P
+
+    random.seed(5)
+    rows = [
+        (f"n{random.randrange(250)}", f"n{random.randrange(250)}",
+         float(random.randrange(1, 8)))
+        for _ in range(1500)
+    ]
+    roads = spark.createDataFrame(rows, ["src", "dst", "cost"])
+    a = sorted(tuple(r) for r in P.sssp(spark, roads, "n3", strategy="broadcast").collect())
+    df_b = P.sssp(spark, roads, "n3", strategy="file",
+                  spill_dir=str(tmp_path / "s"))
+    import gc
+
+    gc.collect()  # the lazy frame must still read the spill
+    b = sorted(tuple(r) for r in df_b.collect())
+    assert a == b and len(a) > 0
