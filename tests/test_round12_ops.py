@@ -470,3 +470,44 @@ def test_sssp_file_tier_matches_broadcast(spark, tmp_path):
     gc.collect()  # the lazy frame must still read the spill
     b = sorted(tuple(r) for r in df_b.collect())
     assert a == b and len(a) > 0
+
+
+def test_snapshot_data_skipping(spark, tmp_path):
+    """Manifest-level file skipping: commits write footer min/max
+    stats into the manifest; read_at_version(prune=...) drops files
+    whose range misses the predicate BEFORE Spark opens them —
+    results equal the unpruned read + filter, with fewer input
+    files."""
+    from bigdata_foundation_spark.io import (
+        _read_manifest,
+        read_at_version,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    # three commits with disjoint key ranges (one file each)
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 50).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+        write_snapshot(df, tdir)
+    man = _read_manifest(tdir, 3)
+    assert len(man["files"]) == 3
+    # every file carries harvested k-stats
+    assert all("k" in man["stats"][f] for f in man["files"])
+
+    pruned = read_at_version(spark, tdir, prune=[("k", 120, 140)])
+    # exactly one file survives pruning
+    assert pruned.rdd.getNumPartitions() >= 1
+    in_files = pruned.inputFiles()
+    assert len(in_files) == 1
+    got = sorted(r["k"] for r in pruned.filter("k BETWEEN 120 AND 140").collect())
+    want = sorted(
+        r["k"]
+        for r in read_at_version(spark, tdir).filter("k BETWEEN 120 AND 140").collect()
+    )
+    assert got == want == list(range(120, 141))
+    # open-ended range; files without stats for the column are kept
+    assert read_at_version(spark, tdir, prune=[("k", 200, None)]).count() == 50
+    assert read_at_version(spark, tdir, prune=[("nosuchcol", 0, 1)]).count() == 150
+    # fully-pruned read returns an EMPTY frame with the schema intact
+    empty = read_at_version(spark, tdir, prune=[("k", 900, 999)])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
