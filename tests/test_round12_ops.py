@@ -511,3 +511,37 @@ def test_snapshot_data_skipping(spark, tmp_path):
     # fully-pruned read returns an EMPTY frame with the schema intact
     empty = read_at_version(spark, tdir, prune=[("k", 900, 999)])
     assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def test_snapshot_version_delta_and_schema_enforcement(spark, tmp_path):
+    from bigdata_foundation_spark.io import (
+        read_version_delta,
+        write_snapshot,
+    )
+    import pytest as _pytest
+
+    tdir = str(tmp_path / "tbl")
+    write_snapshot(spark.range(5).withColumnRenamed("id", "k"), tdir)
+    write_snapshot(spark.range(5, 9).withColumnRenamed("id", "k"), tdir)
+    write_snapshot(spark.range(9, 12).withColumnRenamed("id", "k"), tdir)
+    # delta v1 -> v3 = everything appended after v1
+    got = sorted(r["k"] for r in read_version_delta(spark, tdir, 1).collect())
+    assert got == list(range(5, 12))
+    assert sorted(
+        r["k"] for r in read_version_delta(spark, tdir, 2, 3).collect()
+    ) == [9, 10, 11]
+    # empty delta keeps the schema
+    same = read_version_delta(spark, tdir, 3, 3)
+    assert same.count() == 0 and same.columns == ["k"]
+    # append with drifted schema fails fast
+    with _pytest.raises(ValueError, match="schema"):
+        write_snapshot(
+            spark.range(3).selectExpr("id AS k", "id AS extra"), tdir
+        )
+    # schema change goes through overwrite, after which the delta
+    # across the boundary refuses rather than mislabeling rows
+    write_snapshot(
+        spark.range(3).selectExpr("id AS k", "id AS extra"), tdir, mode="overwrite"
+    )
+    with _pytest.raises(ValueError, match="overwrite"):
+        read_version_delta(spark, tdir, 2)
