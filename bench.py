@@ -94,6 +94,7 @@ HEADLINE = [
     "robots_filter_stats",
     "html_meta_extract",
     "streaming_snapshot_sink",
+    "snapshot_incremental",
 ]
 
 

@@ -85,16 +85,18 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # fix (dedup_image_phash), the hashed_keys parameterization
 # (stupid_backoff_lm — default plan unchanged, code touched), the
 # apsp wave-task restructure for the r12 file-spilled kernel tier
-# (graph_apsp_top10) — plus the SIX r12 debuts, value-gated on
+# (graph_apsp_top10) — plus the SEVEN r12 debuts, value-gated on
 # arrival: html_main_content (Kohlschütter boilerplate removal),
 # snapshot_time_travel (manifest-committed versioned reads),
 # warc_parse (Common Crawl source format), robots_filter_stats
 # (crawl politeness), html_meta_extract (page provenance fields),
-# streaming_snapshot_sink (versioned-append streaming writer); then
+# streaming_snapshot_sink (versioned-append streaming writer),
+# snapshot_incremental (manifest-delta incremental reads); then
 # (b) the OLDEST-GATED rotation: the FULL remaining r7 block (17
 # entries — after this round no entry's latest gate is older than r8)
-# plus the first 21 of the r8 block in name order (the remaining 18
-# r8 entries head the r13 rotation: q16_supplier_part_count,
+# plus the first 20 of the r8 block in name order (the remaining 19
+# r8 entries head the r13 rotation: q15_top_supplier,
+# q16_supplier_part_count,
 # q17_small_quantity_revenue, q18_large_volume_customers,
 # q19_disjunctive_predicates, q1_pricing_summary,
 # q20_excess_suppliers, q21_waiting_suppliers, q22_idle_customers,
@@ -103,7 +105,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # streaming_sessionize, streaming_sliding, token_totals_by_source,
 # unimax_mixture; staleness computed from the union of
 # CORRECTNESS_r01–r11.json).
-# Totals: 6 changed + 6 debuts + 17 r7 + 21 r8 = 50.
+# Totals: 6 changed + 7 debuts + 17 r7 + 20 r8 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r12.md. Entries not listed
 # keep registration order after these.
@@ -121,6 +123,7 @@ GATE_ORDER: list[str] = [
     "robots_filter_stats",  # r12 DEBUT: robots.txt rules + politeness filter
     "html_meta_extract",  # r12 DEBUT: page metadata (title/description/canonical/lang)
     "streaming_snapshot_sink",  # r12 DEBUT: versioned-append streaming sink (idempotent replay)
+    "snapshot_incremental",  # r12 DEBUT: manifest-delta incremental reads
     # (b) oldest-gated rotation — the FULL remaining r7 block
     "graph_ktruss",  # last gated r7
     "graph_label_propagation",  # last gated r7
@@ -139,7 +142,7 @@ GATE_ORDER: list[str] = [
     "rfm_segmentation",  # last gated r7
     "sessionize_events",  # last gated r7
     "temperature_mixture",  # last gated r7
-    # (b) oldest-gated rotation — first 21 of the r8 block (name order)
+    # (b) oldest-gated rotation — first 20 of the r8 block (name order)
     "argmin_supplier_per_nation",  # last gated r8
     "asof_join_attribution",  # last gated r8
     "bigram_perplexity",  # last gated r8
@@ -160,7 +163,6 @@ GATE_ORDER: list[str] = [
     "q11_important_stock",  # last gated r8
     "q12_priority_by_flag",  # last gated r8
     "q14_promo_revenue",  # last gated r8
-    "q15_top_supplier",  # last gated r8
 ]
 
 
@@ -1672,6 +1674,40 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _summ(v1).unionByName(_summ(v2)).orderBy("version")
+
+
+@q(
+    "snapshot_incremental",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    "incremental snapshot reads (r12 - io.read_version_delta, the "
+    "process-only-what-landed-since primitive): commit v1 = 2/3 of "
+    "orders, append v2 = the rest, then read ONLY the v1->v2 delta "
+    "through the manifests and aggregate it. The oracle re-derives "
+    "the appended slice from the base table, so a delta that leaks "
+    "v1 files (or misses v2 files) breaks the value match. "
+    "Full SQL oracle",
+)
+def snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import read_version_delta, write_snapshot
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_inc_")
+    k = F.col("o_orderkey")
+    v1 = write_snapshot(orders.filter(k % 3 != 0), tdir, mode="overwrite", commit_id="i1")
+    write_snapshot(orders.filter(k % 3 == 0), tdir, mode="append", commit_id="i2")
+    delta = read_version_delta(spark, tdir, v1)
+    return delta.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )
 
 
 @q(

@@ -171,6 +171,7 @@ PICKS = [
     "robots_filter_stats",
     "html_meta_extract",
     "streaming_snapshot_sink",
+    "snapshot_incremental",
 ]
 
 
