@@ -198,6 +198,28 @@ PICKS = [
         "avg — the two scalars ride ONE broadcast nested-loop (1-row "
         "build side), never a cartesian",
     ),
+    (
+        "html_main_content",
+        "boilerplate-removing main-content extraction (NEW r12): the "
+        "Kohlschütter block classifier is per-row ARRAY codegen "
+        "(split -> transform -> filter -> array_join) — zero Exchange, "
+        "zero Generate (no explode), zero Python, zero joins; "
+        "de-boilerplating 100 TB of crawl HTML costs exactly a scan",
+    ),
+    (
+        "warc_parse",
+        "WARC record parsing (NEW r12): WARC + HTTP header extraction "
+        "is pure scan-side regexp codegen — no join, no Python; the "
+        "only exchanges are the aggregate's (keyed + count-distinct "
+        "Expand), so parsing a 100 TB crawl archive costs a scan",
+    ),
+    (
+        "robots_filter_stats",
+        "robots.txt politeness filter (NEW r12): rule extraction is one "
+        "line explode + ONE domain-keyed window; filtering is ONE "
+        "broadcast LeftAnti join (domain equi-key + startswith "
+        "residual) — the URL side of the crawl never shuffles",
+    ),
 ]
 
 
