@@ -185,21 +185,29 @@ def _get_broadcast(spark: SparkSession, proj: _k.Projection):
     return bc
 
 
-# One spill per projection per session, mirroring _BC_CACHE: repeated
-# file-tier queries against the same projection reuse the .npy files
-# instead of rewriting gigabytes per call. Each spill lands in a
-# UNIQUE subdir (uuid) of the caller's spill_dir — a reused shared
-# directory therefore never aliases two different graphs under one
-# path, which would poison the executors' per-path mmap cache (r12
-# review findings). Default-tempdir spills are removed at interpreter
-# EXIT, not at projection GC: file-tier queries can return LAZY
-# DataFrames that read the spill long after the driver-side
-# projection object goes out of scope.
-_SPILL_DIRS: "weakref.WeakKeyDictionary[_k.Projection, str]" = weakref.WeakKeyDictionary()
+# One spill per (projection, destination) per session, mirroring
+# _BC_CACHE: repeated file-tier queries against the same projection
+# AND the same spill_dir reuse the .npy files instead of rewriting
+# gigabytes per call. The cache is keyed on the caller's spill_dir
+# too (r12 advice): a projection first spilled to the default LOCAL
+# tempdir must re-spill when the caller later supplies shared
+# storage, or the multi-host failure mode the shared dir exists to
+# fix silently returns. Each spill lands in a UNIQUE subdir (uuid)
+# of the caller's spill_dir — a reused shared directory therefore
+# never aliases two different graphs under one path, which would
+# poison the executors' per-path mmap cache (r12 review findings).
+# Default-tempdir spills are removed at interpreter EXIT, not at
+# projection GC: file-tier queries can return LAZY DataFrames that
+# read the spill long after the driver-side projection object goes
+# out of scope.
+_SPILL_DIRS: "weakref.WeakKeyDictionary[_k.Projection, dict[str | None, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _get_spill_dir(proj: _k.Projection, spill_dir: str | None) -> str:
-    spill = _SPILL_DIRS.get(proj)
+    per_dest = _SPILL_DIRS.setdefault(proj, {})
+    spill = per_dest.get(spill_dir)
     if spill is not None:
         return spill
     import os
@@ -210,12 +218,39 @@ def _get_spill_dir(proj: _k.Projection, spill_dir: str | None) -> str:
     own_tmp = spill_dir is None
     base = spill_dir or tempfile.mkdtemp(prefix="apsp_spill_")
     spill = _k.spill_projection(proj, os.path.join(base, f"g{uuid.uuid4().hex[:12]}"))
-    _SPILL_DIRS[proj] = spill
+    per_dest[spill_dir] = spill
     if own_tmp:
         import atexit
 
         atexit.register(shutil.rmtree, base, True)
     return spill
+
+
+def _file_tier_available(spark: SparkSession, spill_dir: str | None) -> bool:
+    """Whether 'auto' may route to the file-spilled kernel tier.
+
+    The file tier mmaps the spilled CSR from EVERY executor; with the
+    default driver-local tempdir that only works when driver and
+    executors share a filesystem — i.e. a local[*] master. On any
+    other master a caller-provided ``spill_dir`` (shared storage) is
+    required; without one 'auto' falls back to the BSP superstep tier
+    instead of dispatching to a tier that would fail at task time
+    (r12 advice). Explicit strategy='file' raises instead — the
+    caller asked for a tier that cannot work there."""
+    if spill_dir is not None:
+        return True
+    master = spark.sparkContext.master or ""
+    return master.startswith("local")
+
+
+def _require_file_tier(spark: SparkSession, spill_dir: str | None) -> None:
+    if not _file_tier_available(spark, spill_dir):
+        raise ValueError(
+            "strategy='file' on a non-local master requires spill_dir "
+            "on SHARED storage (executors mmap the spilled CSR; the "
+            f"default local tempdir is unreadable from executors on "
+            f"master {spark.sparkContext.master!r})"
+        )
 
 
 def _run_on_executor(spark: SparkSession, proj: _k.Projection, fn):
@@ -290,9 +325,15 @@ def sssp(
     if strategy not in ("auto", "broadcast", "file", "bsp"):
         raise ValueError(f"unknown strategy {strategy!r}")
     use_file = strategy == "file"
+    if use_file:
+        _require_file_tier(spark, spill_dir)
     if projection is None and strategy in ("auto", "bsp"):
         if _resolve_strategy(roads, strategy) == "bsp":
-            if strategy == "bsp" or _resolve_edge_count(roads) > FILE_KERNEL_EDGE_LIMIT:
+            if (
+                strategy == "bsp"
+                or _resolve_edge_count(roads) > FILE_KERNEL_EDGE_LIMIT
+                or not _file_tier_available(spark, spill_dir)
+            ):
                 res = _bsp.bsp_sssp(spark, roads, source)
                 return res.select(F.col("node").alias("NodeId"), F.col("dist").alias("distance"))
             use_file = True
@@ -616,15 +657,23 @@ def apsp_topk(
         # tier guaranteed to OOM at the scale 'file'/'bsp' exist for)
         raise ValueError(f"unknown strategy {strategy!r}")
     use_file = strategy == "file"
+    if use_file:
+        _require_file_tier(spark, spill_dir)
     if projection is None and strategy in ("auto", "bsp"):
         if _resolve_strategy(roads, strategy) == "bsp":
             if strategy == "bsp":
                 return _apsp_topk_bsp(spark, roads, k, wave_size=bsp_wave_size)
             # auto past broadcast: the file tier keeps the per-source
             # kernel alive up to ~host memory; only beyond that does
-            # the (terminal) superstep tier take over.
+            # the (terminal) superstep tier take over. On a non-local
+            # master without a shared spill_dir the file tier cannot
+            # work (executors can't read a driver-local spill), so
+            # auto falls back to BSP there (r12 advice) — note the
+            # file tier also builds the projection DRIVER-side
+            # (~16 B/edge resident while spilling), which is why it
+            # is capped at FILE_KERNEL_EDGE_LIMIT.
             n_edges = _resolve_edge_count(roads)
-            if n_edges <= FILE_KERNEL_EDGE_LIMIT:
+            if n_edges <= FILE_KERNEL_EDGE_LIMIT and _file_tier_available(spark, spill_dir):
                 use_file = True
             else:
                 return _apsp_topk_bsp(spark, roads, k, wave_size=bsp_wave_size)

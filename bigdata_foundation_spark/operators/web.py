@@ -443,6 +443,32 @@ def html_meta(
                 ),
                 F.lit(""),
             ),
+            # og:description fallback (r12 advice: the docstring
+            # promised it but both regexes matched name=description
+            # only — og:description-only pages returned '') — same
+            # two attribute-order variants.
+            F.nullif(
+                _block_plain_text(
+                    F.regexp_extract(
+                        h,
+                        r"(?is)<meta\b[^>]*property\s*=\s*[\"']og:description[\"'][^>]*"
+                        r"content\s*=\s*[\"']([^\"']*)[\"']",
+                        1,
+                    )
+                ),
+                F.lit(""),
+            ),
+            F.nullif(
+                _block_plain_text(
+                    F.regexp_extract(
+                        h,
+                        r"(?is)<meta\b[^>]*content\s*=\s*[\"']([^\"']*)[\"'][^>]*"
+                        r"property\s*=\s*[\"']og:description[\"']",
+                        1,
+                    )
+                ),
+                F.lit(""),
+            ),
             F.lit(""),
         ),
         "canonical_url": F.regexp_extract(

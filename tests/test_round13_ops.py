@@ -1,0 +1,166 @@
+"""Round-13 operator tests: the r12 advice fixes (og:description
+fallback, header-block Content-Type, file-tier spill-dir routing,
+append-retry schema re-check), plus the round's new surface.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.operators import web as W
+
+
+# ---------------------- html_meta og:description ----------------------
+
+
+def _meta_row(spark, html):
+    df = spark.createDataFrame([(html,)], ["html"])
+    return W.html_meta(df).drop("html").first()
+
+
+def test_html_meta_og_description_fallback(spark):
+    """Pages with ONLY property=og:description (both attribute orders)
+    must fall back to it — r12 advice: the docstring promised this
+    but both regexes matched name=description only."""
+    r = _meta_row(
+        spark,
+        '<html><head><meta property="og:description" content="og only"></head></html>',
+    )
+    assert r["meta_description"] == "og only"
+    r = _meta_row(
+        spark,
+        '<html><head><meta content="og first" property="og:description"></head></html>',
+    )
+    assert r["meta_description"] == "og first"
+
+
+def test_html_meta_name_description_precedence(spark):
+    """name=description still wins over og:description when both
+    exist (documented precedence)."""
+    r = _meta_row(
+        spark,
+        '<html><head><meta property="og:description" content="og">'
+        '<meta name="description" content="plain"></head></html>',
+    )
+    assert r["meta_description"] == "plain"
+
+
+# ---------------------- parse_warc Content-Type -----------------------
+
+
+def test_parse_warc_content_type_header_block_only(spark):
+    """A response whose HTTP headers LACK Content-Type must yield ''
+    even when the body text contains a 'Content-Type:' line — r12
+    advice: the old regex scanned the whole payload."""
+    from bigdata_foundation_spark.io import parse_warc
+
+    body = "a page that says\r\nContent-Type: text/evil\r\nin its body"
+    http = "HTTP/1.1 200 OK\r\nServer: s\r\n\r\n" + body
+    rec = (
+        "WARC-Type: response\r\nWARC-Target-URI: https://x.com/\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n" + http
+    )
+    df = spark.createDataFrame([(rec,)], ["record"])
+    row = parse_warc(df).first()
+    assert row["http_status"] == 200
+    assert row["content_type"] == ""
+    assert row["body"] == body
+
+
+def test_parse_warc_content_type_from_header(spark):
+    from bigdata_foundation_spark.io import parse_warc
+
+    http = "HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=x\r\n\r\nhi"
+    rec = (
+        "WARC-Type: response\r\nWARC-Target-URI: https://x.com/\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n" + http
+    )
+    df = spark.createDataFrame([(rec,)], ["record"])
+    assert parse_warc(df).first()["content_type"] == "text/html"
+
+
+# ---------------------- file-tier routing guards -----------------------
+
+
+class _FakeSC:
+    def __init__(self, master):
+        self.master = master
+
+
+class _FakeSpark:
+    def __init__(self, master):
+        self.sparkContext = _FakeSC(master)
+
+
+def test_file_tier_availability_rules():
+    """auto must not route to the file tier on a multi-host master
+    without a shared spill_dir (r12 advice: the default tempdir is
+    driver-local and unreadable from executors there)."""
+    from bigdata_foundation_spark.graph import paths as P
+
+    assert P._file_tier_available(_FakeSpark("local[32]"), None)
+    assert not P._file_tier_available(_FakeSpark("spark://h:7077"), None)
+    assert P._file_tier_available(_FakeSpark("spark://h:7077"), "/shared/x")
+    with pytest.raises(ValueError, match="SHARED"):
+        P._require_file_tier(_FakeSpark("yarn"), None)
+    P._require_file_tier(_FakeSpark("yarn"), "/shared/x")  # no raise
+
+
+def test_spill_dir_cache_keyed_on_destination(spark, tmp_path):
+    """A projection first spilled to the default local tempdir must
+    RE-SPILL when the caller later supplies shared storage (r12
+    advice: the old cache ignored the new spill_dir)."""
+    from bigdata_foundation_spark.graph import paths as P
+
+    df = spark.createDataFrame(
+        [("1", "2", 1.0), ("2", "3", 2.0)], ["src", "dst", "cost"]
+    )
+    proj = P.build_projection(df)
+    default_spill = P._get_spill_dir(proj, None)
+    assert P._get_spill_dir(proj, None) == default_spill  # cached
+    shared = str(tmp_path / "shared")
+    import os
+
+    os.makedirs(shared, exist_ok=True)
+    shared_spill = P._get_spill_dir(proj, shared)
+    assert shared_spill != default_spill
+    assert shared_spill.startswith(shared)
+    assert P._get_spill_dir(proj, shared) == shared_spill  # cached per dest
+
+
+# ---------------------- snapshot append schema race ---------------------
+
+
+def test_snapshot_append_schema_recheck_in_retry(spark, tmp_path, monkeypatch):
+    """An append racing a concurrent overwrite with a DIFFERENT schema
+    must fail fast instead of committing a mixed-schema file set (r12
+    advice: the pre-write check ran only against the pre-race head)."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "s"])
+    bio.write_snapshot(df1, tdir, mode="overwrite")
+
+    # Simulate the race: after write_snapshot read the head for its
+    # pre-write check, a concurrent overwrite changes the schema. We
+    # intercept the EXCL-create to fire the concurrent commit once,
+    # forcing the retry loop to re-read the new head.
+    import os as _os
+
+    real_open = _os.open
+    fired = {"done": False}
+
+    def racing_open(path, flags, *a, **kw):
+        if (
+            not fired["done"]
+            and "_manifests" in str(path)
+            and flags & _os.O_EXCL
+        ):
+            fired["done"] = True
+            df_new = spark.createDataFrame([(2.5,)], ["other"])
+            bio.write_snapshot(df_new, tdir, mode="overwrite")
+        return real_open(path, flags, *a, **kw)
+
+    monkeypatch.setattr(_os, "open", racing_open)
+    df2 = spark.createDataFrame([(2, "b")], ["id", "s"])
+    with pytest.raises(ValueError, match="schema"):
+        bio.write_snapshot(df2, tdir, mode="append")
