@@ -164,3 +164,63 @@ def test_snapshot_append_schema_recheck_in_retry(spark, tmp_path, monkeypatch):
     df2 = spark.createDataFrame([(2, "b")], ["id", "s"])
     with pytest.raises(ValueError, match="schema"):
         bio.write_snapshot(df2, tdir, mode="append")
+
+
+# ---------------------- snapshot log-store seam -------------------------
+
+
+def test_posix_log_store_passes_contract(tmp_path):
+    from bigdata_foundation_spark import io as bio
+
+    bio.check_log_store(bio.PosixSnapshotLogStore(), str(tmp_path))
+
+
+def test_lying_log_store_detected(tmp_path):
+    """A backend whose publish is check-then-write (the blind-PUT
+    shape every naive S3 implementation has) must be DETECTED by the
+    contract probe — it would silently lose racing commits."""
+    import json
+    import os
+
+    from bigdata_foundation_spark import io as bio
+
+    class LyingStore(bio.PosixSnapshotLogStore):
+        def publish(self, mdir, version, manifest):
+            # non-atomic: existence check, then unconditional write
+            path = os.path.join(mdir, f"v{version:08d}.json")
+            with open(path, "w") as fh:  # blind PUT — always "wins"
+                json.dump(manifest, fh)
+            return True
+
+    with pytest.raises(ValueError, match="non-atomic"):
+        bio.check_log_store(LyingStore(), str(tmp_path))
+
+
+def test_snapshot_roundtrip_through_custom_store(spark, tmp_path):
+    """The commit path must route every manifest operation through the
+    installed store — verified by a counting wrapper."""
+    from bigdata_foundation_spark import io as bio
+
+    calls = {"publish": 0, "list": 0}
+
+    class CountingStore(bio.PosixSnapshotLogStore):
+        def publish(self, mdir, version, manifest):
+            calls["publish"] += 1
+            return super().publish(mdir, version, manifest)
+
+        def list_versions(self, mdir):
+            calls["list"] += 1
+            return super().list_versions(mdir)
+
+    old = bio.get_snapshot_log_store()
+    bio.set_snapshot_log_store(CountingStore())
+    try:
+        tdir = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1,)], ["id"])
+        v1 = bio.write_snapshot(df, tdir, mode="overwrite")
+        v2 = bio.write_snapshot(df, tdir, mode="append")
+        assert (v1, v2) == (1, 2)
+        assert calls["publish"] == 2 and calls["list"] >= 2
+        assert bio.read_at_version(spark, tdir, 2).count() == 2
+    finally:
+        bio.set_snapshot_log_store(old)
