@@ -34,11 +34,107 @@ TRACKING_PARAM_RE = (
     r"|ref=(?:rss|feed|share|social|twitter|facebook|newsletter|email)"
 )
 
-# Multi-label public suffixes recognized by registered_domain. A real
-# deployment swaps in the full Mozilla Public Suffix List (a data
-# file, not a code change); the operator's shape — longest-suffix
-# match, then one extra label — is the PSL algorithm.
-MULTI_SUFFIX_RE = r"\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|br|in|cn|nz|za)$"
+# --------------------------------------------------------------------
+# Public Suffix List (r13 — r12 verdict task 5: the hardcoded
+# multi-suffix regex is replaced by a PSL DATA FILE in the publicsuffix
+# .org format, parsed once at import). A deployment drops in the full
+# Mozilla list unchanged; the shipped file is a curated ICANN-section
+# snapshot covering every rule KIND (plain multi-label, wildcard '*.',
+# exception '!'). The PSL algorithm: the longest matching rule is the
+# public suffix; registered domain = suffix + one label; an exception
+# rule IS the registered domain for hosts under it.
+# --------------------------------------------------------------------
+
+
+def _load_psl() -> tuple[list[str], list[str], list[str]]:
+    """(exceptions, plain rules, wildcard tails) from the data file,
+    ICANN section only (everything in the shipped snapshot)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "public_suffix_list.dat",
+    )
+    exc: list[str] = []
+    plain: list[str] = []
+    wild: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                exc.append(line[1:].lower())
+            elif line.startswith("*."):
+                wild.append(line[2:].lower())
+            else:
+                plain.append(line.lower())
+    return exc, plain, wild
+
+
+def _psl_compile() -> tuple[str | None, list[tuple[str, int]]]:
+    """Compile the parsed PSL into (exception_regex, tiers): each tier
+    is (host-ends-with-suffix regex, suffix label count k), descending
+    k so the longest rule wins — matching hosts keep their last k+1
+    labels. Both regexes are RE2-safe (pure alternation, no
+    lookaround) and shared VERBATIM with the DuckDB oracle via
+    :func:`psl_domain_sql`. Single-label TLDs are the implicit '*'
+    default rule (the final 2-label extract), not enumerated."""
+    import re as _re
+
+    exc, plain, wild = _load_psl()
+    by_k: dict[int, list[str]] = {}
+    for s in plain:
+        k = s.count(".") + 1
+        if k >= 2:
+            by_k.setdefault(k, []).append(_re.escape(s))
+    for tail in wild:
+        k = tail.count(".") + 2
+        by_k.setdefault(k, []).append(r"[^.]+\." + _re.escape(tail))
+    tiers = [
+        (r"\.(?:" + "|".join(sorted(by_k[k])) + r")$", k)
+        for k in sorted(by_k, reverse=True)
+    ]
+    exc_re = (
+        r"(?:^|\.)(" + "|".join(sorted(_re.escape(e) for e in exc)) + r")$"
+        if exc
+        else None
+    )
+    return exc_re, tiers
+
+
+PSL_EXCEPTION_RE, PSL_TIERS = _psl_compile()
+
+_PSL_LABELS_FMT = r"((?:[^.]+\.){%d}[^.]+)$"
+
+
+def psl_domain_sql(host0: str, hostn: str) -> str:
+    """DuckDB SQL replay of :func:`registered_domain`'s suffix logic,
+    generated from the SAME compiled PSL tiers — ``host0`` is a SQL
+    expression for the raw lowercased host (exceptions match before
+    the www-strip), ``hostn`` for the www-stripped host."""
+    parts = [
+        f"WHEN regexp_matches({hostn}, '{IPV4_HOST_RE}') "
+        f"OR contains({hostn}, ':') THEN {hostn}"
+    ]
+    if PSL_EXCEPTION_RE:
+        parts.append(
+            f"WHEN regexp_matches({host0}, '{PSL_EXCEPTION_RE}') "
+            f"THEN regexp_extract({host0}, '{PSL_EXCEPTION_RE}', 1)"
+        )
+    for match_re, k in PSL_TIERS:
+        ext = _PSL_LABELS_FMT % k
+        parts.append(
+            f"WHEN regexp_matches({hostn}, '{match_re}') "
+            f"THEN regexp_extract({hostn}, '{ext}', 1)"
+        )
+    return (
+        "CASE "
+        + " ".join(parts)
+        + f" ELSE regexp_extract({hostn}, '([^.]+\\.[^.]+)$', 1) END"
+    )
+
 
 _PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
@@ -122,19 +218,29 @@ def url_host(url: Column | str) -> Column:
 def registered_domain(url: Column | str) -> Column:
     """eTLD+1 (the per-site aggregation key for domain caps and
     blocklists): host, minus a leading ``www.``, cut to the public
-    suffix plus one label. Suffix set: all two-label combinations in
-    MULTI_SUFFIX_RE take three labels, everything else two. IP-hosted
-    URLs (dotted-quad IPv4, or IPv6 — any host containing ':' after
-    bracket strip) have no label structure to cut: the full host IS
-    the registered domain (r12 advice fix — previously
-    ``https://1.2.3.4/`` bucketed as the pseudo-domain ``3.4``)."""
-    host = F.regexp_replace(url_host(_c(url)), r"^www\.", "")
-    return F.when(
-        host.rlike(IPV4_HOST_RE) | host.contains(":"), host
-    ).when(
-        host.rlike(MULTI_SUFFIX_RE),
-        F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1),
-    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+    suffix plus one label — the PSL algorithm over the shipped
+    Public Suffix List data file (r13: longest matching rule wins,
+    wildcard ``*.`` rules match any label, exception ``!`` rules ARE
+    the registered domain and are checked against the raw host before
+    the www-strip). IP-hosted URLs (dotted-quad IPv4, or IPv6 — any
+    host containing ':' after bracket strip) have no label structure
+    to cut: the full host IS the registered domain (r12 advice fix).
+    Pure codegen: the compiled tiers are a fixed when-chain of
+    alternation regexes, evaluated scan-side."""
+    host0 = url_host(_c(url))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    expr = F.when(host.rlike(IPV4_HOST_RE) | host.contains(":"), host)
+    if PSL_EXCEPTION_RE:
+        expr = expr.when(
+            host0.rlike(PSL_EXCEPTION_RE),
+            F.regexp_extract(host0, PSL_EXCEPTION_RE, 1),
+        )
+    for match_re, k in PSL_TIERS:
+        expr = expr.when(
+            host.rlike(match_re),
+            F.regexp_extract(host, _PSL_LABELS_FMT % k, 1),
+        )
+    return expr.otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
 
 def domain_stats(
@@ -313,18 +419,26 @@ def robots_rules(
     domain_col: str = "domain",
     robots_col: str = "robots_txt",
 ) -> DataFrame:
-    """Parse per-domain robots.txt content into (domain, prefix)
-    disallow rules for the wildcard agent — the crawl-politeness
-    filter every responsible corpus applies before fetching (and
-    re-applies when re-filtering an existing crawl).
+    """Parse per-domain robots.txt content into typed REP rules for
+    the wildcard agent — the crawl-politeness filter every
+    responsible corpus applies before fetching (and re-applies when
+    re-filtering an existing crawl).
+
+    Output columns: ``domain``, ``rule`` ('allow'|'disallow'),
+    ``prefix`` (the raw path value, wildcards included), ``pattern``
+    (the value translated to an anchored RE2-safe regex at RULE BUILD
+    time — ``*`` → ``.*``, a trailing ``$`` → end anchor, everything
+    else literal-escaped; r12 verdict task 5), and ``spec`` (the raw
+    value's length — RFC 9309's specificity: the longest matching
+    rule wins, and on an allow/disallow tie ALLOW wins; see
+    :func:`robots_filter`).
 
     SIMPLIFIED CONTRACT (documented, shared with the SQL oracle):
-    a ``Disallow:`` line belongs to the most recent ``User-agent:``
-    line above it (consecutive user-agent lines are NOT grouped — the
-    second overrides), and only sections for agent ``*`` emit rules;
-    prefixes are literal (no ``*``/``$`` wildcard extensions);
-    ``Disallow:`` with an empty value allows everything (emits no
-    rule). Comments (``#…``) and surrounding whitespace are stripped.
+    a rule line belongs to the most recent ``User-agent:`` line above
+    it (consecutive user-agent lines are NOT grouped — the second
+    overrides), and only sections for agent ``*`` emit rules;
+    ``Disallow:``/``Allow:`` with an empty value emit no rule.
+    Comments (``#…``) and surrounding whitespace are stripped.
 
     Shape: one scan-side line explode + ONE domain-keyed window (the
     running "current section" is last_value(ignorenulls) over line
@@ -343,6 +457,7 @@ def robots_rules(
     )
     ua = F.regexp_extract(F.col("_line"), r"(?i)^user-agent:\s*(\S+)\s*$", 1)
     dis = F.regexp_extract(F.col("_line"), r"(?i)^disallow:\s*(\S*)\s*$", 1)
+    alw = F.regexp_extract(F.col("_line"), r"(?i)^allow:\s*(\S*)\s*$", 1)
     from pyspark.sql import Window
 
     w = (
@@ -354,12 +469,37 @@ def robots_rules(
         "domain",
         "_pos",
         F.last(F.when(ua != "", ua), ignorenulls=True).over(w).alias("_ua"),
-        dis.alias("_dis"),
-        F.col("_line").rlike(r"(?i)^disallow:").alias("_is_dis"),
+        F.when(F.col("_line").rlike(r"(?i)^disallow:"), F.lit("disallow"))
+        .when(F.col("_line").rlike(r"(?i)^allow:"), F.lit("allow"))
+        .alias("_rule"),
+        F.when(F.col("_line").rlike(r"(?i)^disallow:"), dis)
+        .otherwise(alw)
+        .alias("_val"),
+    )
+    val = F.col("_val")
+    # */$ → regex, at rule-build time (the 100 TB URL side never pays
+    # translation): trailing '$' is the end anchor; every other regex
+    # metacharacter is literal; '*' becomes '.*'; anchored at start.
+    ends_dollar = val.rlike(r"\$$")
+    core = F.when(
+        ends_dollar, F.expr("substring(_val, 1, length(_val) - 1)")
+    ).otherwise(val)
+    esc = F.regexp_replace(core, r"([.\\+?(){}\[\]|^$])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    pattern = F.concat(
+        F.lit("^"), esc, F.when(ends_dollar, F.lit("$")).otherwise(F.lit(""))
     )
     return (
-        tagged.filter((F.col("_ua") == "*") & F.col("_is_dis") & (F.col("_dis") != ""))
-        .select("domain", F.col("_dis").alias("prefix"))
+        tagged.filter(
+            (F.col("_ua") == "*") & F.col("_rule").isNotNull() & (val != "")
+        )
+        .select(
+            "domain",
+            F.col("_rule").alias("rule"),
+            val.alias("prefix"),
+            pattern.alias("pattern"),
+            F.length(val).cast("int").alias("spec"),
+        )
         .distinct()
     )
 
@@ -376,22 +516,66 @@ def url_path(url: Column | str) -> Column:
 def robots_filter(
     urls: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:
-    """Drop URLs whose path starts with a disallowed prefix for their
-    registered domain. ONE broadcast left-anti join keyed on the
-    domain with a startswith residual — the rule table is per-domain
-    KBs, so filtering 100 TB of URLs never shuffles the URL side.
-    URLs with no parseable domain are KEPT (same NULL contract as
-    blocklist_filter)."""
+    """Drop URLs the wildcard-agent REP rules disallow for their
+    registered domain, with RFC 9309 precedence: among the rules
+    whose pattern matches the URL path, the most specific (longest
+    raw value) wins, and on a specificity tie ALLOW wins; a URL with
+    no matching rule is kept.
+
+    Shape: the rule table is aggregated to ONE array-of-structs row
+    per domain and broadcast, so the join is a broadcast LEFT OUTER
+    equi-join on the domain — the 100 TB URL side never shuffles and
+    never multiplies (one output row per URL). Match + precedence run
+    scan-side as higher-order functions (filter + array_max over
+    (spec, is_allow) structs — struct ordering IS the precedence
+    rule). URLs with no parseable domain or no rule row are KEPT
+    (same NULL contract as blocklist_filter).
+
+    Accepts a legacy (domain, prefix) rule table too: plain prefixes
+    are translated to anchored literal patterns as disallow rules."""
+    if "pattern" not in rules.columns:
+        p = F.regexp_replace(F.col("prefix"), r"([.\\+?(){}\[\]|^$*])", r"\\$1")
+        rules = rules.select(
+            "domain",
+            F.lit("disallow").alias("rule"),
+            "prefix",
+            F.concat(F.lit("^"), p).alias("pattern"),
+            F.length("prefix").cast("int").alias("spec"),
+        )
+    agg = rules.groupBy("domain").agg(
+        F.collect_list(
+            F.struct(
+                F.col("spec").alias("spec"),
+                (F.col("rule") == "allow").alias("is_allow"),
+                F.col("pattern").alias("pattern"),
+            )
+        ).alias("_rules")
+    )
     u = urls.withColumn("_dom", registered_domain(F.col(url_col))).withColumn(
         "_path", url_path(F.col(url_col))
     )
-    r = F.broadcast(rules.select(F.col("domain").alias("_rdom"), "prefix"))
-    out = u.join(
-        r,
-        (F.col("_dom") == F.col("_rdom")) & F.col("_path").startswith(F.col("prefix")),
-        "left_anti",
+    j = u.join(
+        F.broadcast(agg.select(F.col("domain").alias("_rdom"), "_rules")),
+        F.col("_dom") == F.col("_rdom"),
+        "left",
     )
-    return out.drop("_dom", "_path")
+    matches = F.filter(
+        F.col("_rules"), lambda r: F.regexp_like(F.col("_path"), r["pattern"])
+    )
+    winner = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                r["spec"].alias("spec"), r["is_allow"].alias("is_allow")
+            ),
+        )
+    )
+    keep = (
+        F.col("_rules").isNull()
+        | (F.size(matches) == 0)
+        | winner["is_allow"]
+    )
+    return j.filter(keep).drop("_dom", "_path", "_rdom", "_rules")
 
 
 def html_title(html: Column | str) -> Column:

@@ -5405,8 +5405,10 @@ def _synth_url(d):
     """Deterministic raw URL per doc_id, covering the whole
     normalization matrix: mixed-case schemes/hosts, default and
     non-default ports, tracking params (leading/trailing/consecutive/
-    mid-query), fragments, four host families incl. a multi-label
-    public suffix."""
+    mid-query), fragments, and NINE host families exercising every
+    PSL rule kind (r13): plain 2-label suffix (.co.uk), wildcard
+    (*.kawasaki.jp), exception (!city.kawasaki.jp), 3-label suffix
+    (k12.ca.us), plus IPv4/IPv6 literals."""
     s = F.col(d) if isinstance(d, str) else d
     sch = (
         F.when(s % 3 == 0, F.lit("https"))
@@ -5414,14 +5416,18 @@ def _synth_url(d):
         .otherwise(F.lit("HTTPS"))
     )
     host = (
-        F.when(s % 6 == 0, F.concat(F.lit("WWW.Example"), (s % 20).cast("string"), F.lit(".COM")))
-        .when(s % 6 == 1, F.concat(F.lit("news.site"), (s % 10).cast("string"), F.lit(".co.uk")))
-        .when(s % 6 == 2, F.concat(F.lit("Blog"), (s % 15).cast("string"), F.lit(".ORG")))
-        .when(s % 6 == 3, F.concat(F.lit("cdn.media"), (s % 5).cast("string"), F.lit(".net")))
+        F.when(s % 9 == 0, F.concat(F.lit("WWW.Example"), (s % 20).cast("string"), F.lit(".COM")))
+        .when(s % 9 == 1, F.concat(F.lit("news.site"), (s % 10).cast("string"), F.lit(".co.uk")))
+        .when(s % 9 == 2, F.concat(F.lit("Blog"), (s % 15).cast("string"), F.lit(".ORG")))
+        .when(s % 9 == 3, F.concat(F.lit("cdn.media"), (s % 5).cast("string"), F.lit(".net")))
         # IP-hosted families (r12 advice fix: the full IP host IS the
         # registered domain — no label cutting, no '3.4' pseudo-domain)
-        .when(s % 6 == 4, F.concat(F.lit("203.0.113."), (s % 4).cast("string")))
-        .otherwise(F.concat(F.lit("[2001:DB8::"), (s % 3).cast("string"), F.lit("]")))
+        .when(s % 9 == 4, F.concat(F.lit("203.0.113."), (s % 4).cast("string")))
+        .when(s % 9 == 5, F.concat(F.lit("[2001:DB8::"), (s % 3).cast("string"), F.lit("]")))
+        # PSL rule-kind families (r13): wildcard / exception / 3-label
+        .when(s % 9 == 6, F.concat(F.lit("a.b.shop"), (s % 4).cast("string"), F.lit(".kawasaki.jp")))
+        .when(s % 9 == 7, F.concat(F.lit("Sub"), (s % 3).cast("string"), F.lit(".City.Kawasaki.JP")))
+        .otherwise(F.concat(F.lit("district"), (s % 5).cast("string"), F.lit(".k12.ca.us")))
     )
     # userinfo on some ids (r11 review: host/domain extraction must
     # skip user[:pass]@ — hostnames cannot contain '@')
@@ -5457,13 +5463,16 @@ _SYNTH_URL_SQL = """
       || '://' ||
       CASE WHEN doc_id % 8 = 5 THEN 'u' || CAST(doc_id % 3 AS VARCHAR) || ':Pw@' ELSE '' END
       ||
-      CASE doc_id % 6
+      CASE doc_id % 9
         WHEN 0 THEN 'WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
         WHEN 1 THEN 'news.site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
         WHEN 2 THEN 'Blog' || CAST(doc_id % 15 AS VARCHAR) || '.ORG'
         WHEN 3 THEN 'cdn.media' || CAST(doc_id % 5 AS VARCHAR) || '.net'
         WHEN 4 THEN '203.0.113.' || CAST(doc_id % 4 AS VARCHAR)
-        ELSE '[2001:DB8::' || CAST(doc_id % 3 AS VARCHAR) || ']' END
+        WHEN 5 THEN '[2001:DB8::' || CAST(doc_id % 3 AS VARCHAR) || ']'
+        WHEN 6 THEN 'a.b.shop' || CAST(doc_id % 4 AS VARCHAR) || '.kawasaki.jp'
+        WHEN 7 THEN 'Sub' || CAST(doc_id % 3 AS VARCHAR) || '.City.Kawasaki.JP'
+        ELSE 'district' || CAST(doc_id % 5 AS VARCHAR) || '.k12.ca.us' END
       ||
       CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END
       ||
@@ -5506,20 +5515,17 @@ URL_STATS_ORACLE = f"""
       FROM n4
     ), hosts AS (
       SELECT norm,
-             regexp_replace(regexp_replace(lower(regexp_extract(url,
+             regexp_replace(lower(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#@]+)', 1)),
-               '^\\[|\\]$', '', 'g'), '^www\\.', '', 'g') AS hostn
+               '^\\[|\\]$', '', 'g') AS host0
       FROM n5
-    ), doms AS (
-      SELECT norm,
-             CASE WHEN regexp_matches(hostn, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
-                       OR contains(hostn, ':')
-                  THEN hostn
-                  WHEN regexp_matches(hostn,
-                    '\\.(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|br|in|cn|nz|za)$')
-                  THEN regexp_extract(hostn, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-                  ELSE regexp_extract(hostn, '([^.]+\\.[^.]+)$', 1) END AS domain
+    ), hostns AS (
+      SELECT norm, host0,
+             regexp_replace(host0, '^www\\.', '', 'g') AS hostn
       FROM hosts
+    ), doms AS (
+      SELECT norm, {W.psl_domain_sql("host0", "hostn")} AS domain
+      FROM hostns
     )
     SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
            CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_unique
@@ -5532,7 +5538,9 @@ URL_STATS_ORACLE = f"""
     URL_STATS_ORACLE,
     "URL curation front door (C4/RefinedWeb pattern): normalize "
     "(fragment/tracking-param/default-port strip, case-fold "
-    "scheme+authority), extract the registered domain (eTLD+1), "
+    "scheme+authority), extract the registered domain (eTLD+1 via "
+    "the PSL data file - r13: wildcard/exception/3-label rule kinds "
+    "all exercised by the host matrix), "
     "aggregate page count + distinct-normalized-URL count per domain "
     "- the URL-level dedup denominator and the per-domain cap key. "
     "All scan-side regexp codegen; the oracle replays the identical "
@@ -5990,64 +5998,57 @@ def warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- robots.txt rules + filter (r12): crawl politeness --------------------
 
-_ROBOTS_TXT_SQL = """
-      'User-agent: google' || chr(10) || 'Disallow: /g' || chr(10) ||
-      CASE di % 3
-        WHEN 0 THEN 'User-agent: *' || chr(10) || '# private areas' || chr(10)
-                    || 'Disallow: /private' || chr(10) || 'Disallow: /tmp/' || chr(10)
-                    || 'Disallow:' || chr(10)
-        WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
-        ELSE 'User-agent: onlybot' || chr(10) || 'Disallow: /z' || chr(10) END
-      || 'User-agent: bing' || chr(10) || 'Disallow: /b'
-"""
+_ROBOTS_FIXTURE_NOTE = """r13 fixture: di%3==0 sections carry wildcard
+(*.zip$), Allow-overrides-Disallow (/private vs /private/p2), and an
+equal-specificity allow/disallow tie (/dup); di%3==1 tests a long
+Allow beating 'Disallow: /'; di%3==2 has no wildcard-agent section."""
 
 
 @q(
     "robots_filter_stats",
-    f"""
-    WITH doms AS (
-      SELECT DISTINCT doc_id % 6 AS di FROM documents
-    ), rules AS (
-      SELECT di, line, pos,
-             last_value(CASE WHEN regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)\\s*$', 1) <> ''
-                             THEN regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)\\s*$', 1) END
-                        IGNORE NULLS)
-               OVER (PARTITION BY di ORDER BY pos ROWS UNBOUNDED PRECEDING) AS ua
-      FROM (
-        SELECT di,
-               trim(regexp_replace(unnest(string_split({_ROBOTS_TXT_SQL}, chr(10))), '#.*$', '', 'g')) AS line,
-               generate_subscripts(string_split({_ROBOTS_TXT_SQL}, chr(10)), 1) AS pos
-        FROM doms)
-    ), dis AS (
-      SELECT DISTINCT di, regexp_extract(line, '(?i)^disallow:\\s*(\\S*)\\s*$', 1) AS prefix
-      FROM rules
-      WHERE ua = '*' AND regexp_matches(line, '(?i)^disallow:')
-        AND regexp_extract(line, '(?i)^disallow:\\s*(\\S*)\\s*$', 1) <> ''
-    ), urls AS (
-      SELECT doc_id, doc_id % 6 AS di,
-             CASE doc_id % 4
+    """
+    WITH urls AS (
+      SELECT doc_id, doc_id % 6 AS di, (doc_id % 6) % 3 AS dc,
+             CASE doc_id % 5
                WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
                WHEN 1 THEN '/public/p' || CAST(doc_id AS VARCHAR)
-               WHEN 2 THEN '/tmp/x'
-               ELSE '/articles/' || CAST(doc_id AS VARCHAR) END AS path
+               WHEN 2 THEN CASE WHEN doc_id % 2 = 0 THEN '/tmp/x' ELSE '/dup/d' END
+               WHEN 3 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+               ELSE '/files/f' || CAST(doc_id % 7 AS VARCHAR) || '.zip' END AS path
       FROM documents
+    ), kept AS (
+      -- analytic keep/drop re-derivation, rule by rule (see the
+      -- docstring): INDEPENDENT of the engine's parser/regex path
+      SELECT doc_id, di FROM urls
+      WHERE CASE
+        WHEN dc = 2 THEN TRUE                        -- no '*' section
+        WHEN dc = 1 THEN doc_id % 5 = 3              -- Allow: /articles/ beats Disallow: /
+        ELSE CASE doc_id % 5
+          WHEN 0 THEN starts_with(CAST(doc_id AS VARCHAR), '2')  -- Allow /private/p2 beats /private
+          WHEN 1 THEN TRUE                           -- no rule matches /public
+          WHEN 2 THEN doc_id % 2 = 1                 -- /tmp/ blocked; /dup tie -> allow
+          WHEN 3 THEN TRUE                           -- no rule matches /articles
+          ELSE FALSE END                             -- /*.zip$ wildcard blocks
+      END
     )
-    SELECT 'site' || CAST(u.di AS VARCHAR) || '.com' AS domain,
+    SELECT 'site' || CAST(di AS VARCHAR) || '.com' AS domain,
            CAST(COUNT(*) AS BIGINT) AS n_kept
-    FROM urls u
-    WHERE NOT EXISTS (
-      SELECT 1 FROM dis r WHERE r.di = u.di AND starts_with(u.path, r.prefix))
-    GROUP BY 1
+    FROM kept GROUP BY 1
     """,
-    "robots.txt crawl-politeness filtering (r12 - web.robots_rules + "
-    "web.robots_filter): per-domain robots.txt content is synthesized "
-    "scan-side (wildcard sections with multiple/empty disallows, "
-    "specific-agent sections that must NOT emit rules, comments), "
-    "parsed into (domain, prefix) rules via one line explode + one "
-    "domain-keyed last_value window, then URLs are filtered by ONE "
-    "broadcast left-anti join (domain equi-key + startswith "
-    "residual); the oracle replays rule extraction AND filtering "
-    "with the identical window/NOT EXISTS semantics. Full SQL oracle",
+    "robots.txt crawl-politeness filtering (r12; r13 adds RFC 9309 "
+    "wildcard '*'/'$' rules, Allow lines, and longest-match-allow-"
+    "wins precedence - web.robots_rules + web.robots_filter): "
+    "per-domain robots.txt content is synthesized scan-side (wildcard "
+    "patterns, Allow overrides, an equal-specificity tie, empty "
+    "disallows, specific-agent sections that must NOT emit rules, "
+    "comments), parsed into typed (rule, prefix, pattern, spec) rows "
+    "via one line explode + one domain-keyed window, then URLs are "
+    "filtered by ONE broadcast left-outer equi-join whose match + "
+    "precedence run scan-side (filter + array_max over (spec, "
+    "is_allow) structs). The oracle re-derives keep/drop per "
+    "(di, path-class) ANALYTICALLY from the planted rules - fully "
+    "independent of the engine's parser and regex translation - so "
+    "any wildcard/precedence defect breaks the match. Full SQL oracle",
 )
 def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -6065,10 +6066,15 @@ def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _dv % 3 == 0,
                     F.lit(
                         "User-agent: *\n# private areas\nDisallow: /private\n"
-                        "Disallow: /tmp/\nDisallow:\n"
+                        "Allow: /private/p2\nDisallow: /tmp/\n"
+                        "Disallow: /*.zip$\nAllow: /dup\nDisallow: /dup\n"
+                        "Disallow:\n"
                     ),
                 )
-                .when(_dv % 3 == 1, F.lit("User-agent: *\nDisallow: /\n"))
+                .when(
+                    _dv % 3 == 1,
+                    F.lit("User-agent: *\nDisallow: /\nAllow: /articles/\n"),
+                )
                 .otherwise(F.lit("User-agent: onlybot\nDisallow: /z\n")),
                 F.lit("User-agent: bing\nDisallow: /b"),
             ).alias("robots_txt"),
@@ -6076,10 +6082,16 @@ def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = W.robots_rules(robots)
     path = (
-        F.when(did % 4 == 0, F.concat(F.lit("/private/p"), did.cast("string")))
-        .when(did % 4 == 1, F.concat(F.lit("/public/p"), did.cast("string")))
-        .when(did % 4 == 2, F.lit("/tmp/x"))
-        .otherwise(F.concat(F.lit("/articles/"), did.cast("string")))
+        F.when(did % 5 == 0, F.concat(F.lit("/private/p"), did.cast("string")))
+        .when(did % 5 == 1, F.concat(F.lit("/public/p"), did.cast("string")))
+        .when(
+            did % 5 == 2,
+            F.when(did % 2 == 0, F.lit("/tmp/x")).otherwise(F.lit("/dup/d")),
+        )
+        .when(did % 5 == 3, F.concat(F.lit("/articles/"), did.cast("string")))
+        .otherwise(
+            F.concat(F.lit("/files/f"), (did % 7).cast("string"), F.lit(".zip"))
+        )
     )
     urls = d.select(
         F.concat(
@@ -6101,20 +6113,17 @@ def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
     ), hosts AS (
       SELECT doc_id,
-             regexp_replace(regexp_replace(lower(regexp_extract(url,
+             regexp_replace(lower(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#@]+)', 1)),
-               '^\\[|\\]$', '', 'g'), '^www\\.', '', 'g') AS hostn
+               '^\\[|\\]$', '', 'g') AS host0
       FROM u
-    ), doms AS (
-      SELECT doc_id,
-             CASE WHEN regexp_matches(hostn, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
-                       OR contains(hostn, ':')
-                  THEN hostn
-                  WHEN regexp_matches(hostn,
-                    '\\.(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|br|in|cn|nz|za)$')
-                  THEN regexp_extract(hostn, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-                  ELSE regexp_extract(hostn, '([^.]+\\.[^.]+)$', 1) END AS domain
+    ), hostns AS (
+      SELECT doc_id, host0,
+             regexp_replace(host0, '^www\\.', '', 'g') AS hostn
       FROM hosts
+    ), doms AS (
+      SELECT doc_id, {W.psl_domain_sql("host0", "hostn")} AS domain
+      FROM hostns
     )
     SELECT doc_id, domain FROM (
       SELECT doc_id, domain,
@@ -6123,8 +6132,9 @@ def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM doms) t
     WHERE rn <= 5
     """,
-    "per-domain page cap (r11 - the RefinedWeb anti-spam composition: "
-    "registered_domain + the deterministic md5-ordered per-group "
+    "per-domain page cap (r11 - the RefinedWeb anti-spam composition; "
+    "r13: PSL-backed registered_domain with wildcard/exception hosts "
+    "in the matrix) - registered_domain + the deterministic md5-ordered per-group "
     "downsample): keep at most 5 pages per eTLD+1, reproducible across "
     "runs/engines. Full SQL oracle",
 )

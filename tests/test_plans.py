@@ -471,11 +471,14 @@ def test_warc_parse_scan_side_partial_agg(spark):
 
 
 def test_robots_filter_broadcast_anti_no_url_shuffle(spark):
-    """The politeness filter is ONE broadcast left-anti join: the URL
-    side must never hash-exchange (rules broadcast; the only
-    hash exchanges allowed are the rule-side window + final agg)."""
+    """The politeness filter is ONE broadcast left-OUTER equi-join on
+    the domain (r13: rules aggregate to one array row per domain;
+    match + RFC 9309 precedence run scan-side as higher-order
+    functions): the URL side must never hash-exchange and never
+    row-multiply (rules broadcast; the only hash exchanges allowed
+    are the rule-side window/agg + final agg)."""
     plan = plan_of(spark, "robots_filter_stats")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
     assert "SortMergeJoin" not in plan

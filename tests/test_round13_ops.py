@@ -166,6 +166,127 @@ def test_snapshot_append_schema_recheck_in_retry(spark, tmp_path, monkeypatch):
         bio.write_snapshot(df2, tdir, mode="append")
 
 
+# ---------------------- robots.txt v2: wildcards + Allow ----------------
+
+
+def test_robots_rules_wildcard_translation(spark):
+    """'*' and a trailing '$' translate to regex at RULE BUILD time;
+    other metacharacters are literal; Allow lines emit typed rows."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.zip$\n"
+        "Allow: /a(b)+c\n"
+        "Disallow: /plain\n"
+    )
+    robots = spark.createDataFrame([("a.com", txt)], ["domain", "robots_txt"])
+    rows = {
+        (r["rule"], r["prefix"]): (r["pattern"], r["spec"])
+        for r in W.robots_rules(robots).collect()
+    }
+    assert rows[("disallow", "/*.zip$")] == ("^/.*\\.zip$", 7)
+    assert rows[("allow", "/a(b)+c")] == ("^/a\\(b\\)\\+c", 7)
+    assert rows[("disallow", "/plain")] == ("^/plain", 6)
+
+
+def test_robots_filter_precedence(spark):
+    """RFC 9309 precedence: longest matching rule wins; on an
+    allow/disallow specificity tie, ALLOW wins; no match keeps."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/pub\n"
+        "Disallow: /*.zip$\n"
+        "Allow: /dup\n"
+        "Disallow: /dup\n"
+        "Disallow: /\n"
+        "Allow: /articles/\n"
+    )
+    robots = spark.createDataFrame([("a.com", txt)], ["domain", "robots_txt"])
+    rules = W.robots_rules(robots)
+    cases = [
+        ("https://a.com/private/x", False),      # /private beats /
+        ("https://a.com/private/pub/y", True),   # longer allow wins
+        ("https://a.com/f.zip", False),          # wildcard + $ anchor
+        ("https://a.com/f.zipx", False),         # $ fails but Disallow: / blocks
+        ("https://a.com/dup/d", True),           # tie -> allow wins
+        ("https://a.com/articles/1", True),      # allow /articles/ beats /
+        ("https://other.org/x", True),           # no rules for domain
+    ]
+    urls = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    kept = {r["url"] for r in W.robots_filter(urls, rules).collect()}
+    for u, want in cases:
+        assert (u in kept) == want, u
+
+
+def test_robots_filter_legacy_prefix_table(spark):
+    """A legacy (domain, prefix) rule table still filters as literal
+    anchored disallow prefixes."""
+    rules = spark.createDataFrame(
+        [("a.com", "/private")], ["domain", "prefix"]
+    )
+    urls = spark.createDataFrame(
+        [("https://a.com/private/x",), ("https://a.com/ok",)], ["url"]
+    )
+    kept = [r["url"] for r in W.robots_filter(urls, rules).collect()]
+    assert kept == ["https://a.com/ok"]
+
+
+# ---------------------- PSL registered_domain ---------------------------
+
+
+def test_registered_domain_psl_rule_kinds(spark):
+    """Every PSL rule kind: plain 2-label, 3-label, wildcard,
+    exception (checked before the www-strip), IP literals, and the
+    implicit '*' default."""
+    cases = [
+        ("https://www.example.com/a", "example.com"),
+        ("https://news.site3.co.uk/b", "site3.co.uk"),
+        ("https://district3.k12.ca.us/z", "district3.k12.ca.us"),
+        ("https://foo.ca.us/z", "foo.ca.us"),
+        ("https://a.b.shop2.kawasaki.jp/x", "b.shop2.kawasaki.jp"),
+        ("https://Sub1.City.Kawasaki.JP/y", "city.kawasaki.jp"),
+        ("https://x.anything.ck/", "x.anything.ck"),
+        ("https://deep.www.ck/", "www.ck"),
+        ("https://1.2.3.4/q", "1.2.3.4"),
+        ("https://school.k12.tr/e", "school.k12.tr"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(W.registered_domain("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_psl_sql_replay_agrees(spark):
+    """The generated DuckDB CASE must agree with the Spark expression
+    on the same hosts (the oracle-lockstep contract)."""
+    import duckdb
+
+    urls = [
+        "https://www.example.com/a",
+        "https://news.site3.co.uk/b",
+        "https://a.b.shop2.kawasaki.jp/x",
+        "https://Sub1.City.Kawasaki.JP/y",
+        "https://district3.k12.ca.us/z",
+        "https://deep.www.ck/",
+        "https://1.2.3.4/q",
+        "https://[2001:DB8::7]/v6",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r[0] for r in df.select(W.registered_domain("url")).collect()]
+    host0 = (
+        "regexp_replace(lower(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?"
+        "(\\[[^\\]/?#]*\\]|[^/:?#@]+)', 1)), '^\\[|\\]$', '', 'g')"
+    )
+    hostn = f"regexp_replace({host0}, '^www\\.', '', 'g')"
+    sql = W.psl_domain_sql(host0, hostn)
+    con = duckdb.connect()
+    con.execute("create table u(url varchar)")
+    for u in urls:
+        con.execute("insert into u values (?)", [u])
+    duck = [r[0] for r in con.execute(f"select {sql} from u").fetchall()]
+    assert duck == got
+
+
 # ---------------------- snapshot log-store seam -------------------------
 
 
