@@ -5933,9 +5933,10 @@ def html_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- WARC parse (r12): the crawl-archive source format --------------------
 
-@q(
-    "warc_parse",
-    """
+# Shared by warc_parse and warc_gz_parse (r13): both run the SAME
+# records through parse_warc — once via the plain-text split, once
+# re-packed as per-member gzip — so both must land on this aggregate.
+WARC_AGG_ORACLE = """
     SELECT CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS http_status,
            CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -5946,7 +5947,12 @@ def html_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       || '.com/p/' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_uris
     FROM documents
     GROUP BY 1, 2
-    """,
+    """
+
+
+@q(
+    "warc_parse",
+    WARC_AGG_ORACLE,
     "WARC web-archive record parsing (r12 - the Common Crawl source "
     "format, io.parse_warc): a full WARC response record (WARC "
     "headers + HTTP status/headers + HTML body) is synthesized "
@@ -5986,6 +5992,92 @@ def warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         http,
     )
     parsed = parse_warc(d.select(record.alias("record")))
+    return (
+        parsed.groupBy("http_status", "content_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("body")).cast("bigint").alias("body_bytes"),
+            F.countDistinct("target_uri").cast("bigint").alias("n_uris"),
+        )
+    )
+
+
+def _warc_gz_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the warc_parse record matrix as a MULTI-MEMBER
+    ``.warc.gz`` (one gzip member per record — Common Crawl's exact
+    layout) in the temp dir, cached per sf_dir. Fixture synthesis
+    only: the bounded driver-side collect builds the archive the
+    operator under test then reads DISTRIBUTED; at the gate scales
+    the archive is KBs–MBs. Byte-identical record text to
+    warc_parse's scan-side synthesis, so both entries share one
+    oracle."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdf_warcgz_{key}.warc.gz")
+    if os.path.exists(path):
+        return path
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    blob = bytearray()
+    for r in rows:
+        did, text = r["doc_id"], r["text"]
+        is404 = did % 5 == 0
+        body = "not found" if is404 else f"<html><body><p>{text}</p></body></html>"
+        http = (
+            ("HTTP/1.1 404 Not Found\r\n" if is404 else "HTTP/1.1 200 OK\r\n")
+            + (
+                "Content-Type: text/plain\r\n"
+                if is404
+                else "Content-Type: text/html; charset=utf-8\r\n"
+            )
+            + "Server: synth\r\n\r\n"
+            + body
+        )
+        record = (
+            f"WARC-Type: response\r\nWARC-Target-URI: https://site{did % 7}"
+            f".com/p/{did}\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n{http}"
+        )
+        blob += gzip.compress(("WARC/1.0\r\n" + record + "\r\n\r\n").encode("utf-8"))
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(blob))
+    os.replace(tmp, path)
+    return path
+
+
+@q(
+    "warc_gz_parse",
+    WARC_AGG_ORACLE,
+    "SPLITTABLE .warc.gz ingestion (r13 - the format Common Crawl "
+    "actually ships: one gzip member per record, members "
+    "concatenated; io.read_warc_gz): the warc_parse record matrix is "
+    "re-packed as a multi-member archive, read back by byte-range "
+    "tasks that re-synchronize on gzip member boundaries (magic scan "
+    "+ CRC-validated inflate - no offset-index sidecar, no whole-file "
+    "gzip straggler), parsed by the SAME parse_warc, and must land on "
+    "the SAME aggregate oracle as the plain-text-split path. The "
+    "split is forced to ~8 ranges at every scale, so the gate "
+    "exercises mid-range re-synchronization, not just offset 0. Full "
+    "SQL oracle",
+)
+def warc_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from bigdata_foundation_spark.io import parse_warc, read_warc_gz
+
+    path = _warc_gz_fixture(spark, sf_dir)
+    size = os.path.getsize(path)
+    split = max(16 * 1024, -(-size // 8))
+    parsed = parse_warc(read_warc_gz(spark, path, target_split_bytes=split))
     return (
         parsed.groupBy("http_status", "content_type")
         .agg(
