@@ -95,6 +95,8 @@ HEADLINE = [
     "html_meta_extract",
     "streaming_snapshot_sink",
     "snapshot_incremental",
+    # Round-13 debut: splittable per-member-gzip WARC ingestion
+    "warc_gz_parse",
 ]
 
 

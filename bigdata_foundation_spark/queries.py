@@ -77,92 +77,92 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The driver gates the FIRST 50 registry keys each round. r12 order:
-# (a) every entry whose code path changed this round — the web.py
-# advice fixes (IP hosts, value-exact 'ref' strip: url_normalize_stats
-# + domain_cap_sample re-derive their synth matrix and oracles in
-# lockstep), the XML-escape fix (events_xml_parse), the lazy-n_base
-# fix (dedup_image_phash), the hashed_keys parameterization
-# (stupid_backoff_lm — default plan unchanged, code touched), the
-# apsp wave-task restructure for the r12 file-spilled kernel tier
-# (graph_apsp_top10) — plus the SEVEN r12 debuts, value-gated on
-# arrival: html_main_content (Kohlschütter boilerplate removal),
-# snapshot_time_travel (manifest-committed versioned reads),
-# warc_parse (Common Crawl source format), robots_filter_stats
-# (crawl politeness), html_meta_extract (page provenance fields),
-# streaming_snapshot_sink (versioned-append streaming writer),
-# snapshot_incremental (manifest-delta incremental reads); then
-# (b) the OLDEST-GATED rotation: the FULL remaining r7 block (17
-# entries — after this round no entry's latest gate is older than r8)
-# plus the first 20 of the r8 block in name order (the remaining 19
-# r8 entries head the r13 rotation: q15_top_supplier,
-# q16_supplier_part_count,
-# q17_small_quantity_revenue, q18_large_volume_customers,
-# q19_disjunctive_predicates, q1_pricing_summary,
-# q20_excess_suppliers, q21_waiting_suppliers, q22_idle_customers,
-# quality_classifier, scd2_user_history, split_train_val_test,
-# sql_q6_revenue, streaming_dedup, streaming_hourly,
-# streaming_sessionize, streaming_sliding, token_totals_by_source,
-# unimax_mixture; staleness computed from the union of
-# CORRECTNESS_r01–r11.json).
-# Totals: 6 changed + 7 debuts + 17 r7 + 20 r8 = 50.
+# The driver gates the FIRST 50 registry keys each round. r13 order:
+# (a) every entry whose code path changed this round — the r13 DEBUT
+# warc_gz_parse (splittable per-member-gzip WARC ingestion), the
+# robots/PSL upgrade (robots_filter_stats: RFC 9309 wildcard/'$'
+# rules + Allow precedence, new fixture matrix + analytic oracle;
+# url_normalize_stats + domain_cap_sample: PSL-data-file
+# registered_domain with wildcard/exception/3-label host families,
+# oracles regenerated from the same compiled tiers), the r12 advice
+# fixes (html_meta_extract: og:description fallback; warc_parse:
+# header-block-scoped Content-Type), the snapshot log-store seam
+# (snapshot_time_travel, snapshot_incremental, streaming_snapshot_sink
+# — write_snapshot's publish + append-retry schema re-check changed),
+# and the graph auto-tier routing guard (graph_sssp_slice,
+# graph_apsp_top10 — 'auto' now falls back to BSP when the file
+# tier's spill dir is driver-local on a multi-host master); then
+# (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
+# entries — the r12 verdict's task-1 list of 19 full-oracle entries
+# plus the two rows-only sketches; after this round no entry's latest
+# gate is older than r9) plus the first 18 of the r9 block in name
+# order (the remaining 18 r9 entries head the r14 rotation:
+# q3_segment_topk, q4_late_orders, q5_region_revenue,
+# q7_nation_volume, q8_market_share, range_join_attribution,
+# salted_agg_events, semi_join_ordered_parts,
+# shuffle_deterministic_order, snapshot_diff_orders,
+# streaming_interval_join, streaming_running_zscore, upsert_orders,
+# window_funcs_orders, window_top_orders_per_customer,
+# winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
+# staleness computed from the union of CORRECTNESS_r01–r12.json).
+# Totals: 11 changed/debut + 21 r8 + 18 r9 = 50.
 # The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r12.md. Entries not listed
+# via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) changed since the r11 judged tree + r12 debuts
-    "url_normalize_stats",  # r12: IP-host + value-exact ref fixes (synth matrix + oracle in lockstep)
-    "domain_cap_sample",  # r12: registered_domain IP-host fix
-    "events_xml_parse",  # r12: embedded-column XML escaping
-    "dedup_image_phash",  # r12: n_base from parquet footer (no eager count)
-    "stupid_backoff_lm",  # r12: hashed_keys A/B parameterization (string default shipped)
-    "graph_apsp_top10",  # r12: wave task passes (src, idx) pairs for the file tier
-    "html_main_content",  # r12 DEBUT: Kohlschütter boilerplate-removing extraction
-    "snapshot_time_travel",  # r12 DEBUT: manifest-committed versioned snapshot reads
-    "warc_parse",  # r12 DEBUT: WARC web-archive record parsing round-trip
-    "robots_filter_stats",  # r12 DEBUT: robots.txt rules + politeness filter
-    "html_meta_extract",  # r12 DEBUT: page metadata (title/description/canonical/lang)
-    "streaming_snapshot_sink",  # r12 DEBUT: versioned-append streaming sink (idempotent replay)
-    "snapshot_incremental",  # r12 DEBUT: manifest-delta incremental reads
-    # (b) oldest-gated rotation — the FULL remaining r7 block
-    "graph_ktruss",  # last gated r7
-    "graph_label_propagation",  # last gated r7
-    "graph_louvain",  # last gated r7
-    "graph_modularity",  # last gated r7
-    "graph_msf",  # last gated r7
-    "graph_node_similarity",  # last gated r7
-    "graph_pagerank",  # last gated r7
-    "graph_ppr",  # last gated r7
-    "graph_scc",  # last gated r7
-    "graph_yens_postprocess",  # last gated r7
-    "hard_negatives",  # last gated r7
-    "hybrid_rank_rrf",  # last gated r7
-    "pmi_collocations",  # last gated r7
-    "retention_cohorts",  # last gated r7
-    "rfm_segmentation",  # last gated r7
-    "sessionize_events",  # last gated r7
-    "temperature_mixture",  # last gated r7
-    # (b) oldest-gated rotation — first 20 of the r8 block (name order)
-    "argmin_supplier_per_nation",  # last gated r8
-    "asof_join_attribution",  # last gated r8
-    "bigram_perplexity",  # last gated r8
-    "cms_heavy_hitters",  # last gated r8
-    "embedding_pca",  # last gated r8
-    "events_gapfill",  # last gated r8
-    "graph_yens_k3",  # last gated r8
-    "grouping_sets_orders",  # last gated r8
-    "having_large_orders",  # last gated r8
-    "ks_drift",  # last gated r8
-    "left_join_order_counts",  # last gated r8
-    "mixture_sample_sources",  # last gated r8
-    "order_count_histogram",  # last gated r8
-    "pack_sequences_summary",  # last gated r8
-    "posexplode_leading_tokens",  # last gated r8
-    "profile_orders",  # last gated r8
-    "q10_returned_revenue",  # last gated r8
-    "q11_important_stock",  # last gated r8
-    "q12_priority_by_flag",  # last gated r8
-    "q14_promo_revenue",  # last gated r8
+    # (a) changed since the r12 judged tree + the r13 debut
+    "warc_gz_parse",  # r13 DEBUT: splittable .warc.gz member-aware ingestion
+    "warc_parse",  # r13: Content-Type scoped to the HTTP header block (r12 advice)
+    "html_meta_extract",  # r13: og:description fallback (r12 advice)
+    "robots_filter_stats",  # r13: RFC 9309 wildcards + Allow precedence, analytic oracle
+    "url_normalize_stats",  # r13: PSL data file; wildcard/exception/3-label host families
+    "domain_cap_sample",  # r13: PSL-backed registered_domain
+    "snapshot_time_travel",  # r13: manifest log behind the pluggable log-store seam
+    "snapshot_incremental",  # r13: same seam (delta reads re-read manifests through it)
+    "streaming_snapshot_sink",  # r13: same seam + append-retry schema re-check
+    "graph_sssp_slice",  # r13: auto-tier spill-dir routing guard in sssp dispatch
+    "graph_apsp_top10",  # r13: auto-tier spill-dir routing guard in apsp dispatch
+    # (b) oldest-gated rotation — the FULL remaining r8 block
+    "q15_top_supplier",  # last gated r8
+    "q16_supplier_part_count",  # last gated r8
+    "q17_small_quantity_revenue",  # last gated r8
+    "q18_large_volume_customers",  # last gated r8
+    "q19_disjunctive_predicates",  # last gated r8
+    "q1_pricing_summary",  # last gated r8
+    "q20_excess_suppliers",  # last gated r8
+    "q21_waiting_suppliers",  # last gated r8
+    "q22_idle_customers",  # last gated r8
+    "quality_classifier",  # last gated r8
+    "scd2_user_history",  # last gated r8
+    "sketch_distinct_users",  # last gated r8 (rows-only sketch)
+    "sketch_value_quantiles",  # last gated r8 (rows-only sketch)
+    "split_train_val_test",  # last gated r8
+    "sql_q6_revenue",  # last gated r8
+    "streaming_dedup",  # last gated r8
+    "streaming_hourly",  # last gated r8
+    "streaming_sessionize",  # last gated r8
+    "streaming_sliding",  # last gated r8
+    "token_totals_by_source",  # last gated r8
+    "unimax_mixture",  # last gated r8
+    # (b) oldest-gated rotation — first 18 of the r9 block (name order)
+    "ann_brute_topk",  # last gated r9
+    "ann_lsh_multiprobe",  # last gated r9
+    "ann_lsh_topk",  # last gated r9
+    "anti_join_quiet_customers",  # last gated r9
+    "array_ops_customer",  # last gated r9
+    "balanced_sample_docs",  # last gated r9
+    "case_bucket_orders",  # last gated r9
+    "cross_lookup_pair",  # last gated r9
+    "cube_revenue",  # last gated r9
+    "curation_funnel",  # last gated r9
+    "date_functions_orders",  # last gated r9
+    "dedup_embedding_cosine",  # last gated r9
+    "dedup_embedding_lsh",  # last gated r9
+    "dedup_ngram_jaccard",  # last gated r9
+    "distinct_agg_priority",  # last gated r9
+    "embedding_normalize",  # last gated r9
+    "multimodal_frame_sample",  # last gated r9
+    "q2_min_cost_supplier",  # last gated r9
 ]
 
 

@@ -482,3 +482,16 @@ def test_robots_filter_broadcast_anti_no_url_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_warc_gz_parse_one_arrow_decode_stage(spark):
+    """The splittable .warc.gz read's ONLY Python is the Arrow-batched
+    per-range member decode (one mapInPandas); everything above it —
+    record parsing, the grouped aggregate, count-distinct — is the
+    same codegen shape as warc_parse (no joins, no row-at-a-time
+    Python)."""
+    plan = plan_of(spark, "warc_gz_parse")
+    assert plan.count("MapInPandas") == 1 or plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan

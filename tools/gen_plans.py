@@ -215,10 +215,23 @@ PICKS = [
     ),
     (
         "robots_filter_stats",
-        "robots.txt politeness filter (NEW r12): rule extraction is one "
-        "line explode + ONE domain-keyed window; filtering is ONE "
-        "broadcast LeftAnti join (domain equi-key + startswith "
-        "residual) — the URL side of the crawl never shuffles",
+        "robots.txt politeness filter (r12; r13 = RFC 9309 wildcards + "
+        "Allow precedence): rule extraction is one line explode + ONE "
+        "domain-keyed window; rules aggregate to ONE broadcast array "
+        "row per domain, so filtering is ONE broadcast LeftOuter "
+        "equi-join whose match + longest-rule/allow-wins precedence "
+        "run scan-side as higher-order functions — the URL side of "
+        "the crawl never shuffles and never row-multiplies",
+    ),
+    (
+        "warc_gz_parse",
+        "splittable .warc.gz ingestion (NEW r13): split planning is "
+        "driver-side metadata (os.stat); the only Python is the "
+        "Arrow-batched per-range gzip-member decode (ONE "
+        "ArrowEvalPython/mapInPandas over ~8 byte ranges — the "
+        "member-aware work Spark's whole-file gzip fallback cannot "
+        "split); parsing + aggregate above it are the same codegen "
+        "shapes as warc_parse",
     ),
 ]
 

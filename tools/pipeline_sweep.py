@@ -172,7 +172,33 @@ PICKS = [
     "html_meta_extract",
     "streaming_snapshot_sink",
     "snapshot_incremental",
+    # r13 debut: splittable .warc.gz (aggregate gate shape)
+    "warc_gz_parse",
 ]
+
+
+def _warc_gz_records(spark, sf):
+    """Sweep-only record-LEVEL .warc.gz read (r12 verdict task 7: the
+    gate entries aggregate to 2–5 output rows; this row's output
+    scales with the input, so the scan's shape is visible) — also
+    prints the task count once per sweep (task 3's 'parallelizes'
+    criterion)."""
+    import os
+
+    from bigdata_foundation_spark.io import read_warc_gz
+    from bigdata_foundation_spark.queries import _warc_gz_fixture
+
+    path = _warc_gz_fixture(spark, sf)
+    size = os.path.getsize(path)
+    df = read_warc_gz(spark, path, target_split_bytes=max(16 * 1024, -(-size // 8)))
+    return df
+
+
+# Sweep-only callables (not registry entries): record-level variants
+# whose OUTPUT row count scales with the input.
+EXTRA_PICKS = {
+    "warc_gz_records[8-way]": _warc_gz_records,
+}
 
 
 def main() -> int:
@@ -195,12 +221,13 @@ def main() -> int:
         header = header + " sf1 s (rows) |"
     print(header)
     print("| --- | --- | --- |" + (" --- |" if len(sfs) == 3 else " --- | --- |"))
-    for name in PICKS:
+    runnables = [(name, reg[name].fn) for name in PICKS] + list(EXTRA_PICKS.items())
+    for name, fn in runnables:
         cells = []
         for sf in sfs:
             t0 = time.perf_counter()
             try:
-                n = reg[name].fn(spark, sf).count()
+                n = fn(spark, sf).count()
                 dt = time.perf_counter() - t0
                 cells.append(f"{dt:.2f} ({n:,})")
             except Exception as exc:  # noqa: BLE001
