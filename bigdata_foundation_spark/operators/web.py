@@ -504,6 +504,54 @@ def robots_rules(
     )
 
 
+def robots_crawl_delay(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-domain ``Crawl-delay`` (seconds, double) for the wildcard
+    agent — the rate-limit half of crawl politeness (robots_filter is
+    the path half; a polite fetcher keys its token bucket on this).
+    Same section semantics as :func:`robots_rules` (a line binds to
+    the most recent ``User-agent:``; only ``*`` sections emit); a
+    domain without a wildcard-section ``Crawl-delay`` is ABSENT (the
+    caller's default applies); several values in one section keep the
+    LAST (later lines override). One scan-side line explode + one
+    domain-keyed window — same KB-sized shape as robots_rules."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(robots_col), r"\r?\n")).alias("_pos", "_line"),
+    ).select(
+        "domain",
+        "_pos",
+        F.btrim(F.regexp_replace(F.col("_line"), r"#.*$", "")).alias("_line"),
+    )
+    ua = F.regexp_extract(F.col("_line"), r"(?i)^user-agent:\s*(\S+)\s*$", 1)
+    delay = F.regexp_extract(
+        F.col("_line"), r"(?i)^crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lines.select(
+        "domain",
+        "_pos",
+        F.last(F.when(ua != "", ua), ignorenulls=True).over(w).alias("_ua"),
+        delay.alias("_delay"),
+    )
+    return (
+        tagged.filter((F.col("_ua") == "*") & (F.col("_delay") != ""))
+        .groupBy("domain")
+        .agg(
+            F.max_by(F.col("_delay"), F.col("_pos")).cast("double").alias("crawl_delay")
+        )
+    )
+
+
 def url_path(url: Column | str) -> Column:
     """Path component of a URL ('/' when absent) — the robots.txt
     match subject."""

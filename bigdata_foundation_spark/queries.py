@@ -95,8 +95,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
 # entries — the r12 verdict's task-1 list of 19 full-oracle entries
 # plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 18 of the r9 block in name
-# order (the remaining 18 r9 entries head the r14 rotation:
+# gate is older than r9) plus the first 16 of the r9 block in name
+# order (the remaining 20 r9 entries head the r14 rotation:
+# multimodal_frame_sample, q2_min_cost_supplier,
 # q3_segment_topk, q4_late_orders, q5_region_revenue,
 # q7_nation_volume, q8_market_share, range_join_attribution,
 # salted_agg_events, semi_join_ordered_parts,
@@ -105,13 +106,15 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # window_funcs_orders, window_top_orders_per_customer,
 # winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
 # staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 11 changed/debut + 21 r8 + 18 r9 = 50.
+# Totals: 13 changed/debut + 21 r8 + 16 r9 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
     # (a) changed since the r12 judged tree + the r13 debut
     "warc_gz_parse",  # r13 DEBUT: splittable .warc.gz member-aware ingestion
+    "warc_gz_roundtrip",  # r13 DEBUT: distributed per-member-gzip WARC writer round trip
+    "robots_crawl_delay_stats",  # r13 DEBUT: Crawl-delay extraction (rate-limit politeness)
     "warc_parse",  # r13: Content-Type scoped to the HTTP header block (r12 advice)
     "html_meta_extract",  # r13: og:description fallback (r12 advice)
     "robots_filter_stats",  # r13: RFC 9309 wildcards + Allow precedence, analytic oracle
@@ -161,8 +164,6 @@ GATE_ORDER: list[str] = [
     "dedup_ngram_jaccard",  # last gated r9
     "distinct_agg_priority",  # last gated r9
     "embedding_normalize",  # last gated r9
-    "multimodal_frame_sample",  # last gated r9
-    "q2_min_cost_supplier",  # last gated r9
 ]
 
 
@@ -6088,6 +6089,74 @@ def warc_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "warc_gz_roundtrip",
+    WARC_AGG_ORACLE,
+    "distributed WARC WRITE + splittable re-read (r13 - the other "
+    "half of the crawl round trip: filter/dedup a crawl, ship the "
+    "survivors back in the format the ecosystem consumes; "
+    "io.write_warc_gz): the warc record matrix is synthesized "
+    "scan-side, written by EXECUTORS as per-record gzip members (one "
+    ".warc.gz file per partition, Common Crawl's exact layout), read "
+    "back through the member-aware byte-range reader, parsed by the "
+    "same parse_warc, and must land on the SAME aggregate oracle as "
+    "the other two warc paths - any writer framing defect (version "
+    "line, record terminator, member boundaries) breaks the match. "
+    "Full SQL oracle",
+)
+def warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_foundation_spark.io import parse_warc, read_warc_gz, write_warc_gz
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is404 = did % 5 == 0
+    body = F.when(is404, F.lit("not found")).otherwise(
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"))
+    )
+    http = F.concat(
+        F.when(is404, F.lit("HTTP/1.1 404 Not Found\r\n")).otherwise(
+            F.lit("HTTP/1.1 200 OK\r\n")
+        ),
+        F.when(is404, F.lit("Content-Type: text/plain\r\n")).otherwise(
+            F.lit("Content-Type: text/html; charset=utf-8\r\n")
+        ),
+        F.lit("Server: synth\r\n\r\n"),
+        body,
+    )
+    record = F.concat(
+        F.lit("WARC-Type: response\r\nWARC-Target-URI: https://site"),
+        (did % 7).cast("string"),
+        F.lit(".com/p/"),
+        did.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"bdf_warcgz_rt_{key}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_gz(d.select(record.alias("record")).repartition(4), out_dir)
+    size = sum(
+        os.path.getsize(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
+    )
+    split = max(16 * 1024, -(-size // 8))
+    parsed = parse_warc(read_warc_gz(spark, out_dir, target_split_bytes=split))
+    return (
+        parsed.groupBy("http_status", "content_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("body")).cast("bigint").alias("body_bytes"),
+            F.countDistinct("target_uri").cast("bigint").alias("n_uris"),
+        )
+    )
+
+
 # --- robots.txt rules + filter (r12): crawl politeness --------------------
 
 _ROBOTS_FIXTURE_NOTE = """r13 fixture: di%3==0 sections carry wildcard
@@ -6196,6 +6265,50 @@ def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.count("*").cast("bigint").alias("n_kept"))
     )
+
+
+@q(
+    "robots_crawl_delay_stats",
+    """
+    WITH doms AS (SELECT DISTINCT doc_id % 6 AS di FROM documents)
+    SELECT 'site' || CAST(di AS VARCHAR) || '.com' AS domain,
+           CASE WHEN di % 3 = 0 THEN 4.0 ELSE 1.5 END AS crawl_delay
+    FROM doms WHERE di % 3 <> 2
+    """,
+    "robots.txt Crawl-delay extraction (r13 - the rate-limit half of "
+    "crawl politeness; web.robots_crawl_delay): per-domain robots.txt "
+    "is synthesized with Crawl-delay lines planted in specific-agent "
+    "sections (must NOT emit), wildcard sections with a later "
+    "override (last wins), and domains without one (ABSENT rows, not "
+    "defaults); the oracle re-derives the per-domain-class value "
+    "analytically. Same one-explode + one-window shape as "
+    "robots_rules. Full SQL oracle",
+)
+def robots_crawl_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    di = (F.col("doc_id") % 6).cast("bigint")
+    _dv = F.col("_di")
+    robots = (
+        d.select(di.alias("_di"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), _dv.cast("string"), F.lit(".com")).alias("domain"),
+            F.concat(
+                F.lit("User-agent: google\nDisallow: /g\nCrawl-delay: 9\n"),
+                F.when(
+                    _dv % 3 == 0,
+                    F.lit(
+                        "User-agent: *\nDisallow: /private\n"
+                        "Crawl-delay: 2.5\nCrawl-delay: 4\n"
+                    ),
+                )
+                .when(_dv % 3 == 1, F.lit("User-agent: *\nCrawl-delay: 1.5\n"))
+                .otherwise(F.lit("User-agent: onlybot\nCrawl-delay: 7\n")),
+                F.lit("User-agent: bing\nDisallow: /b"),
+            ).alias("robots_txt"),
+        )
+    )
+    return W.robots_crawl_delay(robots)
 
 
 @q(

@@ -239,6 +239,29 @@ def test_read_warc_gz_false_magic_rejected(spark, tmp_path):
     assert sorted(got) == sorted(recs)
 
 
+def test_read_warc_gz_leading_garbage_resyncs(spark, tmp_path):
+    """Non-gzip bytes BEFORE the first member (a truncated/corrupt
+    prefix) must not silence range 0 — every task re-synchronizes by
+    scan + validated inflate, including the first."""
+    import gzip
+
+    recs, blob = [], b"NOT GZIP JUNK" * 10
+    for i in range(8):
+        rec = (
+            f"WARC-Type: response\r\nWARC-Target-URI: https://g.com/{i}\r\n"
+            f"Content-Length: 2\r\n\r\nhi"
+        )
+        recs.append(rec)
+        blob += gzip.compress(("WARC/1.0\r\n" + rec + "\r\n\r\n").encode())
+    path = str(tmp_path / "garbage.warc.gz")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    from bigdata_foundation_spark.io import read_warc_gz
+
+    got = [r["record"] for r in read_warc_gz(spark, path, target_split_bytes=1 << 20).collect()]
+    assert sorted(got) == sorted(recs)
+
+
 def test_warc_gz_parse_matches_plain_warc_parse(spark):
     """The gate contract: the SAME records through the gzip-member
     path and the plain-text-split path land on the SAME aggregate."""
@@ -255,6 +278,86 @@ def test_warc_gz_parse_matches_plain_warc_parse(spark):
         for r in reg["warc_gz_parse"].fn(spark, sf).collect()
     }
     assert a == b
+
+
+# ---------------------- write_warc_gz round trip -------------------------
+
+
+def test_write_warc_gz_roundtrip_multifile(spark, tmp_path):
+    """Executors write one per-record-gzip file per partition; the
+    member-aware reader gets every record back byte-exact; empty
+    partitions write nothing."""
+    from bigdata_foundation_spark.io import read_warc_gz, write_warc_gz
+
+    recs = [
+        f"WARC-Type: response\r\nWARC-Target-URI: https://w.com/{i}\r\n"
+        f"Content-Length: 2\r\n\r\nok"
+        for i in range(40)
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], ["record"]).repartition(8)
+    out_dir = str(tmp_path / "out")
+    written = write_warc_gz(df, out_dir)
+    assert sum(n for _, n in written) == 40
+    assert 1 <= len(written) <= 8
+    assert all(f.endswith(".warc.gz") for f, _ in written)
+    got = [r["record"] for r in read_warc_gz(spark, out_dir).collect()]
+    assert sorted(got) == sorted(recs)
+
+
+def test_write_warc_gz_skips_null_and_empty(spark, tmp_path):
+    from bigdata_foundation_spark.io import write_warc_gz
+
+    df = spark.createDataFrame(
+        [("a-rec",), (None,), ("",)], "record string"
+    ).coalesce(1)
+    written = write_warc_gz(df, str(tmp_path / "o2"))
+    assert sum(n for _, n in written) == 1
+
+
+# ---------------------- robots_crawl_delay ------------------------------
+
+
+def test_robots_crawl_delay_semantics(spark):
+    """Only '*' sections emit; later values override; absent domains
+    produce NO row (caller default applies); decimals parse."""
+    rows = [
+        ("a.com", "User-agent: g\nCrawl-delay: 9\nUser-agent: *\n"
+                  "Crawl-delay: 2.5\nCrawl-delay: 4\nUser-agent: b\nCrawl-delay: 7"),
+        ("b.com", "User-agent: *\nCrawl-delay: 1.5"),
+        ("c.com", "User-agent: onlybot\nCrawl-delay: 3"),
+    ]
+    robots = spark.createDataFrame(rows, ["domain", "robots_txt"])
+    got = {
+        r["domain"]: r["crawl_delay"]
+        for r in W.robots_crawl_delay(robots).collect()
+    }
+    assert got == {"a.com": 4.0, "b.com": 1.5}
+
+
+# ---------------------- snapshot history + as-of -------------------------
+
+
+def test_snapshot_history_and_as_of(spark, tmp_path):
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], ["id"])
+    v1 = bio.write_snapshot(df, tdir, mode="overwrite")
+    v2 = bio.write_snapshot(df, tdir, mode="append", commit_id="c2")
+    hist = bio.snapshot_history(tdir)
+    assert [h["version"] for h in hist] == [v1, v2]
+    assert hist[0]["parent"] is None and hist[1]["parent"] == v1
+    assert hist[1]["commit_id"] == "c2"
+    t1, t2 = hist[0]["committed_at"], hist[1]["committed_at"]
+    assert t1 is not None and t2 is not None and t1 <= t2
+    # as-of exactly t1 sees v1; as-of after t2 sees v2; both modes
+    # conflict with an explicit version; before t1 raises
+    assert bio.read_at_version(spark, tdir, as_of=t1).count() == 1
+    assert bio.read_at_version(spark, tdir, as_of=t2 + 1).count() == 2
+    with pytest.raises(ValueError, match="not both"):
+        bio.read_at_version(spark, tdir, version=v1, as_of=t1)
+    with pytest.raises(ValueError, match="at or before"):
+        bio.read_at_version(spark, tdir, as_of=t1 - 10)
 
 
 # ---------------------- robots.txt v2: wildcards + Allow ----------------
