@@ -95,8 +95,12 @@ HEADLINE = [
     "html_meta_extract",
     "streaming_snapshot_sink",
     "snapshot_incremental",
-    # Round-13 debut: splittable per-member-gzip WARC ingestion
+    # Round-13 debuts: splittable per-member-gzip WARC ingestion, the
+    # distributed writer round trip, and Crawl-delay extraction
     "warc_gz_parse",
+    "warc_gz_roundtrip",
+    "warc_cdx_selective",
+    "robots_crawl_delay_stats",
 ]
 
 

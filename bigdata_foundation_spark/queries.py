@@ -95,9 +95,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
 # entries — the r12 verdict's task-1 list of 19 full-oracle entries
 # plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 16 of the r9 block in name
-# order (the remaining 20 r9 entries head the r14 rotation:
-# multimodal_frame_sample, q2_min_cost_supplier,
+# gate is older than r9) plus the first 15 of the r9 block in name
+# order (the remaining 21 r9 entries head the r14 rotation:
+# embedding_normalize, multimodal_frame_sample, q2_min_cost_supplier,
 # q3_segment_topk, q4_late_orders, q5_region_revenue,
 # q7_nation_volume, q8_market_share, range_join_attribution,
 # salted_agg_events, semi_join_ordered_parts,
@@ -106,7 +106,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # window_funcs_orders, window_top_orders_per_customer,
 # winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
 # staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 13 changed/debut + 21 r8 + 16 r9 = 50.
+# Totals: 14 changed/debut + 21 r8 + 15 r9 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
@@ -114,6 +114,7 @@ GATE_ORDER: list[str] = [
     # (a) changed since the r12 judged tree + the r13 debut
     "warc_gz_parse",  # r13 DEBUT: splittable .warc.gz member-aware ingestion
     "warc_gz_roundtrip",  # r13 DEBUT: distributed per-member-gzip WARC writer round trip
+    "warc_cdx_selective",  # r13 DEBUT: CDX member index + predicate-selective read
     "robots_crawl_delay_stats",  # r13 DEBUT: Crawl-delay extraction (rate-limit politeness)
     "warc_parse",  # r13: Content-Type scoped to the HTTP header block (r12 advice)
     "html_meta_extract",  # r13: og:description fallback (r12 advice)
@@ -163,7 +164,6 @@ GATE_ORDER: list[str] = [
     "dedup_embedding_lsh",  # last gated r9
     "dedup_ngram_jaccard",  # last gated r9
     "distinct_agg_priority",  # last gated r9
-    "embedding_normalize",  # last gated r9
 ]
 
 
@@ -6147,6 +6147,95 @@ def warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = max(16 * 1024, -(-size // 8))
     parsed = parse_warc(read_warc_gz(spark, out_dir, target_split_bytes=split))
+    return (
+        parsed.groupBy("http_status", "content_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("body")).cast("bigint").alias("body_bytes"),
+            F.countDistinct("target_uri").cast("bigint").alias("n_uris"),
+        )
+    )
+
+
+@q(
+    "warc_cdx_selective",
+    """
+    SELECT CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN length('not found')
+                         ELSE length('<html><body><p>' || text || '</p></body></html>')
+                    END) AS BIGINT) AS body_bytes,
+           CAST(COUNT(DISTINCT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_uris
+    FROM documents
+    WHERE doc_id % 7 IN (0, 1)
+    GROUP BY 1, 2
+    """,
+    "CDX-indexed SELECTIVE member read (r13 - Common Crawl's cc-index "
+    "pattern; io.write_warc_gz(index=True) + io.read_warc_gz_indexed): "
+    "the writer records each gzip member's (file, offset, length, "
+    "target_uri) in parquet sidecars at write time (same task, no "
+    "second pass); the reader filters the INDEX on a URI predicate "
+    "and seeks exactly to the ~2/7 of members that survive - the "
+    "oracle re-derives the same aggregate from the base columns with "
+    "the predicate applied, so an index offset/length defect or a "
+    "predicate leak (extra/missing members) breaks the match. At "
+    "crawl scale this is the difference between scanning 100 TB and "
+    "reading only the matching members' byte ranges. Full SQL oracle",
+)
+def warc_cdx_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_foundation_spark.io import (
+        parse_warc,
+        read_warc_gz_indexed,
+        write_warc_gz,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is404 = did % 5 == 0
+    body = F.when(is404, F.lit("not found")).otherwise(
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"))
+    )
+    http = F.concat(
+        F.when(is404, F.lit("HTTP/1.1 404 Not Found\r\n")).otherwise(
+            F.lit("HTTP/1.1 200 OK\r\n")
+        ),
+        F.when(is404, F.lit("Content-Type: text/plain\r\n")).otherwise(
+            F.lit("Content-Type: text/html; charset=utf-8\r\n")
+        ),
+        F.lit("Server: synth\r\n\r\n"),
+        body,
+    )
+    record = F.concat(
+        F.lit("WARC-Type: response\r\nWARC-Target-URI: https://site"),
+        (did % 7).cast("string"),
+        F.lit(".com/p/"),
+        did.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"bdf_warccdx_{key}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_gz(
+        d.select(record.alias("record")).repartition(4), out_dir, index=True
+    )
+    parsed = parse_warc(
+        read_warc_gz_indexed(
+            spark,
+            out_dir,
+            predicate=F.col("target_uri").rlike(r"^https://site[01]\.com/"),
+            tasks=8,
+        )
+    )
     return (
         parsed.groupBy("http_status", "content_type")
         .agg(

@@ -495,3 +495,15 @@ def test_warc_gz_parse_one_arrow_decode_stage(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_warc_cdx_selective_pushdown_and_one_decode_stage(spark):
+    """The CDX-indexed selective read: the URI predicate must land as
+    a PushedFilter on the _cdx parquet index scan (the archive is
+    then touched only at surviving members' byte ranges); the ONLY
+    Python is the one mapInPandas member decode; no joins."""
+    plan = plan_of(spark, "warc_cdx_selective")
+    assert "PushedFilters: [IsNotNull(target_uri)" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan

@@ -539,3 +539,82 @@ def test_snapshot_roundtrip_through_custom_store(spark, tmp_path):
         assert bio.read_at_version(spark, tdir, 2).count() == 2
     finally:
         bio.set_snapshot_log_store(old)
+
+
+# ---------------------- CDX member index + selective read ----------------
+
+
+def test_write_warc_gz_index_and_selective_read(spark, tmp_path):
+    """index=True records exact (offset, length, target_uri) per
+    member; the indexed reader with a predicate returns EXACTLY the
+    matching records (no leak in either direction) and without one
+    returns everything, byte-exact."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark.io import read_warc_gz_indexed, write_warc_gz
+
+    recs = [
+        f"WARC-Type: response\r\nWARC-Target-URI: https://s{i % 3}.com/{i}\r\n"
+        f"Content-Length: 2\r\n\r\nok"
+        for i in range(30)
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], ["record"]).repartition(4)
+    out_dir = str(tmp_path / "idx")
+    write_warc_gz(df, out_dir, index=True)
+
+    got_all = [r["record"] for r in read_warc_gz_indexed(spark, out_dir).collect()]
+    assert sorted(got_all) == sorted(recs)
+
+    want = [r for r in recs if "https://s1.com/" in r]
+    got = [
+        r["record"]
+        for r in read_warc_gz_indexed(
+            spark, out_dir, predicate=F.col("target_uri").startswith("https://s1.com/")
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_warc_cdx_sidecar_ignored_by_plain_reader(spark, tmp_path):
+    """The _cdx sidecar directory must not confuse the byte-range
+    reader's directory listing — plain read still sees every record."""
+    from bigdata_foundation_spark.io import read_warc_gz, write_warc_gz
+
+    recs = [
+        f"WARC-Type: response\r\nWARC-Target-URI: https://p.com/{i}\r\n"
+        f"Content-Length: 2\r\n\r\nok"
+        for i in range(12)
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], ["record"]).coalesce(1)
+    out_dir = str(tmp_path / "mix")
+    write_warc_gz(df, out_dir, index=True)
+    got = [r["record"] for r in read_warc_gz(spark, out_dir).collect()]
+    assert sorted(got) == sorted(recs)
+
+
+def test_warc_cdx_index_offsets_are_exact(spark, tmp_path):
+    """Each (offset, length) must inflate standalone to its member —
+    the contract read_warc_gz_indexed relies on."""
+    import gzip
+
+    from bigdata_foundation_spark.io import write_warc_gz
+
+    recs = [
+        f"WARC-Type: response\r\nWARC-Target-URI: https://e.com/{i}\r\n"
+        f"Content-Length: 2\r\n\r\nok"
+        for i in range(9)
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], ["record"]).coalesce(1)
+    out_dir = str(tmp_path / "exact")
+    write_warc_gz(df, out_dir, index=True)
+    idx = spark.read.parquet(out_dir + "/_cdx").collect()
+    assert len(idx) == 9
+    got = []
+    for row in idx:
+        with open(row["file"], "rb") as fh:
+            fh.seek(row["offset"])
+            text = gzip.decompress(fh.read(row["length"])).decode()
+        assert text.startswith("WARC/1.0\r\n") and text.endswith("\r\n\r\n")
+        got.append(text[len("WARC/1.0\r\n"):-4])
+        assert row["target_uri"].startswith("https://e.com/")
+    assert sorted(got) == sorted(recs)

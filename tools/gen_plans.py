@@ -233,6 +233,16 @@ PICKS = [
         "split); parsing + aggregate above it are the same codegen "
         "shapes as warc_parse",
     ),
+    (
+        "warc_cdx_selective",
+        "CDX-indexed selective member read (NEW r13): the URI "
+        "predicate lands as PushedFilters on the (tiny) _cdx parquet "
+        "index scan — the archive itself is touched only at the "
+        "surviving members' exact (offset, length) ranges via ONE "
+        "mapInPandas over range-partitioned, offset-sorted index "
+        "rows (forward-only seeks = ranged GETs); no "
+        "re-synchronization scan, no bytes read for excluded members",
+    ),
 ]
 
 
