@@ -101,6 +101,9 @@ HEADLINE = [
     "warc_gz_roundtrip",
     "warc_cdx_selective",
     "robots_crawl_delay_stats",
+    # Round-13 debuts: lakehouse row-level writes on the snapshot log
+    "snapshot_upsert",
+    "snapshot_delete_rows",
 ]
 
 

@@ -95,8 +95,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
 # entries — the r12 verdict's task-1 list of 19 full-oracle entries
 # plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 15 of the r9 block in name
-# order (the remaining 21 r9 entries head the r14 rotation:
+# gate is older than r9) plus the first 13 of the r9 block in name
+# order (the remaining 23 r9 entries head the r14 rotation:
+# dedup_ngram_jaccard, distinct_agg_priority,
 # embedding_normalize, multimodal_frame_sample, q2_min_cost_supplier,
 # q3_segment_topk, q4_late_orders, q5_region_revenue,
 # q7_nation_volume, q8_market_share, range_join_attribution,
@@ -106,7 +107,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # window_funcs_orders, window_top_orders_per_customer,
 # winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
 # staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 14 changed/debut + 21 r8 + 15 r9 = 50.
+# Totals: 16 changed/debut + 21 r8 + 13 r9 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
@@ -123,6 +124,8 @@ GATE_ORDER: list[str] = [
     "domain_cap_sample",  # r13: PSL-backed registered_domain
     "snapshot_time_travel",  # r13: manifest log behind the pluggable log-store seam
     "snapshot_incremental",  # r13: same seam (delta reads re-read manifests through it)
+    "snapshot_upsert",  # r13 DEBUT: MERGE/upsert with file-granular copy-on-write
+    "snapshot_delete_rows",  # r13 DEBUT: row-level DELETE with prune-bounded rewrite
     "streaming_snapshot_sink",  # r13: same seam + append-retry schema re-check
     "graph_sssp_slice",  # r13: auto-tier spill-dir routing guard in sssp dispatch
     "graph_apsp_top10",  # r13: auto-tier spill-dir routing guard in apsp dispatch
@@ -162,8 +165,6 @@ GATE_ORDER: list[str] = [
     "date_functions_orders",  # last gated r9
     "dedup_embedding_cosine",  # last gated r9
     "dedup_embedding_lsh",  # last gated r9
-    "dedup_ngram_jaccard",  # last gated r9
-    "distinct_agg_priority",  # last gated r9
 ]
 
 
@@ -1708,6 +1709,129 @@ def snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )
+
+
+@q(
+    "snapshot_upsert",
+    """
+    WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, -1, 1.0 FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    merged AS (
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY 1
+    """,
+    "snapshot MERGE/upsert (r13 - the lakehouse write primitive, "
+    "io.snapshot_merge): the table is committed from orders, then an "
+    "update set (modified totals for matched keys + brand-new keys) "
+    "merges in as a new version with file-granular copy-on-write - "
+    "footer-stats key ranges bound the candidates, one semi-join "
+    "finds the files actually holding matched keys, only those are "
+    "rewritten. The oracle re-derives the merged state from the base "
+    "table, so a lost update, a duplicated key, or a dropped "
+    "untouched file breaks the value match. Full SQL oracle",
+)
+def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import read_at_version, snapshot_merge, write_snapshot
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_merge_")
+    k = F.col("o_orderkey")
+    # sort by key so footer stats carry tight disjoint key ranges —
+    # the candidate pruning the merge exercises at scale
+    write_snapshot(
+        orders.repartitionByRange(8, k), tdir, mode="overwrite", commit_id="m1"
+    )
+    updates = (
+        orders.filter(k % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .unionByName(
+            orders.filter(k % 100 == 0).select(
+                (k + 100000000).alias("o_orderkey"),
+                F.lit(-1).cast("bigint").alias("o_custkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    snapshot_merge(spark, tdir, updates, ["o_orderkey"], commit_id="m2")
+    return (
+        read_at_version(spark, tdir)
+        .groupBy((k % 4).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )
+
+
+@q(
+    "snapshot_delete_rows",
+    """
+    SELECT CAST(l_orderkey % 3 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total,
+           ROUND(MAX(l_quantity), 2) AS max_qty
+    FROM lineitem WHERE NOT (l_quantity > 45)
+    GROUP BY 1
+    """,
+    "snapshot row-level DELETE (r13 - io.snapshot_delete, the "
+    "GDPR/retention primitive): lineitem is committed range-sorted on "
+    "l_quantity (tight per-file footer ranges), then rows with "
+    "quantity > 45 are deleted as a new copy-on-write version - the "
+    "prune range skips the low-quantity files WITHOUT reading them, "
+    "the matching files are rewritten predicate-inverted, untouched "
+    "files carry over by reference. The oracle re-derives the "
+    "surviving rows from the base table, so an over- or under-delete "
+    "(or a dropped untouched file) breaks the value match. Full SQL "
+    "oracle",
+)
+def snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import read_at_version, snapshot_delete, write_snapshot
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_del_")
+    write_snapshot(
+        li.repartitionByRange(8, F.col("l_quantity")),
+        tdir,
+        mode="overwrite",
+        commit_id="d1",
+    )
+    snapshot_delete(
+        spark,
+        tdir,
+        F.col("l_quantity") > 45,
+        prune=[("l_quantity", 45.0, None)],
+        commit_id="d2",
+    )
+    return (
+        read_at_version(spark, tdir)
+        .groupBy((F.col("l_orderkey") % 3).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        )
     )
 
 

@@ -618,3 +618,104 @@ def test_warc_cdx_index_offsets_are_exact(spark, tmp_path):
         got.append(text[len("WARC/1.0\r\n"):-4])
         assert row["target_uri"].startswith("https://e.com/")
     assert sorted(got) == sorted(recs)
+
+
+# ---------------------- snapshot merge / delete ---------------------------
+
+
+def test_snapshot_merge_file_granular_and_time_travel(spark, tmp_path):
+    """Only files holding matched keys are rewritten (untouched files
+    carry over BY REFERENCE); the parent version still reads the
+    pre-merge rows; merged state = replaced + inserted + untouched."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    v1 = bio.write_snapshot(
+        base.repartitionByRange(4, F.col("k")), tdir, mode="overwrite"
+    )
+    man1 = bio._read_manifest(tdir, v1)
+    updates = spark.createDataFrame(
+        [(3, -1.0), (7, -2.0), (500, -3.0)], "k bigint, v double"
+    )
+    v2 = bio.snapshot_merge(spark, tdir, updates, ["k"])
+    man2 = bio._read_manifest(tdir, v2)
+    carried = set(man1["files"]) & set(man2["files"])
+    # keys 3 and 7 live in the FIRST range file; the other 3 files
+    # must carry over untouched
+    assert len(carried) == 3
+    assert man2["mode"] == "merge"
+    got = {r["k"]: r["v"] for r in bio.read_at_version(spark, tdir, v2).collect()}
+    assert len(got) == 101
+    assert got[3] == -1.0 and got[7] == -2.0 and got[500] == -3.0
+    assert got[4] == 40.0
+    # time travel: parent still pre-merge
+    old = {r["k"]: r["v"] for r in bio.read_at_version(spark, tdir, v1).collect()}
+    assert old[3] == 30.0 and 500 not in old
+    # append deltas are no longer well-defined across the merge
+    with pytest.raises(ValueError, match="merge"):
+        bio.read_version_delta(spark, tdir, v1, v2)
+
+
+def test_snapshot_merge_rejects_duplicate_keys_and_schema_drift(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl2")
+    base = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    bio.write_snapshot(base, tdir, mode="overwrite")
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match="duplicate key"):
+        bio.snapshot_merge(spark, tdir, dup, ["k"])
+    drift = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    with pytest.raises(ValueError, match="schema"):
+        bio.snapshot_merge(spark, tdir, drift, ["k"])
+
+
+def test_snapshot_merge_commit_id_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl3")
+    base = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    bio.write_snapshot(base, tdir, mode="overwrite")
+    updates = spark.createDataFrame([(1, 9.0)], "k bigint, v double")
+    v2 = bio.snapshot_merge(spark, tdir, updates, ["k"], commit_id="mX")
+    v2b = bio.snapshot_merge(spark, tdir, updates, ["k"], commit_id="mX")
+    assert v2 == v2b
+    assert bio.snapshot_versions(tdir)[-1] == v2
+
+
+def test_snapshot_delete_prune_noop_and_time_travel(spark, tmp_path):
+    """Files outside the prune range are never rewritten; a delete
+    matching nothing commits nothing; old versions keep the rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl4")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("double").alias("q")
+    )
+    v1 = bio.write_snapshot(
+        base.repartitionByRange(4, F.col("q")), tdir, mode="overwrite"
+    )
+    man1 = bio._read_manifest(tdir, v1)
+    v2 = bio.snapshot_delete(
+        spark, tdir, F.col("q") >= 8.0, prune=[("q", 8.0, None)]
+    )
+    man2 = bio._read_manifest(tdir, v2)
+    assert man2["mode"] == "delete"
+    # the low-q range files carry over by reference
+    assert len(set(man1["files"]) & set(man2["files"])) >= 2
+    assert bio.read_at_version(spark, tdir, v2).count() == 80
+    assert bio.read_at_version(spark, tdir, v1).count() == 100
+    # nothing matches: head returned unchanged, no new version
+    v3 = bio.snapshot_delete(spark, tdir, F.col("q") > 99.0)
+    assert v3 == v2 and bio.snapshot_versions(tdir)[-1] == v2

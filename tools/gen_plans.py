@@ -243,6 +243,17 @@ PICKS = [
         "rows (forward-only seeks = ranged GETs); no "
         "re-synchronization scan, no bytes read for excluded members",
     ),
+    (
+        "snapshot_upsert",
+        "snapshot MERGE/upsert (NEW r13): the write side is "
+        "file-granular copy-on-write — footer-stats key ranges bound "
+        "the candidate files, ONE semi-join (AQE-planned: small update "
+        "sets auto-broadcast) finds the files actually holding matched "
+        "keys, only those rewrite; the captured plan is the post-merge "
+        "READ — a plain manifest-listed parquet scan + keyed agg, "
+        "because merged state is just files (no merge-on-read debt, "
+        "no log replay at query time)",
+    ),
 ]
 
 
