@@ -104,6 +104,7 @@ HEADLINE = [
     # Round-13 debuts: lakehouse row-level writes on the snapshot log
     "snapshot_upsert",
     "snapshot_delete_rows",
+    "streaming_merge_sink",
 ]
 
 

@@ -95,9 +95,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
 # entries — the r12 verdict's task-1 list of 19 full-oracle entries
 # plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 13 of the r9 block in name
-# order (the remaining 23 r9 entries head the r14 rotation:
-# dedup_ngram_jaccard, distinct_agg_priority,
+# gate is older than r9) plus the first 12 of the r9 block in name
+# order (the remaining 24 r9 entries head the r14 rotation:
+# dedup_embedding_lsh, dedup_ngram_jaccard, distinct_agg_priority,
 # embedding_normalize, multimodal_frame_sample, q2_min_cost_supplier,
 # q3_segment_topk, q4_late_orders, q5_region_revenue,
 # q7_nation_volume, q8_market_share, range_join_attribution,
@@ -107,7 +107,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # window_funcs_orders, window_top_orders_per_customer,
 # winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
 # staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 16 changed/debut + 21 r8 + 13 r9 = 50.
+# Totals: 17 changed/debut + 21 r8 + 12 r9 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
@@ -126,6 +126,7 @@ GATE_ORDER: list[str] = [
     "snapshot_incremental",  # r13: same seam (delta reads re-read manifests through it)
     "snapshot_upsert",  # r13 DEBUT: MERGE/upsert with file-granular copy-on-write
     "snapshot_delete_rows",  # r13 DEBUT: row-level DELETE with prune-bounded rewrite
+    "streaming_merge_sink",  # r13 DEBUT: CDC-apply sink (per-batch snapshot merge)
     "streaming_snapshot_sink",  # r13: same seam + append-retry schema re-check
     "graph_sssp_slice",  # r13: auto-tier spill-dir routing guard in sssp dispatch
     "graph_apsp_top10",  # r13: auto-tier spill-dir routing guard in apsp dispatch
@@ -164,7 +165,6 @@ GATE_ORDER: list[str] = [
     "curation_funnel",  # last gated r9
     "date_functions_orders",  # last gated r9
     "dedup_embedding_cosine",  # last gated r9
-    "dedup_embedding_lsh",  # last gated r9
 ]
 
 
@@ -4570,6 +4570,80 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "streaming_merge_sink",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    upd AS (
+      SELECT o_orderkey, o_totalprice + 500.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, 1.0 FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    merged AS (
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged GROUP BY 1
+    """,
+    "streaming CDC-apply sink (r13 - "
+    "streaming.sinks.foreach_batch_snapshot_merge): an update feed "
+    "(modified totals + new keys, split into key-disjoint files "
+    "replayed one file per micro-batch) MERGEs batch-by-batch into "
+    "the versioned snapshot table with file-granular copy-on-write - "
+    "each batch rewrites only the files holding its matched keys. "
+    "Key-disjoint batches make the end state independent of batch "
+    "order; the oracle re-derives the merged state from the base "
+    "table, so a lost update, duplicate, or dropped file breaks the "
+    "value match. Full SQL oracle",
+)
+def streaming_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import read_at_version, write_snapshot
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot_merge
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    scratch = tempfile.mkdtemp(prefix="q_stream_merge_")
+    tdir = scratch + "/table"
+    write_snapshot(
+        orders.repartitionByRange(8, k), tdir, mode="overwrite", commit_id="b0"
+    )
+    updates = (
+        orders.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+        .unionByName(
+            orders.filter(k % 50 == 0).select(
+                (k + 200000000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    feed = scratch + "/feed"
+    updates.repartitionByRange(3, k).write.parquet(feed)
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    foreach_batch_snapshot_merge(
+        stream, tdir, ["o_orderkey"], batch_shuffle_partitions=8
+    )
+    return (
+        read_at_version(spark, tdir)
+        .groupBy((k % 5).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
 

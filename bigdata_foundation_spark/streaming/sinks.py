@@ -324,3 +324,94 @@ def foreach_batch_snapshot(
         if own_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
     return versions
+
+
+def foreach_batch_snapshot_merge(
+    stream_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    checkpoint_dir: str | None = None,
+    order_col: str | None = None,
+    batch_shuffle_partitions: int | None = None,
+) -> list[int]:
+    """Run ``stream_df`` to completion (Trigger.AvailableNow),
+    MERGE-ing every micro-batch into the VERSIONED snapshot table by
+    ``key_cols`` (``io.snapshot_merge``) — the CDC-apply sink, and
+    the table-format answer to :func:`foreach_batch_upsert`'s
+    documented full-table-rewrite cost: each batch rewrites ONLY the
+    files holding matched keys (footer-stats candidate pruning + one
+    semi-join), so applying a trickle of updates to a huge table
+    costs per-batch work proportional to the touched files, not the
+    table. Every batch boundary stays time-travelable until vacuumed.
+
+    Within-batch key collisions: ``order_col`` names a column whose
+    LARGEST value wins per key (CDC sequence number / event time);
+    without it, duplicate keys in one batch raise (snapshot_merge's
+    one-row-per-key contract — a silent arbitrary winner would be a
+    nondeterministic table).
+
+    Exactly-once table state: with a PERSISTENT ``checkpoint_dir``,
+    ``commit_id = "stream-merge-<batch_id>"`` makes a foreachBatch
+    retry of an already-committed batch a NO-OP (same contract as
+    :func:`foreach_batch_snapshot`). Without one, batch ids restart
+    at 0 per run, so the sink commits with ``commit_id=None`` —
+    replays re-merge, which CONVERGES for absolute upserts (same
+    keys, same values) but mints extra versions; pass a persistent
+    checkpoint for incremental CDC.
+
+    A first batch against an empty table bootstraps it
+    (``write_snapshot(mode='overwrite')``). Returns the committed
+    version numbers in batch order."""
+    from bigdata_foundation_spark.io import (
+        snapshot_merge,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    versions: list[int] = []
+    durable_ckpt = checkpoint_dir is not None
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cid = f"stream-merge-{batch_id}" if durable_ckpt else None
+        with _batch_shuffle(spark, batch_shuffle_partitions):
+            if order_col is not None:
+                cols = batch_df.columns
+                rest = [c for c in cols if c not in key_cols]
+                batch_df = (
+                    batch_df.groupBy(*key_cols)
+                    .agg(
+                        F.max_by(
+                            F.struct(*rest), F.col(order_col)
+                        ).alias("_row")
+                    )
+                    .select(*key_cols, "_row.*")
+                    .select(*cols)
+                )
+            if snapshot_versions(table_dir):
+                versions.append(
+                    snapshot_merge(
+                        spark, table_dir, batch_df, key_cols, commit_id=cid
+                    )
+                )
+            else:
+                versions.append(
+                    write_snapshot(
+                        batch_df, table_dir, mode="overwrite", commit_id=cid
+                    )
+                )
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="snapmerge_ckpt_")
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return versions

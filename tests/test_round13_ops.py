@@ -719,3 +719,110 @@ def test_snapshot_delete_prune_noop_and_time_travel(spark, tmp_path):
     # nothing matches: head returned unchanged, no new version
     v3 = bio.snapshot_delete(spark, tdir, F.col("q") > 99.0)
     assert v3 == v2 and bio.snapshot_versions(tdir)[-1] == v2
+
+
+# ---------------------- streaming snapshot merge sink --------------------
+
+
+def _feed_stream(spark, df, feed_dir, n_files, key):
+    from pyspark.sql import functions as F
+
+    df.repartitionByRange(n_files, F.col(key)).write.parquet(feed_dir)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+
+def test_streaming_snapshot_merge_multibatch(spark, tmp_path):
+    """Each micro-batch merges file-granularly; the end state is the
+    base with matched keys replaced and new keys inserted; every
+    batch boundary stays a readable version."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot_merge
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(0, 60).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    bio.write_snapshot(base.repartitionByRange(4, F.col("k")), tdir, mode="overwrite")
+    updates = spark.createDataFrame(
+        [(5, 1.0), (25, 2.0), (45, 3.0), (100, 4.0)], "k bigint, v double"
+    )
+    stream = _feed_stream(spark, updates, str(tmp_path / "feed"), 3, "k")
+    versions = foreach_batch_snapshot_merge(stream, tdir, ["k"])
+    assert len(versions) == 3
+    got = {r["k"]: r["v"] for r in bio.read_at_version(spark, tdir).collect()}
+    assert len(got) == 61
+    assert got[5] == 1.0 and got[25] == 2.0 and got[45] == 3.0 and got[100] == 4.0
+    assert got[6] == 0.0
+
+
+def test_streaming_snapshot_merge_replay_is_noop_with_checkpoint(spark, tmp_path):
+    """With a persistent checkpoint, a full re-run of an already-
+    committed feed commits NOTHING (batch-id commit ids) — and a
+    replay after new files landed processes only the new batch."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot_merge
+
+    tdir = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    feed = str(tmp_path / "feed")
+    base = spark.range(0, 20).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    bio.write_snapshot(base, tdir, mode="overwrite")
+    updates = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double")
+    stream = _feed_stream(spark, updates, feed, 2, "k")
+    foreach_batch_snapshot_merge(stream, tdir, ["k"], checkpoint_dir=ckpt)
+    head = bio.snapshot_versions(tdir)[-1]
+    # replay the same checkpoint: the source has no new files, so no
+    # batches fire and no versions are minted
+    stream2 = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    foreach_batch_snapshot_merge(stream2, tdir, ["k"], checkpoint_dir=ckpt)
+    assert bio.snapshot_versions(tdir)[-1] == head
+
+
+def test_streaming_snapshot_merge_order_col_last_wins(spark, tmp_path):
+    """Within one batch, the row with the LARGEST order_col wins per
+    key; without order_col duplicate keys raise."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot_merge
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit(0).cast("bigint").alias("seq")
+    )
+    bio.write_snapshot(base, tdir, mode="overwrite")
+    dup = spark.createDataFrame(
+        [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 1)], "k bigint, v double, seq bigint"
+    )
+    feed = str(tmp_path / "feed")
+    dup.coalesce(1).write.parquet(feed)
+    stream = spark.readStream.schema(dup.schema).parquet(feed)
+    foreach_batch_snapshot_merge(stream, tdir, ["k"], order_col="seq")
+    got = {r["k"]: r["v"] for r in bio.read_at_version(spark, tdir).collect()}
+    assert got[1] == 20.0 and got[2] == 5.0 and got[0] == 0.0
+
+
+def test_streaming_snapshot_merge_bootstraps_empty_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.sinks import foreach_batch_snapshot_merge
+
+    tdir = str(tmp_path / "tbl")
+    rows = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double")
+    feed = str(tmp_path / "feed")
+    rows.coalesce(1).write.parquet(feed)
+    stream = spark.readStream.schema(rows.schema).parquet(feed)
+    versions = foreach_batch_snapshot_merge(stream, tdir, ["k"])
+    assert versions == [1]
+    assert bio.read_at_version(spark, tdir).count() == 2
