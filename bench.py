@@ -105,6 +105,7 @@ HEADLINE = [
     "snapshot_upsert",
     "snapshot_delete_rows",
     "streaming_merge_sink",
+    "warc_to_wet",
 ]
 
 

@@ -71,6 +71,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        # duplicate names must fail at import, not silently shadow an
+        # existing gate entry (a shadowed entry keeps its GATE_ORDER
+        # slot but runs the WRONG query)
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         _REGISTRY[name] = QuerySpec(fn, oracle, doc)
         return fn
 
@@ -95,8 +100,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
 # entries — the r12 verdict's task-1 list of 19 full-oracle entries
 # plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 12 of the r9 block in name
-# order (the remaining 24 r9 entries head the r14 rotation:
+# gate is older than r9) plus the first 10 of the r9 block in name
+# order (the remaining 26 r9 entries head the r14 rotation:
+# date_functions_orders, dedup_embedding_cosine,
 # dedup_embedding_lsh, dedup_ngram_jaccard, distinct_agg_priority,
 # embedding_normalize, multimodal_frame_sample, q2_min_cost_supplier,
 # q3_segment_topk, q4_late_orders, q5_region_revenue,
@@ -107,7 +113,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # window_funcs_orders, window_top_orders_per_customer,
 # winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
 # staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 17 changed/debut + 21 r8 + 12 r9 = 50.
+# Totals: 19 changed/debut + 21 r8 + 10 r9 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
@@ -127,6 +133,8 @@ GATE_ORDER: list[str] = [
     "snapshot_upsert",  # r13 DEBUT: MERGE/upsert with file-granular copy-on-write
     "snapshot_delete_rows",  # r13 DEBUT: row-level DELETE with prune-bounded rewrite
     "streaming_merge_sink",  # r13 DEBUT: CDC-apply sink (per-batch snapshot merge)
+    "warc_to_wet",  # r13 DEBUT: WARC -> WET end-to-end (parse + filter + extraction)
+    "html_main_content",  # r13: synth-page builder factored to share with warc_to_wet
     "streaming_snapshot_sink",  # r13: same seam + append-retry schema re-check
     "graph_sssp_slice",  # r13: auto-tier spill-dir routing guard in sssp dispatch
     "graph_apsp_top10",  # r13: auto-tier spill-dir routing guard in apsp dispatch
@@ -163,8 +171,6 @@ GATE_ORDER: list[str] = [
     "cross_lookup_pair",  # last gated r9
     "cube_revenue",  # last gated r9
     "curation_funnel",  # last gated r9
-    "date_functions_orders",  # last gated r9
-    "dedup_embedding_cosine",  # last gated r9
 ]
 
 
@@ -6025,15 +6031,27 @@ HTML_MAIN_ORACLE = (
 )
 def html_main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    html = F.concat(
+    return d.select(
+        "doc_id",
+        W.html_main_content(_synth_main_html(F.col("doc_id"), F.col("text"))).alias(
+            "main_text"
+        ),
+    )
+
+
+def _synth_main_html(did, text):
+    """The boilerplate-laden page matrix shared by html_main_content
+    and warc_to_wet — Spark-side twin of ``_SYNTH_MAIN_HTML_SQL`` (the
+    two must stay in lockstep; the gates value-match only while they
+    agree)."""
+    return F.concat(
         F.lit("<html><head><title>D"), did.cast("string"),
         F.lit("</title><style>p{color:red}</style>"),
         F.lit("<script>if (a<b && c>d) { f(); }</script></head><body>"),
         F.lit('<div><a href="/">Home</a> <a href="/s'), (did % 4).cast("string"),
         F.lit('">Section</a> <a href="/tag">Tags</a> <a href="/login">Log in</a></div>'),
         F.lit('<div>We use cookies. <a href="#a">Accept</a> <a href="#r">Reject</a></div>'),
-        F.lit("<h1>Doc "), did.cast("string"), F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<h1>Doc "), did.cast("string"), F.lit("</h1><p>"), text, F.lit("</p>"),
         F.when(
             did % 10 == 0,
             F.lit(
@@ -6049,7 +6067,90 @@ def html_main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('. <a href="/p">Privacy policy</a> <a href="/t">Terms of use</a>'),
         F.lit(' <a href="/c">Contact</a></div></body></html>'),
     )
-    return d.select("doc_id", W.html_main_content(html).alias("main_text"))
+
+
+@q(
+    "warc_to_wet",
+    """
+    WITH h AS (
+      SELECT doc_id, """ + _SYNTH_MAIN_HTML_SQL + """ AS html FROM documents
+      WHERE doc_id % 5 <> 0
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+               '(?s)<!--.*?-->', '', 'g') AS t
+      FROM h
+    ), b AS (
+      SELECT doc_id, string_split_regex(t,
+               '(?i)</?(?:p|br|div|li|ul|ol|tr|table|h[1-6])\\b[^>]*>') AS blocks
+      FROM s1
+    ), f AS (
+      SELECT doc_id, list_transform(blocks, x -> struct_pack(
+               txt := """ + _block_txt_sql("x") + """,
+               na := """
+    + _block_txt_sql("regexp_replace(x, '(?is)<a\\b[^>]*>.*?</a>', '', 'g')")
+    + """)) AS feats
+      FROM b
+    ), k AS (
+      SELECT doc_id, list_filter(feats, s -> s.txt <> ''
+               AND len(string_split(s.txt, ' ')) >= 8
+               AND CAST(length(s.txt) - length(s.na) AS DOUBLE)
+                   <= 0.34 * CAST(length(s.txt) AS DOUBLE)) AS kept
+      FROM f
+    )
+    SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           array_to_string(list_transform(kept, s -> s.txt), chr(10)) AS wet_text
+    FROM k
+    """,
+    "WARC -> WET derivation (r13 - the C4/Common Crawl front door "
+    "END-TO-END as one value-gated pipeline: full WARC response "
+    "records carrying the boilerplate-laden page matrix round-trip "
+    "through parse_warc, the 200 + text/html filter, and the "
+    "Kohlschuetter main-content classifier to (uri, extracted text) "
+    "- Common Crawl's WET sidecar files, derived instead of "
+    "pre-baked. Every stage is scan-side codegen; the oracle replays "
+    "the classifier over the same pages restricted to the 200s, so a "
+    "defect in the record framing, the header parse, the "
+    "status/media-type filter, or the extraction breaks the match. "
+    "Full SQL oracle",
+)
+def warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_foundation_spark.io import parse_warc
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is404 = did % 5 == 0
+    page = _synth_main_html(did, F.col("text"))
+    body = F.when(is404, F.lit("not found")).otherwise(page)
+    http = F.concat(
+        F.when(is404, F.lit("HTTP/1.1 404 Not Found\r\n")).otherwise(
+            F.lit("HTTP/1.1 200 OK\r\n")
+        ),
+        F.when(is404, F.lit("Content-Type: text/plain\r\n")).otherwise(
+            F.lit("Content-Type: text/html; charset=utf-8\r\n")
+        ),
+        F.lit("Server: synth\r\n\r\n"),
+        body,
+    )
+    record = F.concat(
+        F.lit("WARC-Type: response\r\nWARC-Target-URI: https://site"),
+        (did % 7).cast("string"),
+        F.lit(".com/p/"),
+        did.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    parsed = parse_warc(d.select(record.alias("record")))
+    return parsed.filter(
+        (F.col("http_status") == 200) & (F.col("content_type") == "text/html")
+    ).select(
+        "target_uri",
+        W.html_main_content(F.col("body")).alias("wet_text"),
+    )
 
 
 # --- HTML page metadata (r12): title/description/canonical/lang -----------

@@ -507,3 +507,15 @@ def test_warc_cdx_selective_pushdown_and_one_decode_stage(spark):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_warc_to_wet_pure_scan_side(spark):
+    """The WARC → WET pipeline (record parse + status/type filter +
+    Kohlschütter extraction) must be pure scan-side codegen: no
+    Python, no Join, no Exchange at all — deriving WET from a 100 TB
+    crawl costs exactly a scan."""
+    plan = plan_of(spark, "warc_to_wet")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan

@@ -254,6 +254,14 @@ PICKS = [
         "because merged state is just files (no merge-on-read debt, "
         "no log replay at query time)",
     ),
+    (
+        "warc_to_wet",
+        "WARC -> WET end-to-end (NEW r13): record parsing, the "
+        "200+text/html filter, and the Kohlschuetter main-content "
+        "classifier compose into ONE codegen Project over the scan — "
+        "no Python, no Join, ZERO Exchange; deriving WET sidecars "
+        "from a 100 TB crawl costs exactly the scan",
+    ),
 ]
 
 

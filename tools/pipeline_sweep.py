@@ -98,6 +98,19 @@ def make_sf1(out_dir: str, base: str = "/root/testdata/sf0.1") -> str:
         oparts.append(t)
     pq.write_table(pa.concat_tables(oparts), f"{out_dir}/orders.parquet")
 
+    # lineitem decade (r13: the snapshot delete sweep row needs it):
+    # same order-key shift as orders so the two stay join-consistent
+    li = pq.read_table(f"{base}/lineitem.parquet")
+    lparts = [li]
+    for k in range(1, 10):
+        t = li.set_column(
+            li.schema.get_field_index("l_orderkey"),
+            "l_orderkey",
+            pa.array([o + k * 10_000_000 for o in li.column("l_orderkey").to_pylist()]),
+        )
+        lparts.append(t)
+    pq.write_table(pa.concat_tables(lparts), f"{out_dir}/lineitem.parquet")
+
     ev = pq.read_table(f"{base}/events.parquet")
     parts = [ev]
     n_users = 1 + max(ev.column("user_id").to_pylist())
@@ -172,8 +185,17 @@ PICKS = [
     "html_meta_extract",
     "streaming_snapshot_sink",
     "snapshot_incremental",
-    # r13 debut: splittable .warc.gz (aggregate gate shape)
+    # r13 debuts: splittable .warc.gz (aggregate gate shape), the
+    # writer round trip, the CDX selective read, Crawl-delay
+    # extraction, and the lakehouse row-level writes
     "warc_gz_parse",
+    "warc_gz_roundtrip",
+    "warc_cdx_selective",
+    "robots_crawl_delay_stats",
+    "snapshot_upsert",
+    "snapshot_delete_rows",
+    "streaming_merge_sink",
+    "warc_to_wet",
 ]
 
 
