@@ -106,6 +106,7 @@ HEADLINE = [
     "snapshot_delete_rows",
     "streaming_merge_sink",
     "warc_to_wet",
+    "warc_cdx_build",
 ]
 
 

@@ -100,9 +100,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
 # entries — the r12 verdict's task-1 list of 19 full-oracle entries
 # plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 10 of the r9 block in name
-# order (the remaining 26 r9 entries head the r14 rotation:
-# date_functions_orders, dedup_embedding_cosine,
+# gate is older than r9) plus the first 9 of the r9 block in name
+# order (the remaining 27 r9 entries head the r14 rotation:
+# curation_funnel, date_functions_orders, dedup_embedding_cosine,
 # dedup_embedding_lsh, dedup_ngram_jaccard, distinct_agg_priority,
 # embedding_normalize, multimodal_frame_sample, q2_min_cost_supplier,
 # q3_segment_topk, q4_late_orders, q5_region_revenue,
@@ -113,7 +113,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # window_funcs_orders, window_top_orders_per_customer,
 # winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
 # staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 19 changed/debut + 21 r8 + 10 r9 = 50.
+# Totals: 20 changed/debut + 21 r8 + 9 r9 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
@@ -122,6 +122,7 @@ GATE_ORDER: list[str] = [
     "warc_gz_parse",  # r13 DEBUT: splittable .warc.gz member-aware ingestion
     "warc_gz_roundtrip",  # r13 DEBUT: distributed per-member-gzip WARC writer round trip
     "warc_cdx_selective",  # r13 DEBUT: CDX member index + predicate-selective read
+    "warc_cdx_build",  # r13 DEBUT: scan-built CDX over an index-less archive
     "robots_crawl_delay_stats",  # r13 DEBUT: Crawl-delay extraction (rate-limit politeness)
     "warc_parse",  # r13: Content-Type scoped to the HTTP header block (r12 advice)
     "html_meta_extract",  # r13: og:description fallback (r12 advice)
@@ -170,7 +171,6 @@ GATE_ORDER: list[str] = [
     "case_bucket_orders",  # last gated r9
     "cross_lookup_pair",  # last gated r9
     "cube_revenue",  # last gated r9
-    "curation_funnel",  # last gated r9
 ]
 
 
@@ -6532,6 +6532,101 @@ def warc_cdx_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             out_dir,
             predicate=F.col("target_uri").rlike(r"^https://site[01]\.com/"),
+            tasks=8,
+        )
+    )
+    return (
+        parsed.groupBy("http_status", "content_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("body")).cast("bigint").alias("body_bytes"),
+            F.countDistinct("target_uri").cast("bigint").alias("n_uris"),
+        )
+    )
+
+
+@q(
+    "warc_cdx_build",
+    """
+    SELECT CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN length('not found')
+                         ELSE length('<html><body><p>' || text || '</p></body></html>')
+                    END) AS BIGINT) AS body_bytes,
+           CAST(COUNT(DISTINCT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_uris
+    FROM documents
+    WHERE doc_id % 7 IN (2, 3)
+    GROUP BY 1, 2
+    """,
+    "CDX index built AFTER the fact over an index-less archive (r13 - "
+    "Common Crawl's own archives arrive without sidecars; "
+    "io.build_warc_cdx): the warc matrix is written WITHOUT an index, "
+    "one distributed byte-range scan (the same member "
+    "re-synchronization as read_warc_gz) mints the _cdx sidecars from "
+    "observed (offset, length) walks, and a predicate-selective "
+    "indexed read must then return exactly the matching members - "
+    "pay the full scan once, query the archive forever. The oracle "
+    "re-derives the predicate-restricted aggregate from the base "
+    "columns, so a scan-derived offset/length defect breaks the "
+    "match. Full SQL oracle",
+)
+def warc_cdx_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_foundation_spark.io import (
+        build_warc_cdx,
+        parse_warc,
+        read_warc_gz_indexed,
+        write_warc_gz,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is404 = did % 5 == 0
+    body = F.when(is404, F.lit("not found")).otherwise(
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>"))
+    )
+    http = F.concat(
+        F.when(is404, F.lit("HTTP/1.1 404 Not Found\r\n")).otherwise(
+            F.lit("HTTP/1.1 200 OK\r\n")
+        ),
+        F.when(is404, F.lit("Content-Type: text/plain\r\n")).otherwise(
+            F.lit("Content-Type: text/html; charset=utf-8\r\n")
+        ),
+        F.lit("Server: synth\r\n\r\n"),
+        body,
+    )
+    record = F.concat(
+        F.lit("WARC-Type: response\r\nWARC-Target-URI: https://site"),
+        (did % 7).cast("string"),
+        F.lit(".com/p/"),
+        did.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"bdf_warccdxb_{key}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # written WITHOUT an index — build_warc_cdx's scan is the subject
+    write_warc_gz(d.select(record.alias("record")).repartition(4), out_dir)
+    size = sum(
+        os.path.getsize(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+        if f.endswith(".warc.gz")
+    )
+    build_warc_cdx(spark, out_dir, target_split_bytes=max(16 * 1024, -(-size // 8)))
+    parsed = parse_warc(
+        read_warc_gz_indexed(
+            spark,
+            out_dir,
+            predicate=F.col("target_uri").rlike(r"^https://site[23]\.com/"),
             tasks=8,
         )
     )

@@ -826,3 +826,102 @@ def test_streaming_snapshot_merge_bootstraps_empty_table(spark, tmp_path):
     versions = foreach_batch_snapshot_merge(stream, tdir, ["k"])
     assert versions == [1]
     assert bio.read_at_version(spark, tdir).count() == 2
+
+
+# ---------------------- build_warc_cdx (index an existing archive) -------
+
+
+def test_build_warc_cdx_then_selective_read(spark, tmp_path):
+    """An archive NOT written by write_warc_gz (hand-packed members,
+    no sidecar) gets indexed by one distributed scan; selective reads
+    then return exactly the matching records."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark.io import build_warc_cdx, read_warc_gz_indexed
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    recs = []
+    for fidx in range(2):
+        blob = b""
+        for i in range(10):
+            n = fidx * 10 + i
+            rec = (
+                f"WARC-Type: response\r\nWARC-Target-URI: https://c{n % 4}.com/{n}\r\n"
+                f"Content-Length: 2\r\n\r\nok"
+            )
+            recs.append(rec)
+            blob += gzip.compress(("WARC/1.0\r\n" + rec + "\r\n\r\n").encode())
+        (d / f"crawl-{fidx}.warc.gz").write_bytes(blob)
+    n = build_warc_cdx(spark, str(d), target_split_bytes=256)
+    assert n == 20
+    want = [r for r in recs if "https://c2.com/" in r]
+    got = [
+        r["record"]
+        for r in read_warc_gz_indexed(
+            spark, str(d), predicate=F.col("target_uri").startswith("https://c2.com/")
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    got_all = [r["record"] for r in read_warc_gz_indexed(spark, str(d)).collect()]
+    assert sorted(got_all) == sorted(recs)
+
+
+# ---------------------- merge/delete conflict auto-retry ------------------
+
+
+def test_snapshot_merge_retries_after_concurrent_commit(spark, tmp_path):
+    """A concurrent append landing between the merge's computation and
+    its publish: without retries the merge raises (lost-update
+    protection); with max_retries it recomputes against the new head,
+    preserving BOTH the concurrent rows and the merge."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(i, 0.0) for i in range(10)], "k bigint, v double")
+    bio.write_snapshot(base, tdir, mode="overwrite")
+    updates = spark.createDataFrame([(3, 9.0)], "k bigint, v double")
+    concurrent = spark.createDataFrame([(100, 7.0)], "k bigint, v double")
+
+    real = bio.get_snapshot_log_store()
+
+    class RacingStore(bio.PosixSnapshotLogStore):
+        """First publish attempt loses: a concurrent append takes the
+        version first (through the REAL store), then this publish
+        correctly reports the EXCL loss."""
+
+        def __init__(self):
+            self.raced = False
+
+        def publish(self, mdir, version, manifest):
+            if not self.raced and manifest.get("mode") == "merge":
+                self.raced = True
+                bio.set_snapshot_log_store(real)
+                try:
+                    bio.write_snapshot(concurrent, tdir, mode="append")
+                finally:
+                    bio.set_snapshot_log_store(self)
+            return super().publish(mdir, version, manifest)
+
+    bio.set_snapshot_log_store(RacingStore())
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            bio.snapshot_merge(spark, tdir, updates, ["k"])
+    finally:
+        bio.set_snapshot_log_store(real)
+
+    # retry path: race again, this time with max_retries=1
+    concurrent = spark.createDataFrame([(200, 8.0)], "k bigint, v double")
+    bio.set_snapshot_log_store(RacingStore())
+    try:
+        v = bio.snapshot_merge(spark, tdir, updates, ["k"], max_retries=1)
+    finally:
+        bio.set_snapshot_log_store(real)
+    got = {r["k"]: r["v"] for r in bio.read_at_version(spark, tdir, v).collect()}
+    assert got[3] == 9.0          # the merge applied
+    assert got[100] == 7.0        # first race's concurrent append survived
+    assert got[200] == 8.0        # second race's concurrent append survived
