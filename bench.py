@@ -107,6 +107,7 @@ HEADLINE = [
     "streaming_merge_sink",
     "warc_to_wet",
     "warc_cdx_build",
+    "snapshot_zorder_prune",
 ]
 
 

@@ -100,9 +100,9 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
 # entries — the r12 verdict's task-1 list of 19 full-oracle entries
 # plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 9 of the r9 block in name
-# order (the remaining 27 r9 entries head the r14 rotation:
-# curation_funnel, date_functions_orders, dedup_embedding_cosine,
+# gate is older than r9) plus the first 8 of the r9 block in name
+# order (the remaining 28 r9 entries head the r14 rotation:
+# cube_revenue, curation_funnel, date_functions_orders, dedup_embedding_cosine,
 # dedup_embedding_lsh, dedup_ngram_jaccard, distinct_agg_priority,
 # embedding_normalize, multimodal_frame_sample, q2_min_cost_supplier,
 # q3_segment_topk, q4_late_orders, q5_region_revenue,
@@ -113,7 +113,7 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # window_funcs_orders, window_top_orders_per_customer,
 # winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
 # staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 20 changed/debut + 21 r8 + 9 r9 = 50.
+# Totals: 21 changed/debut + 21 r8 + 8 r9 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
 # keep registration order after these.
@@ -134,6 +134,7 @@ GATE_ORDER: list[str] = [
     "snapshot_upsert",  # r13 DEBUT: MERGE/upsert with file-granular copy-on-write
     "snapshot_delete_rows",  # r13 DEBUT: row-level DELETE with prune-bounded rewrite
     "streaming_merge_sink",  # r13 DEBUT: CDC-apply sink (per-batch snapshot merge)
+    "snapshot_zorder_prune",  # r13 DEBUT: OPTIMIZE ZORDER commit + 2-D manifest prune
     "warc_to_wet",  # r13 DEBUT: WARC -> WET end-to-end (parse + filter + extraction)
     "html_main_content",  # r13: synth-page builder factored to share with warc_to_wet
     "streaming_snapshot_sink",  # r13: same seam + append-retry schema re-check
@@ -170,7 +171,6 @@ GATE_ORDER: list[str] = [
     "balanced_sample_docs",  # last gated r9
     "case_bucket_orders",  # last gated r9
     "cross_lookup_pair",  # last gated r9
-    "cube_revenue",  # last gated r9
 ]
 
 
@@ -1837,6 +1837,56 @@ def snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("l_extendedprice"), 2).alias("total"),
             F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        )
+    )
+
+
+@q(
+    "snapshot_zorder_prune",
+    """
+    SELECT CAST(l_orderkey % 3 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_quantity <= 10 AND l_extendedprice <= 20000
+    GROUP BY 1
+    """,
+    "OPTIMIZE ZORDER on the snapshot log (r13 - io.snapshot_zorder): "
+    "lineitem is committed SHUFFLED (every file spans the full value "
+    "range, nothing prunes), rewritten Z-ordered on (l_quantity, "
+    "l_extendedprice) as a new overwrite commit, then read through a "
+    "2-D manifest prune + the exact row filter. The oracle re-derives "
+    "the filtered aggregate from the base table, so a prune that "
+    "drops a needed file (or a zorder rewrite that loses/duplicates "
+    "rows) breaks the value match; the files-opened reduction is "
+    "pinned in pytest. Full SQL oracle",
+)
+def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import (
+        read_at_version,
+        snapshot_zorder,
+        write_snapshot,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_zorder_")
+    write_snapshot(li.repartition(8), tdir, mode="overwrite", commit_id="z1")
+    snapshot_zorder(spark, tdir, ["l_quantity", "l_extendedprice"], n_files=8)
+    pruned = read_at_version(
+        spark,
+        tdir,
+        prune=[("l_quantity", None, 10.0), ("l_extendedprice", None, 20000.0)],
+    )
+    return (
+        pruned.filter((F.col("l_quantity") <= 10) & (F.col("l_extendedprice") <= 20000))
+        .groupBy((F.col("l_orderkey") % 3).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
         )
     )
 

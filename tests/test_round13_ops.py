@@ -925,3 +925,52 @@ def test_snapshot_merge_retries_after_concurrent_commit(spark, tmp_path):
     assert got[3] == 9.0          # the merge applied
     assert got[100] == 7.0        # first race's concurrent append survived
     assert got[200] == 8.0        # second race's concurrent append survived
+
+
+# ---------------------- snapshot zorder --------------------------------
+
+
+def test_snapshot_zorder_rows_and_skipping(spark, tmp_path):
+    """Z-ordered rewrite commits identical rows as a new version, and
+    footer ranges become tight on BOTH clustered columns: a 2-D prune
+    opens strictly fewer files than the shuffled pre-zorder layout."""
+    from pyspark.sql import functions as F
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl")
+    base = (
+        spark.range(0, 4000)
+        .select(
+            (F.col("id") % 63).cast("double").alias("x"),
+            ((F.col("id") * 37) % 101).cast("double").alias("y"),
+        )
+        .repartition(8)  # shuffled: every file spans ~the full x/y range
+    )
+    v1 = bio.write_snapshot(base, tdir, mode="overwrite")
+    v2 = bio.snapshot_zorder(spark, tdir, ["x", "y"], n_files=8)
+    assert v2 == v1 + 1
+    a = sorted((r["x"], r["y"]) for r in bio.read_at_version(spark, tdir, v1).collect())
+    b = sorted((r["x"], r["y"]) for r in bio.read_at_version(spark, tdir, v2).collect())
+    assert a == b
+
+    def files_opened(v):
+        man = bio._read_manifest(tdir, v)
+        stats = man.get("stats", {})
+        from bigdata_foundation_spark.io import _intersecting_files
+
+        return len(
+            _intersecting_files(
+                man["files"], stats, [("x", 0.0, 8.0), ("y", 0.0, 12.0)]
+            )
+        )
+
+    assert files_opened(v1) == 8           # shuffled: nothing prunes
+    assert files_opened(v2) < 8            # clustered: the 2-D corner prunes
+    got = (
+        bio.read_at_version(spark, tdir, v2, prune=[("x", 0.0, 8.0), ("y", 0.0, 12.0)])
+        .filter((F.col("x") <= 8) & (F.col("y") <= 12))
+        .count()
+    )
+    want = sum(1 for x, y in a if x <= 8 and y <= 12)
+    assert got == want
