@@ -1844,17 +1844,17 @@ def snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "snapshot_zorder_prune",
     """
-    SELECT CAST(l_orderkey % 3 AS BIGINT) AS bucket,
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total
-    FROM lineitem
-    WHERE l_quantity <= 10 AND l_extendedprice <= 20000
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice <= 80000 AND o_custkey <= 300
     GROUP BY 1
     """,
     "OPTIMIZE ZORDER on the snapshot log (r13 - io.snapshot_zorder): "
-    "lineitem is committed SHUFFLED (every file spans the full value "
-    "range, nothing prunes), rewritten Z-ordered on (l_quantity, "
-    "l_extendedprice) as a new overwrite commit, then read through a "
+    "orders is committed SHUFFLED (every file spans the full value "
+    "range, nothing prunes), rewritten Z-ordered on (o_totalprice, "
+    "o_custkey) as a new overwrite commit, then read through a "
     "2-D manifest prune + the exact row filter. The oracle re-derives "
     "the filtered aggregate from the base table, so a prune that "
     "drops a needed file (or a zorder rewrite that loses/duplicates "
@@ -1870,23 +1870,23 @@ def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
     tdir = tempfile.mkdtemp(prefix="q_snapshot_zorder_")
-    write_snapshot(li.repartition(8), tdir, mode="overwrite", commit_id="z1")
-    snapshot_zorder(spark, tdir, ["l_quantity", "l_extendedprice"], n_files=8)
+    write_snapshot(orders.repartition(8), tdir, mode="overwrite", commit_id="z1")
+    snapshot_zorder(spark, tdir, ["o_totalprice", "o_custkey"], n_files=8)
     pruned = read_at_version(
         spark,
         tdir,
-        prune=[("l_quantity", None, 10.0), ("l_extendedprice", None, 20000.0)],
+        prune=[("o_totalprice", None, 80000.0), ("o_custkey", None, 300.0)],
     )
     return (
-        pruned.filter((F.col("l_quantity") <= 10) & (F.col("l_extendedprice") <= 20000))
-        .groupBy((F.col("l_orderkey") % 3).cast("bigint").alias("bucket"))
+        pruned.filter((F.col("o_totalprice") <= 80000) & (F.col("o_custkey") <= 300))
+        .groupBy((F.col("o_orderkey") % 3).cast("bigint").alias("bucket"))
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
 

@@ -255,6 +255,15 @@ PICKS = [
         "no log replay at query time)",
     ),
     (
+        "snapshot_zorder_prune",
+        "OPTIMIZE ZORDER + 2-D manifest prune (NEW r13): the zorder "
+        "rewrite is one range exchange + in-partition sort at COMMIT "
+        "time; the captured READ plan shows the payoff — a "
+        "manifest-listed parquet scan over only the prune-surviving "
+        "files + the row filter + one keyed agg; skipping happened "
+        "before Spark opened anything",
+    ),
+    (
         "warc_to_wet",
         "WARC -> WET end-to-end (NEW r13): record parsing, the "
         "200+text/html filter, and the Kohlschuetter main-content "

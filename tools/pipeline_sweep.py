@@ -196,6 +196,8 @@ PICKS = [
     "snapshot_delete_rows",
     "streaming_merge_sink",
     "warc_to_wet",
+    "warc_cdx_build",
+    "snapshot_zorder_prune",
 ]
 
 
