@@ -73,11 +73,17 @@ def _load_psl() -> tuple[list[str], list[str], list[str]]:
     return exc, plain, wild
 
 
-def _psl_compile() -> tuple[str | None, list[tuple[str, int]]]:
-    """Compile the parsed PSL into (exception_regex, tiers): each tier
-    is (host-ends-with-suffix regex, suffix label count k), descending
-    k so the longest rule wins — matching hosts keep their last k+1
-    labels. Both regexes are RE2-safe (pure alternation, no
+def _psl_compile() -> tuple[str | None, str | None, list[tuple[str, int]]]:
+    """Compile the parsed PSL into (exception_regex, exact_suffix
+    regex, tiers): each tier is (host-ends-with-suffix regex, suffix
+    label count k), descending k so the longest rule wins — matching
+    hosts keep their last k+1 labels. The exact regex matches a host
+    that IS a public suffix itself (``co.uk``, or a 3-label host
+    directly under a wildcard rule like ``shop.kawasaki.jp``) — PSL
+    semantics give such hosts NO registered domain (r13 advice: the
+    tier regexes all require a preceding dot, so these used to fall
+    through to the default 2-label extract and return the suffix
+    itself). All regexes are RE2-safe (pure alternation, no
     lookaround) and shared VERBATIM with the DuckDB oracle via
     :func:`psl_domain_sql`. Single-label TLDs are the implicit '*'
     default rule (the final 2-label extract), not enumerated."""
@@ -85,13 +91,21 @@ def _psl_compile() -> tuple[str | None, list[tuple[str, int]]]:
 
     exc, plain, wild = _load_psl()
     by_k: dict[int, list[str]] = {}
+    exact: list[str] = []
     for s in plain:
         k = s.count(".") + 1
         if k >= 2:
             by_k.setdefault(k, []).append(_re.escape(s))
+            exact.append(_re.escape(s))
     for tail in wild:
         k = tail.count(".") + 2
-        by_k.setdefault(k, []).append(r"[^.]+\." + _re.escape(tail))
+        pat = r"[^.]+\." + _re.escape(tail)
+        by_k.setdefault(k, []).append(pat)
+        exact.append(pat)
+        # NOTE the bare tail ('kawasaki.jp') is NOT exact-suffix: the
+        # wildcard rule needs one more label to match, so the PSL
+        # default '*' rule applies and the tail keeps itself as its
+        # registered domain
     tiers = [
         (r"\.(?:" + "|".join(sorted(by_k[k])) + r")$", k)
         for k in sorted(by_k, reverse=True)
@@ -101,10 +115,11 @@ def _psl_compile() -> tuple[str | None, list[tuple[str, int]]]:
         if exc
         else None
     )
-    return exc_re, tiers
+    exact_re = r"^(?:" + "|".join(sorted(set(exact))) + r")$" if exact else None
+    return exc_re, exact_re, tiers
 
 
-PSL_EXCEPTION_RE, PSL_TIERS = _psl_compile()
+PSL_EXCEPTION_RE, PSL_EXACT_SUFFIX_RE, PSL_TIERS = _psl_compile()
 
 _PSL_LABELS_FMT = r"((?:[^.]+\.){%d}[^.]+)$"
 
@@ -122,6 +137,13 @@ def psl_domain_sql(host0: str, hostn: str) -> str:
         parts.append(
             f"WHEN regexp_matches({host0}, '{PSL_EXCEPTION_RE}') "
             f"THEN regexp_extract({host0}, '{PSL_EXCEPTION_RE}', 1)"
+        )
+    if PSL_EXACT_SUFFIX_RE:
+        # lockstep with registered_domain: host IS a public suffix →
+        # no registered domain
+        parts.append(
+            f"WHEN regexp_matches({hostn}, '{PSL_EXACT_SUFFIX_RE}') "
+            f"THEN NULL"
         )
     for match_re, k in PSL_TIERS:
         ext = _PSL_LABELS_FMT % k
@@ -234,6 +256,14 @@ def registered_domain(url: Column | str) -> Column:
         expr = expr.when(
             host0.rlike(PSL_EXCEPTION_RE),
             F.regexp_extract(host0, PSL_EXCEPTION_RE, 1),
+        )
+    if PSL_EXACT_SUFFIX_RE:
+        # a host that IS a public suffix has no registered domain
+        # (r13 advice); checked AFTER exceptions (an exception host
+        # also matches its covering wildcard's exact pattern, and the
+        # exception IS registered)
+        expr = expr.when(
+            host.rlike(PSL_EXACT_SUFFIX_RE), F.lit(None).cast("string")
         )
     for match_re, k in PSL_TIERS:
         expr = expr.when(

@@ -162,7 +162,7 @@ GATE_ORDER: list[str] = [
     "streaming_sliding",  # last gated r8
     "token_totals_by_source",  # last gated r8
     "unimax_mixture",  # last gated r8
-    # (b) oldest-gated rotation — first 18 of the r9 block (name order)
+    # (b) oldest-gated rotation — first 8 of the r9 block (name order)
     "ann_brute_topk",  # last gated r9
     "ann_lsh_multiprobe",  # last gated r9
     "ann_lsh_topk",  # last gated r9

@@ -1,0 +1,238 @@
+"""Round-14 operator tests: the r13 advice fixes (NULL-predicate
+DELETE semantics, WARC writer task-commit protocol + commit manifest,
+PSL exact-suffix hosts, empty-archive guard), plus the round's new
+surface.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_foundation_spark.operators import web as W
+
+
+def _recs(prefix, n):
+    return [
+        f"WARC-Type: response\r\nWARC-Target-URI: https://{prefix}.com/{i}\r\n"
+        f"Content-Length: 2\r\n\r\nok"
+        for i in range(n)
+    ]
+
+
+# ------------------- snapshot_delete NULL semantics -------------------
+
+
+def test_snapshot_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL do NOT
+    match and must be KEPT — r13 advice (high): filter(~predicate)
+    dropped them whenever they shared a file with a matching row."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "nulldel")
+    rows = [(1, 10.0), (2, None), (3, 50.0), (4, None), (5, 20.0)]
+    df = spark.createDataFrame(rows, "k int, q double").coalesce(1)
+    bio.write_snapshot(df, tdir, mode="overwrite")
+    v2 = bio.snapshot_delete(spark, tdir, F.col("q") > 45.0)
+    got = sorted(
+        (r["k"], r["q"]) for r in bio.read_at_version(spark, tdir, v2).collect()
+    )
+    # only k=3 (q=50) matched; the NULL-q rows sharing its file stay
+    assert got == [(1, 10.0), (2, None), (4, None), (5, 20.0)]
+
+
+def test_snapshot_delete_all_null_predicate_is_noop(spark, tmp_path):
+    """A predicate that is NULL for every row matches nothing: no new
+    version is committed."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "nulldel2")
+    df = spark.createDataFrame([(1, None), (2, None)], "k int, q double")
+    v1 = bio.write_snapshot(df.coalesce(1), tdir, mode="overwrite")
+    v2 = bio.snapshot_delete(spark, tdir, F.col("q") > 0.0)
+    assert v2 == v1 and bio.snapshot_versions(tdir)[-1] == v1
+
+
+# ------------------- PSL exact-suffix hosts ---------------------------
+
+
+def test_registered_domain_exact_suffix_is_null(spark):
+    """A host that IS a public suffix has no registered domain — r13
+    advice: these fell through every tier (all require a preceding
+    dot) to the default 2-label extract and returned the suffix."""
+    cases = [
+        ("https://co.uk/", None),  # plain 2-label rule, host == rule
+        ("https://www.co.uk/", None),  # www-strip lands ON the rule
+        ("https://k12.ca.us/", None),  # plain 3-label rule
+        ("https://shop9.kawasaki.jp/", None),  # host == one label + wildcard tail
+        ("https://city.kawasaki.jp/", "city.kawasaki.jp"),  # exception wins
+        ("https://kawasaki.jp/", "kawasaki.jp"),  # bare tail: '*' default rule
+        ("https://example.co.uk/", "example.co.uk"),  # normal eTLD+1 unchanged
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(W.registered_domain("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_psl_sql_replay_agrees_on_exact_suffix(spark):
+    """The DuckDB CASE stays in lockstep on the exact-suffix family
+    (including NULLs)."""
+    import duckdb
+
+    urls = [
+        "https://co.uk/",
+        "https://www.co.uk/",
+        "https://shop9.kawasaki.jp/",
+        "https://city.kawasaki.jp/",
+        "https://kawasaki.jp/",
+        "https://example.co.uk/",
+        "https://k12.ca.us/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r[0] for r in df.select(W.registered_domain("url")).collect()]
+    host0 = (
+        "regexp_replace(lower(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?"
+        "(\\[[^\\]/?#]*\\]|[^/:?#@]+)', 1)), '^\\[|\\]$', '', 'g')"
+    )
+    hostn = f"regexp_replace({host0}, '^www\\.', '', 'g')"
+    sql = W.psl_domain_sql(host0, hostn)
+    con = duckdb.connect()
+    con.execute("create table u(url varchar)")
+    for u in urls:
+        con.execute("insert into u values (?)", [u])
+    duck = [r[0] for r in con.execute(f"select {sql} from u").fetchall()]
+    assert got == duck
+
+
+# ------------------- WARC writer task-commit protocol ------------------
+
+
+def test_warc_manifest_written_and_lists_all_parts(spark, tmp_path):
+    """write_warc_gz publishes _warc_manifest.json naming exactly the
+    committed files."""
+    import json
+    import os
+
+    from bigdata_foundation_spark.io import write_warc_gz
+
+    out_dir = str(tmp_path / "man")
+    df = spark.createDataFrame([(r,) for r in _recs("m", 12)], ["record"]).repartition(3)
+    written = write_warc_gz(df, out_dir)
+    with open(os.path.join(out_dir, "_warc_manifest.json")) as fh:
+        man = set(json.load(fh)["files"])
+    assert man == {os.path.basename(f) for f, _ in written}
+    # a second (concurrent-writer-style) append UNIONS into the manifest
+    df2 = spark.createDataFrame([(r,) for r in _recs("n", 4)], ["record"]).coalesce(1)
+    written2 = write_warc_gz(df2, out_dir)
+    with open(os.path.join(out_dir, "_warc_manifest.json")) as fh:
+        man2 = set(json.load(fh)["files"])
+    assert man2 == man | {os.path.basename(f) for f, _ in written2}
+
+
+def test_warc_orphans_invisible_to_both_readers(spark, tmp_path):
+    """A failed/speculative attempt's orphan .warc.gz (valid bytes,
+    uuid name, NOT in the manifest) and its sidecar must be ignored by
+    read_warc_gz AND read_warc_gz_indexed — r13 advice (medium)."""
+    import gzip
+    import os
+    import shutil
+
+    from bigdata_foundation_spark.io import (
+        read_warc_gz,
+        read_warc_gz_indexed,
+        write_warc_gz,
+    )
+
+    out_dir = str(tmp_path / "orph")
+    recs = _recs("real", 8)
+    df = spark.createDataFrame([(r,) for r in recs], ["record"]).coalesce(1)
+    write_warc_gz(df, out_dir, index=True)
+
+    # plant an orphan: a fully-valid member-gzip file + sidecar that
+    # no manifest entry names (as a duplicated retried attempt leaves)
+    orphan = os.path.join(out_dir, "part-deadbeef.warc.gz")
+    with open(orphan, "wb") as fh:
+        blob = gzip.compress(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://orphan.com/0\r\n"
+            b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+        )
+        fh.write(blob)
+    committed_cdx = [
+        f for f in os.listdir(os.path.join(out_dir, "_cdx")) if f.endswith(".parquet")
+    ][0]
+    # clone the real sidecar under the orphan's name with its file col
+    import pandas as pd
+
+    sc = pd.read_parquet(os.path.join(out_dir, "_cdx", committed_cdx))
+    sc = sc.head(1).assign(file=orphan, offset=0, length=len(blob))
+    sc.to_parquet(
+        os.path.join(out_dir, "_cdx", "part-deadbeef.warc.gz.cdx.parquet"),
+        index=False,
+    )
+    # a crashed-task leftover temp must also be invisible
+    with open(orphan + ".inprogress", "wb") as fh:
+        fh.write(b"\x1f\x8b partial garbage")
+    shutil.copy(
+        os.path.join(out_dir, "_cdx", committed_cdx),
+        os.path.join(out_dir, "_cdx", ".leftover.inprogress"),
+    )
+
+    got_plain = [r["record"] for r in read_warc_gz(spark, out_dir).collect()]
+    assert sorted(got_plain) == sorted(recs)
+    got_idx = [r["record"] for r in read_warc_gz_indexed(spark, out_dir).collect()]
+    assert sorted(got_idx) == sorted(recs)
+
+
+def test_warc_indexed_read_dedups_duplicate_index_rows(spark, tmp_path):
+    """Duplicate CDX rows (re-run build_warc_cdx / retried index task)
+    must not double-decode members."""
+    import os
+    import shutil
+
+    from bigdata_foundation_spark.io import read_warc_gz_indexed, write_warc_gz
+
+    out_dir = str(tmp_path / "dupidx")
+    recs = _recs("d", 6)
+    df = spark.createDataFrame([(r,) for r in recs], ["record"]).coalesce(1)
+    write_warc_gz(df, out_dir, index=True)
+    cdx_dir = os.path.join(out_dir, "_cdx")
+    src = [f for f in os.listdir(cdx_dir) if f.endswith(".parquet")][0]
+    shutil.copy(
+        os.path.join(cdx_dir, src), os.path.join(cdx_dir, "dup-copy.cdx.parquet")
+    )
+    got = [r["record"] for r in read_warc_gz_indexed(spark, out_dir).collect()]
+    assert sorted(got) == sorted(recs)
+
+
+def test_read_warc_gz_empty_dir_raises(spark, tmp_path):
+    """An empty directory raises a clear FileNotFoundError, not
+    repartition(0)'s IllegalArgumentException — r13 advice (low)."""
+    import os
+
+    from bigdata_foundation_spark.io import build_warc_cdx, read_warc_gz
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        read_warc_gz(spark, empty)
+    with pytest.raises(FileNotFoundError):
+        build_warc_cdx(spark, empty)
+
+
+def test_warc_no_inprogress_left_behind(spark, tmp_path):
+    """A successful write leaves no temp files — everything visible is
+    committed and manifest-listed."""
+    import os
+
+    from bigdata_foundation_spark.io import write_warc_gz
+
+    out_dir = str(tmp_path / "clean")
+    df = spark.createDataFrame([(r,) for r in _recs("c", 10)], ["record"]).repartition(2)
+    write_warc_gz(df, out_dir, index=True)
+    leftovers = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".inprogress")
+    ]
+    assert leftovers == []
