@@ -82,95 +82,85 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The driver gates the FIRST 50 registry keys each round. r13 order:
-# (a) every entry whose code path changed this round — the r13 DEBUT
-# warc_gz_parse (splittable per-member-gzip WARC ingestion), the
-# robots/PSL upgrade (robots_filter_stats: RFC 9309 wildcard/'$'
-# rules + Allow precedence, new fixture matrix + analytic oracle;
-# url_normalize_stats + domain_cap_sample: PSL-data-file
-# registered_domain with wildcard/exception/3-label host families,
-# oracles regenerated from the same compiled tiers), the r12 advice
-# fixes (html_meta_extract: og:description fallback; warc_parse:
-# header-block-scoped Content-Type), the snapshot log-store seam
-# (snapshot_time_travel, snapshot_incremental, streaming_snapshot_sink
-# — write_snapshot's publish + append-retry schema re-check changed),
-# and the graph auto-tier routing guard (graph_sssp_slice,
-# graph_apsp_top10 — 'auto' now falls back to BSP when the file
-# tier's spill dir is driver-local on a multi-host master); then
-# (b) the OLDEST-GATED rotation: the FULL remaining r8 block (21
-# entries — the r12 verdict's task-1 list of 19 full-oracle entries
-# plus the two rows-only sketches; after this round no entry's latest
-# gate is older than r9) plus the first 8 of the r9 block in name
-# order (the remaining 28 r9 entries head the r14 rotation:
-# cube_revenue, curation_funnel, date_functions_orders, dedup_embedding_cosine,
-# dedup_embedding_lsh, dedup_ngram_jaccard, distinct_agg_priority,
-# embedding_normalize, multimodal_frame_sample, q2_min_cost_supplier,
-# q3_segment_topk, q4_late_orders, q5_region_revenue,
-# q7_nation_volume, q8_market_share, range_join_attribution,
-# salted_agg_events, semi_join_ordered_parts,
-# shuffle_deterministic_order, snapshot_diff_orders,
-# streaming_interval_join, streaming_running_zscore, upsert_orders,
-# window_funcs_orders, window_top_orders_per_customer,
-# winnow_fingerprint_stats, winnow_overlap_pairs, zipf_fit;
-# staleness computed from the union of CORRECTNESS_r01–r12.json).
-# Totals: 21 changed/debut + 21 r8 + 8 r9 = 50.
+# The driver gates the FIRST 50 registry keys each round. r14 order:
+# (a) every entry whose code path changed this round — the r14 DEBUT
+# snapshot_schema_evolution (additive column evolution through the
+# manifest schema), the r13-advice fix set (snapshot_delete_rows:
+# NULL-predicate DELETE semantics; the whole .warc.gz family:
+# task-commit temp+rename protocol, driver-published commit manifest
+# honored by both readers, CDX row dedup, empty-archive guards;
+# url_normalize_stats / domain_cap_sample / robots_filter_stats:
+# PSL exact-suffix hosts now NULL in registered_domain AND
+# psl_domain_sql), the snapshot read path (read_at_version /
+# read_version_delta / merge / delete / compact / zorder now read
+# file subsets THROUGH the manifest schema — required for evolution,
+# changes every snapshot gate's plan), and the snapshot_merge
+# per-batch job fusion (dup-check + key bounds in ONE job over a
+# cached updates frame; empty batches no-op) which
+# snapshot_upsert + streaming_merge_sink ride; then
+# (b) the OLDEST-GATED rotation: the FULL remaining r9 block (28
+# entries — the r13 verdict's task-1 list; after this round no
+# entry's latest gate is older than r10) plus the first r10 entries
+# in name order to fill 50 (staleness computed from the union of
+# CORRECTNESS_r01–r13.json).
+# Totals: 16 changed/debut + 28 r9 + 6 r10 = 50.
 # The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r13.md. Entries not listed
+# via tools/check_oracles.py — see ORACLES_r14.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) changed since the r12 judged tree + the r13 debut
-    "warc_gz_parse",  # r13 DEBUT: splittable .warc.gz member-aware ingestion
-    "warc_gz_roundtrip",  # r13 DEBUT: distributed per-member-gzip WARC writer round trip
-    "warc_cdx_selective",  # r13 DEBUT: CDX member index + predicate-selective read
-    "warc_cdx_build",  # r13 DEBUT: scan-built CDX over an index-less archive
-    "robots_crawl_delay_stats",  # r13 DEBUT: Crawl-delay extraction (rate-limit politeness)
-    "warc_parse",  # r13: Content-Type scoped to the HTTP header block (r12 advice)
-    "html_meta_extract",  # r13: og:description fallback (r12 advice)
-    "robots_filter_stats",  # r13: RFC 9309 wildcards + Allow precedence, analytic oracle
-    "url_normalize_stats",  # r13: PSL data file; wildcard/exception/3-label host families
-    "domain_cap_sample",  # r13: PSL-backed registered_domain
-    "snapshot_time_travel",  # r13: manifest log behind the pluggable log-store seam
-    "snapshot_incremental",  # r13: same seam (delta reads re-read manifests through it)
-    "snapshot_upsert",  # r13 DEBUT: MERGE/upsert with file-granular copy-on-write
-    "snapshot_delete_rows",  # r13 DEBUT: row-level DELETE with prune-bounded rewrite
-    "streaming_merge_sink",  # r13 DEBUT: CDC-apply sink (per-batch snapshot merge)
-    "snapshot_zorder_prune",  # r13 DEBUT: OPTIMIZE ZORDER commit + 2-D manifest prune
-    "warc_to_wet",  # r13 DEBUT: WARC -> WET end-to-end (parse + filter + extraction)
-    "html_main_content",  # r13: synth-page builder factored to share with warc_to_wet
-    "streaming_snapshot_sink",  # r13: same seam + append-retry schema re-check
-    "graph_sssp_slice",  # r13: auto-tier spill-dir routing guard in sssp dispatch
-    "graph_apsp_top10",  # r13: auto-tier spill-dir routing guard in apsp dispatch
-    # (b) oldest-gated rotation — the FULL remaining r8 block
-    "q15_top_supplier",  # last gated r8
-    "q16_supplier_part_count",  # last gated r8
-    "q17_small_quantity_revenue",  # last gated r8
-    "q18_large_volume_customers",  # last gated r8
-    "q19_disjunctive_predicates",  # last gated r8
-    "q1_pricing_summary",  # last gated r8
-    "q20_excess_suppliers",  # last gated r8
-    "q21_waiting_suppliers",  # last gated r8
-    "q22_idle_customers",  # last gated r8
-    "quality_classifier",  # last gated r8
-    "scd2_user_history",  # last gated r8
-    "sketch_distinct_users",  # last gated r8 (rows-only sketch)
-    "sketch_value_quantiles",  # last gated r8 (rows-only sketch)
-    "split_train_val_test",  # last gated r8
-    "sql_q6_revenue",  # last gated r8
-    "streaming_dedup",  # last gated r8
-    "streaming_hourly",  # last gated r8
-    "streaming_sessionize",  # last gated r8
-    "streaming_sliding",  # last gated r8
-    "token_totals_by_source",  # last gated r8
-    "unimax_mixture",  # last gated r8
-    # (b) oldest-gated rotation — first 8 of the r9 block (name order)
-    "ann_brute_topk",  # last gated r9
-    "ann_lsh_multiprobe",  # last gated r9
-    "ann_lsh_topk",  # last gated r9
-    "anti_join_quiet_customers",  # last gated r9
-    "array_ops_customer",  # last gated r9
-    "balanced_sample_docs",  # last gated r9
-    "case_bucket_orders",  # last gated r9
-    "cross_lookup_pair",  # last gated r9
+    # (a) changed since the r13 judged tree + the r14 debut
+    "snapshot_schema_evolution",  # r14 DEBUT: additive schema evolution
+    "snapshot_delete_rows",  # r14: NULL-predicate DELETE semantics (r13 advice, high)
+    "snapshot_upsert",  # r14: merge job fusion + evolution-aware reads
+    "streaming_merge_sink",  # r14: rides the fused merge (per-batch constant)
+    "snapshot_time_travel",  # r14: read_at_version reads through the manifest schema
+    "snapshot_incremental",  # r14: read_version_delta reads through the manifest schema
+    "snapshot_zorder_prune",  # r14: zorder/compact read through the manifest schema
+    "streaming_snapshot_sink",  # r14: write_snapshot evolution-aware append checks
+    "warc_gz_parse",  # r14: manifest-aware archive listing (r13 advice, medium)
+    "warc_gz_roundtrip",  # r14: writer task-commit protocol (temp+rename+manifest)
+    "warc_cdx_selective",  # r14: indexed read honors manifest + dedups index rows
+    "warc_cdx_build",  # r14: sidecar temp+rename; empty-archive guard
+    "warc_to_wet",  # r14: rides the manifest-aware read_warc_gz
+    "url_normalize_stats",  # r14: PSL exact-suffix hosts -> NULL (r13 advice, low)
+    "domain_cap_sample",  # r14: PSL-backed registered_domain exact-suffix branch
+    "robots_filter_stats",  # r14: psl_domain_sql exact-suffix branch in the oracle
+    # (b) oldest-gated rotation — the FULL remaining r9 block
+    "cube_revenue",  # last gated r9
+    "curation_funnel",  # last gated r9
+    "date_functions_orders",  # last gated r9
+    "dedup_embedding_cosine",  # last gated r9
+    "dedup_embedding_lsh",  # last gated r9
+    "dedup_ngram_jaccard",  # last gated r9
+    "distinct_agg_priority",  # last gated r9
+    "embedding_normalize",  # last gated r9
+    "multimodal_frame_sample",  # last gated r9
+    "q2_min_cost_supplier",  # last gated r9
+    "q3_segment_topk",  # last gated r9
+    "q4_late_orders",  # last gated r9
+    "q5_region_revenue",  # last gated r9
+    "q7_nation_volume",  # last gated r9
+    "q8_market_share",  # last gated r9
+    "range_join_attribution",  # last gated r9
+    "salted_agg_events",  # last gated r9
+    "semi_join_ordered_parts",  # last gated r9
+    "shuffle_deterministic_order",  # last gated r9
+    "snapshot_diff_orders",  # last gated r9
+    "streaming_interval_join",  # last gated r9
+    "streaming_running_zscore",  # last gated r9
+    "upsert_orders",  # last gated r9
+    "window_funcs_orders",  # last gated r9
+    "window_top_orders_per_customer",  # last gated r9
+    "winnow_fingerprint_stats",  # last gated r9
+    "winnow_overlap_pairs",  # last gated r9
+    "zipf_fit",  # last gated r9
+    # (b) oldest-gated rotation — first 6 of the r10 block (name order)
+    "ann_ivf_pq_refine",  # last gated r10
+    "ann_ivf_pq_topk",  # last gated r10
+    "ann_ivf_topk",  # last gated r10
+    "ann_pq_topk",  # last gated r10
+    "bm25_rank",  # last gated r10
+    "chunk_documents",  # last gated r10
 ]
 
 
@@ -1837,6 +1827,76 @@ def snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("l_extendedprice"), 2).alias("total"),
             F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        )
+    )
+
+
+@q(
+    "snapshot_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS DOUBLE) AS cust_ref
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS cust_ref
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN cust_ref IS NULL THEN 1 END) AS BIGINT) AS n_nullref,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(SUM(cust_ref), 2) AS sum_ref
+    FROM u GROUP BY 1
+    """,
+    "additive snapshot schema evolution (r14 - io.write_snapshot + "
+    "_read_snapshot_files): half of orders is committed under the "
+    "2-column schema, the other half APPENDS with a new nullable "
+    "cust_ref column - the commit widens the table schema in the "
+    "manifest, and the head read projects the PRE-evolution files "
+    "through it, null-filling cust_ref. The oracle re-derives the "
+    "union with explicit NULL backfill, so a refused append, an "
+    "unwidened schema, or wrong null-fill (n_nullref/sum_ref) breaks "
+    "the value match; retype/drop rejection is pinned in pytest. "
+    "Full SQL oracle",
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark.io import read_at_version, write_snapshot
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_evo_")
+    write_snapshot(
+        orders.filter(k % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(4, k),
+        tdir,
+        mode="overwrite",
+        commit_id="e1",
+    )
+    write_snapshot(
+        orders.filter(k % 2 == 1)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("cust_ref"),
+        )
+        .repartitionByRange(4, k),
+        tdir,
+        mode="append",
+        commit_id="e2",
+    )
+    return (
+        read_at_version(spark, tdir)
+        .groupBy((k % 4).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.when(F.col("cust_ref").isNull(), 1)).cast("bigint").alias("n_nullref"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum("cust_ref"), 2).alias("sum_ref"),
         )
     )
 

@@ -236,3 +236,104 @@ def test_warc_no_inprogress_left_behind(spark, tmp_path):
         if f.endswith(".inprogress")
     ]
     assert leftovers == []
+
+
+# ------------------- additive snapshot schema evolution ----------------
+
+
+def test_snapshot_append_evolves_additive_schema(spark, tmp_path):
+    """An append with a NEW nullable column widens the table schema;
+    old files read as NULL for it at the head, while time travel to
+    the pre-evolution version keeps the old shape."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "evo")
+    v1 = bio.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    v2 = bio.write_snapshot(
+        spark.createDataFrame([(3, "c", 7.5)], "k int, s string, score double").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    head = bio.read_at_version(spark, tdir, v2)
+    assert head.columns == ["k", "s", "score"]
+    got = sorted((r["k"], r["s"], r["score"]) for r in head.collect())
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 7.5)]
+    old = bio.read_at_version(spark, tdir, v1)
+    assert old.columns == ["k", "s"]
+    # delta between the versions carries the evolved schema
+    delta = bio.read_version_delta(spark, tdir, v1, v2)
+    assert delta.columns == ["k", "s", "score"]
+    assert [(r["k"], r["score"]) for r in delta.collect()] == [(3, 7.5)]
+
+
+def test_snapshot_append_rejects_retype_and_drop(spark, tmp_path):
+    """Type changes and dropped columns still refuse to append."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "evo2")
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="type"):
+        bio.write_snapshot(
+            spark.createDataFrame([(2, 3.0)], "k int, s double").coalesce(1),
+            tdir,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="missing"):
+        bio.write_snapshot(
+            spark.createDataFrame([(2,)], "k int").coalesce(1),
+            tdir,
+            mode="append",
+        )
+
+
+def test_snapshot_merge_evolves_additive_schema(spark, tmp_path):
+    """A merge whose updates carry a new nullable column widens the
+    table: matched rows take the update's value, untouched old files
+    null-fill."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "evo3")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, s string"
+    )
+    bio.write_snapshot(base.repartitionByRange(2, F.col("k")), tdir, mode="overwrite")
+    upd = spark.createDataFrame([(2, "B", 0.9), (5, "E", 0.1)], "k int, s string, w double")
+    v2 = bio.snapshot_merge(spark, tdir, upd, ["k"])
+    got = sorted(
+        (r["k"], r["s"], r["w"]) for r in bio.read_at_version(spark, tdir, v2).collect()
+    )
+    assert got == [
+        (1, "a", None),
+        (2, "B", 0.9),
+        (3, "c", None),
+        (4, "d", None),
+        (5, "E", 0.1),
+    ]
+    # subsequent plain-schema ops still work on the evolved table:
+    # delete reads mixed files through the widened schema
+    v3 = bio.snapshot_delete(spark, tdir, F.col("w") < 0.5)
+    got3 = sorted((r["k"], r["w"]) for r in bio.read_at_version(spark, tdir, v3).collect())
+    assert got3 == [(1, None), (2, 0.9), (3, None), (4, None)]
+
+
+def test_snapshot_merge_empty_updates_noop(spark, tmp_path):
+    """An empty update frame is a no-op (no empty version minted)."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "evo4")
+    v1 = bio.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    empty = spark.createDataFrame([], "k int, s string")
+    assert bio.snapshot_merge(spark, tdir, empty, ["k"]) == v1
+    assert bio.snapshot_versions(tdir)[-1] == v1
