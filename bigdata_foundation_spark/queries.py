@@ -100,16 +100,17 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # snapshot_upsert + streaming_merge_sink ride; then
 # (b) the OLDEST-GATED rotation: the FULL remaining r9 block (28
 # entries — the r13 verdict's task-1 list; after this round no
-# entry's latest gate is older than r10) plus the first r10 entries
+# entry's latest gate is older than r10) plus the first 5 r10 entries
 # in name order to fill 50 (staleness computed from the union of
 # CORRECTNESS_r01–r13.json).
-# Totals: 16 changed/debut + 28 r9 + 6 r10 = 50.
+# Totals: 17 changed/debut + 28 r9 + 5 r10 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r14.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) changed since the r13 judged tree + the r14 debut
+    # (a) changed since the r13 judged tree + the r14 debuts
     "snapshot_schema_evolution",  # r14 DEBUT: additive schema evolution
+    "snapshot_sharded_manifest",  # r14 DEBUT: manifest format v2 (group refs)
     "snapshot_delete_rows",  # r14: NULL-predicate DELETE semantics (r13 advice, high)
     "snapshot_upsert",  # r14: merge job fusion + evolution-aware reads
     "streaming_merge_sink",  # r14: rides the fused merge (per-batch constant)
@@ -154,13 +155,12 @@ GATE_ORDER: list[str] = [
     "winnow_fingerprint_stats",  # last gated r9
     "winnow_overlap_pairs",  # last gated r9
     "zipf_fit",  # last gated r9
-    # (b) oldest-gated rotation — first 6 of the r10 block (name order)
+    # (b) oldest-gated rotation — first 5 of the r10 block (name order)
     "ann_ivf_pq_refine",  # last gated r10
     "ann_ivf_pq_topk",  # last gated r10
     "ann_ivf_topk",  # last gated r10
     "ann_pq_topk",  # last gated r10
     "bm25_rank",  # last gated r10
-    "chunk_documents",  # last gated r10
 ]
 
 
@@ -1897,6 +1897,76 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("cust_ref").isNull(), 1)).cast("bigint").alias("n_nullref"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
             F.round(F.sum("cust_ref"), 2).alias("sum_ref"),
+        )
+    )
+
+
+@q(
+    "snapshot_sharded_manifest",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, o_totalprice + 500.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    merged AS (
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged WHERE NOT (o_totalprice > 400000.0)
+    GROUP BY 1
+    """,
+    "sharded manifest format v2 (r14 - the metadata-scale fix from "
+    "the r13 verdict: tools/manifest_scale_bench.py measured the flat "
+    "manifest's O(files) JSON cost at 2.3 s/commit @ 1e5 files): the "
+    "table commits with group/threshold sizes forced low so the "
+    "manifest is a GROUP-REF list (immutable uuid-named blobs under "
+    "manifests/groups/, group-level column bounds), then a merge "
+    "rewrites only touched groups (others carry by reference) and a "
+    "prune-bounded delete exercises group-level skipping. The oracle "
+    "re-derives merged-then-deleted state from the base table, so a "
+    "lost group ref, a stale carried group, or an over-pruned group "
+    "breaks the value match. Full SQL oracle",
+)
+def snapshot_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark import io as bio
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_shard_")
+    old = (bio._SNAPSHOT_SHARD_THRESHOLD, bio._SNAPSHOT_GROUP_TARGET)
+    try:
+        # force v2 at gate scale: 12 range-sorted files, 3-file groups
+        bio._SNAPSHOT_SHARD_THRESHOLD, bio._SNAPSHOT_GROUP_TARGET = 8, 3
+        bio.write_snapshot(
+            orders.repartitionByRange(12, k), tdir, mode="overwrite", commit_id="s1"
+        )
+        updates = orders.filter(k % 20 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 500.0
+        )
+        bio.snapshot_merge(spark, tdir, updates, ["o_orderkey"], commit_id="s2")
+        bio.snapshot_delete(
+            spark,
+            tdir,
+            F.col("o_totalprice") > 400000.0,
+            prune=[("o_totalprice", 400000.0, None)],
+            commit_id="s3",
+        )
+    finally:
+        bio._SNAPSHOT_SHARD_THRESHOLD, bio._SNAPSHOT_GROUP_TARGET = old
+    return (
+        bio.read_at_version(spark, tdir)
+        .groupBy((k % 5).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
 

@@ -34,11 +34,13 @@ from bigdata_foundation_spark.session import get_spark  # noqa: E402
 ROWS_PER_FILE = 100
 
 
-def build_table(spark, root: str, n_files: int) -> str:
+def build_table(spark, root: str, n_files: int, fmt: str = "v1") -> str:
     """Snapshot table whose head manifest lists n_files entries, each
     covering a disjoint k-range of ROWS_PER_FILE keys (file i: stats
-    k in [i*R, i*R+R-1]). One real parquet file, hardlinked."""
-    tdir = os.path.join(root, f"tbl_{n_files}")
+    k in [i*R, i*R+R-1]). One real parquet file, hardlinked.
+    ``fmt='v2'`` publishes the head as a SHARDED manifest (group blobs
+    via the real _write_file_group API)."""
+    tdir = os.path.join(root, f"tbl_{fmt}_{n_files}")
     seed = (
         spark.range(0, ROWS_PER_FILE)
         .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
@@ -52,9 +54,14 @@ def build_table(spark, root: str, n_files: int) -> str:
     cdir = os.path.join(ddir, "c-synth")
     os.makedirs(cdir, exist_ok=True)
     files, stats = [], {}
+    link_src = src
     for i in range(n_files):
         rel = os.path.join("c-synth", f"f{i:06d}.parquet")
-        os.link(src, os.path.join(ddir, rel))
+        if i % 60_000 == 0 and i > 0:
+            # ext4 caps hardlinks per inode (~65k): rotate a fresh copy
+            link_src = os.path.join(cdir, f"src{i}.parquet.src")
+            shutil.copyfile(src, link_src)
+        os.link(link_src, os.path.join(ddir, rel))
         files.append(rel)
         lo = i * ROWS_PER_FILE
         stats[rel] = {
@@ -68,21 +75,36 @@ def build_table(spark, root: str, n_files: int) -> str:
         "commit_id": None,
         "committed_at": time.time(),
         "schema": man1["schema"],
-        "files": files,
-        "stats": stats,
     }
+    if fmt == "v2":
+        groups = [
+            bio._write_file_group(
+                mdir,
+                files[i : i + bio._SNAPSHOT_GROUP_TARGET],
+                stats,
+            )
+            for i in range(0, len(files), bio._SNAPSHOT_GROUP_TARGET)
+        ]
+        manifest.update({"format": 2, "groups": groups})
+    else:
+        manifest.update({"files": files, "stats": stats})
     assert bio.get_snapshot_log_store().publish(mdir, 2, manifest)
     return tdir
 
 
-def bench(spark, root: str, n_files: int) -> dict:
-    tdir = build_table(spark, root, n_files)
+def bench(spark, root: str, n_files: int, fmt: str = "v1") -> dict:
+    tdir = build_table(spark, root, n_files, fmt)
     _, mdir = bio._snapshot_paths(tdir)
 
     t0 = time.perf_counter()
     man = bio._read_manifest(tdir, 2)
     t_read = time.perf_counter() - t0
     man_bytes = os.path.getsize(os.path.join(mdir, "v00000002.json"))
+    if "groups" in man:
+        gdir = bio._groups_dir(mdir)
+        man_bytes += sum(
+            os.path.getsize(os.path.join(gdir, g)) for g in os.listdir(gdir)
+        )
 
     # selective read: prune to ONE file's k-range
     mid = (n_files // 2) * ROWS_PER_FILE
@@ -118,6 +140,7 @@ def bench(spark, root: str, n_files: int) -> dict:
     t_merge = time.perf_counter() - t0
 
     return {
+        "fmt": fmt,
         "n_files": n_files,
         "manifest_mb": round(man_bytes / 1e6, 2),
         "manifest_read_s": round(t_read, 3),
@@ -125,7 +148,7 @@ def bench(spark, root: str, n_files: int) -> dict:
         "pruned_collect_s": round(t_collect, 3),
         "append_commit_s": round(t_append, 3),
         "merge_5rows_s": round(t_merge, 3),
-        "n_manifest_files": len(man["files"]),
+        "n_manifest_files": bio._manifest_n_files(man),
     }
 
 
@@ -133,20 +156,22 @@ def main():
     root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="manbench_")
     spark = get_spark(app_name="manifest-scale-bench", master="local[8]", shuffle_partitions=8)
     print(
-        "| n_files | manifest MB | read s | prune-plan s | pruned-collect s "
+        "| fmt | n_files | metadata MB | read s | prune-plan s | pruned-collect s "
         "| append-commit s | merge-5-rows s |"
     )
-    print("| --- | --- | --- | --- | --- | --- | --- |")
+    print("| --- | --- | --- | --- | --- | --- | --- | --- |")
     rows = []
-    for n in (1_000, 10_000, 100_000):
-        r = bench(spark, root, n)
-        rows.append(r)
-        print(
-            f"| {r['n_files']:,} | {r['manifest_mb']} | {r['manifest_read_s']} "
-            f"| {r['prune_plan_s']} | {r['pruned_collect_s']} "
-            f"| {r['append_commit_s']} | {r['merge_5rows_s']} |",
-            flush=True,
-        )
+    for fmt in ("v1", "v2"):
+        for n in (1_000, 10_000, 100_000):
+            r = bench(spark, root, n, fmt)
+            rows.append(r)
+            print(
+                f"| {r['fmt']} | {r['n_files']:,} | {r['manifest_mb']} "
+                f"| {r['manifest_read_s']} "
+                f"| {r['prune_plan_s']} | {r['pruned_collect_s']} "
+                f"| {r['append_commit_s']} | {r['merge_5rows_s']} |",
+                flush=True,
+            )
     print(json.dumps(rows))
     shutil.rmtree(root, ignore_errors=True)
 
