@@ -273,6 +273,115 @@ def registered_domain(url: Column | str) -> Column:
     return expr.otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
 
+def registered_domain_lookup(
+    df: DataFrame, url_col: str = "url", out_col: str = "domain"
+) -> DataFrame:
+    """eTLD+1 via BROADCAST SUFFIX LOOKUP — the full-PSL scale path.
+
+    :func:`registered_domain`'s alternation-regex tiers are perfect at
+    curated-list size but TERMINAL at the full publicsuffix.org scale:
+    java.util.regex evaluates a 180 KB alternation per row — measured
+    74 s/1M URLs with a 14.5k-rule stress list vs 2.5 s curated
+    (tools/psl_scale_probe.py, CALIBRATION.md r14). This variant is
+    rule-count-INDEPENDENT per row: the host's k-label suffixes
+    (k = the distinct rule lengths, ≤ ~5) each probe a broadcast hash
+    table of rules, and a when-chain picks the PSL winner — exception
+    rules first (matched against the raw host, pre-www-strip, same as
+    the regex impl), then longest match with wildcard semantics
+    (``*.tail`` needs one label more than the tail; a host that IS a
+    public suffix gets NULL; the implicit ``*`` default keeps the last
+    two labels). All joins are broadcast-left (map-side, one codegen
+    stage); the URL side never shuffles. Output values are IDENTICAL
+    to :func:`registered_domain` — pinned by pytest on the fixture
+    families and by the shared oracle on the synth corpus
+    (``domain_lookup_stats`` replays psl_domain_sql).
+
+    Measured (1M URLs, local[8], min-of-3): lookup 6.2 s curated /
+    6.5 s stress — FLAT in rule count; regex 2.5 s curated / 74 s
+    stress. Use the regex tiers with small curated lists (2.5× faster
+    there — no joins, no label split), this lookup with the full
+    publicsuffix.org list (11× faster there and scaling flat)."""
+    spark = df.sparkSession
+    exc, plain, wild = _load_psl()
+
+    by_k: dict[int, dict[str, list[bool]]] = {}
+    for r in plain:
+        k = r.count(".") + 1
+        if k >= 2:  # 1-label plain rules equal the implicit '*' default
+            by_k.setdefault(k, {}).setdefault(r, [False, False])[0] = True
+    for t in wild:
+        k = t.count(".") + 1
+        by_k.setdefault(k, {}).setdefault(t, [False, False])[1] = True
+    exc_by_k: dict[int, list[str]] = {}
+    for e in exc:
+        exc_by_k.setdefault(e.count(".") + 1, []).append(e)
+
+    host0 = url_host(F.col(url_col))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    out = df.withColumn("__h0", host0).withColumn("__h", host)
+    labels = F.split(F.col("__h"), r"\.")
+    labels0 = F.split(F.col("__h0"), r"\.")
+    n = F.size(labels)
+
+    def _last(col_labels, num):
+        return F.array_join(F.slice(col_labels, -num, num), ".")
+
+    # exception probes against the RAW host (ends-with by labels)
+    for k in sorted(exc_by_k, reverse=True):
+        rdf = spark.createDataFrame(
+            [(e,) for e in exc_by_k[k]], f"__ekey{k} string"
+        )
+        out = out.withColumn(
+            f"__es{k}",
+            F.when(F.size(labels0) >= k, _last(labels0, k)),
+        )
+        out = out.join(
+            F.broadcast(rdf), out[f"__es{k}"] == rdf[f"__ekey{k}"], "left"
+        )
+    # rule probes against the www-stripped host, one per rule length
+    for k in sorted(by_k, reverse=True):
+        rows = [(key, fl[0], fl[1]) for key, fl in by_k[k].items()]
+        rdf = spark.createDataFrame(
+            rows, f"__key{k} string, __p{k} boolean, __w{k} boolean"
+        )
+        out = out.withColumn(f"__s{k}", F.when(n >= k, _last(labels, k)))
+        out = out.join(
+            F.broadcast(rdf), out[f"__s{k}"] == rdf[f"__key{k}"], "left"
+        )
+
+    # PSL winner: IP literals whole; exceptions beat everything;
+    # else longest match (wildcards add one label); else the implicit
+    # '*' default (2-label extract, same as the regex impl's else)
+    expr = F.when(
+        F.col("__h").rlike(IPV4_HOST_RE) | F.col("__h").contains(":"),
+        F.col("__h"),
+    )
+    for k in sorted(exc_by_k, reverse=True):
+        expr = expr.when(F.col(f"__ekey{k}").isNotNull(), F.col(f"__ekey{k}"))
+    for k in sorted(by_k, reverse=True):
+        key = F.col(f"__key{k}")
+        is_w = F.col(f"__w{k}") & (n > k)
+        is_p = F.col(f"__p{k}")
+        expr = expr.when(
+            key.isNotNull() & (is_w | is_p),
+            F.when(
+                is_w,
+                # wildcard: suffix = one label + tail; host == suffix → NULL
+                F.when(n == k + 1, F.lit(None)).otherwise(_last(labels, k + 2)),
+            ).otherwise(
+                F.when(n == k, F.lit(None)).otherwise(_last(labels, k + 1))
+            ),
+        )
+    expr = expr.otherwise(F.regexp_extract(F.col("__h"), r"([^.]+\.[^.]+)$", 1))
+
+    helper = (
+        ["__h0", "__h"]
+        + [c for k in exc_by_k for c in (f"__es{k}", f"__ekey{k}")]
+        + [c for k in by_k for c in (f"__s{k}", f"__key{k}", f"__p{k}", f"__w{k}")]
+    )
+    return out.withColumn(out_col, expr).drop(*helper)
+
+
 def domain_stats(
     df: DataFrame, url_col: str = "url", out_domain: str = "domain"
 ) -> DataFrame:

@@ -100,10 +100,10 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # snapshot_upsert + streaming_merge_sink ride; then
 # (b) the OLDEST-GATED rotation: the FULL remaining r9 block (28
 # entries — the r13 verdict's task-1 list; after this round no
-# entry's latest gate is older than r10) plus the first 5 r10 entries
+# entry's latest gate is older than r10) plus the first 4 r10 entries
 # in name order to fill 50 (staleness computed from the union of
 # CORRECTNESS_r01–r13.json).
-# Totals: 17 changed/debut + 28 r9 + 5 r10 = 50.
+# Totals: 18 changed/debut + 28 r9 + 4 r10 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r14.md. Entries not listed
 # keep registration order after these.
@@ -111,6 +111,7 @@ GATE_ORDER: list[str] = [
     # (a) changed since the r13 judged tree + the r14 debuts
     "snapshot_schema_evolution",  # r14 DEBUT: additive schema evolution
     "snapshot_sharded_manifest",  # r14 DEBUT: manifest format v2 (group refs)
+    "domain_lookup_stats",  # r14 DEBUT: broadcast suffix-lookup eTLD+1 (full-PSL path)
     "snapshot_delete_rows",  # r14: NULL-predicate DELETE semantics (r13 advice, high)
     "snapshot_upsert",  # r14: merge job fusion + evolution-aware reads
     "streaming_merge_sink",  # r14: rides the fused merge (per-batch constant)
@@ -155,12 +156,11 @@ GATE_ORDER: list[str] = [
     "winnow_fingerprint_stats",  # last gated r9
     "winnow_overlap_pairs",  # last gated r9
     "zipf_fit",  # last gated r9
-    # (b) oldest-gated rotation — first 5 of the r10 block (name order)
+    # (b) oldest-gated rotation — first 4 of the r10 block (name order)
     "ann_ivf_pq_refine",  # last gated r10
     "ann_ivf_pq_topk",  # last gated r10
     "ann_ivf_topk",  # last gated r10
     "ann_pq_topk",  # last gated r10
-    "bm25_rank",  # last gated r10
 ]
 
 
@@ -5936,6 +5936,50 @@ def url_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
     urls = d.select(_synth_url("doc_id").alias("url"))
     return W.domain_stats(urls).orderBy("domain")
+
+
+DOMAIN_LOOKUP_ORACLE = f"""
+    WITH u AS (
+      SELECT {_SYNTH_URL_SQL} AS url FROM documents
+    ), hosts AS (
+      SELECT regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#@]+)', 1)),
+               '^\\[|\\]$', '', 'g') AS host0
+      FROM u
+    ), hostns AS (
+      SELECT host0, regexp_replace(host0, '^www\\.', '', 'g') AS hostn
+      FROM hosts
+    ), doms AS (
+      SELECT {W.psl_domain_sql("host0", "hostn")} AS domain FROM hostns
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM doms GROUP BY domain
+"""
+
+
+@q(
+    "domain_lookup_stats",
+    DOMAIN_LOOKUP_ORACLE,
+    "registered domain via BROADCAST SUFFIX LOOKUP (r14 - the "
+    "full-PSL scale path: tools/psl_scale_probe.py measured the "
+    "alternation-regex tiers at 74 s/1M URLs under a 14.5k-rule "
+    "stress list vs 2.5 s curated - java.util.regex walks the whole "
+    "alternation per row; the lookup probes the host's k-label "
+    "suffixes against broadcast hash tables, rule-count-independent, "
+    "URL side never shuffles). The oracle replays the REGEX tier "
+    "semantics (psl_domain_sql), so the gate value-locks the two "
+    "implementations' agreement on the full synth host matrix "
+    "(wildcard/exception/3-label/IP families). Full SQL oracle",
+)
+def domain_lookup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(_synth_url("doc_id").alias("url"))
+    return (
+        W.registered_domain_lookup(urls, "url", "domain")
+        .groupBy("domain")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+        .orderBy("domain")
+    )
 
 
 # ===========================================================================

@@ -592,3 +592,92 @@ def test_build_warc_cdx_through_prefix_fs(spark, tmp_path):
     idx = spark.read.parquet(os.path.join(root, "a", "_cdx"))
     assert idx.count() == 7
     assert idx.filter(SF.col("file").startswith("arch://")).count() == 7
+
+
+# ------------------- registered_domain_lookup (full-PSL scale path) ----
+
+
+def _domain_pairs(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rx = [r[0] for r in df.select(W.registered_domain("url").alias("d")).collect()]
+    lk = [
+        r["d"]
+        for r in W.registered_domain_lookup(df, "url", "d").select("d").collect()
+    ]
+    return rx, lk
+
+
+def test_domain_lookup_agrees_on_fixture_families(spark):
+    """The broadcast-lookup variant returns IDENTICAL values to the
+    regex tiers on every PSL rule-kind family (incl. the r14
+    exact-suffix NULLs and IP literals)."""
+    urls = [
+        "https://www.example.com/a",
+        "https://news.site3.co.uk/b",
+        "https://district3.k12.ca.us/z",
+        "https://foo.ca.us/z",
+        "https://a.b.shop2.kawasaki.jp/x",
+        "https://Sub1.City.Kawasaki.JP/y",
+        "https://x.anything.ck/",
+        "https://deep.www.ck/",
+        "https://1.2.3.4/q",
+        "https://school.k12.tr/e",
+        "https://co.uk/",
+        "https://www.co.uk/",
+        "https://k12.ca.us/",
+        "https://shop9.kawasaki.jp/",
+        "https://city.kawasaki.jp/",
+        "https://kawasaki.jp/",
+        "https://example.co.uk/",
+        "https://[2001:DB8::7]/v6",
+        "https://com/",
+    ]
+    rx, lk = _domain_pairs(spark, urls)
+    assert rx == lk
+
+
+def test_domain_lookup_agrees_on_synth_corpus(spark):
+    """Whole-corpus agreement at sf0.001: zero mismatching rows
+    between the regex and lookup variants on the synth URL corpus."""
+    from bigdata_foundation_spark.queries import _synth_url
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = d.select(_synth_url("doc_id").alias("url"))
+    both = W.registered_domain_lookup(urls, "url", "lk").withColumn(
+        "rx", W.registered_domain(F.col("url"))
+    )
+    mismatch = both.filter(
+        ~(F.col("rx").eqNullSafe(F.col("lk")))
+    ).count()
+    assert mismatch == 0
+
+
+def test_domain_lookup_agrees_under_stress_rules(spark):
+    """Agreement holds with a full-PSL-sized synthetic rule set (the
+    regime where only the lookup path is viable)."""
+    import tools.psl_scale_probe as P
+
+    exc, plain, wild = P.synth_rules()
+    ce, cp, cw = W._load_psl()
+    merged = ([e[1:] for e in exc] + ce, plain + cp, [w[2:] for w in wild] + cw)
+    orig_load = W._load_psl
+    orig = (W.PSL_EXCEPTION_RE, W.PSL_EXACT_SUFFIX_RE, W.PSL_TIERS)
+    try:
+        W._load_psl = lambda: merged
+        W.PSL_EXCEPTION_RE, W.PSL_EXACT_SUFFIX_RE, W.PSL_TIERS = W._psl_compile()
+        urls = [
+            "https://a.s0001.zz/",
+            "https://s0001.zz/",  # host IS a stress plain suffix -> NULL
+            "https://x.t0003.s0003.zz/",
+            "https://one.more.w005.zz/",  # wildcard *.w005.zz
+            "https://city.w005.zz/",  # exception
+            "https://w005.zz/",  # bare tail -> default
+            "https://example.co.uk/",  # curated rules still present
+            "https://co.uk/",
+        ]
+        rx, lk = _domain_pairs(spark, urls)
+        assert rx == lk
+        assert lk[1] is None and lk[4] == "city.w005.zz" and lk[5] == "w005.zz"
+    finally:
+        W._load_psl = orig_load
+        W.PSL_EXCEPTION_RE, W.PSL_EXACT_SUFFIX_RE, W.PSL_TIERS = orig

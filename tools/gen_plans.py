@@ -264,6 +264,24 @@ PICKS = [
         "before Spark opened anything",
     ),
     (
+        "snapshot_schema_evolution",
+        "additive schema evolution (NEW r14): the captured READ is the "
+        "post-evolution head — ONE parquet scan whose ReadSchema is the "
+        "WIDENED manifest schema over a MIXED file set (pre-evolution "
+        "files null-fill the added column by name, no mergeSchema "
+        "footer pass, no per-file branching) + one keyed agg; evolving "
+        "a 100 TB table rewrites nothing",
+    ),
+    (
+        "snapshot_sharded_manifest",
+        "sharded manifest v2 (NEW r14): the captured READ follows "
+        "overwrite -> merge -> prune-bounded delete, all committed as "
+        "group-ref manifests — the plan is still a plain "
+        "manifest-listed parquet scan + keyed agg, because metadata "
+        "sharding is invisible to the data plane: group bounds decided "
+        "which blobs were even opened before Spark planned anything",
+    ),
+    (
         "warc_to_wet",
         "WARC -> WET end-to-end (NEW r13): record parsing, the "
         "200+text/html filter, and the Kohlschuetter main-content "
