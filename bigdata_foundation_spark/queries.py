@@ -100,10 +100,10 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # snapshot_upsert + streaming_merge_sink ride; then
 # (b) the OLDEST-GATED rotation: the FULL remaining r9 block (28
 # entries — the r13 verdict's task-1 list; after this round no
-# entry's latest gate is older than r10) plus the first 4 r10 entries
+# entry's latest gate is older than r10) plus the first 3 r10 entries
 # in name order to fill 50 (staleness computed from the union of
 # CORRECTNESS_r01–r13.json).
-# Totals: 18 changed/debut + 28 r9 + 4 r10 = 50.
+# Totals: 19 changed/debut + 28 r9 + 3 r10 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r14.md. Entries not listed
 # keep registration order after these.
@@ -112,6 +112,7 @@ GATE_ORDER: list[str] = [
     "snapshot_schema_evolution",  # r14 DEBUT: additive schema evolution
     "snapshot_sharded_manifest",  # r14 DEBUT: manifest format v2 (group refs)
     "domain_lookup_stats",  # r14 DEBUT: broadcast suffix-lookup eTLD+1 (full-PSL path)
+    "streaming_source_tail",  # r14 DEBUT: snapshot table as a streaming source
     "snapshot_delete_rows",  # r14: NULL-predicate DELETE semantics (r13 advice, high)
     "snapshot_upsert",  # r14: merge job fusion + evolution-aware reads
     "streaming_merge_sink",  # r14: rides the fused merge (per-batch constant)
@@ -156,11 +157,10 @@ GATE_ORDER: list[str] = [
     "winnow_fingerprint_stats",  # last gated r9
     "winnow_overlap_pairs",  # last gated r9
     "zipf_fit",  # last gated r9
-    # (b) oldest-gated rotation — first 4 of the r10 block (name order)
+    # (b) oldest-gated rotation — first 3 of the r10 block (name order)
     "ann_ivf_pq_refine",  # last gated r10
     "ann_ivf_pq_topk",  # last gated r10
     "ann_ivf_topk",  # last gated r10
-    "ann_pq_topk",  # last gated r10
 ]
 
 
@@ -4756,6 +4756,67 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "streaming_source_tail",
+    """
+    SELECT CAST(o_orderkey % 6 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    "snapshot table as a STREAMING SOURCE (r14 - "
+    "streaming.source.SnapshotDataSource, Spark 4 Python DataSource "
+    "API): orders is committed as three append versions, then a "
+    "stream TAILS the table - manifest versions are the offsets, "
+    "batch planning is a driver-side manifest diff (no listing), and "
+    "each new file is one task yielding Arrow batches. The streamed "
+    "rows land in a parquet sink and re-aggregate to exactly the "
+    "source table iff no commit was dropped, split, or double-"
+    "emitted. Exactly-once resume, rewrite rejection, and evolution "
+    "null-fill are pinned in pytest. Full SQL oracle",
+)
+def streaming_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_src_")
+    bio.write_snapshot(
+        orders.filter(k % 3 == 0).coalesce(1), tdir, mode="overwrite", commit_id="t1"
+    )
+    bio.write_snapshot(
+        orders.filter(k % 3 == 1).coalesce(1), tdir, mode="append", commit_id="t2"
+    )
+    bio.write_snapshot(
+        orders.filter(k % 3 == 2).coalesce(1), tdir, mode="append", commit_id="t3"
+    )
+    out = tempfile.mkdtemp(prefix="q_snapshot_src_out_") + "/rows"
+    ckpt = tempfile.mkdtemp(prefix="q_snapshot_src_ckpt_")
+    q_ = (
+        spark.readStream.format("snapshot_table")
+        .option("path", tdir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy((k % 6).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
 

@@ -15,6 +15,10 @@ from bigdata_foundation_spark.streaming.corpus import (
     process_corpus_batch,
     streaming_corpus_dedup,
 )
+from bigdata_foundation_spark.streaming.source import (
+    SnapshotDataSource,
+    register_snapshot_source,
+)
 
 __all__ = [
     "click_purchase_interval_join",
@@ -28,4 +32,6 @@ __all__ = [
     "running_zscore_stream",
     "running_zscore_batch",
     "run_to_memory",
+    "SnapshotDataSource",
+    "register_snapshot_source",
 ]

@@ -519,3 +519,39 @@ def test_warc_to_wet_pure_scan_side(spark):
     assert "MapInPandas" not in plan
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_schema_evolution_read_single_scan_widened_schema(spark):
+    """The post-evolution head read must be ONE parquet scan whose
+    ReadSchema is the WIDENED manifest schema over the mixed file set
+    (null-fill by name — no mergeSchema footer pass, no per-file
+    branching, no union of two scans), plus one keyed agg."""
+    plan = plan_of(spark, "snapshot_schema_evolution")
+    assert plan.count("Scan parquet") == 1
+    assert "cust_ref" in plan.split("ReadSchema")[1][:300]
+    assert "Union" not in plan
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+
+
+def test_sharded_manifest_read_plain_scan(spark):
+    """Metadata sharding must be invisible to the data plane: the v2
+    table's read plan is a plain parquet scan + keyed agg (group-ref
+    resolution happened driver-side before Spark planned anything)."""
+    plan = plan_of(spark, "snapshot_sharded_manifest")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_domain_lookup_broadcast_only_no_url_shuffle(spark):
+    """The suffix-lookup eTLD+1: every rule probe is a BROADCAST hash
+    join (map-side — the URL side must NOT shuffle before the final
+    aggregate's exchange), and no Python anywhere."""
+    plan = plan_of(spark, "domain_lookup_stats")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly the aggregate's two exchanges (partial->final), none
+    # below the joins
+    agg_part = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange" not in agg_part or "hashpartitioning(domain" in agg_part

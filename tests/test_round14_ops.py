@@ -681,3 +681,151 @@ def test_domain_lookup_agrees_under_stress_rules(spark):
     finally:
         W._load_psl = orig_load
         W.PSL_EXCEPTION_RE, W.PSL_EXACT_SUFFIX_RE, W.PSL_TIERS = orig
+
+
+# ------------------- snapshot_table streaming source -------------------
+
+
+def _tail(spark, tdir, ckpt, **opts):
+    from bigdata_foundation_spark.streaming.source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    got = []
+    reader = spark.readStream.format("snapshot_table").option("path", tdir)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(
+            lambda df, bid: got.append(sorted((r["k"], r["s"]) for r in df.collect()))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return [rows for rows in got if rows]
+
+
+def test_snapshot_source_initial_and_resume(spark, tmp_path):
+    """A fresh stream emits the whole table; a checkpoint resume emits
+    ONLY the commits that landed since (exactly-once tail)."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    bio.write_snapshot(
+        spark.createDataFrame([(3, "c")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    assert _tail(spark, tdir, ckpt) == [[(1, "a"), (2, "b"), (3, "c")]]
+    bio.write_snapshot(
+        spark.createDataFrame([(4, "d")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    assert _tail(spark, tdir, ckpt) == [[(4, "d")]]
+    # nothing new -> no non-empty batch
+    assert _tail(spark, tdir, ckpt) == []
+
+
+def test_snapshot_source_starting_version(spark, tmp_path):
+    """startingVersion tails only commits at or after it."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir, ckpt = str(tmp_path / "tbl2"), str(tmp_path / "ckpt2")
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    bio.write_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    bio.write_snapshot(
+        spark.createDataFrame([(3, "c")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    assert _tail(spark, tdir, ckpt, startingVersion=3) == [[(3, "c")]]
+
+
+def test_snapshot_source_rejects_rewrites_unless_ignored(spark, tmp_path):
+    """A merge commit inside the range fails the stream by default
+    (the file delta stops meaning appended rows); ignoreChanges=true
+    skips the rewrite commit and keeps tailing appends."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl3")
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    bio.snapshot_merge(
+        spark, tdir, spark.createDataFrame([(2, "B")], "k int, s string"), ["k"]
+    )
+    bio.write_snapshot(
+        spark.createDataFrame([(9, "z")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    # strict: a fresh stream sees v1 (baseline ok) then the merge -> fail
+    with pytest.raises(StreamingQueryException, match="merge"):
+        _tail(spark, tdir, str(tmp_path / "ckpt3a"))
+    # ignoreChanges: baseline + later appends, merge skipped
+    got = _tail(spark, tdir, str(tmp_path / "ckpt3b"), ignoreChanges="true")
+    assert got == [[(1, "a"), (2, "b"), (9, "z")]]
+
+
+def test_snapshot_source_schema_evolution_null_fill(spark, tmp_path):
+    """A stream started AFTER an additive evolution null-fills the
+    pre-evolution files; one started BEFORE projects evolved files
+    down to its fixed schema."""
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    tdir = str(tmp_path / "tbl4")
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    bio.write_snapshot(
+        spark.createDataFrame([(2, "b", 0.5)], "k int, s string, w double").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    # post-evolution stream: widened schema, old file null-filled
+    got = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", tdir)
+        .option("startingVersion", 2)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: got.append(
+                (df.columns, sorted((r["k"], r["w"]) for r in df.collect()))
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # startingVersion=2 anchors on the evolved manifest: only v2's file
+    assert got == [(["k", "s", "w"], [(2, 0.5)])]
+    # pre-evolution-schema stream over the whole lineage: w dropped,
+    # old files fine
+    got2 = _tail(spark, tdir, str(tmp_path / "ckpt4b"))
+    assert got2 == [[(1, "a"), (2, "b")]]
