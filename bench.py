@@ -108,6 +108,12 @@ HEADLINE = [
     "warc_to_wet",
     "warc_cdx_build",
     "snapshot_zorder_prune",
+    # Round-14 debuts: additive schema evolution, sharded manifests,
+    # broadcast suffix-lookup eTLD+1, snapshot streaming source
+    "snapshot_schema_evolution",
+    "snapshot_sharded_manifest",
+    "domain_lookup_stats",
+    "streaming_source_tail",
 ]
 
 

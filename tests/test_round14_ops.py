@@ -829,3 +829,118 @@ def test_snapshot_source_schema_evolution_null_fill(spark, tmp_path):
     # old files fine
     got2 = _tail(spark, tdir, str(tmp_path / "ckpt4b"))
     assert got2 == [[(1, "a"), (2, "b")]]
+
+
+# ------------------- r14 compositions ----------------------------------
+
+
+def test_streaming_merge_sink_evolves_schema_mid_stream(spark, tmp_path):
+    """A CDC feed that starts carrying a NEW nullable column mid-stream
+    widens the table through the merge sink (evolution composes with
+    foreach_batch_snapshot_merge)."""
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.sinks import (
+        foreach_batch_snapshot_merge,
+    )
+
+    tdir = str(tmp_path / "evo_sink")
+    # base table does NOT have the w column yet
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    # feed whose batches carry the widened schema
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(2, "B", 0.7), (3, "C", 0.9)], "k int, s string, w double"
+    ).repartitionByRange(2, F.col("k")).write.parquet(feed)
+    stream = (
+        spark.readStream.schema("k int, s string, w double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    foreach_batch_snapshot_merge(stream, tdir, ["k"])
+    got = sorted(
+        (r["k"], r["s"], r["w"]) for r in bio.read_at_version(spark, tdir).collect()
+    )
+    assert got == [(1, "a", None), (2, "B", 0.7), (3, "C", 0.9)]
+
+
+def test_snapshot_source_vacuumed_offset_raises(spark, tmp_path):
+    """Resuming a stream whose checkpointed offset version was vacuumed
+    must raise (silent whole-table re-emit would break exactly-once)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir, ckpt = str(tmp_path / "tblv"), str(tmp_path / "ckptv")
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    assert _tail(spark, tdir, ckpt) == [[(1, "a")]]
+    bio.write_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    bio.write_snapshot(
+        spark.createDataFrame([(3, "c")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    # drop v1 (the checkpointed offset) from the log
+    bio.snapshot_vacuum(tdir, keep_last=2, min_age_sec=0.0)
+    with pytest.raises(StreamingQueryException, match="no longer exists"):
+        _tail(spark, tdir, ckpt)
+
+
+def test_snapshot_table_to_table_cdc_pipeline(spark, tmp_path):
+    """End-to-end exactly-once table sync: TAIL table A through the
+    streaming source, MERGE each batch into table B — B converges to
+    A's content, and a resumed run re-emits nothing."""
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.sinks import (
+        foreach_batch_snapshot_merge,
+    )
+    from bigdata_foundation_spark.streaming.source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    a_dir, b_dir = str(tmp_path / "A"), str(tmp_path / "B")
+    ckpt = str(tmp_path / "ckpt_ab")
+    bio.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string").coalesce(1),
+        a_dir,
+        mode="overwrite",
+    )
+    bio.write_snapshot(
+        spark.createDataFrame([(3, "c")], "k int, s string").coalesce(1),
+        a_dir,
+        mode="append",
+    )
+
+    def sync():
+        stream = spark.readStream.format("snapshot_table").option("path", a_dir).load()
+        return foreach_batch_snapshot_merge(
+            stream, b_dir, ["k"], checkpoint_dir=ckpt
+        )
+
+    sync()
+    as_rows = lambda d: sorted(
+        (r["k"], r["s"]) for r in bio.read_at_version(spark, d).collect()
+    )
+    assert as_rows(b_dir) == [(1, "a"), (2, "b"), (3, "c")]
+    b_head = bio.snapshot_versions(b_dir)[-1]
+    # nothing new: resumed sync commits nothing
+    sync()
+    assert bio.snapshot_versions(b_dir)[-1] == b_head
+    # more appends to A flow through incrementally
+    bio.write_snapshot(
+        spark.createDataFrame([(4, "d")], "k int, s string").coalesce(1),
+        a_dir,
+        mode="append",
+    )
+    sync()
+    assert as_rows(b_dir) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
