@@ -114,6 +114,7 @@ HEADLINE = [
     "snapshot_sharded_manifest",
     "domain_lookup_stats",
     "streaming_source_tail",
+    "snapshot_change_feed",
 ]
 
 

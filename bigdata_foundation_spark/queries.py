@@ -100,10 +100,10 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # snapshot_upsert + streaming_merge_sink ride; then
 # (b) the OLDEST-GATED rotation: the FULL remaining r9 block (28
 # entries — the r13 verdict's task-1 list; after this round no
-# entry's latest gate is older than r10) plus the first 3 r10 entries
+# entry's latest gate is older than r10) plus the first 2 r10 entries
 # in name order to fill 50 (staleness computed from the union of
 # CORRECTNESS_r01–r13.json).
-# Totals: 19 changed/debut + 28 r9 + 3 r10 = 50.
+# Totals: 20 changed/debut + 28 r9 + 2 r10 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r14.md. Entries not listed
 # keep registration order after these.
@@ -113,6 +113,7 @@ GATE_ORDER: list[str] = [
     "snapshot_sharded_manifest",  # r14 DEBUT: manifest format v2 (group refs)
     "domain_lookup_stats",  # r14 DEBUT: broadcast suffix-lookup eTLD+1 (full-PSL path)
     "streaming_source_tail",  # r14 DEBUT: snapshot table as a streaming source
+    "snapshot_change_feed",  # r14 DEBUT: row-level CDF over merge/delete commits
     "snapshot_delete_rows",  # r14: NULL-predicate DELETE semantics (r13 advice, high)
     "snapshot_upsert",  # r14: merge job fusion + evolution-aware reads
     "streaming_merge_sink",  # r14: rides the fused merge (per-batch constant)
@@ -157,10 +158,9 @@ GATE_ORDER: list[str] = [
     "winnow_fingerprint_stats",  # last gated r9
     "winnow_overlap_pairs",  # last gated r9
     "zipf_fit",  # last gated r9
-    # (b) oldest-gated rotation — first 3 of the r10 block (name order)
+    # (b) oldest-gated rotation — first 2 of the r10 block (name order)
     "ann_ivf_pq_refine",  # last gated r10
     "ann_ivf_pq_topk",  # last gated r10
-    "ann_ivf_topk",  # last gated r10
 ]
 
 
@@ -1968,6 +1968,74 @@ def snapshot_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+@q(
+    "snapshot_change_feed",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    upd AS (SELECT k, p + 500.0 AS p FROM base WHERE k % 20 = 0),
+    ins AS (SELECT k + 300000000 AS k, 1.0 AS p FROM base WHERE k % 100 = 0),
+    merged AS (
+      SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    ),
+    changes AS (
+      SELECT 2 AS v, 'update_postimage' AS t, k, p FROM upd
+      UNION ALL SELECT 2, 'insert', k, p FROM ins
+      UNION ALL SELECT 3, 'delete', k, p FROM merged WHERE p > 400000.0
+    )
+    SELECT CAST(v AS INT) AS commit_version, t AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(p), 2) AS total
+    FROM changes GROUP BY 1, 2
+    """,
+    "row-level CHANGE DATA FEED (r14 - io.read_version_changes, the "
+    "CDF companion to the append-only delta read): orders is "
+    "committed, a merge updates every 20th key and inserts new keys, "
+    "a prune-bounded delete removes high-price rows - the feed then "
+    "re-derives typed (insert / update_postimage / delete) change "
+    "rows per commit by diffing ONLY each commit's rewritten files, "
+    "row-level EXCEPT first so unchanged rows a rewrite carried emit "
+    "NOTHING. The oracle re-derives the exact change set from the "
+    "base table, so a phantom change, a missed delete, or a "
+    "misclassified update breaks the value match. Full SQL oracle",
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark import io as bio
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    k = F.col("k")
+    tdir = tempfile.mkdtemp(prefix="q_snapshot_cdf_")
+    v1 = bio.write_snapshot(
+        orders.repartitionByRange(8, k), tdir, mode="overwrite", commit_id="c1"
+    )
+    updates = (
+        orders.filter(k % 20 == 0)
+        .withColumn("p", F.col("p") + 500.0)
+        .unionByName(
+            orders.filter(k % 100 == 0).select(
+                (k + 300000000).alias("k"), F.lit(1.0).alias("p")
+            )
+        )
+    )
+    bio.snapshot_merge(spark, tdir, updates, ["k"], commit_id="c2")
+    v3 = bio.snapshot_delete(
+        spark, tdir, F.col("p") > 400000.0, prune=[("p", 400000.0, None)],
+        commit_id="c3",
+    )
+    feed = bio.read_version_changes(spark, tdir, v1, v3, key_cols=["k"])
+    return feed.groupBy(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("p"), 2).alias("total"),
     )
 
 

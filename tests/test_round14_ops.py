@@ -944,3 +944,104 @@ def test_snapshot_table_to_table_cdc_pipeline(spark, tmp_path):
     )
     sync()
     assert as_rows(b_dir) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+# ------------------- row-level change feed ------------------------------
+
+
+def test_read_version_changes_classifies_exactly(spark, tmp_path):
+    """Across append + merge + delete commits, the change feed emits
+    exactly the rows that changed, typed — unchanged rows a rewrite
+    happened to carry emit NOTHING."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "cdf")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, s string"
+    )
+    v1 = bio.write_snapshot(base.coalesce(1), tdir, mode="overwrite")
+    v2 = bio.write_snapshot(
+        spark.createDataFrame([(5, "e")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    # merge: update k=2, insert k=6 — k=1/3/4 share the rewritten file
+    v3 = bio.snapshot_merge(
+        spark,
+        tdir,
+        spark.createDataFrame([(2, "B"), (6, "f")], "k int, s string"),
+        ["k"],
+    )
+    v4 = bio.snapshot_delete(spark, tdir, F.col("k") == 3)
+    feed = bio.read_version_changes(spark, tdir, v1, v4, key_cols=["k"])
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["s"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (v2, "insert", 5, "e"),
+        (v3, "insert", 6, "f"),
+        (v3, "update_postimage", 2, "B"),
+        (v4, "delete", 3, "c"),
+    ]
+    # keyless fallback: the update becomes its delete+insert pair
+    feed2 = bio.read_version_changes(spark, tdir, v1, v3)
+    got2 = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"]) for r in feed2.collect()
+    )
+    assert got2 == [
+        (v2, "insert", 5),
+        (v3, "delete", 2),
+        (v3, "insert", 2),
+        (v3, "insert", 6),
+    ]
+
+
+def test_read_version_changes_refuses_overwrite(spark, tmp_path):
+    """Overwrite (incl. compaction/zorder) commits have no bounded
+    row-level diff — the feed refuses, naming the version."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "cdf2")
+    v1 = bio.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    v2 = bio.write_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        bio.read_version_changes(spark, tdir, v1, v2, key_cols=["k"])
+    # empty range -> typed empty frame
+    empty = bio.read_version_changes(spark, tdir, v2, v2, key_cols=["k"])
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_read_version_changes_evolution_aware(spark, tmp_path):
+    """Changes across an additive evolution project older commits'
+    rows through the to_version schema (null-filled new column)."""
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "cdf3")
+    v1 = bio.write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string").coalesce(1),
+        tdir,
+        mode="overwrite",
+    )
+    v2 = bio.write_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    v3 = bio.write_snapshot(
+        spark.createDataFrame([(3, "c", 0.5)], "k int, s string, w double").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    feed = bio.read_version_changes(spark, tdir, v1, v3, key_cols=["k"])
+    got = sorted((r["k"], r["w"], r["_change_type"]) for r in feed.collect())
+    assert got == [(2, None, "insert"), (3, 0.5, "insert")]
