@@ -1847,7 +1847,7 @@ def snapshot_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(CASE WHEN cust_ref IS NULL THEN 1 END) AS BIGINT) AS n_nullref,
            ROUND(SUM(o_totalprice), 2) AS total,
-           ROUND(SUM(cust_ref), 2) AS sum_ref
+           COALESCE(ROUND(SUM(cust_ref), 2), -1.0) AS sum_ref
     FROM u GROUP BY 1
     """,
     "additive snapshot schema evolution (r14 - io.write_snapshot + "
@@ -1896,7 +1896,11 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.count(F.when(F.col("cust_ref").isNull(), 1)).cast("bigint").alias("n_nullref"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.round(F.sum("cust_ref"), 2).alias("sum_ref"),
+            # buckets whose keys are all even carry NO cust_ref rows:
+            # SUM is NULL — coalesce to a sentinel in BOTH engines
+            # (Spark None vs DuckDB NaN stringify differently in the
+            # comparator; the NULL-fill evidence lives in n_nullref)
+            F.coalesce(F.round(F.sum("cust_ref"), 2), F.lit(-1.0)).alias("sum_ref"),
         )
     )
 

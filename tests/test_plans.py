@@ -555,3 +555,11 @@ def test_domain_lookup_broadcast_only_no_url_shuffle(spark):
     # below the joins
     agg_part = plan.split("BroadcastHashJoin")[0]
     assert "Exchange" not in agg_part or "hashpartitioning(domain" in agg_part
+
+
+def test_change_feed_no_cartesian_keyed_diffs(spark):
+    """The change feed's per-commit diffs must be keyed joins/EXCEPTs
+    over the rewritten files only — no CartesianProduct, no Python."""
+    plan = plan_of(spark, "snapshot_change_feed")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

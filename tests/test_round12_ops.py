@@ -533,10 +533,15 @@ def test_snapshot_version_delta_and_schema_enforcement(spark, tmp_path):
     # empty delta keeps the schema
     same = read_version_delta(spark, tdir, 3, 3)
     assert same.count() == 0 and same.columns == ["k"]
-    # append with drifted schema fails fast
-    with _pytest.raises(ValueError, match="schema"):
+    # append with a RETYPED column fails fast (r14: ADDING a nullable
+    # column is legal additive evolution; drops/retypes still refuse)
+    with _pytest.raises(ValueError, match="type"):
         write_snapshot(
-            spark.range(3).selectExpr("id AS k", "id AS extra"), tdir
+            spark.range(3).selectExpr("CAST(id AS STRING) AS k"), tdir
+        )
+    with _pytest.raises(ValueError, match="missing"):
+        write_snapshot(
+            spark.range(3).selectExpr("id AS other"), tdir
         )
     # schema change goes through overwrite, after which the delta
     # across the boundary refuses rather than mislabeling rows
