@@ -115,6 +115,7 @@ HEADLINE = [
     "domain_lookup_stats",
     "streaming_source_tail",
     "snapshot_change_feed",
+    "badwords_filter_stats",
 ]
 
 

@@ -141,6 +141,65 @@ def gopher_filter(
     )
 
 
+def badwords_hits(text: Column | str, banned: list[str]) -> Column:
+    """Count of DISTINCT banned words present in ``text`` — the C4
+    "bad words" curation signal (Raffel et al. 2020 drop any page
+    containing a listed word; RefinedWeb keeps a counted signal).
+    Whole-word, case-insensitive: the text's whitespace tokens are
+    intersected with the banned list as a BROADCAST LITERAL ARRAY —
+    one codegen ``array_intersect`` per row, no regex alternation
+    (a 10k-entry word list as one regex is the same per-row
+    linear-scan trap the PSL stress probe measured; set intersection
+    is hash-based). Tokens keep attached punctuation (whitespace
+    tokenization — same documented approximation as gopher_rules;
+    a '.'-suffixed hit is missed, a deployment strips token-edge
+    punctuation upstream via normalize_text).
+
+    Multi-word PHRASES don't fit token intersection — pass them to
+    ``badwords_filter(phrases=...)``, which matches them with a small
+    anchored regex (phrase lists are short; the WORD list is the one
+    that grows).
+
+    NULL text counts 0 hits (a NULL document contains no banned
+    words — and a NULL signal would silently DROP the row through
+    three-valued logic in the filter, the same trap as
+    blocklist_filter's r11 finding)."""
+    toks = tokens(text)
+    ban = F.array(*[F.lit(w.lower()) for w in banned])
+    # greatest(..., 0) also absorbs legacy sizeOfNull=-1 configs
+    return F.greatest(
+        F.coalesce(F.size(F.array_intersect(toks, ban)), F.lit(0)), F.lit(0)
+    )
+
+
+def badwords_filter(
+    df: DataFrame,
+    banned: list[str],
+    text_col: str = "text",
+    phrases: list[str] | None = None,
+    max_hits: int = 0,
+    keep_signal: bool = False,
+) -> DataFrame:
+    """Drop documents containing more than ``max_hits`` distinct
+    banned words (default 0 — C4's any-hit drop), plus any document
+    matching a banned PHRASE. One scan, no shuffle, no Python.
+    ``keep_signal=True`` keeps the ``n_banned_hits`` column for
+    auditing (RefinedWeb-style counted signal)."""
+    import re as _re
+
+    out = df.withColumn("n_banned_hits", badwords_hits(text_col, banned))
+    pred = F.col("n_banned_hits") <= max_hits
+    if phrases:
+        pat = "(?i)(?:^|\\s)(?:" + "|".join(
+            _re.escape(p.lower()).replace("\\ ", "\\s+") for p in phrases
+        ) + ")(?:\\s|$|[.,;:!?])"
+        pred = pred & ~F.coalesce(
+            F.col(text_col).rlike(pat), F.lit(False)
+        )
+    out = out.filter(pred)
+    return out if keep_signal else out.drop("n_banned_hits")
+
+
 def lang_id(text: Column | str) -> Column:
     """Stopword-vote language ID over the five supported languages.
 

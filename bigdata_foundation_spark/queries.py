@@ -100,10 +100,10 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # snapshot_upsert + streaming_merge_sink ride; then
 # (b) the OLDEST-GATED rotation: the FULL remaining r9 block (28
 # entries — the r13 verdict's task-1 list; after this round no
-# entry's latest gate is older than r10) plus the first 2 r10 entries
+# entry's latest gate is older than r10) plus the first 1 r10 entries
 # in name order to fill 50 (staleness computed from the union of
 # CORRECTNESS_r01–r13.json).
-# Totals: 20 changed/debut + 28 r9 + 2 r10 = 50.
+# Totals: 21 changed/debut + 28 r9 + 1 r10 = 50.
 # The whole registry is additionally value-checked locally each round
 # via tools/check_oracles.py — see ORACLES_r14.md. Entries not listed
 # keep registration order after these.
@@ -114,6 +114,7 @@ GATE_ORDER: list[str] = [
     "domain_lookup_stats",  # r14 DEBUT: broadcast suffix-lookup eTLD+1 (full-PSL path)
     "streaming_source_tail",  # r14 DEBUT: snapshot table as a streaming source
     "snapshot_change_feed",  # r14 DEBUT: row-level CDF over merge/delete commits
+    "badwords_filter_stats",  # r14 DEBUT: C4 banned-words stage (array-intersect, no regex)
     "snapshot_delete_rows",  # r14: NULL-predicate DELETE semantics (r13 advice, high)
     "snapshot_upsert",  # r14: merge job fusion + evolution-aware reads
     "streaming_merge_sink",  # r14: rides the fused merge (per-batch constant)
@@ -158,9 +159,8 @@ GATE_ORDER: list[str] = [
     "winnow_fingerprint_stats",  # last gated r9
     "winnow_overlap_pairs",  # last gated r9
     "zipf_fit",  # last gated r9
-    # (b) oldest-gated rotation — first 2 of the r10 block (name order)
+    # (b) oldest-gated rotation — first 1 of the r10 block (name order)
     "ann_ivf_pq_refine",  # last gated r10
-    "ann_ivf_pq_topk",  # last gated r10
 ]
 
 
@@ -1972,6 +1972,51 @@ def snapshot_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+@q(
+    "badwords_filter_stats",
+    r"""
+    WITH toks AS (
+      SELECT n_chars, lower(text) AS lt,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents
+    ), h AS (
+      SELECT n_chars, lt,
+             len(list_distinct(list_intersect(ts, ['slow','broken','spam','vector']))) AS hits
+      FROM toks
+    )
+    SELECT CAST(hits AS INT) AS n_banned_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM h
+    WHERE hits <= 1
+      AND NOT regexp_matches(lt, '(?:^|\s)(?:fast\s+table)(?:\s|$|[.,;:!?])')
+    GROUP BY 1
+    """,
+    "banned-words curation filter (r14 - the C4 'bad words' stage, "
+    "Raffel et al. 2020; RefinedWeb keeps the counted signal): "
+    "documents keep at most max_hits=1 DISTINCT banned words and must "
+    "not match a banned PHRASE. The word list is a broadcast literal "
+    "array intersected with the token array - ONE codegen "
+    "array_intersect per row, hash-based, NO regex alternation (the "
+    "PSL stress probe measured that trap at 74 s/1M rows); only the "
+    "short phrase list uses an anchored regex. The oracle re-derives "
+    "the kept set and per-hit-count histogram with DuckDB list ops. "
+    "Full SQL oracle",
+)
+def badwords_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    banned = ["slow", "broken", "spam", "vector"]
+    kept = TX.badwords_filter(
+        docs, banned, max_hits=1, phrases=["fast table"], keep_signal=True
+    )
+    return kept.groupBy(
+        F.col("n_banned_hits").cast("int").alias("n_banned_hits")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
 
 

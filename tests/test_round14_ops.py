@@ -1045,3 +1045,59 @@ def test_read_version_changes_evolution_aware(spark, tmp_path):
     feed = bio.read_version_changes(spark, tdir, v1, v3, key_cols=["k"])
     got = sorted((r["k"], r["w"], r["_change_type"]) for r in feed.collect())
     assert got == [(2, None, "insert"), (3, 0.5, "insert")]
+
+
+# ------------------- badwords filter ------------------------------------
+
+
+def test_badwords_filter_semantics(spark):
+    """Whole-word distinct-hit counting, max_hits threshold, phrase
+    drop, NULL-text row kept (no three-valued-logic drop)."""
+    from bigdata_foundation_spark.operators import text as TXm
+
+    rows = [
+        (1, "a clean doc about tables"),
+        (2, "one SLOW query"),  # 1 hit, case-insensitive
+        (3, "slow slow slow day"),  # 1 DISTINCT hit
+        (4, "slow and broken spam"),  # 3 hits
+        (5, "slowly is not slow-word but slowly"),  # no whole-word hit
+        (6, "totally fast  table layout"),  # phrase (run of whitespace)
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    banned = ["slow", "broken", "spam"]
+    kept = TXm.badwords_filter(
+        df, banned, max_hits=1, phrases=["fast table"], keep_signal=True
+    )
+    got = {r["doc_id"]: r["n_banned_hits"] for r in kept.collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 5: 0, 7: 0}
+    # strict C4 drop: any hit
+    strict = TXm.badwords_filter(df, banned)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [1, 5, 6, 7]
+    assert "n_banned_hits" not in strict.columns
+
+
+def test_snapshot_source_over_sharded_manifests(spark, tmp_path, small_shards):
+    """The streaming source plans batches through v2 group-ref
+    manifests identically to flat ones."""
+    bio = small_shards
+    tdir, ckpt = str(tmp_path / "v2src"), str(tmp_path / "v2ckpt")
+    base = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.concat(F.lit("s"), F.col("id")).alias("s")
+    )
+    bio.write_snapshot(base.repartitionByRange(6, F.col("k")), tdir, mode="overwrite")
+    man = bio._read_manifest(tdir, 1)
+    assert man.get("format") == 2  # really v2
+    bio.write_snapshot(
+        spark.createDataFrame([(100, "x")], "k bigint, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    got = _tail(spark, tdir, ckpt)
+    assert len(got) == 1 and len(got[0]) == 31
+    bio.write_snapshot(
+        spark.createDataFrame([(101, "y")], "k bigint, s string").coalesce(1),
+        tdir,
+        mode="append",
+    )
+    assert _tail(spark, tdir, ckpt) == [[(101, "y")]]
