@@ -194,7 +194,12 @@ class MemArchiveFS:
         pass  # directories are implicit
 
     def replace(self, src: str, dst: str) -> None:
-        self.files[dst] = self.files.pop(src)
+        try:
+            self.files[dst] = self.files.pop(src)
+        except KeyError:
+            # same exception family as the POSIX backend (contract:
+            # callers handle missing paths uniformly across backends)
+            raise FileNotFoundError(src)
 
     def glob(self, pattern: str) -> list[str]:
         import fnmatch

@@ -53,9 +53,8 @@ SNAPSHOT_SOURCE_NAME = "snapshot_table"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, schema_json: str):
+    def __init__(self, path: str):
         self.path = path
-        self.schema_json = schema_json
 
 
 def _manifest(table_dir: str, version: int) -> dict:
@@ -112,7 +111,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if lo in versions
             else set()
         )
-        import json
         import os
 
         ddir, _ = bio._snapshot_paths(self._table_dir)
@@ -140,10 +138,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 prev_files = set(files)
                 continue
             new = [f for f in files if f not in prev_files]
-            schema_json = json.dumps(man["schema"])
-            parts.extend(
-                _FilePartition(os.path.join(ddir, f), schema_json) for f in new
-            )
+            parts.extend(_FilePartition(os.path.join(ddir, f)) for f in new)
             prev_files = set(files)
         return parts
 

@@ -107,25 +107,92 @@ def test_psl_sql_replay_agrees_on_exact_suffix(spark):
 
 
 def test_warc_manifest_written_and_lists_all_parts(spark, tmp_path):
-    """write_warc_gz publishes _warc_manifest.json naming exactly the
-    committed files."""
-    import json
+    """write_warc_gz publishes one commit file per write; readers see
+    the union (concurrent publishes cannot lose each other — each
+    write owns its uuid-named commit file, nothing is rewritten)."""
     import os
 
-    from bigdata_foundation_spark.io import write_warc_gz
+    from bigdata_foundation_spark.io import _read_warc_manifest, write_warc_gz
 
     out_dir = str(tmp_path / "man")
     df = spark.createDataFrame([(r,) for r in _recs("m", 12)], ["record"]).repartition(3)
     written = write_warc_gz(df, out_dir)
-    with open(os.path.join(out_dir, "_warc_manifest.json")) as fh:
-        man = set(json.load(fh)["files"])
-    assert man == {os.path.basename(f) for f, _ in written}
-    # a second (concurrent-writer-style) append UNIONS into the manifest
+    assert _read_warc_manifest(out_dir) == {
+        os.path.basename(f) for f, _ in written
+    }
+    # a second write appends ITS OWN commit file; visibility unions
     df2 = spark.createDataFrame([(r,) for r in _recs("n", 4)], ["record"]).coalesce(1)
     written2 = write_warc_gz(df2, out_dir)
-    with open(os.path.join(out_dir, "_warc_manifest.json")) as fh:
-        man2 = set(json.load(fh)["files"])
-    assert man2 == man | {os.path.basename(f) for f, _ in written2}
+    assert _read_warc_manifest(out_dir) == {
+        os.path.basename(f) for f, _ in written
+    } | {os.path.basename(f) for f, _ in written2}
+    commits = os.listdir(os.path.join(out_dir, "_warc_commits"))
+    assert len(commits) == 2  # one per write, none rewritten
+
+
+def test_warc_manifest_grandfathers_preexisting_archive(spark, tmp_path):
+    """The FIRST publish into a directory holding externally-produced
+    .warc.gz files keeps them visible (r14 review: they were readable
+    before the write; hiding them would vanish data)."""
+    import gzip
+    import os
+
+    from bigdata_foundation_spark.io import read_warc_gz, write_warc_gz
+
+    out_dir = str(tmp_path / "pre")
+    os.makedirs(out_dir)
+    ext = _recs("external", 5)
+    with open(os.path.join(out_dir, "external-archive.warc.gz"), "wb") as fh:
+        for r in ext:
+            fh.write(gzip.compress(("WARC/1.0\r\n" + r + "\r\n\r\n").encode()))
+    new = _recs("new", 3)
+    write_warc_gz(
+        spark.createDataFrame([(r,) for r in new], ["record"]).coalesce(1), out_dir
+    )
+    got = [r["record"] for r in read_warc_gz(spark, out_dir).collect()]
+    assert sorted(got) == sorted(ext + new)
+
+
+def test_warc_glob_read_honors_manifest(spark, tmp_path):
+    """A GLOB input filters through the per-directory manifest too —
+    orphans are invisible whichever input form the reader uses (r14
+    review: the glob branch used to bypass it)."""
+    import gzip
+    import os
+
+    from bigdata_foundation_spark.io import read_warc_gz, write_warc_gz
+
+    out_dir = str(tmp_path / "glob")
+    recs = _recs("g", 6)
+    write_warc_gz(
+        spark.createDataFrame([(r,) for r in recs], ["record"]).coalesce(1), out_dir
+    )
+    orphan = os.path.join(out_dir, "part-" + "ab" * 16 + ".warc.gz")
+    with open(orphan, "wb") as fh:
+        fh.write(
+            gzip.compress(
+                b"WARC/1.0\r\nWARC-Target-URI: https://orphan.com/\r\n\r\nok\r\n\r\n"
+            )
+        )
+    got = [
+        r["record"]
+        for r in read_warc_gz(spark, out_dir + "/*.warc.gz").collect()
+    ]
+    assert sorted(got) == sorted(recs)
+
+
+def test_archive_base_scheme_paths(tmp_path):
+    """Non-directory scheme paths must not go through os.path.abspath
+    (r14 review: 'x://a/f' would become '<cwd>/x:/a')."""
+    from bigdata_foundation_spark.fs import PrefixArchiveFS
+    from bigdata_foundation_spark.io import _archive_base
+
+    fs = PrefixArchiveFS("arch", str(tmp_path))
+    assert _archive_base("arch://a/x.warc.gz", fs) == "arch://a"
+    import os
+
+    os.makedirs(str(tmp_path / "d"))
+    assert _archive_base("arch://d", fs) == "arch://d"
 
 
 def test_warc_orphans_invisible_to_both_readers(spark, tmp_path):
@@ -561,8 +628,8 @@ def test_warc_write_read_roundtrip_through_prefix_fs(spark, tmp_path):
     written = write_warc_gz(df, "warcstore://crawl", fs=fs)
     assert sum(n for _, n in written) == 9
     assert all(f.startswith("warcstore://crawl/") for f, _ in written)
-    # the commit manifest landed in the backend namespace
-    assert os.path.exists(os.path.join(root, "crawl", "_warc_manifest.json"))
+    # the commit metadata landed in the backend namespace
+    assert os.listdir(os.path.join(root, "crawl", "_warc_commits"))
     got = [
         r["record"] for r in read_warc_gz(spark, "warcstore://crawl", fs=fs).collect()
     ]
