@@ -202,9 +202,21 @@ class MemArchiveFS:
             raise FileNotFoundError(src)
 
     def glob(self, pattern: str) -> list[str]:
+        # Segment-wise match: '*' must not cross '/' (POSIX glob
+        # semantics) or fs-parameterized code sees different file sets
+        # per backend — 'dir/*.gz' must NOT match 'dir/sub/x.gz'
+        # (r14 advice; check_archive_fs pins this on every backend).
         import fnmatch
 
-        return sorted(f for f in self.files if fnmatch.fnmatch(f, pattern))
+        pseg = pattern.split("/")
+
+        def _match(path: str) -> bool:
+            seg = path.split("/")
+            return len(seg) == len(pseg) and all(
+                fnmatch.fnmatch(s, p) for s, p in zip(seg, pseg)
+            )
+
+        return sorted(f for f in self.files if _match(f))
 
 
 def check_archive_fs(fs, scratch_dir: str) -> None:
@@ -251,6 +263,21 @@ def check_archive_fs(fs, scratch_dir: str) -> None:
     got = fs.glob(base + "*.bin")
     if got != [p]:
         raise ValueError(f"archive fs: glob returned {got!r}, want [{p!r}]")
+    # '*' must not cross '/' — a nested file may not match a
+    # single-level pattern (backends must agree on glob scope)
+    fs.makedirs(base + "sub")
+    nested = base + "sub/nested.bin"
+    with fs.open(nested + ".tmp", "wb") as fh:
+        fh.write(b"x")
+    fs.replace(nested + ".tmp", nested)
+    got = fs.glob(base + "*.bin")
+    if got != [p]:
+        raise ValueError(
+            f"archive fs: glob {base + '*.bin'!r} returned {got!r} — "
+            "'*' crossed a '/' separator (must match one segment only)"
+        )
+    if fs.glob(base + "sub/*.bin") != [nested]:
+        raise ValueError("archive fs: segment-scoped glob missed the nested file")
     if fs.exists(base + "nope.bin"):
         raise ValueError("archive fs: exists() true for a missing file")
     try:

@@ -444,7 +444,11 @@ def test_sharded_manifest_lifecycle(spark, tmp_path, small_shards):
         mode="append",
     )
     man2 = bio._read_manifest(tdir, v2)
-    assert {r["path"] for r in man1["groups"]} <= {r["path"] for r in man2["groups"]}
+    # FULL groups carry over by reference; partial groups (the tail +
+    # the 1-file append) may be re-chunked by commit-time compaction
+    # (r15 — fragmentation control), so only pin the full ones
+    full1 = {r["path"] for r in man1["groups"] if r["n"] >= 3}
+    assert full1 and full1 <= {r["path"] for r in man2["groups"]}
     assert bio.read_at_version(spark, tdir, v2).count() == 41
     assert bio.snapshot_history(tdir)[-1]["n_files"] == 9
     # delta across the append reads only the new file
@@ -518,7 +522,7 @@ def test_sharded_manifest_vacuum_sweeps_orphan_groups(spark, tmp_path, small_sha
         spark, tdir, spark.createDataFrame([(3, -1.0)], "k bigint, v double"), ["k"]
     )
     _, mdir = bio._snapshot_paths(tdir)
-    gdir = bio._groups_dir(mdir)
+    gdir = os.path.join(mdir, "groups")
     before = set(os.listdir(gdir))
     head_man = bio._read_manifest(tdir, bio.snapshot_versions(tdir)[-1])
     head_groups = {r["path"] for r in head_man["groups"]}

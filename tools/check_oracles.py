@@ -47,11 +47,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = 0
+    matched = 0
     for name, spec in registry().items():
         import re
 
         if name_filter and not re.search(name_filter, name):
             continue
+        matched += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -99,6 +101,16 @@ def main() -> int:
             continue
         print(f"OK   {name}: {len(srows)} rows value-match ({dt:.1f}s)")
 
+    if name_filter and matched == 0:
+        # A filter that selects NOTHING must not "pass" (r14 incident:
+        # `--only foo` parsed as a no-match regex and the empty run
+        # printed ALL OK, masking a real divergence until the full
+        # registry run caught it). Vacuous filters exit nonzero.
+        print(
+            f"FAIL: name filter {name_filter!r} matched 0 of "
+            f"{len(registry())} registry entries"
+        )
+        return 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

@@ -101,7 +101,7 @@ def bench(spark, root: str, n_files: int, fmt: str = "v1") -> dict:
     t_read = time.perf_counter() - t0
     man_bytes = os.path.getsize(os.path.join(mdir, "v00000002.json"))
     if "groups" in man:
-        gdir = bio._groups_dir(mdir)
+        gdir = os.path.join(mdir, "groups")
         man_bytes += sum(
             os.path.getsize(os.path.join(gdir, g)) for g in os.listdir(gdir)
         )
