@@ -82,85 +82,80 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The driver gates the FIRST 50 registry keys each round. r14 order:
-# (a) every entry whose code path changed this round — the r14 DEBUT
-# snapshot_schema_evolution (additive column evolution through the
-# manifest schema), the r13-advice fix set (snapshot_delete_rows:
-# NULL-predicate DELETE semantics; the whole .warc.gz family:
-# task-commit temp+rename protocol, driver-published commit manifest
-# honored by both readers, CDX row dedup, empty-archive guards;
-# url_normalize_stats / domain_cap_sample / robots_filter_stats:
-# PSL exact-suffix hosts now NULL in registered_domain AND
-# psl_domain_sql), the snapshot read path (read_at_version /
-# read_version_delta / merge / delete / compact / zorder now read
-# file subsets THROUGH the manifest schema — required for evolution,
-# changes every snapshot gate's plan), and the snapshot_merge
-# per-batch job fusion (dup-check + key bounds in ONE job over a
-# cached updates frame; empty batches no-op) which
-# snapshot_upsert + streaming_merge_sink ride; then
-# (b) the OLDEST-GATED rotation: the FULL remaining r9 block (28
-# entries — the r13 verdict's task-1 list; after this round no
-# entry's latest gate is older than r10) plus the first 1 r10 entries
-# in name order to fill 50 (staleness computed from the union of
-# CORRECTNESS_r01–r13.json).
-# Totals: 21 changed/debut + 28 r9 + 1 r10 = 50.
+# The driver gates the FIRST 50 registry keys each round. r15 order:
+# (a) the r15 DEBUT streaming_change_feed (snapshot_table stream in
+# readChangeFeed mode) plus the entries most affected by this
+# round's code changes: streaming_source_tail (the source grew rate
+# limiting, the vacuumed-startingVersion baseline, and CDF planning —
+# partitions/latestOffset rewritten), snapshot_sharded_manifest
+# (group blobs now ride the log-store seam + commit-time partial-
+# group compaction), snapshot_upsert (merge commits ride the
+# compacting _build_manifest_file_payload), snapshot_change_feed
+# (the batch CDF whose semantics the new stream mode mirrors;
+# multiplicity contract pinned), and warc_gz_parse / warc_cdx_build
+# (_warc_gz_ranges grew the exact-file branch; cdx_build is also an
+# r14 bench watch line); then
+# (b) the OLDEST-GATED rotation: the FULL r10 block (43 entries —
+# the r14 verdict's task-1 list; after this round no entry's latest
+# gate is older than r11; staleness computed from the union of
+# CORRECTNESS_r01–r14.json).
+# Totals: 1 debut + 6 changed + 43 r10 = 50.
 # The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r14.md. Entries not listed
+# via tools/check_oracles.py — see ORACLES_r15.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) changed since the r13 judged tree + the r14 debuts
-    "snapshot_schema_evolution",  # r14 DEBUT: additive schema evolution
-    "snapshot_sharded_manifest",  # r14 DEBUT: manifest format v2 (group refs)
-    "domain_lookup_stats",  # r14 DEBUT: broadcast suffix-lookup eTLD+1 (full-PSL path)
-    "streaming_source_tail",  # r14 DEBUT: snapshot table as a streaming source
-    "snapshot_change_feed",  # r14 DEBUT: row-level CDF over merge/delete commits
-    "badwords_filter_stats",  # r14 DEBUT: C4 banned-words stage (array-intersect, no regex)
-    "snapshot_delete_rows",  # r14: NULL-predicate DELETE semantics (r13 advice, high)
-    "snapshot_upsert",  # r14: merge job fusion + evolution-aware reads
-    "streaming_merge_sink",  # r14: rides the fused merge (per-batch constant)
-    "snapshot_time_travel",  # r14: read_at_version reads through the manifest schema
-    "snapshot_incremental",  # r14: read_version_delta reads through the manifest schema
-    "snapshot_zorder_prune",  # r14: zorder/compact read through the manifest schema
-    "streaming_snapshot_sink",  # r14: write_snapshot evolution-aware append checks
-    "warc_gz_parse",  # r14: manifest-aware archive listing (r13 advice, medium)
-    "warc_gz_roundtrip",  # r14: writer task-commit protocol (temp+rename+manifest)
-    "warc_cdx_selective",  # r14: indexed read honors manifest + dedups index rows
-    "warc_cdx_build",  # r14: sidecar temp+rename; empty-archive guard
-    "warc_to_wet",  # r14: rides the manifest-aware read_warc_gz
-    "url_normalize_stats",  # r14: PSL exact-suffix hosts -> NULL (r13 advice, low)
-    "domain_cap_sample",  # r14: PSL-backed registered_domain exact-suffix branch
-    "robots_filter_stats",  # r14: psl_domain_sql exact-suffix branch in the oracle
-    # (b) oldest-gated rotation — the FULL remaining r9 block
-    "cube_revenue",  # last gated r9
-    "curation_funnel",  # last gated r9
-    "date_functions_orders",  # last gated r9
-    "dedup_embedding_cosine",  # last gated r9
-    "dedup_embedding_lsh",  # last gated r9
-    "dedup_ngram_jaccard",  # last gated r9
-    "distinct_agg_priority",  # last gated r9
-    "embedding_normalize",  # last gated r9
-    "multimodal_frame_sample",  # last gated r9
-    "q2_min_cost_supplier",  # last gated r9
-    "q3_segment_topk",  # last gated r9
-    "q4_late_orders",  # last gated r9
-    "q5_region_revenue",  # last gated r9
-    "q7_nation_volume",  # last gated r9
-    "q8_market_share",  # last gated r9
-    "range_join_attribution",  # last gated r9
-    "salted_agg_events",  # last gated r9
-    "semi_join_ordered_parts",  # last gated r9
-    "shuffle_deterministic_order",  # last gated r9
-    "snapshot_diff_orders",  # last gated r9
-    "streaming_interval_join",  # last gated r9
-    "streaming_running_zscore",  # last gated r9
-    "upsert_orders",  # last gated r9
-    "window_funcs_orders",  # last gated r9
-    "window_top_orders_per_customer",  # last gated r9
-    "winnow_fingerprint_stats",  # last gated r9
-    "winnow_overlap_pairs",  # last gated r9
-    "zipf_fit",  # last gated r9
-    # (b) oldest-gated rotation — first 1 of the r10 block (name order)
-    "ann_ivf_pq_refine",  # last gated r10
+    # (a) r15 debut + the entries this round's code changes touch most
+    "streaming_change_feed",  # r15 DEBUT: CDF streaming mode on the snapshot source
+    "streaming_source_tail",  # r15: source rewritten (rate limit, vacuum baseline, CDF)
+    "snapshot_sharded_manifest",  # r15: blob I/O through the log store + group compaction
+    "snapshot_upsert",  # r15: merge rides the compacting manifest payload builder
+    "snapshot_change_feed",  # r15: batch CDF (multiplicity contract; stream-mode twin)
+    "warc_gz_parse",  # r15: _warc_gz_ranges exact-file branch
+    "warc_cdx_build",  # r15: rides _warc_gz_ranges; r14 bench watch line
+    # (b) oldest-gated rotation — the FULL r10 block
+    "ann_ivf_pq_topk",  # last gated r10
+    "ann_ivf_topk",  # last gated r10
+    "ann_pq_topk",  # last gated r10
+    "bm25_rank",  # last gated r10
+    "chunk_documents",  # last gated r10
+    "contamination_check",  # last gated r10
+    "corpus_profile",  # last gated r10
+    "dedup_cluster_canonical",  # last gated r10
+    "dedup_cluster_keep_best",  # last gated r10
+    "dedup_exact",  # last gated r10
+    "dedup_simhash",  # last gated r10
+    "dsir_scores",  # last gated r10
+    "embedding_kmeans",  # last gated r10
+    "events_hourly",  # last gated r10
+    "events_json_parse",  # last gated r10
+    "events_kv_extract",  # last gated r10
+    "fuzzy_name_match",  # last gated r10
+    "gopher_quality",  # last gated r10
+    "graph_articulation",  # last gated r10
+    "graph_bridges",  # last gated r10
+    "graph_degree_distribution",  # last gated r10
+    "graph_dijkstra_agg",  # last gated r10
+    "graph_edges",  # last gated r10
+    "graph_k_hop",  # last gated r10
+    "graph_sssp",  # last gated r10
+    "graph_triangles",  # last gated r10
+    "hash_sample_orders",  # last gated r10
+    "orders_by_year",  # last gated r10
+    "orders_topk",  # last gated r10
+    "perplexity_buckets",  # last gated r10
+    "pivot_priority_by_year",  # last gated r10
+    "point_lookup_customer",  # last gated r10
+    "q9_product_profit",  # last gated r10
+    "rollup_order_stats",  # last gated r10
+    "semantic_dedup",  # last gated r10
+    "setop_repeat_customers",  # last gated r10
+    "stats_agg_lineitem",  # last gated r10
+    "streaming_scd2",  # last gated r10
+    "streaming_upsert_sink",  # last gated r10
+    "string_funcs_customer",  # last gated r10
+    "top_docs_per_group",  # last gated r10
+    "union_all_keys",  # last gated r10
+    "value_percentiles",  # last gated r10
 ]
 
 
@@ -4934,6 +4929,98 @@ def streaming_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "streaming_change_feed",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    upd AS (SELECT k, p + 700.0 AS p FROM base WHERE k % 30 = 0),
+    ins AS (SELECT k + 400000000 AS k, 1.0 AS p FROM base WHERE k % 150 = 0),
+    merged AS (
+      SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    ),
+    changes AS (
+      SELECT 2 AS v, 'update_postimage' AS t, k, p FROM upd
+      UNION ALL SELECT 2, 'insert', k, p FROM ins
+      UNION ALL SELECT 3, 'delete', k, p FROM merged WHERE p > 450000.0
+    )
+    SELECT CAST(v AS INT) AS commit_version, t AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(p), 2) AS total
+    FROM changes GROUP BY 1, 2
+    """,
+    "STREAMING change feed (r15 - streaming.source readChangeFeed "
+    "mode, r14 verdict task 3): orders is committed, then a merge "
+    "(update every 30th key, insert new keys) and a delete commit "
+    "land, and a snapshot_table stream with readChangeFeed=true "
+    "emits each commit's typed (insert / update_postimage / delete) "
+    "rows - the executor-side file-granular diff twin of the batch "
+    "io.read_version_changes, planned per commit from manifest "
+    "diffs. The streamed change rows land in a parquet sink and "
+    "re-aggregate per (commit, type); the oracle re-derives the "
+    "exact change set from the base table, so a phantom change, a "
+    "missed delete, a misclassified update, or a double-emitted "
+    "commit breaks the value match. Restart exactly-once and the "
+    "overwrite refusal are pinned in pytest. Full SQL oracle",
+)
+def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    k = F.col("k")
+    tdir = tempfile.mkdtemp(prefix="q_stream_cdf_")
+    v1 = bio.write_snapshot(
+        orders.repartitionByRange(8, k), tdir, mode="overwrite", commit_id="c1"
+    )
+    updates = (
+        orders.filter(k % 30 == 0)
+        .withColumn("p", F.col("p") + 700.0)
+        .unionByName(
+            orders.filter(k % 150 == 0).select(
+                (k + 400000000).alias("k"), F.lit(1.0).alias("p")
+            )
+        )
+    )
+    bio.snapshot_merge(spark, tdir, updates, ["k"], commit_id="c2")
+    bio.snapshot_delete(
+        spark, tdir, F.col("p") > 450000.0, prune=[("p", 450000.0, None)],
+        commit_id="c3",
+    )
+    out = tempfile.mkdtemp(prefix="q_stream_cdf_out_") + "/rows"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_cdf_ckpt_")
+    q_ = (
+        spark.readStream.format("snapshot_table")
+        .option("path", tdir)
+        .option("readChangeFeed", "true")
+        .option("keyCols", "k")
+        .option("startingVersion", str(v1 + 1))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("p"), 2).alias("total"),
         )
     )
 
