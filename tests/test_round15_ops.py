@@ -521,6 +521,41 @@ def test_v2_small_appends_compact_groups(spark, tmp_path, monkeypatch):
     assert bio.read_at_version(spark, tdir).count() == 22
 
 
+def test_v2_pruned_merge_skips_unrelated_group_blobs(spark, tmp_path, monkeypatch):
+    """A merge whose key range maps to one group must not OPEN the
+    other groups' blobs when rewriting the manifest (r15: drop_ranges
+    group skipping — at 1e6 files this is one blob read per merge vs
+    a full metadata parse)."""
+    from bigdata_foundation_spark import io as bio
+
+    monkeypatch.setattr(bio, "_SNAPSHOT_SHARD_THRESHOLD", 2)
+    monkeypatch.setattr(bio, "_SNAPSHOT_GROUP_TARGET", 4)
+    tdir = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(32)], "k int, v double"
+    ).repartitionByRange(16, "k")
+    bio.write_snapshot(df0, tdir, mode="overwrite")  # 16 files -> 4 groups
+    man = bio._read_manifest(tdir, 1)
+    assert len(man["groups"]) == 4
+
+    opened = []
+    orig = bio._read_file_group
+
+    def counting(mdir, ref):
+        opened.append(ref["path"])
+        return orig(mdir, ref)
+
+    monkeypatch.setattr(bio, "_read_file_group", counting)
+    ups = spark.createDataFrame([(1, 999.0)], "k int, v double")
+    bio.snapshot_merge(spark, tdir, ups, ["k"])
+    # candidate bounding opens intersecting groups once (planning) and
+    # the payload rewrite opens the touched group — but never all 4
+    assert len(set(opened)) < 4, set(opened)
+    head = bio.read_at_version(spark, tdir)
+    assert head.count() == 32
+    assert head.filter(F.col("k") == 1).collect()[0]["v"] == 999.0
+
+
 def test_v2_rewrite_churn_keeps_groups_chunked(spark, tmp_path, monkeypatch):
     """Fine-grained merges rewrite touched groups; survivors must be
     re-chunked with the round's new files, not left as shrinking

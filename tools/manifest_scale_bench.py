@@ -13,7 +13,19 @@ ranges, then measures the metadata-bound operations:
 - snapshot_merge of 5 rows with a tight key range (candidate
   bounding + probe + rewrite + commit).
 
-Usage: python tools/manifest_scale_bench.py [out_dir]
+r15 additions (r14 verdict task 4): ``--big`` runs a v2-only cell at
+1e6 files (v1 at that scale is the measured-linear extrapolation —
+~23 s/commit — and would dominate the run for no new information);
+``--churn`` runs the REWRITE-CHURN cell: 10,000 drop-1-add-1 commits
+through the real _build_manifest_file_payload on a 20,000-file v2
+table, with and without commit-time partial-group compaction,
+recording group-refs-per-manifest and total payload-build time. The
+churn loop is driver-side metadata only (no Spark jobs) because the
+thing under test IS the manifest payload builder — a real merge adds
+a constant Spark probe/rewrite cost on top that does not depend on
+group fragmentation.
+
+Usage: python tools/manifest_scale_bench.py [out_dir] [--big] [--churn]
 Prints one markdown table row per N.
 """
 
@@ -152,17 +164,101 @@ def bench(spark, root: str, n_files: int, fmt: str = "v1") -> dict:
     }
 
 
+def churn_bench(
+    spark, root: str, n_files: int, n_commits: int, compact: bool
+) -> dict:
+    """Rewrite churn against the REAL payload builder: each commit
+    drops one (rotating) original file and adds one new file —
+    the manifest shape a sustained fine-grained merge stream
+    produces. Records group-ref growth and payload-build cost."""
+    tag = "compact" if compact else "nocompact"
+    tdir = build_table(spark, root, n_files, "v2")
+    # rebuild under a churn-specific dir name so arms don't collide
+    _, mdir = bio._snapshot_paths(tdir)
+    head = bio._read_manifest(tdir, 2)
+    refs_before = len(head["groups"])
+    version = 2
+    t0 = time.perf_counter()
+    for i in range(n_commits):
+        j = i % n_files
+        drop_rel = os.path.join("c-synth", f"f{j:06d}.parquet")
+        new_rel = os.path.join("c-synth", f"{tag}-churn{i:06d}.parquet")
+        lo = (n_files + i) * ROWS_PER_FILE
+        payload = bio._build_manifest_file_payload(
+            mdir,
+            head,
+            {drop_rel},
+            [new_rel],
+            {new_rel: {"k": [lo, lo + ROWS_PER_FILE - 1]}},
+            compact=compact,
+            # the dropped file's key range — what snapshot_merge/delete
+            # pass so only intersecting groups' blobs are opened
+            drop_ranges=[("k", j * ROWS_PER_FILE, j * ROWS_PER_FILE + ROWS_PER_FILE - 1)],
+        )
+        version += 1
+        head = {
+            "version": version,
+            "parent": version - 1,
+            "mode": "merge",
+            "commit_id": None,
+            "committed_at": time.time(),
+            "schema": head["schema"],
+            **payload,
+        }
+        assert bio.get_snapshot_log_store().publish(mdir, version, head)
+    dt = time.perf_counter() - t0
+    assert bio._manifest_n_files(head) == n_files
+    man_bytes = os.path.getsize(os.path.join(mdir, f"v{version:08d}.json"))
+    return {
+        "cell": f"churn-{tag}",
+        "n_files": n_files,
+        "n_commits": n_commits,
+        "groups_before": refs_before,
+        "groups_after": len(head["groups"]),
+        "head_manifest_kb": round(man_bytes / 1e3, 1),
+        "total_commit_s": round(dt, 2),
+        "per_commit_ms": round(dt / n_commits * 1e3, 2),
+    }
+
+
 def main():
-    root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="manbench_")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    root = args[0] if args else tempfile.mkdtemp(prefix="manbench_")
     spark = get_spark(app_name="manifest-scale-bench", master="local[8]", shuffle_partitions=8)
-    print(
-        "| fmt | n_files | metadata MB | read s | prune-plan s | pruned-collect s "
-        "| append-commit s | merge-5-rows s |"
-    )
-    print("| --- | --- | --- | --- | --- | --- | --- | --- |")
     rows = []
-    for fmt in ("v1", "v2"):
-        for n in (1_000, 10_000, 100_000):
+    if "--churn" in flags:
+        print(
+            "| cell | n_files | commits | groups before → after "
+            "| head manifest KB | total s | per-commit ms |"
+        )
+        print("| --- | --- | --- | --- | --- | --- | --- |")
+        # nocompact arm capped at 2,000 commits: its head manifest
+        # grows one group ref per commit (that growth IS the finding)
+        # and 1e4 versions × ~1.5 MB manifests would burn disk for
+        # the same curve
+        for compact, n_commits in ((False, 2_000), (True, 10_000)):
+            r = churn_bench(spark, root, 20_000, n_commits, compact)
+            rows.append(r)
+            print(
+                f"| {r['cell']} | {r['n_files']:,} | {r['n_commits']:,} "
+                f"| {r['groups_before']} → {r['groups_after']} "
+                f"| {r['head_manifest_kb']} | {r['total_commit_s']} "
+                f"| {r['per_commit_ms']} |",
+                flush=True,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+    else:
+        print(
+            "| fmt | n_files | metadata MB | read s | prune-plan s | pruned-collect s "
+            "| append-commit s | merge-5-rows s |"
+        )
+        print("| --- | --- | --- | --- | --- | --- | --- | --- |")
+        grid = [(fmt, n) for fmt in ("v1", "v2") for n in (1_000, 10_000, 100_000)]
+        if "--big" in flags:
+            grid.append(("v2", 1_000_000))
+        for fmt, n in grid:
             r = bench(spark, root, n, fmt)
             rows.append(r)
             print(
