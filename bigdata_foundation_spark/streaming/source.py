@@ -29,7 +29,9 @@ Semantics:
   appends as ``insert``; merge/delete commits as key-classified
   ``insert`` / ``update_postimage`` / ``delete`` (``keyCols`` option,
   comma-separated; keyless → delete+insert pairs), with unchanged
-  rewritten rows suppressed. Output schema = table schema +
+  rewritten rows suppressed; ``includePreimages=true`` additionally
+  emits each update's ``update_preimage`` row (Delta CDF's four-type
+  surface). Output schema = table schema +
   ``_change_type`` + ``_commit_version``. Overwrite commits still
   raise (restart from the post-overwrite version), or are skipped
   whole under ``ignoreChanges=true``. The per-commit diff runs in ONE
@@ -54,7 +56,10 @@ Semantics:
   files; a version is atomic so the cap rounds UP to version
   granularity, always advancing at least one version — a backlog
   catch-up becomes several bounded batches with incremental
-  checkpoints instead of one giant batch).
+  checkpoints instead of one giant batch), ``maxBytesPerTrigger``
+  (same, but budgeted on the new files' on-disk bytes — one stat per
+  pending file during the cap walk; when both caps are set the
+  FIRST one to bind stops the batch, Delta's semantics).
 
 Rate-limit honesty (measured against pyspark 4.1 — the Python
 DataSource API's ``latestOffset()`` takes no start offset, and
@@ -115,11 +120,19 @@ class _CdfDiffPartition(InputPartition):
     """One rewrite commit's file-granular diff: added vs dropped
     files, key-classified on the executor."""
 
-    def __init__(self, added: list, dropped: list, key_cols: list, version: int):
+    def __init__(
+        self,
+        added: list,
+        dropped: list,
+        key_cols: list,
+        version: int,
+        preimages: bool = False,
+    ):
         self.added = added
         self.dropped = dropped
         self.key_cols = key_cols
         self.version = version
+        self.preimages = preimages
 
 
 def _manifest(table_dir: str, version: int) -> dict:
@@ -170,10 +183,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._key_cols = [
             c.strip() for c in str(options.get("keycols", "")).split(",") if c.strip()
         ]
+        self._preimages = (
+            str(options.get("includepreimages", "false")).lower() == "true"
+        )
         mft = options.get("maxfilespertrigger")
         self._max_files = int(mft) if mft is not None else None
         if self._max_files is not None and self._max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        mbt = options.get("maxbytespertrigger")
+        self._max_bytes = int(mbt) if mbt is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         # rate-limit bookkeeping (driver-side reader instance only):
         # the last offset this reader KNOWS was reached — set by
         # initialOffset (fresh streams), partitions (planned batches,
@@ -205,7 +225,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         versions = bio.snapshot_versions(self._table_dir)
         head = versions[-1] if versions else self._start_version - 1
         head = max(head, self._floor)
-        if self._max_files is None:
+        if self._max_files is None and self._max_bytes is None:
             return {"version": head}
         # latestOffset is called BEFORE initialOffset on a fresh
         # stream (measured, pyspark 4.1), so an unset base defaults to
@@ -215,22 +235,41 @@ class SnapshotStreamReader(DataSourceStreamReader):
         base = max(base, self._floor)
         if head <= base:
             return {"version": head}
-        # lazy per-version NEW-file counts: walk pending versions in
-        # order, diffing manifest file sets (pure metadata; bounded by
-        # the cap walk, not the whole backlog)
+        # lazy per-version NEW-file costs: walk pending versions in
+        # order, diffing manifest file sets (pure metadata — plus one
+        # stat per new file when the BYTE cap is set; both bounded by
+        # the cap walk, not the whole backlog). Normalize both caps
+        # onto one budget: cost = max(files/file_cap, bytes/byte_cap)
+        # scaled to a common unit, so whichever cap binds first stops
+        # the walk.
+        import os
+
+        ddir, _ = bio._snapshot_paths(self._table_dir)
         prev = [
             set(_files_of(self._table_dir, _manifest(self._table_dir, base)))
             if base in versions
             else set()
         ]
+        UNIT = 1_000_000  # integer budget resolution per cap
 
-        def count(v: int) -> int:
+        def cost(v: int) -> int:
             files = set(_files_of(self._table_dir, _manifest(self._table_dir, v)))
-            c = len(files - prev[0])
+            new = files - prev[0]
             prev[0] = files
-            return c
+            frac = 0.0
+            if self._max_files is not None:
+                frac = max(frac, len(new) / self._max_files)
+            if self._max_bytes is not None:
+                nbytes = 0
+                for f in new:
+                    try:
+                        nbytes += os.path.getsize(os.path.join(ddir, f))
+                    except OSError:
+                        pass  # vacuumed/missing: planners will surface it
+                frac = max(frac, nbytes / self._max_bytes)
+            return max(1, round(frac * UNIT)) if new else 0
 
-        return {"version": _capped_end(base, versions, count, self._max_files)}
+        return {"version": _capped_end(base, versions, cost, UNIT)}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
@@ -293,6 +332,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         [os.path.join(ddir, f) for f in dropped],
                         self._key_cols,
                         v,
+                        preimages=self._preimages,
                     )
                 )
             elif self._ignore_changes:
@@ -445,6 +485,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             typed.extend(
                 (t, "delete") for t in changed_pre if key(t) not in post_keys
             )
+            if partition.preimages:
+                typed.extend(
+                    (t, "update_preimage")
+                    for t in changed_pre
+                    if key(t) in post_keys
+                )
         else:
             # keyless fallback: an update appears as its delete+insert
             # pair; unchanged rewritten rows still emit nothing

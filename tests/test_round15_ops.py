@@ -403,6 +403,27 @@ def test_stream_rate_limit_planner_is_version_granular():
     assert _capped_end(4, [1, 2, 3, 4], n_files, 2) == 4
 
 
+def test_stream_max_bytes_per_trigger_bounds_batches(spark, tmp_path):
+    """maxBytesPerTrigger budgets the offset advance on the new
+    files' on-disk size — with a 1-byte budget every version exceeds
+    it, so each (availableNow single-batch) run advances exactly one
+    version."""
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    tdir = str(tmp_path / "tbl")
+    _backlog_table(spark, bio, tdir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    counts = []
+    for _ in range(5):
+        _run_stream(spark, tdir, out, ckpt, maxBytesPerTrigger="1")
+        counts.append(spark.read.parquet(out).count())
+    # one 6-row version per run
+    assert counts == [6, 12, 18, 24, 24], counts
+
+
 # ------------------- streaming change feed ----------------------------
 
 
@@ -444,6 +465,46 @@ def test_stream_change_feed_matches_batch(spark, tmp_path):
     # typed classification really happened
     kinds = {t for _, _, t, _ in got}
     assert kinds == {"insert", "update_postimage", "delete"}
+
+
+def test_change_feed_preimages_batch_and_stream(spark, tmp_path):
+    """include_preimages / includePreimages emits each update's
+    pre-image row (Delta CDF's four-type surface) identically in the
+    batch API and the streaming mode."""
+    from bigdata_foundation_spark import io as bio
+    from bigdata_foundation_spark.streaming.source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(10)], "k int, v double"
+    ).coalesce(2)
+    v1 = bio.write_snapshot(base, tdir, mode="overwrite", commit_id="b")
+    ups = spark.createDataFrame([(3, -1.0), (50, 5.0)], "k int, v double")
+    v2 = bio.snapshot_merge(spark, tdir, ups, ["k"], commit_id="m")
+    feed = bio.read_version_changes(
+        spark, tdir, v1, v2, key_cols=["k"], include_preimages=True
+    )
+    rows = sorted(
+        (r["k"], r["v"], r["_change_type"]) for r in feed.collect()
+    )
+    assert rows == [
+        (3, -1.0, "update_postimage"),
+        (3, 30.0, "update_preimage"),
+        (50, 5.0, "insert"),
+    ]
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _run_stream(
+        spark, tdir, out, ckpt,
+        readChangeFeed="true", keyCols="k", includePreimages="true",
+        startingVersion=str(v1 + 1),
+    )
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == rows
 
 
 def test_stream_change_feed_restart_is_exactly_once(spark, tmp_path):
