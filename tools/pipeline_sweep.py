@@ -198,6 +198,8 @@ PICKS = [
     "warc_to_wet",
     "warc_cdx_build",
     "snapshot_zorder_prune",
+    # r15 debut: CDF streaming mode on the snapshot source
+    "streaming_change_feed",
 ]
 
 
