@@ -466,7 +466,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         pre_rows = _rows(partition.dropped)
         post_rows = _rows(partition.added)
-        pre_set, post_set = set(pre_rows), set(post_rows)
+        try:
+            pre_set, post_set = set(pre_rows), set(post_rows)
+        except TypeError as exc:
+            raise ValueError(
+                "snapshot_table readChangeFeed: the diff hashes row "
+                "values, so tables with array/map columns cannot stream "
+                "rewrite commits — use the batch io.read_version_changes "
+                f"(DataFrame EXCEPT handles nested types): {exc}"
+            ) from None
         changed_post = post_set - pre_set
         changed_pre = pre_set - post_set
         typed: list = []

@@ -151,6 +151,13 @@ def bench(spark, root: str, n_files: int, fmt: str = "v1") -> dict:
     bio.snapshot_merge(spark, tdir, upd, ["k"])
     t_merge = time.perf_counter() - t0
 
+    # vacuum: drop all but the head — the sweep walks every data file
+    # on disk (O(files) stat+listdir) plus the blob sweep via the log
+    # store; min_age_sec=0 so the dropped versions' files actually go
+    t0 = time.perf_counter()
+    n_deleted = bio.snapshot_vacuum(tdir, keep_last=1, min_age_sec=0.0)
+    t_vacuum = time.perf_counter() - t0
+
     return {
         "fmt": fmt,
         "n_files": n_files,
@@ -160,6 +167,8 @@ def bench(spark, root: str, n_files: int, fmt: str = "v1") -> dict:
         "pruned_collect_s": round(t_collect, 3),
         "append_commit_s": round(t_append, 3),
         "merge_5rows_s": round(t_merge, 3),
+        "vacuum_s": round(t_vacuum, 3),
+        "vacuum_deleted": n_deleted,
         "n_manifest_files": bio._manifest_n_files(man),
     }
 
@@ -252,9 +261,9 @@ def main():
     else:
         print(
             "| fmt | n_files | metadata MB | read s | prune-plan s | pruned-collect s "
-            "| append-commit s | merge-5-rows s |"
+            "| append-commit s | merge-5-rows s | vacuum s |"
         )
-        print("| --- | --- | --- | --- | --- | --- | --- | --- |")
+        print("| --- | --- | --- | --- | --- | --- | --- | --- | --- |")
         grid = [(fmt, n) for fmt in ("v1", "v2") for n in (1_000, 10_000, 100_000)]
         if "--big" in flags:
             grid.append(("v2", 1_000_000))
@@ -265,7 +274,8 @@ def main():
                 f"| {r['fmt']} | {r['n_files']:,} | {r['manifest_mb']} "
                 f"| {r['manifest_read_s']} "
                 f"| {r['prune_plan_s']} | {r['pruned_collect_s']} "
-                f"| {r['append_commit_s']} | {r['merge_5rows_s']} |",
+                f"| {r['append_commit_s']} | {r['merge_5rows_s']} "
+                f"| {r['vacuum_s']} |",
                 flush=True,
             )
     print(json.dumps(rows))
