@@ -116,6 +116,8 @@ HEADLINE = [
     "streaming_source_tail",
     "snapshot_change_feed",
     "badwords_filter_stats",
+    # Round-15 debut: CDF streaming mode on the snapshot source
+    "streaming_change_feed",
 ]
 
 
