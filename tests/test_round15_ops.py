@@ -644,3 +644,43 @@ def test_v2_rewrite_churn_keeps_groups_chunked(spark, tmp_path, monkeypatch):
     head = bio.read_at_version(spark, tdir)
     assert head.count() == 24
     assert head.filter(F.col("v") == 999.0).count() == 6
+
+
+# ------------------- commit-id index ----------------------------------
+
+
+def test_commit_id_idempotency_with_index(spark, tmp_path):
+    """The incremental commit-id index preserves the idempotency
+    contract: replays return the original version; vacuumed commit
+    ids are FORGOTTEN (replay re-commits, the pre-index behavior);
+    a recreated table resets the per-process cache."""
+    import shutil
+
+    from bigdata_foundation_spark import io as bio
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    v1 = bio.write_snapshot(df, tdir, mode="overwrite", commit_id="a")
+    v2 = bio.write_snapshot(df, tdir, mode="append", commit_id="b")
+    # replay: same version back, no new commit
+    assert bio.write_snapshot(df, tdir, mode="append", commit_id="b") == v2
+    assert bio.snapshot_versions(tdir)[-1] == v2
+    # merge/delete idempotency rides the same index
+    v3 = bio.snapshot_merge(
+        spark, tdir, spark.createDataFrame([(1, 9.0)], "k int, v double"),
+        ["k"], commit_id="m",
+    )
+    assert bio.snapshot_merge(
+        spark, tdir, spark.createDataFrame([(1, 9.0)], "k int, v double"),
+        ["k"], commit_id="m",
+    ) == v3
+    # vacuum drops v1/v2 -> commit_id 'b' is forgotten; replay
+    # RE-COMMITS (exact pre-index semantics)
+    bio.snapshot_vacuum(tdir, keep_last=1, min_age_sec=0.0)
+    v4 = bio.write_snapshot(df, tdir, mode="append", commit_id="b")
+    assert v4 > v3
+    # recreated table: log restarts below the cached head -> reset
+    shutil.rmtree(tdir)
+    nv1 = bio.write_snapshot(df, tdir, mode="overwrite", commit_id="z")
+    assert nv1 == 1
+    assert bio.write_snapshot(df, tdir, mode="append", commit_id="b") == 2

@@ -218,6 +218,23 @@ def churn_bench(
     dt = time.perf_counter() - t0
     assert bio._manifest_n_files(head) == n_files
     man_bytes = os.path.getsize(os.path.join(mdir, f"v{version:08d}.json"))
+
+    # commit-id idempotency on the churned (long) lineage: a NEW
+    # commit id must not scan every historical manifest per commit
+    # (r15 _find_commit_id index — first call amortizes the one-time
+    # scan, the second is O(new versions) ≈ O(1))
+    seed = (
+        spark.range(0, 5)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .coalesce(1)
+    )
+    t0 = time.perf_counter()
+    bio.write_snapshot(seed, tdir, mode="append", commit_id=f"{tag}-idx-1")
+    t_cid_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bio.write_snapshot(seed, tdir, mode="append", commit_id=f"{tag}-idx-2")
+    t_cid_second = time.perf_counter() - t0
+
     return {
         "cell": f"churn-{tag}",
         "n_files": n_files,
@@ -227,6 +244,8 @@ def churn_bench(
         "head_manifest_kb": round(man_bytes / 1e3, 1),
         "total_commit_s": round(dt, 2),
         "per_commit_ms": round(dt / n_commits * 1e3, 2),
+        "commit_id_append_first_s": round(t_cid_first, 3),
+        "commit_id_append_second_s": round(t_cid_second, 3),
     }
 
 
