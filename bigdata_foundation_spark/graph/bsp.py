@@ -67,6 +67,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_foundation_spark._local import local_df
+
 
 def _checkpoint_union_state(df: DataFrame) -> DataFrame:
     """``localCheckpoint(eager=True)`` for the anti-join ∪ union state
@@ -288,9 +290,9 @@ def bsp_sssp(
     edges.count()  # materialize the projection once
 
     if carry_paths:
-        state = spark.createDataFrame([(source, 0.0, [source])], _STATE_SCHEMA)
+        state = local_df(spark, [(source, 0.0, [source])], _STATE_SCHEMA)
     else:
-        state = spark.createDataFrame([(source, 0.0, source)], _PARENT_STATE_SCHEMA)
+        state = local_df(spark, [(source, 0.0, source)], _PARENT_STATE_SCHEMA)
     state = state.localCheckpoint(eager=True)
     frontier = state
     small = broadcast_frontier_rows >= 1  # the 1-row seed frontier
@@ -551,8 +553,8 @@ def bsp_multi_sssp(
         F.col("src").alias("_u"), F.col("dst").alias("_v"), F.col("cost").alias("_w")
     )
 
-    state = spark.createDataFrame(
-        [(s, s, 0.0) for s in sources], _MULTI_STATE_SCHEMA
+    state = local_df(
+        spark, [(s, s, 0.0) for s in sources], _MULTI_STATE_SCHEMA
     ).localCheckpoint(eager=True)
     frontier = state
     small = len(sources) <= broadcast_frontier_rows
@@ -736,17 +738,19 @@ def _bsp_probe_wave(
     sequential BSP latencies that floor Yen's wall time).
     """
     mask_e = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(pid, int(eid)) for pid, _s, me, _mn in probes for eid in me],
             _MASK_E_SCHEMA,
         )
     )
     mask_n = F.broadcast(
-        spark.createDataFrame(
-            [(pid, n) for pid, _s, _me, mn in probes for n in mn], _MASK_N_SCHEMA
+        local_df(
+            spark, [(pid, n) for pid, _s, _me, mn in probes for n in mn], _MASK_N_SCHEMA
         )
     )
-    state = spark.createDataFrame(
+    state = local_df(
+        spark,
         [(pid, spur, 0.0, [spur], [], []) for pid, spur, _me, _mn in probes],
         _PROBE_STATE_SCHEMA,
     ).localCheckpoint(eager=True)
@@ -788,7 +792,8 @@ def _bsp_probe_wave(
         )
         if best:
             bt = F.broadcast(
-                spark.createDataFrame(
+                local_df(
+                    spark,
                     list(best.items()),
                     T.StructType(
                         [

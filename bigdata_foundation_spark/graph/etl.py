@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_foundation_spark._local import local_df
+
 from bigdata_foundation_spark.io import EDGELIST_RAW_SCHEMA, read_csv
 
 
@@ -223,7 +225,7 @@ def k_hop_nodes(
     (same discipline as graph/bsp.py); the early-exit count reads one
     driver scalar per round. k is a small constant (an ego radius), so
     the k joins are the whole cost — no unbounded iteration."""
-    frontier = spark.createDataFrame([(source, 0)], "NodeId string, hops int")
+    frontier = local_df(spark, [(source, 0)], "NodeId string, hops int")
     visited = frontier.localCheckpoint()
     frontier = visited
     edges = roads.select(F.col("src").alias("NodeId"), F.col("dst"))
@@ -1486,7 +1488,7 @@ def modularity(roads: DataFrame, communities: DataFrame) -> DataFrame:
     m_total = und.count()
     if m_total == 0:
         spark = roads.sparkSession
-        return spark.createDataFrame([(0, 0.0)], "n_communities bigint, modularity double")
+        return local_df(spark, [(0, 0.0)], "n_communities bigint, modularity double")
     internal = (
         tagged.filter(F.col("_ca") == F.col("_cb"))
         .groupBy(F.col("_ca").alias("_c"))
@@ -1741,7 +1743,8 @@ def _hyperball_superstep(
         out.append((t, estimate(regs)))
     from pyspark.sql import types as T
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         out,
         T.StructType(
             [

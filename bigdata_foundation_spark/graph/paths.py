@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_foundation_spark._local import local_df
 from bigdata_foundation_spark.graph import bsp as _bsp
 from bigdata_foundation_spark.graph import kernel as _k
 
@@ -396,7 +397,7 @@ def dijkstra(
             r = _k.shortest_path(p, source, target)
         return _cumulative_stream(*r) if r else []
 
-    return spark.createDataFrame(_run_on_executor(spark, proj, _task), _PATH_STREAM_SCHEMA)
+    return local_df(spark, _run_on_executor(spark, proj, _task), _PATH_STREAM_SCHEMA)
 
 
 def astar(
@@ -424,7 +425,7 @@ def astar(
         r = _k.shortest_path(p, source, target, use_heuristic=True)
         return _cumulative_stream(*r) if r else []
 
-    return spark.createDataFrame(_run_on_executor(spark, proj, _task), _PATH_STREAM_SCHEMA)
+    return local_df(spark, _run_on_executor(spark, proj, _task), _PATH_STREAM_SCHEMA)
 
 
 def _bsp_path_stream(spark: SparkSession, state: DataFrame, target: str) -> DataFrame:
@@ -432,7 +433,7 @@ def _bsp_path_stream(spark: SparkSession, state: DataFrame, target: str) -> Data
     (NodeId, cost) stream shape."""
     row = state.filter(F.col("node") == target).select("dist", "path").head()
     if row is None:
-        return spark.createDataFrame([], _PATH_STREAM_SCHEMA)
+        return local_df(spark, [], _PATH_STREAM_SCHEMA)
     # Re-derive cumulative costs from the per-node dists recorded in
     # state (each prefix of an optimal path is optimal).
     path = list(row[1])
@@ -440,7 +441,7 @@ def _bsp_path_stream(spark: SparkSession, state: DataFrame, target: str) -> Data
         r[0]: float(r[1])
         for r in state.filter(F.col("node").isin(path)).select("node", "dist").collect()
     }
-    return spark.createDataFrame([(n, dists[n]) for n in path], _PATH_STREAM_SCHEMA)
+    return local_df(spark, [(n, dists[n]) for n in path], _PATH_STREAM_SCHEMA)
 
 
 def path_summary(path_stream: DataFrame) -> DataFrame:
@@ -508,11 +509,11 @@ def yens_k(
             (i, nodes_i, costs_i, total_i)
             for i, (nodes_i, costs_i, total_i) in enumerate(paths)
         ]
-        return spark.createDataFrame(rows, _YENS_SCHEMA)
+        return local_df(spark, rows, _YENS_SCHEMA)
     proj = projection or build_projection(roads)
     s, t = proj.index.get(source), proj.index.get(target)
     if s is None or t is None:
-        return spark.createDataFrame([], _YENS_SCHEMA)
+        return local_df(spark, [], _YENS_SCHEMA)
 
     sc = spark.sparkContext
     proj_b = _get_broadcast(spark, proj)
@@ -529,7 +530,7 @@ def yens_k(
 
     first = _run_on_executor(spark, proj, _first)
     if not first:
-        return spark.createDataFrame([], _YENS_SCHEMA)
+        return local_df(spark, [], _YENS_SCHEMA)
     first, h_to_t = [first[0][0]], first[0][1]
     h_b = sc.broadcast(h_to_t)
 
@@ -595,7 +596,7 @@ def yens_k(
         (i, [ids[n] for n in nodes_i], hop_costs, float(sum(hop_costs)))
         for i, (nodes_i, hop_costs, _e) in enumerate(a_paths)
     ]
-    return spark.createDataFrame(rows, _YENS_SCHEMA)
+    return local_df(spark, rows, _YENS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -857,7 +858,7 @@ def apsp_topk(
         i = hi_end
         wave_size = min(wave_size * 4, wave_cap)
 
-    df = spark.createDataFrame(best_rows, _APSP_SCHEMA)
+    df = local_df(spark, best_rows, _APSP_SCHEMA)
     return df.orderBy(F.desc("distance"), F.asc("source"), F.asc("target")).limit(k)
 
 
@@ -890,7 +891,7 @@ def _apsp_topk_bsp(
     n_sources = src_df.count()
     if n_sources == 0:
         edges.unpersist()
-        return spark.createDataFrame([], _APSP_SCHEMA)
+        return local_df(spark, [], _APSP_SCHEMA)
     n_waves = -(-n_sources // wave_size)
     waved = src_df.withColumn(
         "_wave", F.pmod(F.xxhash64("src"), F.lit(n_waves))
@@ -918,7 +919,7 @@ def _apsp_topk_bsp(
             )
     edges.unpersist()
     if best is None:
-        return spark.createDataFrame([], _APSP_SCHEMA)
+        return local_df(spark, [], _APSP_SCHEMA)
     return best.orderBy(F.desc("distance"), F.asc("source"), F.asc("target"))
 
 

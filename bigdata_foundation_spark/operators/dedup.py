@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_foundation_spark._local import local_df
+
 from bigdata_foundation_spark.operators._cache import tracked_cache
 
 
@@ -594,7 +596,8 @@ def minhash_index_build(
         ).write.mode("overwrite").parquet(path + "/bucket_sizes")
     finally:
         tbl.unpersist()
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(num_hashes, bands, shingle_k, id_col)],
         "num_hashes int, bands int, shingle_k int, id_col string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")

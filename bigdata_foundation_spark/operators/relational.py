@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_foundation_spark._local import local_df
+
 
 def point_lookup(df: DataFrame, key: str, value) -> DataFrame:
     """R1 (neo4j-code.txt:2): equality point lookup. The filter reaches
@@ -834,7 +836,7 @@ def shuffle_rank(
         rows.append((r["_bk"], acc))
         acc += r["_n"]
     off_df = F.broadcast(
-        df.sparkSession.createDataFrame(rows, "_bk long, _off long")
+        local_df(df.sparkSession, rows, "_bk long, _off long")
     )
 
     w = Window.partitionBy("_bk").orderBy("_sk", key_col)

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_foundation_spark._local import local_df
+
 from bigdata_foundation_spark.operators._cache import tracked_cache
 
 
@@ -410,28 +412,68 @@ def _centroids_from(
     seeds = sorted(sample_rows[:n_cells], key=lambda r: r[id_col])
     cents = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
     if lloyd_iters and cents:
+        # Vectorized Lloyd steps with the EXACT fold order preserved
+        # (r15 — the interpreted per-(row, centroid) _py_fold_dot loop
+        # was ~1.2 s of driver Python per training): every scalar
+        # below is produced by the same IEEE-double operation sequence
+        # as the pure-Python replay — dots/norms accumulate over
+        # dimensions IN ORDER (acc = acc + x·y, elementwise across
+        # rows), denominators are the same vn·cn products, the
+        # (valid, cosine, cid) max is replayed as an ascending-cid
+        # sweep where ties keep the LARGER cid, and per-cell mean sums
+        # add rows in id order — so centroids stay BIT-identical to
+        # the goldens' generator (verified against every pinned IVF /
+        # SemDeDup / PQ golden).
+        import numpy as np
+
         dim = len(cents[0][1])
         ordered = [list(r["_v"]) for r in sorted(sample_rows, key=lambda r: r[id_col])]
-        vnorms = [_py_fold_norm(v) for v in ordered]
+        V = np.asarray(ordered, dtype=np.float64)
+        n = len(ordered)
+
+        def _fold_norms(M: "np.ndarray") -> "np.ndarray":
+            acc = np.zeros(len(M))
+            for d in range(M.shape[1]):
+                x = M[:, d]
+                acc = acc + x * x
+            return np.sqrt(acc)
+
+        vnorms = _fold_norms(V)
         for _ in range(lloyd_iters):
-            cnorms = [_py_fold_norm(cvec) for _, cvec in cents]
-            sums: dict[int, list[float]] = {}
-            counts: dict[int, int] = {}
-            for v, vn in zip(ordered, vnorms):
-                best = max(
-                    (
-                        (vn * cn > 0.0, _py_fold_dot(v, cvec) / (vn * cn) if vn * cn > 0.0 else 0.0, cid)
-                        for (cid, cvec), cn in zip(cents, cnorms)
+            C = np.asarray([cvec for _, cvec in cents], dtype=np.float64)
+            cnorms = _fold_norms(C)
+            best_valid = np.zeros(n, dtype=bool)
+            best_cos = np.zeros(n)
+            best_cid = np.zeros(n, dtype=np.int64)
+            for pos, (cid, _cvec) in enumerate(cents):
+                acc = np.zeros(n)
+                c = C[pos]
+                for d in range(dim):
+                    acc = acc + V[:, d] * c[d]
+                denom = vnorms * cnorms[pos]
+                valid = denom > 0.0
+                cos = np.where(valid, acc / np.where(valid, denom, 1.0), 0.0)
+                if pos == 0:
+                    best_valid, best_cos = valid, cos
+                    best_cid = np.full(n, cid, dtype=np.int64)
+                else:
+                    better = (valid & ~best_valid) | (
+                        (valid == best_valid) & (cos >= best_cos)
                     )
-                )[2]
-                acc = sums.setdefault(best, [0.0] * dim)
-                for i, x in enumerate(v):
-                    acc[i] = acc[i] + x
-                counts[best] = counts.get(best, 0) + 1
+                    best_valid = np.where(better, valid, best_valid)
+                    best_cos = np.where(better, cos, best_cos)
+                    best_cid = np.where(better, cid, best_cid)
+            sums: dict[int, "np.ndarray"] = {}
+            counts: dict[int, int] = {}
+            for r in range(n):
+                b = int(best_cid[r])
+                acc = sums.setdefault(b, np.zeros(dim))
+                acc += V[r]
+                counts[b] = counts.get(b, 0) + 1
             cents = [
                 (
                     cid,
-                    [round(sums[cid][i] / counts[cid], 6) for i in range(dim)]
+                    [round(float(sums[cid][i]) / counts[cid], 6) for i in range(dim)]
                     if cid in counts
                     else cvec,
                 )
@@ -898,8 +940,8 @@ def ivf_build(
     spark = corpus.sparkSession
     c = _with_cell_np(corpus, centroids, vec_col)
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
-    spark.createDataFrame(
-        [(cid, vec) for cid, vec in centroids], "cell int, centroid array<double>"
+    local_df(
+        spark, [(cid, vec) for cid, vec in centroids], "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "__centroids")
 
 
@@ -1515,10 +1557,11 @@ def ivf_pq_build(
     spark = corpus.sparkSession
     c = _ivf_pq_corpus_codes(corpus, centroids, books, id_col, vec_col)
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
-    spark.createDataFrame(
-        [(cid, vec) for cid, vec in centroids], "cell int, centroid array<double>"
+    local_df(
+        spark, [(cid, vec) for cid, vec in centroids], "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "__centroids")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (j, ci, cvec)
             for j, book in enumerate(books)

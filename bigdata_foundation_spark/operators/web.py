@@ -326,11 +326,16 @@ def registered_domain_lookup(
     def _last(col_labels, num):
         return F.array_join(F.slice(col_labels, -num, num), ".")
 
-    # exception probes against the RAW host (ends-with by labels)
+    from bigdata_foundation_spark._local import local_df
+
+    # exception probes against the RAW host (ends-with by labels).
+    # Rule tables are driver-local metadata: local_df plans them as a
+    # JVM LocalTableScan, so each broadcast build is JVM-only instead
+    # of spinning a Python worker to re-evaluate a pickled RDD per
+    # execution (r15 optimization — plan diff: 5 Scan ExistingRDD → 5
+    # LocalTableScan in domain_lookup_stats).
     for k in sorted(exc_by_k, reverse=True):
-        rdf = spark.createDataFrame(
-            [(e,) for e in exc_by_k[k]], f"__ekey{k} string"
-        )
+        rdf = local_df(spark, [(e,) for e in exc_by_k[k]], f"__ekey{k} string")
         out = out.withColumn(
             f"__es{k}",
             F.when(F.size(labels0) >= k, _last(labels0, k)),
@@ -341,9 +346,7 @@ def registered_domain_lookup(
     # rule probes against the www-stripped host, one per rule length
     for k in sorted(by_k, reverse=True):
         rows = [(key, fl[0], fl[1]) for key, fl in by_k[k].items()]
-        rdf = spark.createDataFrame(
-            rows, f"__key{k} string, __p{k} boolean, __w{k} boolean"
-        )
+        rdf = local_df(spark, rows, f"__key{k} string, __p{k} boolean, __w{k} boolean")
         out = out.withColumn(f"__s{k}", F.when(n >= k, _last(labels, k)))
         out = out.join(
             F.broadcast(rdf), out[f"__s{k}"] == rdf[f"__key{k}"], "left"
