@@ -555,7 +555,8 @@ def _scc_superstep(roads: DataFrame, max_rounds: int = 1000) -> DataFrame:
             if out is None:
                 from pyspark.sql import types as T
 
-                return spark.createDataFrame(
+                return local_df(
+                    spark,
                     [],
                     T.StructType(
                         [
@@ -1259,7 +1260,8 @@ def _msf_superstep(roads: DataFrame, max_rounds: int = 64) -> DataFrame:
             if chosen is None:
                 from pyspark.sql import types as T
 
-                return spark.createDataFrame(
+                return local_df(
+                    spark,
                     [],
                     T.StructType(
                         [
@@ -1874,5 +1876,5 @@ def _ktruss_superstep(roads: DataFrame, max_rounds: int = 1000) -> DataFrame:
             ).localCheckpoint(eager=True)
         k += 1
     if out is None:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     return out
