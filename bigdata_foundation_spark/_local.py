@@ -43,6 +43,16 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """
     struct = _as_struct(spark, schema)
     rows = list(rows)
+    # Shape guard (r15 advice): zip(*rows) silently TRUNCATES to the
+    # shorter of row width vs field count, and transposes dict KEYS.
+    # Any row that is not a width-matched tuple/list (Row is a tuple)
+    # takes the classic path, which raises its standard mismatch error
+    # or maps dict/Row fields by name — never silent data loss here.
+    n_fields = len(struct.fields)
+    if rows and any(
+        not isinstance(r, (tuple, list)) or len(r) != n_fields for r in rows
+    ):
+        return spark.createDataFrame(rows, struct)
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_type

@@ -466,7 +466,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
             for p in paths:
                 tbl = self._project_file(p)
                 if tbl.num_rows:
-                    out.extend(zip(*(tbl.column(c).to_pylist() for c in names)))
+                    if names:
+                        out.extend(zip(*(tbl.column(c).to_pylist() for c in names)))
+                    else:
+                        # zip of no iterables is empty, but num_rows
+                        # empty tuples is the correct diff input when
+                        # every schema field is CDF metadata (r15
+                        # advice; theoretical today)
+                        out.extend([()] * tbl.num_rows)
             return out
 
         pre_rows = _rows(partition.dropped)
