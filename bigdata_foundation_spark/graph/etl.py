@@ -1337,14 +1337,27 @@ def node_similarity(
     The final top-k is a TakeOrderedAndProject (never a global sort).
     """
     from bigdata_foundation_spark.operators.relational import topk
+    from bigdata_foundation_spark.operators._cache import tracked_cache
 
-    nbrs = (
+    # nbrs feeds BOTH sides of the wedge self-join plus the degree
+    # table, and deg feeds a semi-join and two score joins — six plan
+    # references total. Without a materialization boundary each
+    # reference re-runs the distinct's shuffle (r16 audit: 62 Exchange
+    # / 61 InMemoryTableScan nodes, zero ReusedExchange — AQE plans
+    # each cached-scan subtree independently). Caching the two tiny
+    # keyed tables (|E| and |V| rows, the same tracked_cache contract
+    # as the LSH signature table) collapses the recomputation: one
+    # distinct, one degree agg, every other reference an
+    # InMemoryTableScan.
+    nbrs = tracked_cache(
         roads.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    deg = nbrs.groupBy("src").agg(F.count("*").alias("_d")).filter(
-        F.col("_d") >= F.lit(int(degree_cutoff))
+    deg = tracked_cache(
+        nbrs.groupBy("src").agg(F.count("*").alias("_d")).filter(
+            F.col("_d") >= F.lit(int(degree_cutoff))
+        )
     )
     nb = nbrs.join(deg.select("src"), "src", "left_semi")
     inter = (

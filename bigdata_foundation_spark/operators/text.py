@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_foundation_spark.operators._cache import tracked_cache
+
 # A deliberately small, deterministic stopword table per language —
 # enough signal for the n-gram/stopword language-ID heuristic. Public
 # common-word lists.
@@ -844,8 +846,17 @@ def bigram_logprob_score(
     toks_arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
     )
-    base = documents.select(F.col(id_col), toks_arr.alias("_ts")).filter(
-        F.size("_ts") > 0
+    # base feeds the unigram counts, the bigram counts, and both
+    # scoring branches — four plan references. Uncached, each one
+    # re-scans the corpus AND re-runs the split/lower tokenization
+    # (r16 audit: 16 parquet scans, 34 Exchanges in the gate plan).
+    # One tracked_cache bounds the corpus to ONE scan + one tokenize
+    # pass (guide §4: the per-task regex split is the heavy work here),
+    # with every other reference an InMemoryTableScan.
+    base = tracked_cache(
+        documents.select(F.col(id_col), toks_arr.alias("_ts")).filter(
+            F.size("_ts") > 0
+        )
     )
     uni = (
         base.select(F.explode("_ts").alias("tok"))
@@ -991,7 +1002,15 @@ def stupid_backoff_score(
             F.col("g.w3").alias("w3"),
         )
 
-    tbase = train.select(toks_arr.alias("_ts")).filter(F.size("_ts") > 0)
+    # tbase feeds the tri/bi/uni count tables — three plan references,
+    # each of which would otherwise re-scan the train slice and re-run
+    # the split/lower tokenization (r16 audit: 14 parquet scans, 30
+    # Exchanges in the gate plan). Cached, the train corpus is scanned
+    # and tokenized ONCE (guide §4 — the regex split is the per-task
+    # cost; the scored corpus stays uncached, it is read once).
+    tbase = tracked_cache(
+        train.select(toks_arr.alias("_ts")).filter(F.size("_ts") > 0)
+    )
     # In hashed mode the count tables aggregate on the 8-byte gram
     # hash directly — gram STRINGS never enter any shuffle, train or
     # score side (the hash is computed in the explode stage's codegen).

@@ -82,80 +82,75 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The driver gates the FIRST 50 registry keys each round. r15 order:
-# (a) the r15 DEBUT streaming_change_feed (snapshot_table stream in
-# readChangeFeed mode) plus the entries most affected by this
-# round's code changes: streaming_source_tail (the source grew rate
-# limiting, the vacuumed-startingVersion baseline, and CDF planning —
-# partitions/latestOffset rewritten), snapshot_sharded_manifest
-# (group blobs now ride the log-store seam + commit-time partial-
-# group compaction), snapshot_upsert (merge commits ride the
-# compacting _build_manifest_file_payload), snapshot_change_feed
-# (the batch CDF whose semantics the new stream mode mirrors;
-# multiplicity contract pinned), and warc_gz_parse / warc_cdx_build
-# (_warc_gz_ranges grew the exact-file branch; cdx_build is also an
-# r14 bench watch line); then
-# (b) the OLDEST-GATED rotation: the FULL r10 block (43 entries —
-# the r14 verdict's task-1 list; after this round no entry's latest
-# gate is older than r11; staleness computed from the union of
-# CORRECTNESS_r01–r14.json).
-# Totals: 1 debut + 6 changed + 43 r10 = 50.
+# The driver gates the FIRST 50 registry keys each round. r16 order:
+# (a) the entries most affected by this round's (optimization-only)
+# code changes: snapshot_change_feed (read_version_changes rewritten
+# as the single-pass tagged-union diff), streaming_change_feed /
+# streaming_source_tail (streaming/source.py grew the empty-names
+# _rows guard; the stream-mode CDF mirrors the rewritten batch
+# semantics), stupid_backoff_lm / bigram_perplexity (train/corpus
+# tokenization now cached once per query), graph_node_similarity
+# (nbrs/deg subtrees cached); then
+# (b) the OLDEST-GATED rotation: the FULL r11 block (44 entries;
+# after this round no entry's latest gate is older than r12;
+# staleness computed from the union of CORRECTNESS_r01–r15.json).
+# Totals: 6 changed + 44 r11 = 50.
 # The whole registry is additionally value-checked locally each round
-# via tools/check_oracles.py — see ORACLES_r15.md. Entries not listed
+# via tools/check_oracles.py — see ORACLES_r16.md. Entries not listed
 # keep registration order after these.
 GATE_ORDER: list[str] = [
-    # (a) r15 debut + the entries this round's code changes touch most
-    "streaming_change_feed",  # r15 DEBUT: CDF streaming mode on the snapshot source
-    "streaming_source_tail",  # r15: source rewritten (rate limit, vacuum baseline, CDF)
-    "snapshot_sharded_manifest",  # r15: blob I/O through the log store + group compaction
-    "snapshot_upsert",  # r15: merge rides the compacting manifest payload builder
-    "snapshot_change_feed",  # r15: batch CDF (multiplicity contract; stream-mode twin)
-    "warc_gz_parse",  # r15: _warc_gz_ranges exact-file branch
-    "warc_cdx_build",  # r15: rides _warc_gz_ranges; r14 bench watch line
-    # (b) oldest-gated rotation — the FULL r10 block
-    "ann_ivf_pq_topk",  # last gated r10
-    "ann_ivf_topk",  # last gated r10
-    "ann_pq_topk",  # last gated r10
-    "bm25_rank",  # last gated r10
-    "chunk_documents",  # last gated r10
-    "contamination_check",  # last gated r10
-    "corpus_profile",  # last gated r10
-    "dedup_cluster_canonical",  # last gated r10
-    "dedup_cluster_keep_best",  # last gated r10
-    "dedup_exact",  # last gated r10
-    "dedup_simhash",  # last gated r10
-    "dsir_scores",  # last gated r10
-    "embedding_kmeans",  # last gated r10
-    "events_hourly",  # last gated r10
-    "events_json_parse",  # last gated r10
-    "events_kv_extract",  # last gated r10
-    "fuzzy_name_match",  # last gated r10
-    "gopher_quality",  # last gated r10
-    "graph_articulation",  # last gated r10
-    "graph_bridges",  # last gated r10
-    "graph_degree_distribution",  # last gated r10
-    "graph_dijkstra_agg",  # last gated r10
-    "graph_edges",  # last gated r10
-    "graph_k_hop",  # last gated r10
-    "graph_sssp",  # last gated r10
-    "graph_triangles",  # last gated r10
-    "hash_sample_orders",  # last gated r10
-    "orders_by_year",  # last gated r10
-    "orders_topk",  # last gated r10
-    "perplexity_buckets",  # last gated r10
-    "pivot_priority_by_year",  # last gated r10
-    "point_lookup_customer",  # last gated r10
-    "q9_product_profit",  # last gated r10
-    "rollup_order_stats",  # last gated r10
-    "semantic_dedup",  # last gated r10
-    "setop_repeat_customers",  # last gated r10
-    "stats_agg_lineitem",  # last gated r10
-    "streaming_scd2",  # last gated r10
-    "streaming_upsert_sink",  # last gated r10
-    "string_funcs_customer",  # last gated r10
-    "top_docs_per_group",  # last gated r10
-    "union_all_keys",  # last gated r10
-    "value_percentiles",  # last gated r10
+    # (a) the entries this round's code changes touch most
+    "snapshot_change_feed",  # r16: single-pass tagged-union CDF diff
+    "streaming_change_feed",  # r16: stream-mode CDF twin; _rows guard
+    "streaming_source_tail",  # r16: rides streaming/source.py change
+    "stupid_backoff_lm",  # r16: train tokenization cached once
+    "bigram_perplexity",  # r16: corpus tokenization cached once
+    "graph_node_similarity",  # r16: nbrs/deg subtrees cached
+    # (b) oldest-gated rotation — the FULL r11 block
+    "bloom_dedup_probe",  # last gated r11
+    "bpe_fertility",  # last gated r11
+    "bpe_tokenize",  # last gated r11
+    "corpus_drift",  # last gated r11
+    "dataset_diff",  # last gated r11
+    "dedup_minhash_blocked",  # last gated r11
+    "dedup_minhash_lsh",  # last gated r11
+    "exact_substring_spans",  # last gated r11
+    "fixed_width_parse",  # last gated r11
+    "funnel_stages",  # last gated r11
+    "graph_assortativity",  # last gated r11
+    "graph_astar",  # last gated r11
+    "graph_betweenness",  # last gated r11
+    "graph_closeness",  # last gated r11
+    "graph_clustering_coeff",  # last gated r11
+    "graph_components",  # last gated r11
+    "graph_dijkstra",  # last gated r11
+    "graph_eccentricity",  # last gated r11
+    "graph_eigenvector",  # last gated r11
+    "graph_harmonic",  # last gated r11
+    "graph_hits",  # last gated r11
+    "graph_hyperball",  # last gated r11
+    "graph_ingest_limit",  # last gated r11
+    "graph_kcore",  # last gated r11
+    "graph_nodes",  # last gated r11
+    "graph_random_walks",  # last gated r11
+    "graph_writeback",  # last gated r11
+    "html_extract_text",  # last gated r11
+    "line_dedup_gate",  # last gated r11
+    "multimodal_audio_decode",  # last gated r11
+    "multimodal_decode",  # last gated r11
+    "multimodal_gif_decode",  # last gated r11
+    "multimodal_gif_frames",  # last gated r11
+    "multimodal_ingest",  # last gated r11
+    "multimodal_video_frames",  # last gated r11
+    "ngram_counts_top",  # last gated r11
+    "normalize_documents",  # last gated r11
+    "streaming_corpus_dedup",  # last gated r11
+    "text_quality",  # last gated r11
+    "text_redact_pii",  # last gated r11
+    "text_repetition",  # last gated r11
+    "text_stats",  # last gated r11
+    "tfidf_top_terms",  # last gated r11
+    "unigram_perplexity",  # last gated r11
 ]
 
 

@@ -127,6 +127,46 @@ def test_local_df_rejects_wide_rows(spark):
         local_df(spark, [("x",)], "a string, b long").collect()
 
 
+def test_round16_operator_caches_register_and_release(spark):
+    """r16 cached the shared subtrees of node_similarity (nbrs/deg)
+    and the LM scorers' tokenized corpora through tracked_cache: the
+    caches must register with the hygiene registry (release reclaims
+    them) and the operators must stay correct after release."""
+    from bigdata_foundation_spark.operators import text as TXm
+    from bigdata_foundation_spark.operators._cache import release_operator_caches
+    from bigdata_foundation_spark.graph.etl import node_similarity
+
+    release_operator_caches()
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b a b c"), (3, "x y z w q")],
+        "doc_id int, text string",
+    )
+    lm1 = {
+        r["doc_id"]: round(r["nll_per_token"], 9)
+        for r in TXm.bigram_logprob_score(docs).collect()
+    }
+    roads = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("d", "b", 1.0), ("d", "c", 1.0)],
+        "src string, dst string, cost double",
+    )
+    ns1 = [tuple(r) for r in node_similarity(roads, k=10).collect()]
+    assert ns1 and ns1[0][:2] == ("a", "d") and ns1[0][3] == 1.0
+    # the internal frames are operator-local (the WeakSet registry
+    # only releases still-referenced caches); the blunt-hammer clear
+    # is the bench's own regime — values must be identical after it
+    release_operator_caches()
+    spark.catalog.clearCache()
+    # rerun post-clear: recompute, identical values
+    lm2 = {
+        r["doc_id"]: round(r["nll_per_token"], 9)
+        for r in TXm.bigram_logprob_score(docs).collect()
+    }
+    assert lm1 == lm2
+    ns2 = [tuple(r) for r in node_similarity(roads, k=10).collect()]
+    assert ns1 == ns2
+    release_operator_caches()
+
+
 def test_local_df_routes_dict_rows_to_classic_path(spark):
     """Dict rows would transpose keys under zip(*rows); they must take
     the classic createDataFrame path (which maps by name)."""
