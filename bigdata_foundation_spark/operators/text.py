@@ -710,10 +710,17 @@ def pmi_collocations(
     rank column is a row_number window over the ≤k survivors only.
 
     Returns (rank, w1, w2, n_pair, pmi), rank 1-based by pmi desc."""
-    toks = df.select(tokens(text_col).alias("_t"))
+    # toks feeds the unigram AND the bigram branches — cached, the
+    # corpus is scanned and tokenized ONCE (r16; was 4 scans: each
+    # count table and each corpus total re-ran the split). The totals
+    # fold from the count tables instead of re-aggregating the corpus:
+    # N_uni = Σ c_x and N_bi = Σ c_xy exactly (long sums of the same
+    # rows the counts grouped; cast after the sum, so the doubles are
+    # bit-identical to the old count(*) path).
+    toks = tracked_cache(df.select(tokens(text_col).alias("_t")))
     uni = toks.select(F.explode("_t").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("_c"))
-    nu = uni.agg(F.count("*").cast("double").alias("_nu"))
+    nu = ucnt.agg(F.sum("_c").cast("double").alias("_nu"))
     pairs = toks.select(
         F.explode(
             F.expr(
@@ -722,12 +729,9 @@ def pmi_collocations(
             )
         ).alias("_p")
     ).select("_p.w1", "_p.w2")
-    nb = pairs.agg(F.count("*").cast("double").alias("_nb"))
-    pcnt = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
-    )
+    pc0 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    nb = pc0.agg(F.sum("n_pair").cast("double").alias("_nb"))
+    pcnt = pc0.filter(F.col("n_pair") >= min_count)
     u1 = ucnt.select(F.col("w").alias("w1"), F.col("_c").alias("_c1"))
     u2 = ucnt.select(F.col("w").alias("w2"), F.col("_c").alias("_c2"))
     scored = (
@@ -784,10 +788,15 @@ def unigram_logprob_score(
     decimal repr while DuckDB rounds the binary double — the exact
     .xx5-boundary divergence class the r5 q9 fix closed; per-doc avg
     wobble is ~1e-14, far below any sane consumer threshold)."""
-    toks = documents.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # toks feeds the count table AND the scoring probe — cached, the
+    # corpus is scanned and tokenized ONCE (r16; was two full
+    # scan+split passes).
+    toks = tracked_cache(
+        documents.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     scalars = counts.agg(
         F.sum("c").alias("_N"), F.count("*").alias("_V")
@@ -1175,7 +1184,20 @@ def bm25_scores(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # Document length from the scan-side token COUNT, not from
+    # grouping the exploded tokens by id (r16, guide §2.3 "aggregate
+    # before you shuffle"): the old dl exchange carried EVERY token
+    # of the corpus keyed by id — the largest shuffle in the query —
+    # to compute what size(tokens) already knows per row. Same
+    # values: per-id sums of per-row counts equal the exploded
+    # count-by-id, and the dl >= 1 filter reproduces the
+    # zero-token-docs-absent contract.
+    dl = (
+        documents.select(F.col(id_col), whitespace_token_count(text_col).alias("_wc"))
+        .groupBy(id_col)
+        .agg(F.sum("_wc").alias("dl"))
+        .filter(F.col("dl") >= 1)
+    )
     scalars = dl.agg(F.count("*").alias("_N"), F.avg("dl").alias("_avgdl"))
     tf = (
         toks.filter(F.col("tok").isin(terms))
@@ -1235,7 +1257,11 @@ def unimax_mixture(
     by group: allocation/epochs 6-dp rounded, ``capped`` = the group
     hit its repeat cap (epochs == max_epochs; always False for a
     zero-token group, whose epochs is pinned to 0)."""
-    g = (
+    # g feeds the budget total AND the water-filling frame — cached
+    # (|groups| rows), the corpus token-count aggregate runs ONCE
+    # (r16; uncached, each reference — tot, ord_, lvl, the result —
+    # re-scanned the corpus).
+    g = tracked_cache(
         df.groupBy(group_col)
         .agg(F.sum(whitespace_token_count(text_col)).cast("double").alias("_n"))
         .withColumn("_cap", F.lit(max_epochs) * F.col("_n"))
@@ -1300,10 +1326,13 @@ def temperature_mixture(
     temperature mixes famously lack a cap on; 0 for an empty group)."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
-    g = df.groupBy(group_col).agg(
-        F.sum(whitespace_token_count(text_col)).cast("double").alias("_n")
+    # pw feeds the normalizer AND the result frame — cached (|groups|
+    # rows), the corpus token-count aggregate runs once (r16).
+    pw = tracked_cache(
+        df.groupBy(group_col)
+        .agg(F.sum(whitespace_token_count(text_col)).cast("double").alias("_n"))
+        .withColumn("_p", F.pow(F.col("_n"), F.lit(float(alpha))))
     )
-    pw = g.withColumn("_p", F.pow(F.col("_n"), F.lit(float(alpha))))
     tot = pw.agg(F.sum("_p").alias("_sp"), F.sum("_n").alias("_total"))
     weight = F.col("_p") / F.col("_sp")
     alloc = weight * F.lit(float(budget_frac)) * F.col("_total")
@@ -1367,10 +1396,18 @@ def dsir_logratio_scores(
             out = out.withColumn("tok", F.pmod(F.xxhash64("tok"), F.lit(int(hash_buckets))))
         return out
 
-    toks = _feats(documents, keep_id=True)
+    # toks feeds the source LM counts AND the scoring probe — cached,
+    # the raw corpus is scanned and tokenized once (r16; same contract
+    # as unigram_logprob_score's cache).
+    toks = tracked_cache(_feats(documents, keep_id=True))
     src = toks.groupBy("tok").agg(F.count("*").alias("c_src"))
     tgt = _feats(target).groupBy("tok").agg(F.count("*").alias("c_tgt"))
-    feat = (
+    # feat feeds the scalars AND the per-token probe join — cached
+    # (vocab/bucket-sized), both corpora's count aggregates run once,
+    # and the probe join plans against EXACT cached stats (AQE then
+    # broadcasts the feature table instead of drawing a sort-merge
+    # join from blind estimates — the r16 sweep found 2 SMJs here).
+    feat = tracked_cache(
         src.join(tgt, "tok", "full_outer")
         .select(
             "tok",
