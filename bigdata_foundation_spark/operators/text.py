@@ -1192,14 +1192,18 @@ def bm25_scores(
     # values: per-id sums of per-row counts equal the exploded
     # count-by-id, and the dl >= 1 filter reproduces the
     # zero-token-docs-absent contract.
-    dl = (
+    # dl feeds the scalars and the score join; tf feeds the df table
+    # and the score probe — cached (doc-level and matched-term-level
+    # rows), each corpus pass runs once (r16; uncached, every
+    # reference re-scanned the corpus).
+    dl = tracked_cache(
         documents.select(F.col(id_col), whitespace_token_count(text_col).alias("_wc"))
         .groupBy(id_col)
         .agg(F.sum("_wc").alias("dl"))
         .filter(F.col("dl") >= 1)
     )
     scalars = dl.agg(F.count("*").alias("_N"), F.avg("dl").alias("_avgdl"))
-    tf = (
+    tf = tracked_cache(
         toks.filter(F.col("tok").isin(terms))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("tf"))

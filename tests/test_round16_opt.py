@@ -113,6 +113,70 @@ def test_change_feed_null_key_and_values(spark, tmp_path):
     ]
 
 
+# ------------------- bm25 dl restructure (r16) ------------------------
+
+
+def test_bm25_doc_length_from_scan_side_count(spark):
+    """r16 derives dl from size(tokens) instead of grouping exploded
+    tokens by id: zero-token and NULL-text docs stay ABSENT, docs
+    split across rows sum their lengths, and N/avgdl match the old
+    exploded-count definition."""
+    from bigdata_foundation_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark"),
+            (2, "   "),           # zero tokens -> absent
+            (3, None),            # NULL text -> absent
+            (4, "hash stream"),
+            (4, "spark"),         # same id split across rows: dl = 3
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_matched_terms"], r["bm25"])
+        for r in bm25_scores(docs, ["spark", "hash"]).collect()
+    }
+    assert set(out) == {1, 4}
+    # doc 1: dl=3, tf(spark)=2; doc 4: dl=3, tf(spark)=1 + tf(hash)=1.
+    # N=2 scoring docs (2 and 3 absent), avgdl=3 -> norm lengths equal,
+    # so doc 4 (two matched terms) must outrank doc 1 on term count.
+    assert out[1][0] == 1 and out[4][0] == 2
+    import math
+
+    # closed form: N=2, avgdl=3, k1=1.2, b=0.75 (defaults)
+    def idf(df_):
+        return math.log(1.0 + (2 - df_ + 0.5) / (df_ + 0.5))
+
+    def norm(tf_, dl_):
+        return tf_ * 2.2 / (tf_ + 1.2 * (1 - 0.75 + 0.75 * dl_ / 3.0))
+
+    assert abs(out[1][1] - idf(2) * norm(2, 3)) < 1e-12
+    assert abs(out[4][1] - (idf(2) * norm(1, 3) + idf(1) * norm(1, 3))) < 1e-12
+
+
+def test_pmi_totals_fold_equals_corpus_count(spark):
+    """r16 folds N_uni/N_bi from the count tables (exact long sums);
+    the PMI values must equal the closed-form corpus-count math."""
+    import math
+
+    from bigdata_foundation_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [("new york new york",), ("new york city",), ("old city",)],
+        "text string",
+    )
+    rows = pmi_collocations(docs, "text", k=10, min_count=2).collect()
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"]) for r in rows}
+    # corpus: 10 unigrams (new:3 york:3 city:2 old:1 ... wait:
+    # "new york new york" -> new,york,new,york; "new york city";
+    # "old city" => N_uni=9: new:3 york:3 city:2 old:1
+    # bigrams: (new,york)x3 (york,new)x1 (york,city)x1 (old,city)x1 => N_bi=6
+    assert got[("new", "york")][0] == 3
+    expected = math.log((3 * 9.0 * 9.0) / (6.0 * 3 * 3))
+    assert abs(got[("new", "york")][1] - round(expected, 6)) < 1e-9
+
+
 # ------------------- local_df shape validation (r15 ADVICE) -----------
 
 
